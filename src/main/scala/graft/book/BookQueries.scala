@@ -1,0 +1,336 @@
+package graft.book
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Order-book metric queries over the deterministic synthetic book
+  * (depth 5), exercising the reference's full per-row and series operator
+  * surface (SURVEY.md §2.2/§2.5) with DuckDB oracle mirrors.
+  *
+  * Scale design: all per-row metrics are pure projections (one codegen
+  * stage, no shuffle); series metrics shuffle ONCE on `sym` and evaluate
+  * every window function over the same (sym, seq) sort — Spark reuses a
+  * single Sort+Window stage for all of them.
+  */
+object BookQueries {
+
+  private val D = 5
+
+  private def bookDf(s: SparkSession, dir: String): DataFrame =
+    SyntheticBook.fromEvents(Tables(s, dir, "events"), D)
+
+  private def withCte(rest: String): String = s"WITH ${SyntheticBook.sqlCte(D)}$rest"
+
+  private val w = Window.partitionBy("sym").orderBy("seq")
+  private val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+  private val winSql = "(PARTITION BY sym ORDER BY seq)"
+  private val runSql =
+    "(PARTITION BY sym ORDER BY seq ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+
+  // ---------------------------------------------------------------- q11
+  val q11 = Q("q11_book_row_metrics",
+    (s, dir) => {
+      bookDf(s, dir)
+        .withColumns(BookMetrics.rowMetricsBundle(D).toMap)
+        .select(Seq("seq", "sym").map(col) ++ BookMetrics.rowMetricsBundle(D).map(p => col(p._1)): _*)
+        .orderBy("seq")
+    },
+    Some(withCte(s""",
+    s1 AS (
+      SELECT *,
+        ${BookSql.slopeLayer1("bid", D)},
+        ${BookSql.slopeLayer1("ask", D)}
+      FROM book
+    ),
+    s2 AS (
+      SELECT *,
+        ${BookSql.slopeLayer2("bid", D)},
+        ${BookSql.slopeLayer2("ask", D)}
+      FROM s1
+    )
+    SELECT seq, sym,
+      ${BookSql.spread} AS spread,
+      ${BookSql.mid} AS mid,
+      ${BookSql.relSpreadBpsStrict} AS relative_spread_bps,
+      ${BookSql.microprice} AS microprice,
+      ${BookSql.micropriceImbalanceBps} AS microprice_imbalance_bps,
+      ${BookSql.imbalanceL1} AS imbalance_l1,
+      ${BookSql.imbalanceDepthK(D)} AS imbalance_k,
+      ${BookSql.notionalDepth("bid", D)} AS notional_bid_k,
+      ${BookSql.notionalDepth("ask", D)} AS notional_ask_k,
+      ${BookSql.slopeFinal("bid", D)} AS slope_bid,
+      ${BookSql.slopeFinal("ask", D)} AS slope_ask
+    FROM s2
+    ORDER BY seq""")),
+    headline = true)
+
+  // ---------------------------------------------------------------- q12
+  val q12 = Q("q12_spread_flavors",
+    (s, dir) => {
+      val bb = col("best_bid"); val ba = col("best_ask")
+      bookDf(s, dir).select(col("seq"), col("sym"),
+        BookMetrics.relSpreadBpsStrict(bb, ba).as("spread_bps_strict"),
+        BookMetrics.relSpreadBpsVector(bb, ba).as("spread_bps_vector"),
+        BookMetrics.spreadBpsEvent(bb, ba).as("spread_bps_event"))
+        .orderBy("seq")
+    },
+    Some(withCte(s"""
+    SELECT seq, sym,
+      ${BookSql.relSpreadBpsStrict} AS spread_bps_strict,
+      ${BookSql.relSpreadBpsVector} AS spread_bps_vector,
+      ${BookSql.spreadBpsEvent} AS spread_bps_event
+    FROM book
+    ORDER BY seq""")))
+
+  // ------------------------------------------------- q13/q14/q15: OFI ×3
+  private def laggedCte: String = s""",
+    lagged AS (
+      SELECT *, ${BookSql.lagLayer}
+      FROM book WINDOW w AS $winSql
+    )"""
+
+  val q13 = Q("q13_ofi_l1_strict",
+    (s, dir) => {
+      bookDf(s, dir)
+        .withColumn("ofi_l1", SeriesMetrics.ofiL1Strict(w))
+        .withColumn("ofi_cum", sum("ofi_l1").over(wRun))
+        .select("seq", "sym", "ofi_l1", "ofi_cum")
+        .orderBy("seq")
+    },
+    Some(withCte(s"""$laggedCte,
+    o AS (SELECT seq, sym, ${BookSql.ofiL1Strict} AS ofi_l1 FROM lagged)
+    SELECT seq, sym, ofi_l1, SUM(ofi_l1) OVER $runSql AS ofi_cum
+    FROM o ORDER BY seq""")),
+    headline = true)
+
+  val q14 = Q("q14_ofi_event",
+    (s, dir) => {
+      bookDf(s, dir)
+        .withColumn("ofi_event", SeriesMetrics.ofiEvent(w))
+        .withColumn("ofi_event_cum", sum("ofi_event").over(wRun))
+        .select("seq", "sym", "ofi_event", "ofi_event_cum")
+        .orderBy("seq")
+    },
+    Some(withCte(s"""$laggedCte,
+    o AS (SELECT seq, sym, ${BookSql.ofiEvent} AS ofi_event FROM lagged)
+    SELECT seq, sym, ofi_event, SUM(ofi_event) OVER $runSql AS ofi_event_cum
+    FROM o ORDER BY seq""")))
+
+  val q15 = Q("q15_ofi_lobster",
+    (s, dir) => {
+      bookDf(s, dir)
+        .withColumn("ofi_lob", SeriesMetrics.ofiLobster(w))
+        .withColumn("ofi_lob_cum", sum("ofi_lob").over(wRun))
+        .select("seq", "sym", "ofi_lob", "ofi_lob_cum")
+        .orderBy("seq")
+    },
+    Some(withCte(s"""$laggedCte,
+    o AS (SELECT seq, sym, ${BookSql.ofiLobster} AS ofi_lob FROM lagged)
+    SELECT seq, sym, ofi_lob, SUM(ofi_lob) OVER $runSql AS ofi_lob_cum
+    FROM o ORDER BY seq""")))
+
+  // ---------------------------------------------------------------- q16
+  val q16 = Q("q16_ofi_depth_k",
+    (s, dir) => {
+      val bidSum = (1 to D).map(k => coalesce(col(s"bid${k}_size"), lit(0.0))).reduce(_ + _)
+      val askSum = (1 to D).map(k => coalesce(col(s"ask${k}_size"), lit(0.0))).reduce(_ + _)
+      val bidNtl = BookMetrics.notionalDepth(BookMetrics.bidLevels(D))
+      val askNtl = BookMetrics.notionalDepth(BookMetrics.askLevels(D))
+      bookDf(s, dir)
+        .withColumn("bid_sz_k", bidSum).withColumn("ask_sz_k", askSum)
+        .withColumn("bid_ntl_k", bidNtl).withColumn("ask_ntl_k", askNtl)
+        .withColumn("ofi_size_k",
+          SeriesMetrics.depthOfi(col("bid_sz_k"), col("ask_sz_k"), w))
+        .withColumn("ofi_ntl_k",
+          SeriesMetrics.depthOfi(coalesce(col("bid_ntl_k"), lit(0.0)),
+            coalesce(col("ask_ntl_k"), lit(0.0)), w))
+        .withColumn("ofi_size_k_cum", sum("ofi_size_k").over(wRun))
+        .withColumn("ofi_ntl_k_cum",
+          sum(round(col("ofi_ntl_k"), 6).cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+            .over(wRun).cast("double"))
+        .select("seq", "sym", "ofi_size_k", "ofi_size_k_cum", "ofi_ntl_k", "ofi_ntl_k_cum")
+        .orderBy("seq")
+    },
+    Some {
+      val bidSum = (1 to D).map(k => s"COALESCE(bid${k}_size, 0.0::DOUBLE)").mkString(" + ")
+      val askSum = (1 to D).map(k => s"COALESCE(ask${k}_size, 0.0::DOUBLE)").mkString(" + ")
+      withCte(s""",
+    sums AS (
+      SELECT seq, sym,
+        $bidSum AS bid_sz_k,
+        $askSum AS ask_sz_k,
+        COALESCE(${BookSql.notionalDepth("bid", D)}, 0.0::DOUBLE) AS bid_ntl_k,
+        COALESCE(${BookSql.notionalDepth("ask", D)}, 0.0::DOUBLE) AS ask_ntl_k
+      FROM book
+    ),
+    deltas AS (
+      SELECT seq, sym,
+        COALESCE((bid_sz_k - LAG(bid_sz_k, 1) OVER w) - (ask_sz_k - LAG(ask_sz_k, 1) OVER w), 0.0::DOUBLE) AS ofi_size_k,
+        COALESCE((bid_ntl_k - LAG(bid_ntl_k, 1) OVER w) - (ask_ntl_k - LAG(ask_ntl_k, 1) OVER w), 0.0::DOUBLE) AS ofi_ntl_k
+      FROM sums WINDOW w AS $winSql
+    )
+    SELECT seq, sym, ofi_size_k,
+      SUM(ofi_size_k) OVER $runSql AS ofi_size_k_cum,
+      ofi_ntl_k,
+      CAST(SUM(CAST(ROUND(ofi_ntl_k, 6) AS DECIMAL(38,6))) OVER $runSql AS DOUBLE) AS ofi_ntl_k_cum
+    FROM deltas ORDER BY seq""")
+    })
+
+  // ----------------------------------------------------------- q17: RV
+  // Returns are computed on a bounded price transform px = 100 + mid/100
+  // (the raw synthetic mid jumps orders of magnitude between events,
+  // which is not a price series and would overflow any fixed decimal
+  // scale for r² accumulation).
+  private def midRetCte: String = s""",
+    m AS (SELECT seq, sym, ${BookSql.mid} AS mid FROM book),
+    p AS (SELECT seq, sym, 100.0::DOUBLE + mid / 100.0::DOUBLE AS px FROM m),
+    r AS (
+      SELECT seq, sym, px,
+        CASE WHEN px > 0 AND LAG(px, 1) OVER w > 0
+             THEN px / LAG(px, 1) OVER w - 1 END AS ret
+      FROM p WINDOW w AS $winSql
+    )"""
+
+  private def midRetDf(s: SparkSession, dir: String): DataFrame = {
+    val prevPx = lag(col("px"), 1).over(w)
+    bookDf(s, dir)
+      .withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .withColumn("px", lit(100.0) + col("mid") / lit(100.0))
+      .withColumn("ret", when(col("px") > 0 && prevPx > 0, col("px") / prevPx - 1))
+  }
+
+  val q17 = Q("q17_realized_variance",
+    (s, dir) => {
+      midRetDf(s, dir)
+        .withColumn("rv20", SeriesMetrics.realizedVar(col("ret"), w, 20))
+        .select("seq", "sym", "px", "ret", "rv20")
+        .orderBy("seq")
+    },
+    Some(withCte(s"""$midRetCte
+    SELECT seq, sym, px, ret,
+      CASE WHEN COUNT(ret) OVER f = 20
+           THEN CAST(SUM(CAST(ROUND(ret * ret, 12) AS DECIMAL(38,12))) OVER f AS DOUBLE) END AS rv20
+    FROM r
+    WINDOW f AS (PARTITION BY sym ORDER BY seq ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ORDER BY seq""")),
+    headline = true)
+
+  // ------------------------------------------------ q18: reset-on-gap RV
+  val q18 = Q("q18_rv_reset_on_gap",
+    (s, dir) => {
+      val grpW = Window.partitionBy("sym", "gap_grp").orderBy("seq")
+      midRetDf(s, dir)
+        .withColumn("gap_grp", SeriesMetrics.gapGroup(col("ret"), w))
+        .withColumn("rv20", SeriesMetrics.realizedVarResetOnGap(col("ret"), grpW, 20))
+        .select("seq", "sym", "ret", "gap_grp", "rv20")
+        .orderBy("seq")
+    },
+    Some(withCte(s"""$midRetCte,
+    g AS (
+      SELECT *, COUNT(CASE WHEN ret IS NULL THEN 1 END) OVER $runSql AS gap_grp
+      FROM r
+    )
+    SELECT seq, sym, ret, gap_grp,
+      CASE WHEN ret IS NOT NULL AND COUNT(ret) OVER f = 20
+           THEN CAST(SUM(CAST(ROUND(ret * ret, 12) AS DECIMAL(38,12))) OVER f AS DOUBLE) END AS rv20
+    FROM g
+    WINDOW f AS (PARTITION BY sym, gap_grp ORDER BY seq ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ORDER BY seq""")))
+
+  // ---------------------------------------------- q19: rolling corr OFI↔ret
+  // Closed-form Pearson over exact decimal window sums (not the built-in
+  // `corr` aggregate): cross-engine bit-deterministic, and immune to the
+  // ANSI divide-by-zero on zero-variance windows.
+  val q19 = Q("q19_rolling_corr_ofi_ret",
+    (s, dir) => {
+      midRetDf(s, dir)
+        .withColumn("ofi_lob", SeriesMetrics.ofiLobster(w))
+        .withColumn("corr30",
+          SeriesMetrics.rollingCorrExact(col("ofi_lob"), col("ret"), w, 30))
+        .select("seq", "sym", "corr30")
+        .orderBy("seq")
+    },
+    Some {
+      def dsum(t: String, sc: Int) =
+        s"CAST(SUM(CAST(ROUND($t, $sc) AS DECIMAL(38,$sc))) OVER f AS DOUBLE)"
+      val n = "CAST(COUNT(xm) OVER f AS DOUBLE)"
+      val sx = dsum("xm", 6); val sy = dsum("ym", 12)
+      val sxy = dsum("xm * ym", 12); val sxx = dsum("xm * xm", 6); val syy = dsum("ym * ym", 14)
+      val varx = s"($n * $sxx - $sx * $sx)"
+      val vary = s"($n * $syy - $sy * $sy)"
+      withCte(s"""$midRetCte,
+    lg AS (
+      SELECT r.seq, r.sym, r.ret, b.bid1_price, b.bid1_size, b.ask1_price, b.ask1_size,
+             LAG(b.bid1_price, 1) OVER w AS pb, LAG(b.bid1_size, 1) OVER w AS sb,
+             LAG(b.ask1_price, 1) OVER w AS pa, LAG(b.ask1_size, 1) OVER w AS sa
+      FROM r JOIN book b USING (seq, sym) WINDOW w AS (PARTITION BY r.sym ORDER BY r.seq)
+    ),
+    o AS (SELECT seq, sym, ret, ${BookSql.ofiLobster} AS ofi_lob FROM lg),
+    pm AS (
+      SELECT seq, sym,
+        CASE WHEN ofi_lob IS NOT NULL AND ret IS NOT NULL THEN ofi_lob END AS xm,
+        CASE WHEN ofi_lob IS NOT NULL AND ret IS NOT NULL THEN ret END AS ym
+      FROM o
+    )
+    SELECT seq, sym,
+      CASE WHEN $n >= 2 AND $varx > 0 AND $vary > 0
+           THEN ($n * $sxy - $sx * $sy) / (sqrt($varx) * sqrt($vary)) END AS corr30
+    FROM pm
+    WINDOW f AS (PARTITION BY sym ORDER BY seq ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    ORDER BY seq""")
+    })
+
+  // --------------------------------------------------- q20: depth curve
+  val q20 = Q("q20_depth_curve",
+    (s, dir) => {
+      val stackExpr = (1 to D).flatMap(k =>
+        Seq(s"'bid', $k, bid${k}_size", s"'ask', $k, ask${k}_size")).mkString(", ")
+      bookDf(s, dir)
+        .selectExpr(s"stack(${2 * D}, $stackExpr) as (side, level, size)")
+        .groupBy("side", "level")
+        .agg(count(col("size")).as("n_obs"),
+          (Exact.sumExact(col("size"), 2) / count(col("size"))).as("avg_size"))
+        .withColumn("davg",
+          col("avg_size") - lag("avg_size", 1)
+            .over(Window.partitionBy("side").orderBy("level")))
+        .orderBy("side", "level")
+    },
+    Some {
+      val branches = (1 to D).flatMap(k => Seq(
+        s"SELECT 'bid' AS side, $k AS level, bid${k}_size AS size FROM book",
+        s"SELECT 'ask' AS side, $k AS level, ask${k}_size AS size FROM book")).mkString("\n      UNION ALL ")
+      withCte(s""",
+    tidy AS (
+      $branches
+    ),
+    curve AS (
+      SELECT side, level, COUNT(size) AS n_obs,
+        (${Exact.sumExactSql("size", 2)} / COUNT(size)) AS avg_size
+      FROM tidy GROUP BY side, level
+    )
+    SELECT side, level, n_obs, avg_size,
+      avg_size - LAG(avg_size, 1) OVER (PARTITION BY side ORDER BY level) AS davg
+    FROM curve ORDER BY side, level""")
+    })
+
+  // ------------------------------------------------ q21: spread histogram
+  val q21 = Q("q21_spread_histogram",
+    (s, dir) => {
+      val x = BookMetrics.relSpreadBpsVector(col("best_bid"), col("best_ask"))
+      bookDf(s, dir)
+        .select(x.as("sbps"))
+        .filter(col("sbps").isNotNull)
+        .groupBy(floor(col("sbps") / lit(2.5)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bin")
+    },
+    Some(withCte(s""",
+    x AS (SELECT ${BookSql.relSpreadBpsVector} AS sbps FROM book)
+    SELECT CAST(floor(sbps / 2.5::DOUBLE) AS BIGINT) AS bin, COUNT(*) AS n
+    FROM x WHERE sbps IS NOT NULL
+    GROUP BY bin ORDER BY bin""")))
+
+  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+}

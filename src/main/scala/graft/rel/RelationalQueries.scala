@@ -1,0 +1,263 @@
+package graft.rel
+
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational capability layer over the TPC-H-ish test tables: scans with
+  * pushed filters, broadcast/shuffle joins, hash aggregation, rollup,
+  * semi/anti joins, ranking and running windows, sessionization
+  * (SURVEY.md §2.3/§2.4 "absent in the reference, required by the
+  * north-star"). Each query is paired with its DuckDB oracle.
+  *
+  * Scale notes: dimension joins (`customer`, `nation`, `region`,
+  * `supplier`, `part`) are explicitly `broadcast()`; fact-fact joins
+  * shuffle on the join key and AQE handles skew. Aggregates use
+  * [[graft.Exact]] decimal summation, which also makes results
+  * reproducible under any cluster partitioning.
+  */
+object RelationalQueries {
+
+  private val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
+  private val discSql = "l_extendedprice * (1 - l_discount)"
+
+  val q01 = Q("q01_pricing_summary",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Exact.sumExact(col("l_quantity"), 2).as("sum_qty"),
+          Exact.sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.sumExactR(disc, 4, 2).as("sum_disc_price"),
+          Exact.sumExactR(disc * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
+          Exact.avgExact(col("l_quantity"), 2).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${Exact.sumExactSql("l_quantity", 2)} AS sum_qty,
+      ${Exact.sumExactSql("l_extendedprice", 2)} AS sum_base_price,
+      ${Exact.sumExactRSql(discSql, 4, 2)} AS sum_disc_price,
+      ${Exact.sumExactRSql(s"$discSql * (1 + l_tax)", 6, 2)} AS sum_charge,
+      ${Exact.avgExactSql("l_quantity", 2)} AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""),
+    headline = true)
+
+  val q02 = Q("q02_top_revenue_orders",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders").filter(col("o_orderdate") < lit("1997-06-01"))
+      val l = Tables(s, dir, "lineitem").filter(col("l_shipdate") > lit("1997-06-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(Exact.sumExactR(disc, 4, 2).as("revenue"))
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      ${Exact.sumExactRSql(discSql, 4, 2)} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10"""),
+    headline = true)
+
+  val q03 = Q("q03_region_revenue",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1997-01-01") && col("o_orderdate") < lit("1998-01-01"))
+      val c = Tables(s, dir, "customer")
+      val sup = Tables(s, dir, "supplier")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(Exact.sumExactR(disc, 4, 2).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""SELECT r_name, n_name, ${Exact.sumExactRSql(discSql, 4, 2)} AS revenue,
+      COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND r_name IN ('ASIA', 'EUROPE')
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name"""),
+    headline = true)
+
+  val q04 = Q("q04_active_segment_stats",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"), Exact.sumExact(col("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy("c_mktsegment")
+    },
+    Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
+      ${Exact.sumExactSql("c_acctbal", 2)} AS sum_acctbal
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment"""))
+
+  val q05 = Q("q05_inactive_customers",
+    (s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      val n = Tables(s, dir, "nation")
+      c.join(o.filter(o("o_orderstatus") === "P"), c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_customers"), Exact.sumExact(col("c_acctbal"), 2).as("sum_acctbal"))
+        .orderBy("n_name")
+    },
+    Some(s"""SELECT n_name, COUNT(*) AS n_customers,
+      ${Exact.sumExactSql("c_acctbal", 2)} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY n_name
+    ORDER BY n_name"""))
+
+  val q06 = Q("q06_rollup_lineitem",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      COALESCE(l_linestatus, 'ALL') AS lstatus,
+      COUNT(*) AS n, ${Exact.sumExactSql("l_quantity", 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus"""))
+
+  val q07 = Q("q07_customer_running_spend",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("o_totalprice"),
+        row_number().over(w).as("order_seq"),
+        sum(round(col("o_totalprice"), 2).cast(DecimalType(38, 2)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double").as("running_spend"))
+        .orderBy("o_custkey", "order_seq")
+    },
+    Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+      o_totalprice,
+      ROW_NUMBER() OVER w AS order_seq,
+      CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2)))
+           OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, order_seq"""))
+
+  val q08 = Q("q08_events_minute_agg",
+    (s, dir) => {
+      Tables(s, dir, "events")
+        .withColumn("minute", expr("(ts div 1000) div 60000000"))
+        .groupBy("minute", "event_type")
+        .agg(count(lit(1)).as("n"),
+          Exact.sumExact(col("value"), 2).as("sum_value"),
+          min("value").as("min_value"),
+          max("value").as("max_value"))
+        .orderBy("minute", "event_type")
+    },
+    Some(s"""SELECT epoch_us(ts) // 60000000 AS minute, event_type,
+      COUNT(*) AS n,
+      ${Exact.sumExactSql("value", 2)} AS sum_value,
+      MIN(value) AS min_value, MAX(value) AS max_value
+    FROM events
+    GROUP BY minute, event_type
+    ORDER BY minute, event_type"""),
+    headline = true)
+
+  val q09 = Q("q09_events_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gap = col("ts_us") - lag("ts_us", 1).over(w)
+      Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("is_new", when(gap.isNull || gap > 1800000000L, lit(1)).otherwise(lit(0)))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("session_start_us"),
+          max("ts_us").as("session_end_us"),
+          Exact.sumExact(col("value"), 2).as("session_value"))
+        .orderBy("user_id", "session_id")
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN ts_us - LAG(ts_us, 1) OVER w IS NULL
+                       OR ts_us - LAG(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+      MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+      ${Exact.sumExactSql("value", 2)} AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""))
+
+  val q10 = Q("q10_top_orders_per_customer",
+    (s, dir) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rk")
+    },
+    Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders
+    )
+    WHERE rk <= 3
+    ORDER BY o_custkey, rk"""))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+}

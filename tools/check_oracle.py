@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Local pre-verification harness replicating the driver's DuckDB oracle
+compare: run graft.Verify first (dumps per-query parquet + oracle_sql.json),
+then this script executes each oracle SQL in DuckDB over the same testdata
+tables and diffs against the Spark output.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        spark_glob = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        if not spark_glob:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')").fetchdf()
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: {str(e)[:300]}"); n_bad += 1; continue
+        got = got.reindex(sorted(got.columns), axis=1)
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_bad += 1; continue
+        if got.shape != exp.shape:
+            print(f"FAIL {name}: shape {got.shape} != {exp.shape}"); n_bad += 1; continue
+        # exact value compare, in emitted row order
+        diffs = []
+        for c in got.columns:
+            a, b = got[c], exp[c]
+            neq = ~((a == b) | (a.isna() & b.isna()))
+            if neq.any():
+                i = neq.idxmax()
+                diffs.append((c, int(neq.sum()), a[i], b[i]))
+        if diffs:
+            # also try sorted-rows compare (driver may sort before hashing)
+            gs = got.sort_values(list(got.columns)).reset_index(drop=True)
+            es = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+            if gs.equals(es):
+                print(f"OK~  {name}: matches after row sort (emit order differs)")
+                n_ok += 1; continue
+            print(f"FAIL {name}: {len(diffs)} cols differ; first: "
+                  + "; ".join(f"{c}: {n} rows, spark={a!r} duck={b!r}" for c, n, a, b in diffs[:3]))
+            n_bad += 1
+        else:
+            print(f"OK   {name}: {got.shape[0]} rows x {got.shape[1]} cols exact")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} fail")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
