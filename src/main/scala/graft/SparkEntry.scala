@@ -14,6 +14,7 @@ object SparkEntry {
   def catalog: Seq[Q] =
     rel.RelationalQueries.all ++
       book.BookQueries.all ++
+      impact.ImpactQueries.all ++
       text.TextQueries.all ++
       vec.VectorQueries.all
 
