@@ -1,10 +1,166 @@
 package graft.vec
 
-import graft.Q
+import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-/** Embedding/similarity layer over `embeddings`: norms, brute-force
-  * cosine top-k, LSH bucketing, label centroids.
+/** Embedding/similarity layer over `embeddings` (ARRAY<FLOAT>, 64-dim):
+  * per-vector stats, label centroids, brute-force cosine top-k, and
+  * random-hyperplane LSH bucketing (the ANN scale path: candidates meet
+  * only within a bucket).
+  *
+  * All dot products / norms fold per-row via higher-order functions with
+  * DECIMAL accumulators — no shuffle for the pairwise math, and the
+  * decimal sums are order-independent, so results are identical under any
+  * partitioning (and to DuckDB's list_sum mirror).
+  *
+  * Scale notes: brute-force top-k is O(Q·N·d) with the tiny query side
+  * broadcast; at 100 TB the LSH variant (q37) bounds candidates per
+  * bucket, and the same `Exact` folds keep results reproducible.
   */
 object VectorQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Exact decimal dot product of two float-array columns (double math
+    * per term, rounded at 8dp, decimal-summed).
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
+      "CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 8) AS DECIMAL(30,8))), " +
+      "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)"
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> " +
+      "CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE)"
+
+  private def norm2Expr(a: String): String =
+    s"CAST(aggregate($a, CAST(0 AS DECIMAL(30,8)), (acc, x) -> " +
+      "CAST(acc + CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"
+
+  private def norm2Sql(a: String): String =
+    s"CAST(list_sum(list_transform($a, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------- q34
+  val q34 = Q("q34_embedding_stats",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .withColumn("dim", size(col("embedding")).cast("long"))
+        .withColumn("norm2", expr(norm2Expr("embedding")))
+        .withColumn("norm", sqrt(col("norm2")))
+        .withColumn("comp_sum", expr(
+          "CAST(aggregate(embedding, CAST(0 AS DECIMAL(30,8)), (acc, x) -> " +
+            "CAST(acc + CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"))
+        .withColumn("comp_min", array_min(col("embedding")).cast("double"))
+        .withColumn("comp_max", array_max(col("embedding")).cast("double"))
+        .select("vec_id", "label", "dim", "norm2", "norm", "comp_sum", "comp_min", "comp_max")
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH n AS (
+      SELECT vec_id, label,
+        CAST(len(embedding) AS BIGINT) AS dim,
+        ${norm2Sql("embedding")} AS norm2,
+        CAST(list_sum(list_transform(embedding, x ->
+          CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE) AS comp_sum,
+        CAST(list_min(embedding) AS DOUBLE) AS comp_min,
+        CAST(list_max(embedding) AS DOUBLE) AS comp_max
+      FROM embeddings
+    )
+    SELECT vec_id, label, dim, norm2, sqrt(norm2) AS norm, comp_sum, comp_min, comp_max
+    FROM n ORDER BY vec_id"""))
+
+  // ---------------------------------------------------------------- q35
+  val q35 = Q("q35_label_centroids",
+    (s, dir) => {
+      Tables(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), (col("pos0") + lit(1)).as("pos"))
+        .agg(count(lit(1)).as("n"),
+          (Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("centroid"))
+        .orderBy("label", "pos")
+    },
+    Some(s"""SELECT label, pos, COUNT(*) AS n,
+      (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS centroid
+    FROM (SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+    GROUP BY label, pos ORDER BY label, pos"""))
+
+  // ---------------------------------------------------------------- q36
+  val q36 = Q("q36_knn_bruteforce",
+    (s, dir) => {
+      val en = Tables(s, dir, "embeddings")
+        .withColumn("n2", expr(norm2Expr("embedding")))
+      val q = en.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val c = en.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+      val dot = expr(dotExpr("qe", "ce"))
+      val cos = when(col("qn2") > 0 && col("cn2") > 0,
+        col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2"))))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col("c_id"))
+      broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .withColumn("dot", dot)
+        .withColumn("cos_sim", cos)
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH en AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings
+    ), p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+        ${dotSql("q.embedding", "c.embedding")} AS dot
+      FROM en q JOIN en c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), sc AS (
+      SELECT q_id, c_id,
+        CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+      FROM p
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM sc
+    )
+    SELECT q_id, rnk, c_id, cos_sim FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q37
+  /** Random-hyperplane LSH: 8 deterministic integer hyperplanes
+    * w(i,j) = ((i·64 + j)·2654435761) % 2001 − 1000; bucket bit i is the
+    * sign of the exact decimal dot product with plane i.
+    */
+  val q37 = Q("q37_lsh_buckets",
+    (s, dir) => {
+      def plane(i: Int): Column = expr(
+        s"CAST(aggregate(transform(sequence(1, size(embedding)), j -> " +
+          s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
+          s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
+      val withPlanes = (0 to 7).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
+        d.withColumn(s"h$i", plane(i))
+      }
+      val bucket = (0 to 7).map(i =>
+        when(col(s"h$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      withPlanes
+        .withColumn("bucket", bucket)
+        .withColumn("n_in_bucket", count(lit(1)).over(Window.partitionBy("bucket")))
+        .select("vec_id", "label", "bucket", "n_in_bucket")
+        .orderBy("vec_id")
+    },
+    Some {
+      def planeSql(i: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, len(embedding)), j -> " +
+          s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(embedding[j] AS DOUBLE), 6) AS DECIMAL(38,6)))) AS DOUBLE) AS h$i"
+      val bucket = (0 to 7).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH h AS (
+      SELECT vec_id, label,
+        ${(0 to 7).map(planeSql).mkString(",\n        ")}
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, label, CAST($bucket AS BIGINT) AS bucket FROM h
+    )
+    SELECT vec_id, label, bucket, COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket
+    FROM b ORDER BY vec_id"""
+    })
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37)
 }
