@@ -1,0 +1,36 @@
+package graft.io
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Flat-book table IO (SURVEY.md §2.1 S6-S10): CSV with the reference's
+  * conventions (header, blanks for NULL, 10-decimal fixed-point floats —
+  * `record.py:70-84`, `metrics_cli.py:60-66`) and Parquet with native
+  * types. Extension dispatch mirrors `_read_any` (`impact_vwap.py:94-100`).
+  */
+object BookIO {
+
+  /** Read a flat recording CSV with every column as STRING (the
+    * reference's readers see strings too; blanks become NULL).
+    */
+  def readFlatCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** Extension dispatch: .csv vs .parquet/.pq. */
+  def readAny(spark: SparkSession, path: String): DataFrame =
+    if (path.endsWith(".csv")) readFlatCsv(spark, path)
+    else if (path.endsWith(".parquet") || path.endsWith(".pq")) spark.read.parquet(path)
+    else throw new IllegalArgumentException(s"unsupported extension: $path")
+
+  /** 10-decimal fixed-point golden formatting; NULL → "" (note
+    * `format_string` itself renders SQL NULL as the string "null").
+    */
+  def fmt10(c: Column): Column =
+    when(c.isNotNull, format_string("%.10f", c)).otherwise(lit(""))
+
+  /** Write a golden-format CSV (single file semantics are the caller's
+    * choice via coalesce; all columns already strings).
+    */
+  def writeGoldenCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
+}

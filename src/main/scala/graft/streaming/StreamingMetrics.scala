@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming analytics extensions (SURVEY.md §2.9: the reference has no
+  * in-stream windows — these are the natural Structured Streaming
+  * generalizations the north-star asks for).
+  */
+object StreamingMetrics {
+
+  /** Event-time 1-minute bars with watermark over a stream carrying
+    * epoch-µs `ts_us` + `sym` + a price column.
+    */
+  def minuteBars(stream: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+      .groupBy(window(col("event_time"), "1 minute"), col("sym"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min("px").as("low"), max("px").as("high"),
+        first("px").as("open_px"), last("px").as("close_px"))
+
+  case class Tick(sym: String, seq: Long, px: Double)
+  case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
+  case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)
+
+  /** Stateful per-symbol running delta/cumsum via mapGroupsWithState —
+    * the streaming form of the batch cumulative-OFI windows (W4): state
+    * is one tuple per key, so it scales to any number of symbols.
+    */
+  def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
+    implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
+    implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]
+    ticks.groupByKey(_.sym)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, it: Iterator[Tick], state: GroupState[OfiState]) =>
+          val sorted = it.toSeq.sortBy(_.seq)
+          var st = state.getOption.getOrElse(OfiState(Double.NaN, -1L, 0.0))
+          val out = sorted.map { t =>
+            val d = if (st.prevSeq < 0) 0.0 else t.px - st.prevPx
+            st = OfiState(t.px, t.seq, st.cum + d)
+            OfiOut(sym, t.seq, d, st.cum)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+}
