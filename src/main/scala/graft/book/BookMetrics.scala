@@ -145,6 +145,43 @@ object BookMetrics {
       (acc.getField("sxy") - acc.getField("sx") * acc.getField("sy") / n) / den)
   }
 
+  /** Layered slope computation: appends named intermediate columns
+    * (validity, masked size, first price, x_i, running y_i) and a final
+    * `slope_<pfx>` column. Identical values to [[bookSlope]] — but the
+    * named layers keep each projection small enough for whole-stage
+    * codegen (the single giant tree falls back to interpreted mode and is
+    * ~6× slower at 100k rows), and CollapseProject leaves reused non-cheap
+    * columns un-inlined. Mirrors [[BookSql.slopeLayer1]]/[[BookSql.slopeLayer2]].
+    */
+  def withSlopeLayered(df0: org.apache.spark.sql.DataFrame, pfx: String, depth: Int): org.apache.spark.sql.DataFrame = {
+    def valid(k: Int) = col(s"$pfx${k}_price").isNotNull && col(s"$pfx${k}_size").isNotNull
+    val layer1: Seq[(String, Column)] =
+      (1 to depth).flatMap { k =>
+        Seq(s"${pfx}_v$k" -> when(valid(k), lit(1.0)).otherwise(lit(0.0)),
+          s"${pfx}_s$k" -> when(valid(k), col(s"$pfx${k}_size")).otherwise(lit(0.0)))
+      } :+ (s"${pfx}_p0" -> coalesce((1 to depth).map(k => when(valid(k), col(s"$pfx${k}_price"))): _*))
+    var d = df0.withColumns(layer1.toMap)
+    // running raw cumulative sizes: yraw_k = ((0.0 + s1) + ... + s_k)
+    val yraws = (1 to depth).map { k =>
+      s"${pfx}_yraw$k" -> (1 to k).foldLeft(lit(0.0): Column)((acc, j) => acc + col(s"${pfx}_s$j"))
+    }
+    val layer2a: Seq[(String, Column)] = yraws ++ (1 to depth).map { k =>
+      s"${pfx}_x$k" -> when(col(s"${pfx}_v$k") === 1.0,
+        abs(col(s"$pfx${k}_price") - col(s"${pfx}_p0"))).otherwise(lit(0.0))
+    }
+    d = d.withColumns(layer2a.toMap)
+    d = d.withColumns((1 to depth).map { k =>
+      s"${pfx}_y$k" -> when(col(s"${pfx}_v$k") === 1.0, col(s"${pfx}_yraw$k")).otherwise(lit(0.0))
+    }.toMap)
+    val n = (1 to depth).map(k => col(s"${pfx}_v$k")).reduce(_ + _)
+    val sx = (1 to depth).map(k => col(s"${pfx}_x$k")).reduce(_ + _)
+    val sy = (1 to depth).map(k => col(s"${pfx}_y$k")).reduce(_ + _)
+    val sxy = (1 to depth).map(k => col(s"${pfx}_x$k") * col(s"${pfx}_y$k")).reduce(_ + _)
+    val sxx = (1 to depth).map(k => col(s"${pfx}_x$k") * col(s"${pfx}_x$k")).reduce(_ + _)
+    val den = sxx - sx * sx / n
+    d.withColumn(s"slope_$pfx", when(n >= 2 && den > 0, (sxy - sx * sy / n) / den))
+  }
+
   /** Column handles for the wide layout at a given depth. */
   def bidLevels(depth: Int): Seq[(Column, Column)] =
     (1 to depth).map(k => (col(s"bid${k}_price"), col(s"bid${k}_size")))

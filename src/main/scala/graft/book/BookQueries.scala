@@ -32,8 +32,13 @@ object BookQueries {
   // ---------------------------------------------------------------- q11
   val q11 = Q("q11_book_row_metrics",
     (s, dir) => {
-      bookDf(s, dir)
-        .withColumns(BookMetrics.rowMetricsBundle(D).toMap)
+      // layered slope columns keep the projection codegen-able (the
+      // single-tree closed form falls back to interpreted — ~6× slower)
+      val withSlopes = BookMetrics.withSlopeLayered(
+        BookMetrics.withSlopeLayered(bookDf(s, dir), "bid", D), "ask", D)
+      val others = BookMetrics.rowMetricsBundle(D).toMap -- Seq("slope_bid", "slope_ask")
+      withSlopes
+        .withColumns(others)
         .select(Seq("seq", "sym").map(col) ++ BookMetrics.rowMetricsBundle(D).map(p => col(p._1)): _*)
         .orderBy("seq")
     },
@@ -245,10 +250,9 @@ object BookQueries {
   // ANSI divide-by-zero on zero-variance windows.
   val q19 = Q("q19_rolling_corr_ofi_ret",
     (s, dir) => {
-      midRetDf(s, dir)
-        .withColumn("ofi_lob", SeriesMetrics.ofiLobster(w))
-        .withColumn("corr30",
-          SeriesMetrics.rollingCorrExact(col("ofi_lob"), col("ret"), w, 30))
+      SeriesMetrics.withRollingCorrExact(
+        midRetDf(s, dir).withColumn("ofi_lob", SeriesMetrics.ofiLobster(w)),
+        col("ofi_lob"), col("ret"), w, 30, "corr30")
         .select("seq", "sym", "corr30")
         .orderBy("seq")
     },

@@ -166,9 +166,13 @@ object TextQueries {
   // ---------------------------------------------------------------- q32
   val q32 = Q("q32_simhash",
     (s, dir) => {
+      // md5 materialized once per shingle row — the 32 vote aggregates
+      // would otherwise each recompute it (32 md5 calls per row)
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextMetrics.shingles(N)).as("sh"))
-      val votes = (1 to 32).map(j => TextMetrics.simhashVote(col("sh"), j).as(s"v$j"))
+        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
+      val votes = (1 to 32).map(j =>
+        sum(when(substring(col("h"), j, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"v$j"))
       sh.groupBy("doc_id")
         .agg(votes.head, votes.tail :+ count(lit(1)).as("n_shingles"): _*)
         .withColumn("simhash", TextMetrics.simhashFingerprint((1 to 32).map(j => col(s"v$j"))))
@@ -177,13 +181,13 @@ object TextQueries {
     },
     Some {
       val votes = (1 to 32)
-        .map(j => s"SUM(CASE WHEN substr(md5(sh), $j, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+        .map(j => s"SUM(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
         .mkString(",\n        ")
       val fp = (1 to 32)
         .map(j => s"CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
         .mkString(" + ")
       s"""WITH sh AS (
-      SELECT doc_id, unnest($shinglesSqlExpr) AS sh FROM documents
+      SELECT doc_id, md5(unnest($shinglesSqlExpr)) AS h FROM documents
     ), v AS (
       SELECT doc_id, COUNT(*) AS n_shingles,
         $votes
