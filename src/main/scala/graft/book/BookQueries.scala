@@ -78,14 +78,19 @@ object BookQueries {
       bookDf(s, dir).select(col("seq"), col("sym"),
         BookMetrics.relSpreadBpsStrict(bb, ba).as("spread_bps_strict"),
         BookMetrics.relSpreadBpsVector(bb, ba).as("spread_bps_vector"),
-        BookMetrics.spreadBpsEvent(bb, ba).as("spread_bps_event"))
+        BookMetrics.spreadBpsEvent(bb, ba).as("spread_bps_event"),
+        // S1 data-quality flags (snapshot.py:103-111 logs, we flag)
+        (bb > ba).cast("int").as("is_crossed"),
+        (bb === ba).cast("int").as("is_locked"))
         .orderBy("seq")
     },
     Some(withCte(s"""
     SELECT seq, sym,
       ${BookSql.relSpreadBpsStrict} AS spread_bps_strict,
       ${BookSql.relSpreadBpsVector} AS spread_bps_vector,
-      ${BookSql.spreadBpsEvent} AS spread_bps_event
+      ${BookSql.spreadBpsEvent} AS spread_bps_event,
+      CAST(best_bid > best_ask AS INTEGER) AS is_crossed,
+      CAST(best_bid = best_ask AS INTEGER) AS is_locked
     FROM book
     ORDER BY seq""")))
 

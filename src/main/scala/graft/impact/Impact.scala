@@ -25,56 +25,88 @@ object Impact {
   /** Append take/rem/cost/tch columns per level plus `filled`,
     * `walk_vwap`, `levels_touched`. `qtyCol` is the per-row target.
     */
-  def walkLayers(df: DataFrame, side: String, qtyCol: Column, depth: Int): DataFrame = {
+  def walkLayers(df: DataFrame, side: String, qtyCol: Column, depth: Int,
+                 pfx: String = ""): DataFrame = {
     var d = df
-      .withColumn("rem0", qtyCol)
-      .withColumn("cost0", lit(0.0))
-      .withColumn("tch0", lit(0))
+      .withColumn(s"${pfx}rem0", qtyCol)
+      .withColumn(s"${pfx}cost0", lit(0.0))
+      .withColumn(s"${pfx}tch0", lit(0))
     for (k <- 1 to depth) {
       val p = col(s"$side${k}_price"); val sz = col(s"$side${k}_size")
       val valid = p.isNotNull && sz.isNotNull
       d = d
-        .withColumn(s"take$k",
-          when(valid && col(s"rem${k - 1}") > 0,
-            least(col(s"rem${k - 1}"), greatest(lit(0.0), sz))).otherwise(lit(0.0)))
-        .withColumn(s"rem$k", col(s"rem${k - 1}") - col(s"take$k"))
-        .withColumn(s"cost$k", col(s"cost${k - 1}") +
-          when(col(s"take$k") > 0, p * col(s"take$k")).otherwise(lit(0.0)))
-        .withColumn(s"tch$k", col(s"tch${k - 1}") +
-          when(col(s"take$k") > 0, lit(1)).otherwise(lit(0)))
+        .withColumn(s"${pfx}take$k",
+          when(valid && col(s"${pfx}rem${k - 1}") > 0,
+            least(col(s"${pfx}rem${k - 1}"), greatest(lit(0.0), sz))).otherwise(lit(0.0)))
+        .withColumn(s"${pfx}rem$k", col(s"${pfx}rem${k - 1}") - col(s"${pfx}take$k"))
+        .withColumn(s"${pfx}cost$k", col(s"${pfx}cost${k - 1}") +
+          when(col(s"${pfx}take$k") > 0, p * col(s"${pfx}take$k")).otherwise(lit(0.0)))
+        .withColumn(s"${pfx}tch$k", col(s"${pfx}tch${k - 1}") +
+          when(col(s"${pfx}take$k") > 0, lit(1)).otherwise(lit(0)))
     }
-    d.withColumn("filled", qtyCol - col(s"rem$depth"))
-      .withColumn("walk_vwap", when(col("filled") > 0, col(s"cost$depth") / col("filled")))
-      .withColumn("levels_touched", col(s"tch$depth"))
+    d.withColumn(s"${pfx}filled", qtyCol - col(s"${pfx}rem$depth"))
+      .withColumn(s"${pfx}walk_vwap", when(col(s"${pfx}filled") > 0, col(s"${pfx}cost$depth") / col(s"${pfx}filled")))
+      .withColumn(s"${pfx}levels_touched", col(s"${pfx}tch$depth"))
   }
 
   /** DuckDB mirror of [[walkLayers]] as CTE text: emits
     * `w0 AS (SELECT *, {qty} AS rem0, ... FROM {src}), w1 AS (...), ...`
     * and a final `walked` CTE with filled/walk_vwap/levels_touched.
     */
-  def walkLayersSql(src: String, side: String, qtySql: String, depth: Int): String = {
+  def walkLayersSql(src: String, side: String, qtySql: String, depth: Int,
+                    pfx: String = ""): String = {
     val sb = new StringBuilder
-    sb.append(s"w0 AS (SELECT *, $qtySql AS rem0, 0.0::DOUBLE AS cost0, 0 AS tch0 FROM $src)")
+    sb.append(s"${pfx}w0 AS (SELECT *, $qtySql AS ${pfx}rem0, 0.0::DOUBLE AS ${pfx}cost0, 0 AS ${pfx}tch0 FROM $src)")
     for (k <- 1 to depth) {
       val p = s"$side${k}_price"; val s = s"$side${k}_size"
       sb.append(s""",
-    w${k}a AS (SELECT *,
-      CASE WHEN $p IS NOT NULL AND $s IS NOT NULL AND rem${k - 1} > 0
-           THEN least(rem${k - 1}, greatest(0.0::DOUBLE, $s)) ELSE 0.0::DOUBLE END AS take$k
-      FROM w${if (k == 1) "0" else s"${k - 1}b"}),
-    w${k}b AS (SELECT *,
-      rem${k - 1} - take$k AS rem$k,
-      cost${k - 1} + CASE WHEN take$k > 0 THEN $p * take$k ELSE 0.0::DOUBLE END AS cost$k,
-      tch${k - 1} + CASE WHEN take$k > 0 THEN 1 ELSE 0 END AS tch$k
-      FROM w${k}a)""")
+    $pfx${"w"}${k}a AS (SELECT *,
+      CASE WHEN $p IS NOT NULL AND $s IS NOT NULL AND ${pfx}rem${k - 1} > 0
+           THEN least(${pfx}rem${k - 1}, greatest(0.0::DOUBLE, $s)) ELSE 0.0::DOUBLE END AS ${pfx}take$k
+      FROM $pfx${"w"}${if (k == 1) "0" else s"${k - 1}b"}),
+    $pfx${"w"}${k}b AS (SELECT *,
+      ${pfx}rem${k - 1} - ${pfx}take$k AS ${pfx}rem$k,
+      ${pfx}cost${k - 1} + CASE WHEN ${pfx}take$k > 0 THEN $p * ${pfx}take$k ELSE 0.0::DOUBLE END AS ${pfx}cost$k,
+      ${pfx}tch${k - 1} + CASE WHEN ${pfx}take$k > 0 THEN 1 ELSE 0 END AS ${pfx}tch$k
+      FROM $pfx${"w"}${k}a)""")
     }
     sb.append(s""",
-    walked AS (SELECT *,
-      ($qtySql) - rem$depth AS filled,
-      CASE WHEN ($qtySql) - rem$depth > 0 THEN cost$depth / (($qtySql) - rem$depth) END AS walk_vwap,
-      tch$depth AS levels_touched
-      FROM w${depth}b)""")
+    ${pfx}walked AS (SELECT *,
+      ($qtySql) - ${pfx}rem$depth AS ${pfx}filled,
+      CASE WHEN ($qtySql) - ${pfx}rem$depth > 0 THEN ${pfx}cost$depth / (($qtySql) - ${pfx}rem$depth) END AS ${pfx}walk_vwap,
+      ${pfx}tch$depth AS ${pfx}levels_touched
+      FROM $pfx${"w"}${depth}b)""")
     sb.toString
+  }
+
+  /** X2 stop-at-first-blank/zero ladder flavor (`impact_twap.py:66-98`):
+    * append `stopmask_<side>K` columns where level k is visible only if
+    * ALL levels 1..k are valid with positive size. Walking the masked
+    * ladder with [[walkLayers]] reproduces the stop semantics.
+    */
+  def withStopMask(df: DataFrame, side: String, depth: Int): DataFrame = {
+    var d = df
+    var chain: Column = lit(true)
+    for (k <- 1 to depth) {
+      chain = chain &&
+        col(s"$side${k}_price").isNotNull && col(s"$side${k}_size").isNotNull &&
+        col(s"$side${k}_size") > 0
+      d = d.withColumn(s"stop$side${k}_price", when(chain, col(s"$side${k}_price")))
+        .withColumn(s"stop$side${k}_size", when(chain, col(s"$side${k}_size")))
+    }
+    d
+  }
+
+  /** SQL mirror of [[withStopMask]] as a single CTE body. */
+  def stopMaskSql(src: String, side: String, depth: Int): String = {
+    val cols = (1 to depth).map { k =>
+      val chain = (1 to k).map(j =>
+        s"$side${j}_price IS NOT NULL AND $side${j}_size IS NOT NULL AND $side${j}_size > 0")
+        .mkString(" AND ")
+      s"""CASE WHEN $chain THEN $side${k}_price END AS stop$side${k}_price,
+      CASE WHEN $chain THEN $side${k}_size END AS stop$side${k}_size"""
+    }.mkString(",\n      ")
+    s"stopmasked AS (SELECT *,\n      $cols\n      FROM $src)"
   }
 
   /** Generic-K walk over `ARRAY<STRUCT<price,size>>` via `aggregate()`:

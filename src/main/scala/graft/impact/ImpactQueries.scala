@@ -38,14 +38,21 @@ object ImpactQueries {
   // ---------------------------------------------------------------- q22
   val q22 = Q("q22_book_walk",
     (s, dir) => {
-      Impact.walkLayers(bookDf(s, dir), "ask", lit(3.7), D)
-        .select("seq", "sym", "filled", "walk_vwap", "levels_touched")
+      // both X2 flavors: skip-blank (impact.py) and stop-at-first-blank/zero
+      // (impact_twap.py) — the stop flavor walks a chain-masked ladder
+      val skip = Impact.walkLayers(bookDf(s, dir), "ask", lit(3.7), D)
+      Impact.walkLayers(Impact.withStopMask(skip, "ask", D), "stopask", lit(3.7), D, "stop_")
+        .select("seq", "sym", "filled", "walk_vwap", "levels_touched",
+          "stop_filled", "stop_walk_vwap", "stop_levels_touched")
         .orderBy("seq")
     },
     Some(withCte(s""",
-    ${Impact.walkLayersSql("book", "ask", "3.7::DOUBLE", D)}
-    SELECT seq, sym, filled, walk_vwap, levels_touched
-    FROM walked ORDER BY seq""")),
+    ${Impact.walkLayersSql("book", "ask", "3.7::DOUBLE", D)},
+    ${Impact.stopMaskSql("walked", "ask", D)},
+    ${Impact.walkLayersSql("stopmasked", "stopask", "3.7::DOUBLE", D, "stop_")}
+    SELECT seq, sym, filled, walk_vwap, levels_touched,
+           stop_filled, stop_walk_vwap, stop_levels_touched
+    FROM stop_walked ORDER BY seq""")),
     headline = true)
 
   // ------------------------------------------- TWAP schedule (shared)

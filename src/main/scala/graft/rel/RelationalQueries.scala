@@ -259,5 +259,27 @@ object RelationalQueries {
     WHERE rk <= 3
     ORDER BY o_custkey, rk"""))
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10)
+  val q38 = Q("q38_events_json_topk",
+    (s, dir) => {
+      val kVal = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      val w = Window.partitionBy("event_type").orderBy(desc("k_val"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("k_val", when(kVal =!= "", kVal.cast("long")))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select("event_type", "rk", "event_id", "k_val")
+        .orderBy("event_type", "rk")
+    },
+    Some("""SELECT event_type, rk, event_id, k_val FROM (
+      SELECT event_type, event_id,
+        CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+             THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END AS k_val,
+        ROW_NUMBER() OVER (PARTITION BY event_type
+          ORDER BY CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+             THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END DESC, event_id) AS rk
+      FROM events)
+    WHERE rk <= 20
+    ORDER BY event_type, rk"""))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38)
 }

@@ -162,5 +162,67 @@ object VectorQueries {
     FROM b ORDER BY vec_id"""
     })
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37)
+  // ---------------------------------------------------------------- q39
+  /** Embedding-cosine near-duplicate detection, LSH-bounded: candidate
+    * pairs only form inside an LSH bucket (q37's planes), then exact
+    * cosine filters at the threshold. This is the 100 TB dedup shape:
+    * bucket-join instead of the O(N²) cross join.
+    */
+  val q39 = Q("q39_embedding_neardup",
+    (s, dir) => {
+      def plane(i: Int): Column = expr(
+        s"CAST(aggregate(transform(sequence(1, size(embedding)), j -> " +
+          s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
+          s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
+      val withPlanes = (0 to 7).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
+        d.withColumn(s"h$i", plane(i))
+      }
+      val bucket = (0 to 7).map(i =>
+        when(col(s"h$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      val eb = withPlanes
+        .withColumn("bucket", bucket)
+        .withColumn("n2", expr(norm2Expr("embedding")))
+        .select("vec_id", "bucket", "embedding", "n2")
+      val a = eb.select(col("vec_id").as("id_a"), col("bucket"),
+        col("embedding").as("ea"), col("n2").as("na"))
+      val b = eb.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
+        col("embedding").as("eb2"), col("n2").as("nb"))
+      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+        .withColumn("dot", expr(dotExpr("ea", "eb2")))
+        .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
+          col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+        .filter(col("cos_sim") > 0.15)
+        .select("id_a", "id_b", "bucket", "cos_sim")
+        .orderBy("id_a", "id_b")
+    },
+    Some {
+      def planeSql(i: Int) =
+        s"CAST(list_sum(list_transform(generate_series(1, len(embedding)), j -> " +
+          s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(embedding[j] AS DOUBLE), 6) AS DECIMAL(38,6)))) AS DOUBLE) AS h$i"
+      val bucket = (0 to 7).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH h AS (
+      SELECT vec_id, embedding,
+        ${(0 to 7).map(planeSql).mkString(",\n        ")}
+      FROM embeddings
+    ), eb AS (
+      SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket,
+        ${norm2Sql("embedding")} AS n2
+      FROM h
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
+        ${dotSql("a.embedding", "b.embedding")} AS dot,
+        a.n2 AS na, b.n2 AS nb
+      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT id_a, id_b, bucket,
+        CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb)) END AS cos_sim
+      FROM pairs
+    )
+    SELECT id_a, id_b, bucket, cos_sim FROM scored
+    WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
+    })
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39)
 }
