@@ -113,10 +113,10 @@ object BookSql {
   val ofiEvent: String = {
     val qb = coal("bid1_size"); val qbPrev = coal("sb")
     val qa = coal("ask1_size"); val qaPrev = coal("sa")
-    val geB = "CASE WHEN bid1_price IS NULL OR pb IS NULL THEN 1.0::DOUBLE WHEN bid1_price >= pb THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
-    val leB = "CASE WHEN bid1_price IS NULL OR pb IS NULL THEN 1.0::DOUBLE WHEN bid1_price <= pb THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
-    val leA = "CASE WHEN ask1_price IS NULL OR pa IS NULL THEN 1.0::DOUBLE WHEN ask1_price <= pa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
-    val geA = "CASE WHEN ask1_price IS NULL OR pa IS NULL THEN 1.0::DOUBLE WHEN ask1_price >= pa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+    val geB = "CASE WHEN pb IS NULL THEN 1.0::DOUBLE WHEN bid1_price >= pb THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+    val leB = "CASE WHEN pb IS NULL THEN 1.0::DOUBLE WHEN bid1_price <= pb THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+    val leA = "CASE WHEN pa IS NULL THEN 1.0::DOUBLE WHEN ask1_price <= pa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
+    val geA = "CASE WHEN pa IS NULL THEN 1.0::DOUBLE WHEN ask1_price >= pa THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END"
     s"CASE WHEN rn = 1 THEN 0.0::DOUBLE ELSE (($geB) * $qb - ($leB) * $qbPrev) - (($leA) * $qa - ($geA) * $qaPrev) END"
   }
 

@@ -51,10 +51,13 @@ object SeriesMetrics {
     val pa = lag(askPx, 1).over(w); val sa = lag(askSz, 1).over(w)
     val qb = coalesce(bidSz, lit(0.0)); val qbPrev = coalesce(sb, lit(0.0))
     val qa = coalesce(askSz, lit(0.0)); val qaPrev = coalesce(sa, lit(0.0))
-    val geB = when(bidPx.isNull || pb.isNull, lit(1.0)).when(bidPx >= pb, lit(1.0)).otherwise(lit(0.0))
-    val leB = when(bidPx.isNull || pb.isNull, lit(1.0)).when(bidPx <= pb, lit(1.0)).otherwise(lit(0.0))
-    val leA = when(askPx.isNull || pa.isNull, lit(1.0)).when(askPx <= pa, lit(1.0)).otherwise(lit(0.0))
-    val geA = when(askPx.isNull || pa.isNull, lit(1.0)).when(askPx >= pa, lit(1.0)).otherwise(lit(0.0))
+    // only a missing PREV forces both indicators true (event_metrics.py:
+    // `(bb >= bb_prev) | bb_prev.isna()`); a missing CURRENT price makes
+    // the comparison false, like pandas NaN comparisons
+    val geB = when(pb.isNull, lit(1.0)).when(bidPx >= pb, lit(1.0)).otherwise(lit(0.0))
+    val leB = when(pb.isNull, lit(1.0)).when(bidPx <= pb, lit(1.0)).otherwise(lit(0.0))
+    val leA = when(pa.isNull, lit(1.0)).when(askPx <= pa, lit(1.0)).otherwise(lit(0.0))
+    val geA = when(pa.isNull, lit(1.0)).when(askPx >= pa, lit(1.0)).otherwise(lit(0.0))
     val dB = geB * qb - leB * qbPrev
     val dA = leA * qa - geA * qaPrev
     val rn = row_number().over(w)
