@@ -13,7 +13,8 @@ case class SliceIn(sym: String, i: Int, seq: Long, alloc: Double,
                    p5: Option[Double], s5: Option[Double])
 
 case class SliceOut(sym: String, i: Int, seq: Long, alloc: Double,
-                    desired: Double, filled: Double, carry: Double)
+                    desired: Double, filled: Double, carry: Double,
+                    cost: Double, levels_touched: Int)
 
 /** Impact-simulation queries (SURVEY.md §2.8, §3.3): X1 ladder walk, X3
   * TWAP scheduling, A4/A5 run summaries, J2 as-of join, X5 VWAP
@@ -204,59 +205,69 @@ object ImpactQueries {
     * symbol, parallel across symbols (`flatMapGroups`). Oracle: DuckDB
     * recursive CTE with the walk closed form inlined.
     */
-  val q26 = Q("q26_impact_vwap_carry",
-    (s, dir) => {
-      import s.implicits._
-      val proxy = (1 to D).map(k => coalesce(col(s"ask${k}_size"), lit(0.0))).reduce(_ + _)
-      val sliced = slicedBook(s, dir)
-        .withColumn("proxy", proxy)
-        .withColumn("total", sum("proxy").over(Window.partitionBy("sym")))
-        .withColumn("alloc",
-          when(col("total") > 0, lit(50.0) * col("proxy") / col("total"))
-            .otherwise(lit(50.0) / lit(20.0)))
-      val ins = sliced.select(col("sym"), col("i"), col("seq"), col("alloc"),
-        col("ask1_price").as("p1"), col("ask1_size").as("s1"),
-        col("ask2_price").as("p2"), col("ask2_size").as("s2"),
-        col("ask3_price").as("p3"), col("ask3_size").as("s3"),
-        col("ask4_price").as("p4"), col("ask4_size").as("s4"),
-        col("ask5_price").as("p5"), col("ask5_size").as("s5")).as[SliceIn]
-      ins.groupByKey(_.sym).flatMapGroups { (_, it) =>
-        val slices = it.toSeq.sortBy(_.i)
-        var carry = 0.0
-        slices.map { sl =>
-          val desired = sl.alloc + carry
-          // mirror of Impact.walkLayers / the oracle's inlined rem chain
-          var rem = desired
-          val ladder = Seq(sl.p1 -> sl.s1, sl.p2 -> sl.s2, sl.p3 -> sl.s3,
-            sl.p4 -> sl.s4, sl.p5 -> sl.s5)
-          for ((p, sz) <- ladder) {
-            val take =
-              if (p.isDefined && sz.isDefined && rem > 0) math.min(rem, math.max(0.0, sz.get))
-              else 0.0
-            rem = rem - take
-          }
-          val filled = desired - rem
-          carry = desired - filled
-          SliceOut(sl.sym, sl.i, sl.seq, sl.alloc, desired, filled, carry)
+  /** Spark side of the carry fold (shared by q26/q40): slices with
+    * allocation (X4) → per-symbol sequential fold (X5) producing desired,
+    * filled, carry, cost, levels_touched. The fold's arithmetic is the
+    * exact mirror of [[Impact.walkLayers]] / the recursive-CTE oracle.
+    */
+  private def vwapCarryDf(s: SparkSession, dir: String) = {
+    import s.implicits._
+    val proxy = (1 to D).map(k => coalesce(col(s"ask${k}_size"), lit(0.0))).reduce(_ + _)
+    val sliced = slicedBook(s, dir)
+      .withColumn("proxy", proxy)
+      .withColumn("total", sum("proxy").over(Window.partitionBy("sym")))
+      .withColumn("alloc",
+        when(col("total") > 0, lit(50.0) * col("proxy") / col("total"))
+          .otherwise(lit(50.0) / lit(20.0)))
+    val ins = sliced.select(col("sym"), col("i"), col("seq"), col("alloc"),
+      col("ask1_price").as("p1"), col("ask1_size").as("s1"),
+      col("ask2_price").as("p2"), col("ask2_size").as("s2"),
+      col("ask3_price").as("p3"), col("ask3_size").as("s3"),
+      col("ask4_price").as("p4"), col("ask4_size").as("s4"),
+      col("ask5_price").as("p5"), col("ask5_size").as("s5")).as[SliceIn]
+    val folded = ins.groupByKey(_.sym).flatMapGroups { (_, it) =>
+      val slices = it.toSeq.sortBy(_.i)
+      var carry = 0.0
+      slices.map { sl =>
+        val desired = sl.alloc + carry
+        // mirror of Impact.walkLayers / the oracle's walk chain
+        var rem = desired; var cost = 0.0; var tch = 0
+        val ladder = Seq(sl.p1 -> sl.s1, sl.p2 -> sl.s2, sl.p3 -> sl.s3,
+          sl.p4 -> sl.s4, sl.p5 -> sl.s5)
+        for ((p, sz) <- ladder) {
+          val take =
+            if (p.isDefined && sz.isDefined && rem > 0) math.min(rem, math.max(0.0, sz.get))
+            else 0.0
+          rem = rem - take
+          if (take > 0) { cost = cost + p.get * take; tch += 1 }
         }
-      }.toDF()
-        .orderBy("sym", "i")
-    },
-    Some {
-      def remChain(d: String): String = {
-        var rem = s"($d)"
-        for (k <- 1 to D) {
-          val p = s"a.ask${k}_price"; val sz = s"a.ask${k}_size"
-          val take = s"CASE WHEN $p IS NOT NULL AND $sz IS NOT NULL AND $rem > 0 " +
-            s"THEN least($rem, greatest(0.0::DOUBLE, $sz)) ELSE 0.0::DOUBLE END"
-          rem = s"($rem - $take)"
-        }
-        rem
+        val filled = desired - rem
+        carry = desired - filled
+        SliceOut(sl.sym, sl.i, sl.seq, sl.alloc, desired, filled, carry, cost, tch)
       }
-      def filledExpr(d: String) = s"(($d) - ${remChain(d)})"
-      val proxySql = (1 to D).map(k => s"COALESCE(ask${k}_size, 0.0::DOUBLE)").mkString(" + ")
-      val dRec = "(a.alloc + (r.desired - r.filled))"
-      s"""WITH RECURSIVE ${SyntheticBook.sqlCte(D)}$schedCtes,
+    }.toDF()
+    (sliced, folded)
+  }
+
+  /** Oracle WITH-chain shared by q26/q40: recursive carry + a second
+    * layered walk pass over the resolved `desired` (recomputing cost /
+    * touched without inlining them into the recursion).
+    */
+  private def vwapCarryCtes: String = {
+    def remChain(d: String): String = {
+      var rem = s"($d)"
+      for (k <- 1 to D) {
+        val p = s"a.ask${k}_price"; val sz = s"a.ask${k}_size"
+        val take = s"CASE WHEN $p IS NOT NULL AND $sz IS NOT NULL AND $rem > 0 " +
+          s"THEN least($rem, greatest(0.0::DOUBLE, $sz)) ELSE 0.0::DOUBLE END"
+        rem = s"($rem - $take)"
+      }
+      rem
+    }
+    def filledExpr(d: String) = s"(($d) - ${remChain(d)})"
+    val proxySql = (1 to D).map(k => s"COALESCE(ask${k}_size, 0.0::DOUBLE)").mkString(" + ")
+    val dRec = "(a.alloc + (r.desired - r.filled))"
+    s"""${SyntheticBook.sqlCte(D)}$schedCtes,
     al AS (
       SELECT sl.*,
         CASE WHEN SUM($proxySql) OVER (PARTITION BY sym) > 0
@@ -271,10 +282,79 @@ object ImpactQueries {
       SELECT a.sym, a.i, a.seq, a.alloc,
              $dRec AS desired, ${filledExpr(dRec)} AS filled
       FROM rec r JOIN al a ON a.sym = r.sym AND a.i = r.i + 1
-    )
-    SELECT sym, i, seq, alloc, desired, filled, desired - filled AS carry
-    FROM rec ORDER BY sym, i"""
-    })
+    ),
+    sl2 AS (
+      SELECT r.sym, r.i, r.seq, r.alloc, r.desired,
+             ${(1 to D).map(k => s"a.ask${k}_price, a.ask${k}_size").mkString(", ")}
+      FROM rec r JOIN al a ON a.sym = r.sym AND a.i = r.i
+    ),
+    ${Impact.walkLayersSql("sl2", "ask", "desired", D)}"""
+  }
 
-  def all: Seq[Q] = Seq(q22, q23, q24, q25, q26)
+  val q26 = Q("q26_impact_vwap_carry",
+    (s, dir) => {
+      vwapCarryDf(s, dir)._2
+        .select("sym", "i", "seq", "alloc", "desired", "filled", "carry",
+          "cost", "levels_touched")
+        .orderBy("sym", "i")
+    },
+    Some(s"""WITH RECURSIVE $vwapCarryCtes
+    SELECT sym, i, seq, alloc, desired, filled, desired - filled AS carry,
+           cost$D AS cost, levels_touched
+    FROM walked ORDER BY sym, i"""))
+
+  // ------------------------------------------- q40: full VWAP summary
+  /** A5 `impact_vwap.py:354-375`: per-symbol run summary with fee
+    * tracking (fee = slice notional · bps/1e4, tracked separately and
+    * added into notional_with_fees) and slippage vs open/close mid.
+    */
+  val q40 = Q("q40_impact_vwap_summary",
+    (s, dir) => {
+      val (sliced, folded) = vwapCarryDf(s, dir)
+      val feeRate = lit(5.0) / lit(10000.0)
+      val summary = folded.groupBy("sym").agg(
+        count(lit(1)).as("n_slices"),
+        graft.Exact.sumExact(col("filled"), 6).as("filled_qty"),
+        graft.Exact.sumExact(col("cost"), 6).as("notional"),
+        graft.Exact.sumExact(col("cost") * feeRate, 8).as("fees_paid"),
+        (sum("levels_touched").cast("double") / count(lit(1))).as("avg_levels"))
+      val mids = sliced.withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+        .filter(col("mid").isNotNull)
+        .groupBy("sym").agg(
+          min_by(col("mid"), col("seq")).as("mid_open"),
+          max_by(col("mid"), col("seq")).as("mid_close"))
+      summary.join(mids, Seq("sym"))
+        .withColumn("exec_vwap", when(col("filled_qty") > 0, col("notional") / col("filled_qty")))
+        .withColumn("notional_with_fees", col("notional") + col("fees_paid"))
+        .withColumn("slip_open_bps", Impact.slippageBpsRatio(col("exec_vwap"), col("mid_open")))
+        .withColumn("slip_close_bps", Impact.slippageBpsRatio(col("exec_vwap"), col("mid_close")))
+        .select("sym", "n_slices", "filled_qty", "notional", "fees_paid",
+          "notional_with_fees", "exec_vwap", "avg_levels", "mid_open", "mid_close",
+          "slip_open_bps", "slip_close_bps")
+        .orderBy("sym")
+    },
+    Some(s"""WITH RECURSIVE $vwapCarryCtes,
+    summary AS (
+      SELECT sym, COUNT(*) AS n_slices,
+        ${graft.Exact.sumExactSql("filled", 6)} AS filled_qty,
+        ${graft.Exact.sumExactSql(s"cost$D", 6)} AS notional,
+        ${graft.Exact.sumExactSql(s"cost$D * (5.0::DOUBLE / 10000.0::DOUBLE)", 8)} AS fees_paid,
+        CAST(SUM(levels_touched) AS DOUBLE) / COUNT(*) AS avg_levels
+      FROM walked GROUP BY sym),
+    oc AS (
+      SELECT sym, arg_min(mid, seq) AS mid_open, arg_max(mid, seq) AS mid_close
+      FROM (SELECT sym, seq, ${BookSql.mid} AS mid FROM sl)
+      WHERE mid IS NOT NULL GROUP BY sym),
+    j AS (
+      SELECT s.*, oc.mid_open, oc.mid_close,
+        CASE WHEN filled_qty > 0 THEN notional / filled_qty END AS exec_vwap
+      FROM summary s JOIN oc USING (sym))
+    SELECT sym, n_slices, filled_qty, notional, fees_paid,
+      notional + fees_paid AS notional_with_fees, exec_vwap, avg_levels,
+      mid_open, mid_close,
+      CASE WHEN mid_open != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_open - 1) END AS slip_open_bps,
+      CASE WHEN mid_close != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_close - 1) END AS slip_close_bps
+    FROM j ORDER BY sym"""))
+
+  def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q40)
 }
