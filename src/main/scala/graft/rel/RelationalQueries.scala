@@ -281,5 +281,60 @@ object RelationalQueries {
     WHERE rk <= 20
     ORDER BY event_type, rk"""))
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38)
+  /** Skew-salting pattern, verified exact: pre-aggregate on
+    * (key, salt) then merge — decimal partials make the two-phase result
+    * bit-identical to the direct aggregation (what the oracle computes).
+    * This is the shape that survives a hot key at 100 TB.
+    */
+  val q41 = Q("q41_salted_user_stats",
+    (s, dir) => {
+      val partial = Tables(s, dir, "events")
+        .withColumn("salt", pmod(col("event_id"), lit(8)))
+        .groupBy("user_id", "salt")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value"), 2).cast(DecimalType(38, 2))).as("sv"))
+      partial.groupBy("user_id")
+        .agg(sum("n").as("n_events"), sum("sv").cast("double").as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, COUNT(*) AS n_events,
+      ${Exact.sumExactSql("value", 2)} AS sum_value
+    FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** Sketch aggregates (HLL cardinality, approximate percentiles) — no
+    * ANSI-SQL-portable oracle (algorithm-specific); the driver records a
+    * rows-only check. The exact companions are oracle-checked in q01/q41.
+    */
+  val q42 = Q("q42_sketch_aggregates",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
+          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+        .orderBy("l_returnflag")
+    },
+    None)
+
+  val q43 = Q("q43_cube_lineitem",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+    Some(s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+      COALESCE(l_linestatus, 'ALL') AS lstatus,
+      COUNT(*) AS n, ${Exact.sumExactSql("l_quantity", 2)} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus"""))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43)
 }
