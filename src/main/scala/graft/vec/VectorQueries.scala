@@ -224,5 +224,99 @@ object VectorQueries {
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39)
+  // ---------------------------------------------------------------- q44
+  /** IVF-style ANN (the other scale path besides LSH): build coarse
+    * centroids (per-label exact-decimal means), assign every vector to
+    * its nearest centroid cell (argmin of ‖c‖² − 2·x·c), then search
+    * queries only within their own cell (nprobe = 1), exact cosine top-3.
+    * Everything is decimal-exact so the cell assignment — and therefore
+    * the candidate set — is identical across engines and partitionings.
+    */
+  val q44 = Q("q44_ivf_ann",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      // 1. centroids: label → ordered mean vector (array<double>)
+      val perDim = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), (col("pos0") + lit(1)).as("pos"))
+        .agg((Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+      val cent = perDim.groupBy(col("label").as("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .withColumn("cnorm2", expr(
+          "CAST(aggregate(cvec, CAST(0 AS DECIMAL(30,8)), (acc, c) -> " +
+            "CAST(acc + CAST(round(c * c, 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"))
+      // 2. assignment: nearest centroid by ‖c‖² − 2·x·c (exact decimal dot)
+      val xcDot = expr(
+        "CAST(aggregate(zip_with(embedding, cvec, (x, c) -> " +
+          "CAST(round(CAST(x AS DOUBLE) * c, 8) AS DECIMAL(30,8))), " +
+          "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)")
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("clabel").asc)
+      val assigned = emb.join(broadcast(cent))
+        .withColumn("d2", col("cnorm2") - lit(2.0) * xcDot)
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("clabel").as("cell"), col("embedding"),
+          expr(norm2Expr("embedding")).as("n2"))
+      // 3. nprobe=1 search: candidates share the query's cell
+      val qs = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"),
+          col("n2").as("qn2"))
+      val cands = assigned.select(col("vec_id").as("c_id"), col("cell").as("cell_c"),
+        col("embedding").as("ce"), col("n2").as("cn2"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col("c_id"))
+      broadcast(qs).join(cands, col("cell") === col("cell_c") && col("c_id") =!= col("q_id"))
+        .withColumn("dot", expr(dotExpr("qe", "ce")))
+        .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
+          col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "cell", "rnk", "c_id", "cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT d.vec_id, d.label,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+        FROM dots d JOIN cn USING (label))
+      WHERE crn = 1
+    ), en AS (
+      SELECT e.vec_id, a.cell, e.embedding, ${norm2Sql("e.embedding")} AS n2
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ), pairs AS (
+      SELECT q.vec_id AS q_id, q.cell, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+        ${dotSql("q.embedding", "c.embedding")} AS dot
+      FROM en q JOIN en c ON q.cell = c.cell AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), scored AS (
+      SELECT q_id, cell, c_id,
+        CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+      FROM pairs
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, cell, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44)
 }
