@@ -7,12 +7,12 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-slice TWAP input after scheduling + allocation (q26). */
-case class SliceIn(sym: String, i: Int, seq: Long, alloc: Double,
+case class SliceIn(sym: String, i: Long, seq: Long, alloc: Double,
                    p1: Option[Double], s1: Option[Double], p2: Option[Double], s2: Option[Double],
                    p3: Option[Double], s3: Option[Double], p4: Option[Double], s4: Option[Double],
                    p5: Option[Double], s5: Option[Double])
 
-case class SliceOut(sym: String, i: Int, seq: Long, alloc: Double,
+case class SliceOut(sym: String, i: Long, seq: Long, alloc: Double,
                     desired: Double, filled: Double, carry: Double,
                     cost: Double, levels_touched: Int)
 
@@ -69,7 +69,7 @@ object ImpactQueries {
       .withColumn("n", count(lit(1)).over(Window.partitionBy("sym")))
     val sched = bn.groupBy("sym").agg(max("n").as("n2"))
       .select(col("sym").as("s_sym"), col("n2"),
-        explode(sequence(lit(0), lit(SLICES - 1))).as("i"))
+        explode(sequence(lit(0L), lit((SLICES - 1).toLong))).as("i"))
       .withColumn("pos", expr(s"(i * (n2 - 1)) div ${SLICES - 1}"))
     bn.join(broadcast(sched), bn("sym") === col("s_sym") && (bn("rn") - lit(1) === col("pos")))
       .drop("s_sym", "n2", "pos")

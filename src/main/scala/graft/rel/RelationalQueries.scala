@@ -171,7 +171,7 @@ object RelationalQueries {
         col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
         col("o_totalprice"),
-        row_number().over(w).as("order_seq"),
+        row_number().over(w).cast("long").as("order_seq"),
         sum(round(col("o_totalprice"), 2).cast(DecimalType(38, 2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_spend"))
@@ -234,7 +234,7 @@ object RelationalQueries {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
       MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
       ${Exact.sumExactSql("value", 2)} AS session_value
     FROM sessions
@@ -245,7 +245,7 @@ object RelationalQueries {
     (s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
       Tables(s, dir, "orders")
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rk")
@@ -265,7 +265,7 @@ object RelationalQueries {
       val w = Window.partitionBy("event_type").orderBy(desc("k_val"), col("event_id"))
       Tables(s, dir, "events")
         .withColumn("k_val", when(kVal =!= "", kVal.cast("long")))
-        .withColumn("rk", row_number().over(w))
+        .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 20)
         .select("event_type", "rk", "event_id", "k_val")
         .orderBy("event_type", "rk")

@@ -122,7 +122,7 @@ object TextQueries {
         .orderBy("fp")
     },
     Some("""SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id,
-      SUM(n_chars) AS total_chars
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY fp ORDER BY fp"""))
 
   // ---------------------------------------------------------------- q30

@@ -74,7 +74,7 @@ object VectorQueries {
     (s, dir) => {
       Tables(s, dir, "embeddings")
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-        .groupBy(col("label"), (col("pos0") + lit(1)).as("pos"))
+        .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
           (Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("centroid"))
         .orderBy("label", "pos")
@@ -100,7 +100,7 @@ object VectorQueries {
       broadcast(q).join(c, col("c_id") =!= col("q_id"))
         .withColumn("dot", dot)
         .withColumn("cos_sim", cos)
-        .withColumn("rnk", row_number().over(wTop))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "c_id", "cos_sim")
         .orderBy("q_id", "rnk")
@@ -238,7 +238,7 @@ object VectorQueries {
       // 1. centroids: label → ordered mean vector (array<double>)
       val perDim = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-        .groupBy(col("label"), (col("pos0") + lit(1)).as("pos"))
+        .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
         .agg((Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("c"))
       val cent = perDim.groupBy(col("label").as("clabel"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
@@ -270,7 +270,7 @@ object VectorQueries {
         .withColumn("dot", expr(dotExpr("qe", "ce")))
         .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
           col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
-        .withColumn("rnk", row_number().over(wTop))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "cell", "rnk", "c_id", "cos_sim")
         .orderBy("q_id", "rnk")
