@@ -170,11 +170,17 @@ object SeriesMetrics {
     * 5 × window × rows expression evaluations into plain decimal adds
     * (~6× faster at window 30). Identical values.
     */
+  /** Implementation note: sliding-frame sums are computed as prefix-sum
+    * differences (cum[i] − cum[i−window]) — O(1) per row instead of
+    * re-summing the frame, and EXACTLY equal to the direct frame sum
+    * because the decimal arithmetic is exact. Both window passes share
+    * the same partitioning+sort, so Spark plans a single Sort.
+    */
   def withRollingCorrExact(df: org.apache.spark.sql.DataFrame, x: Column, y: Column,
                            w: WindowSpec, window: Int, out: String): org.apache.spark.sql.DataFrame = {
-    val f = w.rowsBetween(-(window - 1), Window.currentRow)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pair = x.isNotNull && y.isNotNull
-    val d = df
+    val terms = df
       .withColumn("_cx", when(pair, x))
       .withColumn("_cy", when(pair, y))
       .withColumn("_cxr", round(col("_cx"), 6).cast(DecimalType(38, 6)))
@@ -182,15 +188,32 @@ object SeriesMetrics {
       .withColumn("_cxyr", round(col("_cx") * col("_cy"), 12).cast(DecimalType(38, 12)))
       .withColumn("_cxxr", round(col("_cx") * col("_cx"), 6).cast(DecimalType(38, 6)))
       .withColumn("_cyyr", round(col("_cy") * col("_cy"), 14).cast(DecimalType(38, 14)))
-    val n = count(col("_cx")).over(f).cast("double")
-    def s(c: String) = sum(col(c)).over(f).cast("double")
-    val sx = s("_cxr"); val sy = s("_cyr")
-    val sxy = s("_cxyr"); val sxx = s("_cxxr"); val syy = s("_cyyr")
+    val runs = terms
+      .withColumn("_rn", count(col("_cx")).over(run))
+      .withColumn("_rx", sum(col("_cxr")).over(run))
+      .withColumn("_ry", sum(col("_cyr")).over(run))
+      .withColumn("_rxy", sum(col("_cxyr")).over(run))
+      .withColumn("_rxx", sum(col("_cxxr")).over(run))
+      .withColumn("_ryy", sum(col("_cyyr")).over(run))
+    // (38,s) − (38,s) needs precision 39 → Spark would REDUCE THE SCALE
+    // to fit, silently rounding; downcasting both operands to (37,s)
+    // (lossless at these magnitudes) keeps the full scale exact.
+    def fdiff(c: String): Column = runs.schema(c).dataType match {
+      case d: org.apache.spark.sql.types.DecimalType =>
+        val dt = DecimalType(37, d.scale)
+        (col(c).cast(dt) - coalesce(lag(col(c), window).over(w), lit(0)).cast(dt)).cast("double")
+      case dt =>
+        (col(c) - coalesce(lag(col(c), window).over(w), lit(0).cast(dt))).cast("double")
+    }
+    val n = fdiff("_rn")
+    val sx = fdiff("_rx"); val sy = fdiff("_ry")
+    val sxy = fdiff("_rxy"); val sxx = fdiff("_rxx"); val syy = fdiff("_ryy")
     val varx = n * sxx - sx * sx
     val vary = n * syy - sy * sy
-    d.withColumn(out,
+    runs.withColumn(out,
       when(n >= 2 && varx > 0 && vary > 0, (n * sxy - sx * sy) / (sqrt(varx) * sqrt(vary))))
-      .drop("_cx", "_cy", "_cxr", "_cyr", "_cxyr", "_cxxr", "_cyyr")
+      .drop("_cx", "_cy", "_cxr", "_cyr", "_cxyr", "_cxxr", "_cyyr",
+        "_rn", "_rx", "_ry", "_rxy", "_rxx", "_ryy")
   }
 
   /** W5 `plot_cli.py:168-175` — depth-K size OFI: Δ(Σ_K bid sizes) −

@@ -175,15 +175,17 @@ object VectorQueries {
           s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
           s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
           s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
-      val withPlanes = (0 to 7).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
+      val withPlanes = (0 to 9).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
         d.withColumn(s"h$i", plane(i))
       }
-      val bucket = (0 to 7).map(i =>
+      val bucket = (0 to 9).map(i =>
         when(col(s"h$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      // cached: the self-join would otherwise re-fold all 10 planes per side
       val eb = withPlanes
         .withColumn("bucket", bucket)
         .withColumn("n2", expr(norm2Expr("embedding")))
         .select("vec_id", "bucket", "embedding", "n2")
+        .cache()
       val a = eb.select(col("vec_id").as("id_a"), col("bucket"),
         col("embedding").as("ea"), col("n2").as("na"))
       val b = eb.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
@@ -201,10 +203,10 @@ object VectorQueries {
         s"CAST(list_sum(list_transform(generate_series(1, len(embedding)), j -> " +
           s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
           s"CAST(embedding[j] AS DOUBLE), 6) AS DECIMAL(38,6)))) AS DOUBLE) AS h$i"
-      val bucket = (0 to 7).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val bucket = (0 to 9).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
       s"""WITH h AS (
       SELECT vec_id, embedding,
-        ${(0 to 7).map(planeSql).mkString(",\n        ")}
+        ${(0 to 9).map(planeSql).mkString(",\n        ")}
       FROM embeddings
     ), eb AS (
       SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket,
@@ -259,6 +261,7 @@ object VectorQueries {
         .filter(col("crn") === 1)
         .select(col("vec_id"), col("clabel").as("cell"), col("embedding"),
           expr(norm2Expr("embedding")).as("n2"))
+        .cache()
       // 3. nprobe=1 search: candidates share the query's cell
       val qs = assigned.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"),
