@@ -44,6 +44,14 @@ object TextMetrics {
   def shingles(n: Int): Column =
     expr(s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n)))")
 
+  /** Raw (non-distinct) shingle array — O(len) per row. Prefer this for
+    * duplicate-insensitive consumers (MinHash min, Jaccard
+    * intersect/union): per-row `array_distinct` is O(len²) on string
+    * arrays, and distributed hash aggregation dedupes cheaper.
+    */
+  def shinglesRaw(n: Int): Column =
+    expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))")
+
   /** n-gram Jaccard similarity between two distinct-shingle arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))

@@ -128,9 +128,13 @@ object TextQueries {
   // ---------------------------------------------------------------- q30
   val q30 = Q("q30_shingle_stats",
     (s, dir) => {
+      // countDistinct via hash agg — per-row array_distinct is O(len²)
+      val counts = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("n_distinct"))
       Tables(s, dir, "documents")
         .withColumn("n_positions", greatest(length(col("text")) - lit(N - 1), lit(1)).cast("long"))
-        .withColumn("n_distinct", size(TextMetrics.shingles(N)).cast("long"))
+        .join(counts, Seq("doc_id"))
         .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_positions"))
         .select("doc_id", "n_positions", "n_distinct", "distinct_ratio")
         .orderBy("doc_id")
@@ -144,8 +148,9 @@ object TextQueries {
   // ---------------------------------------------------------------- q31
   val q31 = Q("q31_minhash_signatures",
     (s, dir) => {
+      // raw shingles: the min aggregate is duplicate-insensitive
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(TextMetrics.shingles(N)).as("sh"))
+        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
       val sigs = (0 to 3).map(k => TextMetrics.minhashAgg(col("sh"), k).as(s"mh$k"))
       sh.groupBy("doc_id")
         .agg(sigs.head, sigs.tail: _*)
@@ -169,7 +174,8 @@ object TextQueries {
       // md5 materialized once per shingle row — the 32 vote aggregates
       // would otherwise each recompute it (32 md5 calls per row)
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(TextMetrics.shingles(N)).as("sh"))
+        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
+        .distinct()
         .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
       val votes = (1 to 32).map(j =>
         sum(when(substring(col("h"), j, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"v$j"))
@@ -200,8 +206,9 @@ object TextQueries {
   // ---------------------------------------------------------------- q33
   val q33 = Q("q33_ngram_jaccard_pairs",
     (s, dir) => {
+      // raw arrays: array_intersect/array_union dedupe internally
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), TextMetrics.shingles(N).as("sh"))
+        .select(col("doc_id"), TextMetrics.shinglesRaw(N).as("sh"))
       val a = sh.as("a"); val b = sh.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
