@@ -213,12 +213,15 @@ object ImpactQueries {
   private def vwapCarryDf(s: SparkSession, dir: String) = {
     import s.implicits._
     val proxy = (1 to D).map(k => coalesce(col(s"ask${k}_size"), lit(0.0))).reduce(_ + _)
+    // target 400 over 20 slices: per-slice demand (~20) exceeds typical
+    // ladder capacity, so unfilled remainders chain across slices — the
+    // X5 stress the reference's carry loop is about
     val sliced = slicedBook(s, dir)
       .withColumn("proxy", proxy)
       .withColumn("total", sum("proxy").over(Window.partitionBy("sym")))
       .withColumn("alloc",
-        when(col("total") > 0, lit(50.0) * col("proxy") / col("total"))
-          .otherwise(lit(50.0) / lit(20.0)))
+        when(col("total") > 0, lit(400.0) * col("proxy") / col("total"))
+          .otherwise(lit(400.0) / lit(20.0)))
     val ins = sliced.select(col("sym"), col("i"), col("seq"), col("alloc"),
       col("ask1_price").as("p1"), col("ask1_size").as("s1"),
       col("ask2_price").as("p2"), col("ask2_size").as("s2"),
@@ -271,8 +274,8 @@ object ImpactQueries {
     al AS (
       SELECT sl.*,
         CASE WHEN SUM($proxySql) OVER (PARTITION BY sym) > 0
-             THEN 50.0::DOUBLE * ($proxySql) / SUM($proxySql) OVER (PARTITION BY sym)
-             ELSE 50.0::DOUBLE / 20.0::DOUBLE END AS alloc
+             THEN 400.0::DOUBLE * ($proxySql) / SUM($proxySql) OVER (PARTITION BY sym)
+             ELSE 400.0::DOUBLE / 20.0::DOUBLE END AS alloc
       FROM sl),
     rec AS (
       SELECT a.sym, a.i, a.seq, a.alloc,
