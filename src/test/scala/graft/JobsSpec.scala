@@ -1,0 +1,44 @@
+package graft
+
+import graft.jobs.{PlotSeriesJob, TwapJob}
+import org.scalactic.Tolerance._
+
+/** Entry-point analogs without committed goldens: property/consistency
+  * checks on the reference's own recordings.
+  */
+class JobsSpec extends SparkTestBase {
+
+  private val fixture = "/root/reference/data/ETH_bybit_L2_60s.parquet"
+
+  test("PlotSeriesJob emits the full plot-ready frame bundle") {
+    val f = PlotSeriesJob.run(spark, fixture, depth = 10, tailN = 10)
+    assert(f.series.count() === 60)
+    assert(f.series.columns.toSet.contains("ofi_ntl_k_cum"))
+    assert(f.depthCurve.count() === 20) // 10 levels × 2 sides
+    assert(f.tail.count() === 10)
+    val histN = f.spreadHist.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
+    assert(histN === 60)
+  }
+
+  test("TwapJob: fees worsen vwap; allow_residual is a no-op; filled ≤ target") {
+    val noFee = TwapJob.run(spark, fixture, "buy", 50.0, 20, 10, feeBps = 0.0)
+    val fee = TwapJob.run(spark, fixture, "buy", 50.0, 20, 10, feeBps = 5.0)
+    assert(noFee.summary.filled_qty <= 50.0 + 1e-9)
+    assert(fee.summary.vwap > noFee.summary.vwap)
+    assert(fee.summary.vwap === noFee.summary.vwap * 1.0005 +- 1e-6)
+    val resid = TwapJob.run(spark, fixture, "buy", 50.0, 20, 10, feeBps = 5.0,
+      allowResidual = true)
+    assert(resid.summary.filled_qty === fee.summary.filled_qty)
+    assert(resid.summary.vwap === fee.summary.vwap)
+  }
+
+  test("TwapJob stochastic schedule: sizes sum to target, all positive, seed-stable") {
+    val s1 = TwapJob.sliceSizes("stochastic", 50.0, 20, seed = 7L)
+    val s2 = TwapJob.sliceSizes("stochastic", 50.0, 20, seed = 7L)
+    assert(s1 === s2)
+    assert(s1.sum === 50.0 +- 1e-9)
+    assert(s1.forall(_ > 0))
+    val s3 = TwapJob.sliceSizes("stochastic", 50.0, 20, seed = 8L)
+    assert(s1 != s3)
+  }
+}
