@@ -336,5 +336,32 @@ object RelationalQueries {
     GROUP BY CUBE(l_returnflag, l_linestatus)
     ORDER BY rflag, lstatus"""))
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43)
+  /** TPC-H Q14-ish: promo revenue share by brand — conditional decimal
+    * aggregation + broadcast dimension join; touches the `part` table.
+    */
+  val q45 = Q("q45_promo_revenue_share",
+    (s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val p = Tables(s, dir, "part")
+      val promo = when(col("p_type").startsWith("PROMO"), disc).otherwise(lit(0.0))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_items"),
+          Exact.sumExactR(disc, 4, 2).as("revenue"),
+          Exact.sumExactR(promo, 4, 2).as("promo_revenue"))
+        .withColumn("promo_share",
+          when(col("revenue") =!= 0, col("promo_revenue") / col("revenue")))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+      ${Exact.sumExactRSql(discSql, 4, 2)} AS revenue,
+      ${Exact.sumExactRSql(s"CASE WHEN p_type LIKE 'PROMO%' THEN $discSql ELSE 0.0::DOUBLE END", 4, 2)} AS promo_revenue,
+      CASE WHEN ${Exact.sumExactRSql(discSql, 4, 2)} != 0
+           THEN ${Exact.sumExactRSql(s"CASE WHEN p_type LIKE 'PROMO%' THEN $discSql ELSE 0.0::DOUBLE END", 4, 2)}
+                / ${Exact.sumExactRSql(discSql, 4, 2)} END AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand"""))
+
+  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45)
 }
