@@ -363,5 +363,25 @@ object RelationalQueries {
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand ORDER BY p_brand"""))
 
-  def all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45)
+  /** Pivot: per-returnflag counts and exact sums spread over linestatus
+    * columns (explicit value list keeps the schema static — the form that
+    * survives at scale; dynamic pivot needs a driver-side distinct pass).
+    */
+  val q46 = Q("q46_pivot_status",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_returnflag")
+    },
+    Some(s"""SELECT l_returnflag,
+      COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS "F_n",
+      ${Exact.sumExactSql("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS "F_qty",
+      COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS "O_n",
+      ${Exact.sumExactSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS "O_qty"
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
+  def all: Seq[Q] =
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45, q46)
 }
