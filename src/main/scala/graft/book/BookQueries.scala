@@ -341,5 +341,46 @@ object BookQueries {
     FROM x WHERE sbps IS NOT NULL
     GROUP BY bin ORDER BY bin""")))
 
-  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21)
+  // ------------------------------------------- q47: bucketed range join
+  /** Interval matching at scale: for every gap row (NULL mid) find the
+    * same-symbol rows within ±1 hour. The naive plan is a cross join +
+    * filter (O(N²)); the engine buckets both sides on ts div G and joins
+    * each probe to 3 adjacent buckets — an equi-join Catalyst can hash —
+    * then applies the exact band filter. The oracle states the plain
+    * BETWEEN join (DuckDB plans an IEJoin); results are identical.
+    */
+  val q47 = Q("q47_gap_neighbors_rangejoin",
+    (s, dir) => {
+      val G = 3600000000L // 1-hour band, in µs
+      val b = bookDf(s, dir)
+        .withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+        .select("sym", "seq", "ts_us", "mid")
+      val gaps = b.filter(col("mid").isNull)
+        .select(col("sym").as("g_sym"), col("seq").as("g_seq"), col("ts_us").as("g_ts"))
+        .withColumn("bkt", explode(array(
+          expr(s"g_ts div $G - 1"), expr(s"g_ts div $G"), expr(s"g_ts div $G + 1"))))
+      val cands = b.select(col("sym").as("c_sym"), col("seq").as("c_seq"), col("ts_us").as("c_ts"))
+        .withColumn("bkt", expr(s"c_ts div $G"))
+      gaps.join(cands,
+        col("g_sym") === col("c_sym") && gaps("bkt") === cands("bkt") &&
+          col("c_seq") =!= col("g_seq") &&
+          abs(col("c_ts") - col("g_ts")) <= G, "left")
+        .groupBy(col("g_sym").as("sym"), col("g_seq"), col("g_ts"))
+        .agg(count(col("c_seq")).as("n_neighbors"),
+          min(abs(col("c_ts") - col("g_ts"))).as("min_dt_us"))
+        .orderBy("sym", "g_seq")
+    },
+    Some(withCte(s""",
+    bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
+    gaps AS (SELECT sym AS g_sym, seq AS g_seq, ts_us AS g_ts FROM bm WHERE mid IS NULL)
+    SELECT g.g_sym AS sym, g.g_seq, g.g_ts,
+      COUNT(c.seq) AS n_neighbors,
+      MIN(ABS(c.ts_us - g.g_ts)) AS min_dt_us
+    FROM gaps g LEFT JOIN bm c
+      ON c.sym = g.g_sym AND c.seq != g.g_seq
+      AND c.ts_us BETWEEN g.g_ts - 3600000000 AND g.g_ts + 3600000000
+    GROUP BY g.g_sym, g.g_seq, g.g_ts
+    ORDER BY sym, g.g_seq""")))
+
+  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47)
 }
