@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.WindowSpec
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -48,13 +47,6 @@ object Exact {
 
   def sumExactRSql(term: String, termScale: Int, outScale: Int): String =
     s"CAST(ROUND(SUM(CAST(ROUND($term, $termScale) AS DECIMAL(38,$termScale))), $outScale) AS DOUBLE)"
-
-  /** Windowed exact sum over a frame. */
-  def winSumExact(term: Column, scale: Int, w: WindowSpec): Column =
-    sum(round(term, scale).cast(DecimalType(38, scale))).over(w).cast("double")
-
-  def winSumExactSql(term: String, scale: Int, over: String): String =
-    s"CAST(SUM(CAST(ROUND($term, $scale) AS DECIMAL(38,$scale))) OVER $over AS DOUBLE)"
 
   /** Mean = exact sum / count — avoids engine-specific AVG(decimal)
     * precision rules; the final double division is IEEE-identical.

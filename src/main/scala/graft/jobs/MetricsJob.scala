@@ -55,7 +55,8 @@ object MetricsJob {
     // RV on the formatted mid (≡ round(mid, 10)), log returns, reset-on-gap
     val midR = round(BookMetrics.mid(bb, ba), 10)
     val prev = lag(midR, 1).over(w)
-    val ret = when(midR.isNotNull && prev.isNotNull && midR > 0 && prev > 0, log(midR / prev))
+    val ret = when(midR.isNotNull && prev.isNotNull && midR > 0 && prev > 0,
+      graft.book.SeriesMetrics.logReturn(midR, w))
     val enriched = ordered
       .withColumn("_ret", ret)
       .withColumn("_gap", count(when(col("_ret").isNull, lit(1))).over(wRun))

@@ -69,12 +69,13 @@ object TextMetrics {
   /** LSH band id from signature components. */
   def bandId(sig: Seq[Column]): Column = md5(concat(sig: _*).cast("binary"))
 
-  /** SimHash-32 bit-vote columns for an exploded shingle: for bit j the
-    * vote is +1 when hex digit j of md5(shingle) has its high nibble bit
-    * set (digit ≥ '8'), else −1.
+  /** SimHash-32 bit-vote column over a PRE-COMPUTED md5-hex column (hash
+    * once per shingle row — 32 votes would otherwise each recompute it):
+    * bit j votes +1 when hex digit j has its high nibble bit set
+    * (digit ≥ '8'), else −1.
     */
-  def simhashVote(shingle: Column, j: Int): Column =
-    sum(when(substring(md5(shingle.cast("binary")), j, 1) >= "8", lit(1)).otherwise(lit(-1)))
+  def simhashVote(md5Hex: Column, j: Int): Column =
+    sum(when(substring(md5Hex, j, 1) >= "8", lit(1)).otherwise(lit(-1)))
 
   /** Fingerprint from the 32 vote sums: Σ 2^(j−1)·1{vote_j > 0}. */
   def simhashFingerprint(votes: Seq[Column]): Column =

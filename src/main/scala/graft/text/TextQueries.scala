@@ -177,8 +177,7 @@ object TextQueries {
         .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
         .distinct()
         .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
-      val votes = (1 to 32).map(j =>
-        sum(when(substring(col("h"), j, 1) >= "8", lit(1)).otherwise(lit(-1))).as(s"v$j"))
+      val votes = (1 to 32).map(j => TextMetrics.simhashVote(col("h"), j).as(s"v$j"))
       sh.groupBy("doc_id")
         .agg(votes.head, votes.tail :+ count(lit(1)).as("n_shingles"): _*)
         .withColumn("simhash", TextMetrics.simhashFingerprint((1 to 32).map(j => col(s"v$j"))))
