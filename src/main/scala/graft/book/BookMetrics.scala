@@ -182,6 +182,29 @@ object BookMetrics {
     d.withColumn(s"slope_$pfx", when(n >= 2 && den > 0, (sxy - sx * sy / n) / den))
   }
 
+  /** P4 on the array compute schema: Σbid/(Σbid+Σask) over
+    * `ARRAY<STRUCT<price,size>>` sides — generic in K (the wide layout at
+    * K≈100 is 408 columns and strains codegen; SURVEY §7.4.11).
+    */
+  def imbalanceDepthKArray(bids: Column, asks: Column): Column = {
+    def s(side: Column) = aggregate(side, lit(0.0),
+      (acc, x) => acc + coalesce(x.getField("size"), lit(0.0)))
+    val b = s(bids); val a = s(asks)
+    when(b + a > 0, b / (b + a))
+  }
+
+  /** P11 on the array schema: notional Σp·q, invalid levels skipped,
+    * NULL iff no valid level.
+    */
+  def notionalDepthArray(side: Column): Column = {
+    val total = aggregate(side, lit(0.0), (acc, x) =>
+      acc + when(x.getField("price").isNotNull && x.getField("size").isNotNull,
+        x.getField("price") * x.getField("size")).otherwise(lit(0.0)))
+    val anyValid = exists(side, x =>
+      x.getField("price").isNotNull && x.getField("size").isNotNull)
+    when(anyValid, total)
+  }
+
   /** Column handles for the wide layout at a given depth. */
   def bidLevels(depth: Int): Seq[(Column, Column)] =
     (1 to depth).map(k => (col(s"bid${k}_price"), col(s"bid${k}_size")))

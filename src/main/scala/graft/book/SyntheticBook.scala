@@ -103,7 +103,9 @@ book AS (
     def side(s: String) = array((1 to depth).map { k =>
       struct(col(s"$s${k}_price").as("price"), col(s"$s${k}_size").as("size"))
     }: _*)
-    wide.select(col("seq"), col("sym"), col("ts_us"), col("best_bid"), col("best_ask"),
-      side("bid").as("bids"), side("ask").as("asks"))
+    val levelCols = (1 to depth).flatMap(k =>
+      Seq(s"bid${k}_price", s"bid${k}_size", s"ask${k}_price", s"ask${k}_size")).toSet
+    val meta = wide.columns.filterNot(levelCols).map(col)
+    wide.select(meta.toSeq ++ Seq(side("bid").as("bids"), side("ask").as("asks")): _*)
   }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.book.{BookMetrics, SyntheticBook}
+import org.apache.spark.sql.functions._
+
+/** The array compute schema is the scale path for deep books: these
+  * suites pin wide ≡ array equivalence and exercise a real depth-100
+  * recording (408-column wide layout) end-to-end through the converters.
+  */
+class ArraySchemaSpec extends SparkTestBase {
+
+  private lazy val wide =
+    SyntheticBook.fromEvents(Tables(spark, "/root/testdata/sf0.001", "events"), 5)
+  private lazy val arr = SyntheticBook.toArraySchema(wide, 5)
+
+  test("imbalance_k and notionals: array HOFs equal the wide coalesce-chains") {
+    val w = wide.select(col("seq"),
+      BookMetrics.imbalanceDepthK(
+        BookMetrics.bidLevels(5).map(_._2), BookMetrics.askLevels(5).map(_._2)).as("imb"),
+      BookMetrics.notionalDepth(BookMetrics.bidLevels(5)).as("nb"),
+      BookMetrics.notionalDepth(BookMetrics.askLevels(5)).as("na"))
+    val a = arr.select(col("seq"),
+      BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")).as("imb_a"),
+      BookMetrics.notionalDepthArray(col("bids")).as("nb_a"),
+      BookMetrics.notionalDepthArray(col("asks")).as("na_a"))
+    val bad = w.join(a, "seq").filter(
+      !(col("imb") <=> col("imb_a")) || !(col("nb") <=> col("nb_a")) ||
+        !(col("na") <=> col("na_a")))
+    assert(bad.count() === 0)
+  }
+
+  test("depth-100 wide recording (408 cols) converts and computes via array HOFs") {
+    val deep = spark.read.parquet("/root/reference/data/ETH_bybit_L2_60s.parquet")
+    assert(deep.columns.length === 8 + 4 * 100)
+    val a100 = SyntheticBook.toArraySchema(deep, 100)
+      .withColumn("imb", BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")))
+      .withColumn("ntl_bid", BookMetrics.notionalDepthArray(col("bids")))
+      .withColumn("slope_bid", BookMetrics.bookSlopeArray(col("bids")))
+      .withColumn("walk", graft.impact.Impact.walkArray(col("asks"), lit(10.0)))
+    val rows = a100.select("imb", "ntl_bid", "slope_bid", "walk.filled").collect()
+    assert(rows.length === 60)
+    rows.foreach { r =>
+      val imb = r.getDouble(0)
+      assert(imb >= 0.0 && imb <= 1.0)
+      assert(r.getDouble(1) > 0.0)            // deep book has notional
+      assert(r.getDouble(3) === 10.0)         // 100 levels always fill qty 10
+    }
+  }
+}
