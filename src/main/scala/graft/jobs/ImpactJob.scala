@@ -40,8 +40,13 @@ object ImpactJob {
       raw.filter(col("_rid").isin(picks: _*)), bookSide, lit(sliceQty), depth)
       .withColumn("slice",
         row_number().over(Window.orderBy("_rid")).cast("long"))
-      .withColumn("mid",
-        (col("best_bid").cast("double") + col("best_ask").cast("double")) / 2.0)
+      .withColumn("mid", {
+        // _mid_from_row (impact.py:166-180): prefer a precomputed `mid`
+        // column (metrics-enriched recordings carry one), else derive
+        val derived = (col("best_bid").cast("double") + col("best_ask").cast("double")) / 2.0
+        if (raw.columns.contains("mid")) coalesce(expr("try_cast(mid AS DOUBLE)"), derived)
+        else derived
+      })
 
     val slices = walked.select(
       col("slice"), col("ts_ms"), col("iso"),

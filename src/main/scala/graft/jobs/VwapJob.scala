@@ -44,17 +44,19 @@ object VwapJob {
     idx = idx.take(nSlices)
 
     val bookSide = if (side == "buy") "ask" else "bid"
-    val cols = Seq("_rid", "ts_ms", "best_bid", "best_ask") ++
+    // cast numerics so CSV inputs (all-string via readAny) work like parquet
+    val numCols = Seq("best_bid", "best_ask") ++
       (1 to depthK).flatMap(k => Seq(s"$bookSide${k}_price", s"$bookSide${k}_size"))
     val rows: Map[Long, Row] = raw
       .filter(col("_rid").isin(idx.map(_.toLong).distinct: _*))
-      .select(cols.map(c => col(c)): _*)
+      .select(col("_rid") +: col("ts_ms") +: numCols.map(c => col(c).cast("double").as(c)): _*)
       .collect().map(r => r.getLong(0) -> r).toMap
 
+    // size<=0 levels dropped, mirroring _extract_side_levels (impact_vwap.py:126-127)
     def ladder(r: Row): Seq[(Double, Double)] =
       (1 to depthK).flatMap { k =>
         val pi = r.fieldIndex(s"$bookSide${k}_price"); val si = r.fieldIndex(s"$bookSide${k}_size")
-        if (r.isNullAt(pi) || r.isNullAt(si)) None
+        if (r.isNullAt(pi) || r.isNullAt(si) || r.getDouble(si) <= 0) None
         else Some((r.getDouble(pi), r.getDouble(si)))
       }
     def midOf(r: Row): Option[Double] = {

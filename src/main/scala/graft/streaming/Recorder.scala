@@ -40,19 +40,44 @@ object Recorder {
       .withColumn("raw_nonce", v)
       .withColumn("best_bid", mid - lit(0.01))
       .withColumn("best_ask", mid + lit(0.01))
-    val levels = (1 to depth).flatMap { k =>
+    // all bid levels then all ask levels — the `_header_for_depth` order
+    // (record.py:46-52), so a written CSV reads back via BookSchema.forDepth
+    // (positional explicit schema) without level scrambling
+    val bidLevels = (1 to depth).flatMap { k =>
       Seq(
         s"bid${k}_price" -> when(pmod(v + k, lit(31L)) === 0, lit(null).cast("double"))
           .otherwise(col("best_bid") - lit(0.01) * (k - 1)),
-        s"bid${k}_size" -> (lit(1) + pmod(v + k, lit(5L))).cast("double"),
+        s"bid${k}_size" -> (lit(1) + pmod(v + k, lit(5L))).cast("double"))
+    }
+    val askLevels = (1 to depth).flatMap { k =>
+      Seq(
         s"ask${k}_price" -> when(pmod(v + 2L * k, lit(37L)) === 0, lit(null).cast("double"))
           .otherwise(col("best_ask") + lit(0.01) * (k - 1)),
         s"ask${k}_size" -> (lit(1) + pmod(v + 2L * k, lit(7L))).cast("double"))
     }
     val meta = Seq("ts_ms", "iso", "exchange_id", "symbol", "book_level", "raw_nonce",
       "best_bid", "best_ask").map(col)
-    base.select(meta ++ levels.map { case (n, c) => c.as(n) }: _*)
+    base.select(meta ++ (bidLevels ++ askLevels).map { case (n, c) => c.as(n) }: _*)
   }
+
+  /** P17 symbol sanitization (`record.py:287`): strip the `/` and `:`
+    * that venue symbols like `BTC/USDT:USDT` carry before they land in a
+    * file name.
+    */
+  def sanitizeSymbol(symbol: String): String =
+    symbol.replace("/", "").replace(":", "")
+
+  /** Column flavor of [[sanitizeSymbol]] for distributed use. */
+  def sanitizeSymbolCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "[/:]", "")
+
+  /** Default recording path, mirroring the reference's
+    * `data/{exchange}_{sym}_{market}_{level}_{seconds}s.{fmt}` scheme
+    * (`record.py:288`).
+    */
+  def defaultOutPath(exchange: String, symbol: String, marketType: String,
+                     bookLevel: String, seconds: Int, format: String): String =
+    s"data/${exchange}_${sanitizeSymbol(symbol)}_${marketType}_${bookLevel}_${seconds}s.$format"
 
   /** Fixed-Hz recorder stream (S2): rate source → synthetic book rows. */
   def bookStream(spark: SparkSession, hz: Int, depth: Int): DataFrame =

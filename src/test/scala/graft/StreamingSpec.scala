@@ -19,6 +19,18 @@ class StreamingSpec extends SparkTestBase {
     // bounded walk: mid within [100, 101]
     val mm = batch.select(min("best_bid"), max("best_ask")).collect()(0)
     assert(mm.getDouble(0) >= 99.0 && mm.getDouble(1) <= 102.0)
+    // column order must equal BookSchema.forDepth (all bids then all asks,
+    // _header_for_depth order) so recorded CSVs read back positionally
+    assert(batch.columns.toSeq === graft.book.BookSchema.forDepth(5).fieldNames.toSeq)
+  }
+
+  test("symbol sanitization strips / and : (record.py:287)") {
+    assert(Recorder.sanitizeSymbol("BTC/USDT:USDT") === "BTCUSDTUSDT")
+    assert(Recorder.defaultOutPath("bybit", "ETH/USDT:USDT", "swap", "L2", 60, "parquet")
+      === "data/bybit_ETHUSDTUSDT_swap_L2_60s.parquet")
+    val got = spark.range(1).select(
+      Recorder.sanitizeSymbolCol(lit("BTC/USDT:USDT")).as("s")).collect()(0).getString(0)
+    assert(got === "BTCUSDTUSDT")
   }
 
   test("event-time minute bars with watermark over a file stream") {
@@ -59,15 +71,57 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.count() > 0)
   }
 
-  test("stateful running delta per symbol (mapGroupsWithState path, batch check)") {
-    val ticks = Seq(
-      StreamingMetrics.Tick("A", 1, 10.0), StreamingMetrics.Tick("A", 2, 10.5),
-      StreamingMetrics.Tick("A", 3, 10.2), StreamingMetrics.Tick("B", 1, 5.0))
-    // semantics check on the same fold the streaming query uses
-    val byKey = ticks.groupBy(_.sym).view.mapValues { ts =>
-      val sorted = ts.sortBy(_.seq)
-      sorted.zip(sorted.scanLeft(0.0) { (acc, _) => acc }).map(_._1)
-    }
-    assert(byKey.keySet === Set("A", "B"))
+  test("watermark drops rows later than the lateness bound (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String, Double)]
+    val bars = StreamingMetrics.minuteBars(
+      src.toDS().toDF("ts_us", "sym", "px"), lateness = "10 minutes")
+    val q = bars.writeStream.outputMode("append")
+      .format("memory").queryName("late_bars").start()
+    def us(sec: Long) = sec * 1000000L
+    try {
+      // minute-0 window gets 2 ticks; the 3600 s tick advances the
+      // watermark to 50 min, closing and emitting the minute-0 bar
+      src.addData((us(0), "S", 1.0), (us(30), "S", 2.0), (us(3600), "S", 3.0))
+      q.processAllAvailable()
+      // late arrival back in minute 0 — 50 min behind the watermark —
+      // must be DROPPED; the 7200 s tick flushes the minute-60 bar
+      src.addData((us(10), "S", 99.0), (us(7200), "S", 4.0))
+      q.processAllAvailable()
+      val out = spark.table("late_bars")
+        .select(col("window.start").cast("long").as("w"), col("n_ticks"), col("high"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      val minute0 = out.find(_._1 == 0L).get
+      assert(minute0._2 === 2L, "late row must not be counted")
+      assert(minute0._3 === 2.0, "late px=99 must not appear in the bar")
+      assert(out.find(_._1 == 3600L).get._2 === 1L)
+    } finally q.stop()
+  }
+
+  test("stateful running delta per symbol carries state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingMetrics.{Tick, OfiOut}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[Tick]
+    val q = StreamingMetrics.runningDelta(src.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("rd").start()
+    try {
+      src.addData(Tick("A", 1, 10.0), Tick("A", 2, 10.5), Tick("B", 1, 5.0))
+      q.processAllAvailable()
+      // second batch must see batch-1 state (prevPx carried per symbol)
+      src.addData(Tick("A", 3, 10.2), Tick("B", 2, 5.5))
+      q.processAllAvailable()
+      val out = spark.table("rd").as[OfiOut].collect().sortBy(t => (t.sym, t.seq))
+      val expect = Seq(
+        ("A", 1L, 0.0, 0.0), ("A", 2L, 0.5, 0.5), ("A", 3L, 10.2 - 10.5, 0.5 + (10.2 - 10.5)),
+        ("B", 1L, 0.0, 0.0), ("B", 2L, 0.5, 0.5))
+      assert(out.length === expect.length)
+      out.zip(expect).foreach { case (o, (sym, seq, d, cum)) =>
+        assert(o.sym === sym && o.seq === seq)
+        assert(math.abs(o.dPx - d) < 1e-12, s"dPx for $sym/$seq")
+        assert(math.abs(o.cum - cum) < 1e-12, s"cum for $sym/$seq")
+      }
+    } finally q.stop()
   }
 }
