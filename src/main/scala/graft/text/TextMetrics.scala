@@ -66,6 +66,14 @@ object TextMetrics {
   def minhashAgg(shingle: Column, k: Int): Column =
     min(md5(concat(shingle, lit(s"#$k")).cast("binary")))
 
+  /** MinHash component from span j (0-based) of a PRE-COMPUTED md5-hex
+    * column: min over shingles of its 8-hex-char (32-bit) slice. Four
+    * independent-in-the-LSH-sense components per md5 — hash once,
+    * slice four times (the salted [[minhashAgg]] costs one md5 each).
+    */
+  def minhashSpanAgg(md5Hex: Column, j: Int): Column =
+    min(substring(md5Hex, 1 + 8 * j, 8))
+
   /** LSH band id from signature components. */
   def bandId(sig: Seq[Column]): Column = md5(concat(sig: _*).cast("binary"))
 

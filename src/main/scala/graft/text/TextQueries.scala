@@ -28,14 +28,18 @@ object TextQueries {
   // ---------------------------------------------------------------- q27
   val q27 = Q("q27_text_stats",
     (s, dir) => {
+      // ONE tokenize pass: token count, char mass, and stopword hits all
+      // derive from a single split array (the per-stopword regexp_replace
+      // scans cost ~6 full text traversals per row)
       val t = col("text")
-      val tokens = TextMetrics.tokenCount(t).cast("long")
-      val chars = TextMetrics.charsNoWs(t).cast("long")
-      val stops = Seq("the", "and", "of").map(TextMetrics.wordOccurrences(t, _)).reduce(_ + _)
       Tables(s, dir, "documents")
-        .withColumn("n_tokens", tokens)
-        .withColumn("chars_no_ws", chars)
-        .withColumn("n_stopwords", stops)
+        .withColumn("toks", split(trim(lower(t)), "\\s+"))
+        .withColumn("n_tokens",
+          when(length(trim(t)) === 0, lit(0L)).otherwise(size(col("toks")).cast("long")))
+        .withColumn("chars_no_ws",
+          aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)))
+        .withColumn("n_stopwords",
+          size(filter(col("toks"), x => x === "the" || x === "and" || x === "of")).cast("long"))
         .withColumn("avg_token_len",
           when(col("n_tokens") > 0, col("chars_no_ws").cast("double") / col("n_tokens")))
         .withColumn("stop_ratio",
@@ -49,13 +53,16 @@ object TextQueries {
           "avg_token_len", "stop_ratio", "quality_score")
         .orderBy("doc_id")
     },
-    Some(s"""WITH b AS (
-      SELECT doc_id, lang, source,
-        CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-        length(regexp_replace(text, '\\s', '', 'g')) AS chars_no_ws,
-        ${occSql("the")} + ${occSql("and")} + ${occSql("of")} AS n_stopwords
+    Some(s"""WITH tk AS (
+      SELECT doc_id, lang, source, length(trim(text)) AS trimmed_len,
+        string_split_regex(trim(lower(text)), '\\s+') AS toks
       FROM documents
+    ), b AS (
+      SELECT doc_id, lang, source,
+        CASE WHEN trimmed_len = 0 THEN 0 ELSE len(toks) END AS n_tokens,
+        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS chars_no_ws,
+        CAST(len(list_filter(toks, x -> x IN ('the', 'and', 'of'))) AS BIGINT) AS n_stopwords
+      FROM tk
     ), r AS (
       SELECT *,
         CASE WHEN n_tokens > 0 THEN CAST(chars_no_ws AS DOUBLE) / n_tokens END AS avg_token_len,
@@ -148,20 +155,24 @@ object TextQueries {
   // ---------------------------------------------------------------- q31
   val q31 = Q("q31_minhash_signatures",
     (s, dir) => {
-      // raw shingles: the min aggregate is duplicate-insensitive
+      // ONE md5 per shingle; the 4 signature components are mins over
+      // disjoint 8-hex-char (32-bit) spans of it — 4× less hashing than
+      // salted per-component md5s, same independence in the LSH sense.
+      // Raw (non-distinct) shingles: min is duplicate-insensitive.
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
-      val sigs = (0 to 3).map(k => TextMetrics.minhashAgg(col("sh"), k).as(s"mh$k"))
+        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
+      val sigs = (0 to 3).map(j => TextMetrics.minhashSpanAgg(col("h"), j).as(s"mh$j"))
       sh.groupBy("doc_id")
         .agg(sigs.head, sigs.tail: _*)
-        .withColumn("band", TextMetrics.bandId((0 to 3).map(k => col(s"mh$k"))))
+        .withColumn("band", TextMetrics.bandId((0 to 3).map(j => col(s"mh$j"))))
         .orderBy("doc_id")
     },
     Some(s"""WITH sh AS (
-      SELECT doc_id, unnest($shinglesSqlExpr) AS sh FROM documents
+      SELECT doc_id, md5(unnest($shinglesSqlExpr)) AS h FROM documents
     ), m AS (
       SELECT doc_id,
-        ${(0 to 3).map(k => s"min(md5(sh || '#$k')) AS mh$k").mkString(", ")}
+        ${(0 to 3).map(j => s"min(substr(h, ${1 + 8 * j}, 8)) AS mh$j").mkString(", ")}
       FROM sh GROUP BY doc_id
     )
     SELECT doc_id, mh0, mh1, mh2, mh3, md5(mh0 || mh1 || mh2 || mh3) AS band
@@ -229,5 +240,134 @@ object TextQueries {
       CASE WHEN n_union > 0 THEN CAST(n_inter AS DOUBLE) / n_union END AS jaccard
     FROM p ORDER BY id_a"""))
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33)
+  // ---------------------------------------------------------------- q48
+  /** End-to-end MinHash-LSH near-dup dedup — THE training-data pipeline
+    * operator (builder brief; no reference analog):
+    *
+    *   1. 16-component signature: 4 salted md5s per shingle, each sliced
+    *      into 4 disjoint 32-bit span-mins (hash 4×, not 16×);
+    *   2. banding 4 bands × 4 rows: candidate iff some band's 4
+    *      components all collide (P ≈ 1−(1−s⁴)⁴, s = Jaccard);
+    *   3. per-band equi-self-join on the band hash → candidate pairs
+    *      (the 100 TB shape: no all-pairs anywhere, band buckets shard
+    *      the shuffle);
+    *   4. verification: true shingle Jaccard ≥ 0.8 (integer set sizes →
+    *      exact double ratio, cross-engine safe);
+    *   5. transitive groups: iterative min-label propagation over the
+    *      verified edge set to fixpoint (monotone: Σ labels strictly
+    *      decreases, so sum-equality IS the fixpoint test). Near-dup
+    *      components have tiny diameter, so this converges in a few
+    *      joins; adversarial long chains would want alternating
+    *      large-star/small-star, noted in SURVEY §7.
+    *
+    * Emits one row per document: its dedup group representative (min
+    * doc_id in the component), whether it is the kept copy, and the
+    * group size.
+    */
+  val q48 = Q("q48_minhash_lsh_dedup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      // 1. hash once per (shingle, salt) — md5 projected BEFORE the agg so
+      // the 16 min-aggregates slice strings instead of re-hashing
+      val hashed = docs
+        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
+        .select(col("doc_id") +:
+          (0 to 3).map(k => md5(concat(col("sh"), lit(s"#$k")).cast("binary")).as(s"h$k")): _*)
+      val comps = for { k <- 0 to 3; j <- 0 to 3 }
+        yield TextMetrics.minhashSpanAgg(col(s"h$k"), j).as(s"c${k}_$j")
+      val sig = hashed.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+      // 2. band hash k = md5 of salt-k's four span-mins
+      val bandCols = (0 to 3).map(k =>
+        TextMetrics.bandId((0 to 3).map(j => col(s"c${k}_$j"))))
+      val bands = sig
+        .select(col("doc_id"), posexplode(array(bandCols: _*)))
+        .toDF("doc_id", "band_idx", "bh")
+      // 3. candidate pairs: equal band hash within a band, dedup across bands
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      // 4. verify with true n-gram Jaccard
+      val shd = docs.select(col("doc_id"), TextMetrics.shinglesRaw(N).as("sh"))
+      val ver = cand
+        .join(shd.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(shd.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(TextMetrics.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .select("id_a", "id_b")
+        .cache()
+      // 5. connected components by min-label propagation
+      val esym = ver.union(ver.select(col("id_b"), col("id_a"))).toDF("src", "dst").cache()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("comp")).cache()
+      var prevSum = labels.agg(sum("comp")).first().getLong(0)
+      var converged = false
+      var iters = 0
+      while (!converged && iters < 25) {
+        val nbrMin = esym
+          .join(labels.select(col("doc_id").as("src"), col("comp").as("src_comp")), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min("src_comp").as("nbr_comp"))
+        val next = labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+          .cache()
+        val nextSum = next.agg(sum("comp")).first().getLong(0)
+        labels.unpersist()
+        labels = next
+        converged = nextSum == prevSum
+        prevSum = nextSum
+        iters += 1
+      }
+      val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
+      labels.join(sizes, "comp")
+        .select(col("doc_id"), col("comp").as("group_id"),
+          (col("doc_id") === col("comp")).cast("int").as("is_kept"),
+          col("group_size"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val sigCols = (for { k <- 0 to 3; j <- 0 to 3 }
+        yield s"min(substr(h$k, ${1 + 8 * j}, 8)) AS c${k}_$j").mkString(", ")
+      val bandRows = (0 to 3).map(k =>
+        s"SELECT doc_id, $k AS band_idx, md5(c${k}_0 || c${k}_1 || c${k}_2 || c${k}_3) AS bh FROM sig")
+        .mkString("\n      UNION ALL ")
+      s"""WITH RECURSIVE sh AS (
+      SELECT doc_id, unnest($shinglesSqlExpr) AS sh FROM documents
+    ), h AS (
+      SELECT doc_id, ${(0 to 3).map(k => s"md5(sh || '#$k') AS h$k").mkString(", ")} FROM sh
+    ), sig AS (
+      SELECT doc_id, $sigCols FROM h GROUP BY doc_id
+    ), bands AS (
+      $bandRows
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ), shd AS (
+      SELECT doc_id, $shinglesSqlExpr AS s FROM documents
+    ), ver AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
+      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.s, b.s))) >= 0.8::DOUBLE
+    ), esym AS (
+      SELECT id_a AS src, id_b AS dst FROM ver
+      UNION ALL SELECT id_b, id_a FROM ver
+    ), reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, re.r FROM reach re JOIN esym e ON e.src = re.id
+    ), comp AS (
+      SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+    ), gs AS (
+      SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id
+    )
+    SELECT c.doc_id, c.group_id,
+      CAST(c.doc_id = c.group_id AS INTEGER) AS is_kept, gs.group_size
+    FROM comp c JOIN gs USING (group_id)
+    ORDER BY doc_id"""
+    },
+    headline = true)
+
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import graft.text.TextQueries
+import org.apache.spark.sql.functions._
+
+/** End-to-end MinHash-LSH dedup (q48) semantics on the sf0.001 corpus:
+  * banding → candidate join → Jaccard verify → connected components.
+  * The fixture has pair-dups, a 3-chain and a 4-chain (docs 8-12-120-360
+  * are mutual near-dups), so the min-label propagation must actually
+  * iterate, not just copy the pair mins.
+  */
+class TextDedupSpec extends SparkTestBase {
+
+  private lazy val out =
+    TextQueries.q48.run(spark, "/root/testdata/sf0.001").cache()
+
+  test("every document gets exactly one group row; kept = group representative") {
+    assert(out.count() === 500)
+    assert(out.where(col("doc_id") === col("group_id") && col("is_kept") === 0).count() === 0)
+    assert(out.where(col("doc_id") =!= col("group_id") && col("is_kept") === 1).count() === 0)
+    // representative is the component min: every group_id is itself kept
+    val reps = out.select("group_id").distinct()
+    val keptIds = out.where(col("is_kept") === 1).select(col("doc_id").as("group_id"))
+    assert(reps.exceptAll(keptIds).count() === 0)
+  }
+
+  test("transitive 4-chain resolves to one group under the min id") {
+    val grp = out.where(col("doc_id").isin(8, 12, 120, 360))
+      .select("doc_id", "group_id", "is_kept", "group_size")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).sortBy(_._1)
+    assert(grp.map(_._2).toSet === Set(8L), "all four docs share representative 8")
+    assert(grp.map(_._4).toSet === Set(4L))
+    assert(grp.map(g => g._1 -> g._3).toMap === Map(8L -> 1, 12L -> 0, 120L -> 0, 360L -> 0))
+  }
+
+  test("group sizes partition the corpus; no verified near-dup is kept twice") {
+    val bySize = out.groupBy("group_size").agg(
+      countDistinct("group_id").as("n_groups"), count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(bySize.map(t => t._1 * t._2).sum === 500, "sizes × groups cover all docs")
+    val dropped = out.agg(sum(lit(1) - col("is_kept"))).collect()(0).getLong(0)
+    assert(dropped === bySize.map(t => (t._1 - 1) * t._2).sum)
+    assert(dropped > 0, "fixture contains near-dups")
+  }
+}
