@@ -198,6 +198,59 @@ object ImpactQueries {
        ORDER BY b.ts_us DESC, b.seq DESC LIMIT 1) AS matched_mid
     FROM sched s ORDER BY s.sym, s.sched_seq""")))
 
+  // -------------------------------------------- q49: nearest-|ts−t| as-of
+  /** J2 exact semantics of `impact_twap.py:174-188` distributed: match
+    * each probe time to the row minimizing |ts−t|, pointer tie rules —
+    * forward wins an exact two-sided tie, the last row of an equal-ts run
+    * wins within a side. Probes cover all three regimes: exact hit
+    * (dB = 0), gap midpoint (two-sided tie when the gap is even), and an
+    * off-grid offset. Implementation: [[AsOf.nearest]] (two window
+    * passes, no N×S join); oracle: LATERAL top-1 ordered by
+    * (|ts−t| ASC, seq DESC).
+    */
+  val q49 = Q("q49_asof_nearest",
+    (s, dir) => {
+      val b = bookDf(s, dir)
+        .withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+        .select("sym", "seq", "ts_us", "mid")
+      val wn = Window.partitionBy("sym").orderBy("seq")
+      val probes = b
+        .withColumn("next_ts", lead(col("ts_us"), 1).over(wn))
+        .filter(col("seq") % 100 === 0)
+        .select(col("sym"), col("seq"), posexplode(array(
+          col("ts_us"),
+          expr("ts_us + ((next_ts - ts_us) DIV 2)"),
+          col("ts_us") + lit(15000L))))
+        .toDF("sym", "seq", "flavor", "t")
+        .filter(col("t").isNotNull)
+        .select(col("sym"), (col("seq") * 3 + col("flavor")).as("probe_id"), col("t"))
+      AsOf.nearest(b, "sym", "seq", "ts_us", Seq("mid"), probes, "probe_id", "t")
+        .select(col("sym"), col("probe_id"), col("t"),
+          col("matched_ord").as("matched_seq"), col("matched_ts"), col("matched_mid"),
+          abs(col("matched_ts") - col("t")).as("dist"))
+        .orderBy("sym", "probe_id")
+    },
+    Some(withCte(s""",
+    bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
+    wn AS (SELECT sym, seq, ts_us,
+             lead(ts_us) OVER (PARTITION BY sym ORDER BY seq) AS next_ts
+           FROM bm),
+    probes AS (
+      SELECT sym, seq * 3 AS probe_id, ts_us AS t FROM wn WHERE seq % 100 = 0
+      UNION ALL
+      SELECT sym, seq * 3 + 1, ts_us + (next_ts - ts_us) // 2
+      FROM wn WHERE seq % 100 = 0 AND next_ts IS NOT NULL
+      UNION ALL
+      SELECT sym, seq * 3 + 2, ts_us + 15000 FROM wn WHERE seq % 100 = 0
+    )
+    SELECT p.sym, p.probe_id, p.t, m.seq AS matched_seq, m.ts_us AS matched_ts,
+           m.mid AS matched_mid, abs(m.ts_us - p.t) AS dist
+    FROM probes p, LATERAL (
+      SELECT b.seq, b.ts_us, b.mid FROM bm b WHERE b.sym = p.sym
+      ORDER BY abs(b.ts_us - p.t) ASC, b.seq DESC LIMIT 1
+    ) m
+    ORDER BY p.sym, p.probe_id""")))
+
   // ------------------------------------------------- q26: VWAP carry loop
   /** X5 `impact_vwap.py:289-352`: allocation ∝ ask-side top-K size proxy
     * (X4), then the sequential carry fold — slice i's desired qty is its
@@ -359,5 +412,5 @@ object ImpactQueries {
       CASE WHEN mid_close != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_close - 1) END AS slip_close_bps
     FROM j ORDER BY sym"""))
 
-  def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q40)
+  def all: Seq[Q] = Seq(q22, q23, q24, q25, q26, q40, q49)
 }

@@ -70,28 +70,44 @@ object TwapJob {
           allowResidual: Boolean = false): Result = {
     val raw = graft.io.BookIO.readAny(spark, inPath)
       .coalesce(1).withColumn("_rid", monotonically_increasing_id())
-    val tsList = raw.select(col("ts_ms").cast("long")).collect().map(_.getLong(0)).toSeq
-    val n = tsList.length
+    val n = raw.count().toInt
 
-    // schedule: half-even index pick, optional jitter, nearest-row pointer
+    // schedule: half-even index pick, optional jitter — only the ≤ nSlices
+    // chosen rows' timestamps ever reach the driver
     val idxs = (0 until nSlices).map(i => math.rint(i.toDouble * (n - 1) / math.max(1, nSlices - 1)).toInt)
-    val chosen = idxs.map(tsList)
+    val tsAt: Map[Long, Long] = raw
+      .filter(col("_rid").isin(idxs.map(_.toLong).distinct: _*))
+      .select(col("_rid"), col("ts_ms").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val chosen = idxs.map(i => tsAt(i.toLong))
     val rng = new java.util.Random(seed)
     val targets = if (jitterMs <= 0) chosen
     else chosen.map(t => (t + (rng.nextDouble() * jitterMs - jitterMs / 2.0)).toLong)
+
+    // nearest-|ts−t| matching runs distributed (AsOf.nearest: two window
+    // passes over series ∪ probes); the reference pointer's never-backward
+    // behavior under non-monotone jittered targets is a running max over
+    // the ≤ nSlices matched indices — each greedy stop is provably
+    // max(lastArgmin(tᵢ), jᵢ₋₁) because distances are V-shaped in row
+    // order and equal-ts runs always advance to their last row
+    import spark.implicits._
+    val probesDf = targets.zipWithIndex
+      .map { case (t, k) => (k.toLong, t, "s") }.toDF("probe_id", "t", "part")
+    val series = raw.select(col("_rid"), col("ts_ms"), lit("s").as("part"))
+    val matchedAt: Map[Long, Long] =
+      graft.impact.AsOf.nearest(series, "part", "_rid", "ts_ms", Seq.empty,
+          probesDf, "probe_id", "t")
+        .select(col("probe_id"), col("matched_ord"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rowIdxs = {
-      var j = 0
-      targets.map { t =>
-        while (j + 1 < n && math.abs(tsList(j + 1) - t) <= math.abs(tsList(j) - t)) j += 1
-        j
-      }
+      var j = 0L
+      (0 until nSlices).map { k => j = math.max(j, matchedAt(k.toLong)); j }
     }
     val sizes = sliceSizes(schedule, targetQty, nSlices, seed)
 
     // distributed walk at the picked rows (stop-at-first-blank/zero ladder)
-    import spark.implicits._
     val sched = rowIdxs.zip(sizes).zipWithIndex
-      .map { case ((ri, sz), k) => (k + 1, ri.toLong, sz) }
+      .map { case ((ri, sz), k) => (k + 1, ri, sz) }
       .toDF("slice", "_rid2", "slice_target_qty")
     val bookSide = if (side == "buy") "ask" else "bid"
     val picked = raw.join(broadcast(sched), col("_rid") === col("_rid2"))
