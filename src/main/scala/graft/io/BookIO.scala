@@ -33,4 +33,25 @@ object BookIO {
     */
   def writeGoldenCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
+
+  /** S11 accumulating summary sink (`impact_twap_cli.py:51-57`): append
+    * the frame's rows to ONE growing CSV, writing the header only when
+    * the file does not exist yet. Driver-side by design — run summaries
+    * are O(runs) one-line rows, not a distributed dataset; simple values
+    * only (no quoting), nulls render as "".
+    */
+  def appendSummaryCsv(df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardOpenOption}
+    val p = Paths.get(path)
+    Option(p.getParent).foreach(Files.createDirectories(_))
+    val sb = new StringBuilder
+    if (!Files.exists(p)) sb.append(df.columns.mkString(",")).append('\n')
+    df.collect().foreach { r =>
+      sb.append(df.columns.indices
+        .map(i => if (r.isNullAt(i)) "" else r.get(i).toString).mkString(","))
+        .append('\n')
+    }
+    Files.write(p, sb.toString.getBytes("UTF-8"),
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
+  }
 }

@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   */
 object EventMetricsJob {
 
-  def run(spark: SparkSession, inPath: String, rvWindow: Int = 20): DataFrame = {
+  def run(spark: SparkSession, inPath: String, rvWindow: Int = 20,
+          partitionKeys: Seq[String] = Seq("exchange_id", "symbol"),
+          golden: Boolean = false): DataFrame = {
     var raw = BookIO.readAny(spark, inPath)
     for (c <- Seq("bid1_size", "ask1_size"))
       if (!raw.columns.contains(c)) raw = raw.withColumn(c, lit(0.0))
@@ -34,8 +36,14 @@ object EventMetricsJob {
     val qb = coalesce(d("bid1_size"), lit(0.0))
     val qa = coalesce(d("ask1_size"), lit(0.0))
 
-    val ordered = raw.coalesce(1).withColumn("_rid", monotonically_increasing_id())
-    val w = Window.orderBy("_rid")
+    // golden: single-series parity; default: per-key event-time windows
+    // (keys missing from the input degrade to the single-series mode)
+    val keys = if (golden) Seq.empty[String] else partitionKeys.filter(raw.columns.contains)
+    val ordered =
+      (if (golden) raw.coalesce(1) else raw).withColumn("_rid", monotonically_increasing_id())
+    val ord = Seq(col("ts_ms").cast("long"), col("_rid"))
+    val w = if (keys.isEmpty) Window.orderBy("_rid")
+            else Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
 
     val mid = (bb + ba) / 2.0
     val spreadBps = when(bb > 0 && ba > 0, (ba - bb) / mid * lit(1e4))
@@ -53,8 +61,9 @@ object EventMetricsJob {
       .withColumn(s"rv_event_$rvWindow",
         when(count(col("ret_mid")).over(frame) === rvWindow,
           sum(col("ret_mid") * col("ret_mid")).over(frame)))
-    out.orderBy("_rid")
-      .select((baseCols ++ Seq("mid", "spread_bps", "microprice", "ofi_l1", "ret_mid",
-        s"rv_event_$rvWindow")).map(col): _*)
+    val sorted = if (keys.isEmpty) out.orderBy("_rid")
+                 else out.orderBy(keys.map(col) ++ ord: _*)
+    sorted.select((baseCols ++ Seq("mid", "spread_bps", "microprice", "ofi_l1", "ret_mid",
+      s"rv_event_$rvWindow")).map(col): _*)
   }
 }

@@ -20,13 +20,18 @@ import org.apache.spark.sql.types.DecimalType
   *   - OFI is the strict flavor with NULL poisoning (`metrics.py:293-333`);
   *   - first-row OFI is "" and rows during RV warmup are "".
   *
-  * The reference processes one file = one series; parity mode therefore
-  * uses a single unpartitioned window (fine for per-file recordings). At
-  * scale, partition by (exchange_id, symbol) as BookQueries does.
+  * Partitioning: the default treats the input as many series keyed by
+  * `partitionKeys` (windows partition on them, ordered by event time) —
+  * the shape that scales to a 1000-executor cluster. `golden = true`
+  * reproduces the reference's one-file-=-one-series mode exactly
+  * (coalesce(1) + a single unpartitioned window, byte-parity with the
+  * committed `_metrics.csv`) and is only right for per-file recordings.
   */
 object MetricsJob {
 
-  def run(spark: SparkSession, inPath: String, depth: Int, rvWindow: Int): DataFrame = {
+  def run(spark: SparkSession, inPath: String, depth: Int, rvWindow: Int,
+          partitionKeys: Seq[String] = Seq("exchange_id", "symbol"),
+          golden: Boolean = false): DataFrame = {
     val raw = BookIO.readAny(spark, inPath)
     val baseCols = raw.columns.toSeq
 
@@ -47,9 +52,16 @@ object MetricsJob {
       "notional_bid_k" -> BookMetrics.notionalDepth(levels("bid")),
       "notional_ask_k" -> BookMetrics.notionalDepth(levels("ask")))
 
-    // one file = one ordered series; single window, stable row id
-    val ordered = raw.coalesce(1).withColumn("_rid", monotonically_increasing_id())
-    val w = Window.orderBy("_rid")
+    // golden: one file = one ordered series (single window, stable row id);
+    // default: per-key windows ordered by event time, _rid as tiebreak.
+    // Keys missing from the input (older schemas) degrade to the
+    // reference's one-file-=-one-series semantics.
+    val keys = if (golden) Seq.empty[String] else partitionKeys.filter(raw.columns.contains)
+    val ordered =
+      (if (golden) raw.coalesce(1) else raw).withColumn("_rid", monotonically_increasing_id())
+    val ord = Seq(col("ts_ms").cast("long"), col("_rid"))
+    val w = if (keys.isEmpty) Window.orderBy("_rid")
+            else Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // RV on the formatted mid (≡ round(mid, 10)), log returns, reset-on-gap
@@ -60,7 +72,8 @@ object MetricsJob {
     val enriched = ordered
       .withColumn("_ret", ret)
       .withColumn("_gap", count(when(col("_ret").isNull, lit(1))).over(wRun))
-    val gw = Window.partitionBy("_gap").orderBy("_rid")
+    val gw = if (keys.isEmpty) Window.partitionBy("_gap").orderBy("_rid")
+             else Window.partitionBy((keys :+ "_gap").map(col): _*).orderBy(ord: _*)
     val frame = gw.rowsBetween(-(rvWindow - 1), Window.currentRow)
     val rv = when(col("_ret").isNotNull && count(col("_ret")).over(frame) === rvWindow,
       sum((col("_ret") * col("_ret")).cast(DecimalType(38, 30))).over(frame).cast("double"))
@@ -74,6 +87,8 @@ object MetricsJob {
       .withColumn("rv", BookIO.fmt10(rv))
       .withColumn("ofi_l1", BookIO.fmt10(ofi))
     val addCols = metrics.map(_._1) ++ Seq("rv_window", "rv", "ofi_l1")
-    out.orderBy("_rid").select((baseCols ++ addCols).map(col): _*)
+    val sorted = if (keys.isEmpty) out.orderBy("_rid")
+                 else out.orderBy(keys.map(col) ++ ord: _*)
+    sorted.select((baseCols ++ addCols).map(col): _*)
   }
 }

@@ -17,10 +17,18 @@ object PlotSeriesJob {
                     spreadHist: DataFrame, tail: DataFrame)
 
   def run(spark: SparkSession, inPath: String, depth: Int,
-          rvWindow: Int = 20, corrWindow: Int = 30, tailN: Int = 2000): Frames = {
-    val raw = graft.io.BookIO.readAny(spark, inPath)
-      .coalesce(1).withColumn("_rid", monotonically_increasing_id())
-    val w = Window.orderBy("_rid")
+          rvWindow: Int = 20, corrWindow: Int = 30, tailN: Int = 2000,
+          partitionKeys: Seq[String] = Seq("exchange_id", "symbol"),
+          golden: Boolean = false): Frames = {
+    // golden: single-series parity mode; default: per-key event-time windows
+    // (keys missing from the input degrade to the single-series mode)
+    val raw0 = graft.io.BookIO.readAny(spark, inPath)
+    val keys = if (golden) Seq.empty[String] else partitionKeys.filter(raw0.columns.contains)
+    val raw = (if (golden) raw0.coalesce(1) else raw0)
+      .withColumn("_rid", monotonically_increasing_id())
+    val ord = Seq(col("ts_ms").cast("long"), col("_rid"))
+    val w = if (keys.isEmpty) Window.orderBy("_rid")
+            else Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     def d(c: String): Column = col(c).cast("double")
@@ -49,9 +57,11 @@ object PlotSeriesJob {
       .withColumn("rv", SeriesMetrics.realizedVar(col("ret"), w, rvWindow))
     val withCorr = SeriesMetrics.withRollingCorrExact(
       base, col("ofi_l1"), col("ret"), w, corrWindow, "ofi_ret_corr")
-    val series = withCorr.select("_rid", "ts_ms", "mid", "spread_bps", "ofi_l1", "ofi_cum",
+    val seriesCols = keys ++ Seq("_rid", "ts_ms", "mid", "spread_bps", "ofi_l1", "ofi_cum",
       "ofi_size_k", "ofi_size_k_cum", "ofi_ntl_k", "ofi_ntl_k_cum", "ret", "rv", "ofi_ret_corr")
-      .orderBy("_rid")
+    val series = withCorr.select(seriesCols.map(col): _*)
+    val seriesSorted = if (keys.isEmpty) series.orderBy("_rid")
+                       else series.orderBy(keys.map(col) ++ ord: _*)
 
     // A1/A2: tidy depth curve + per-level slope
     val stackExpr = (1 to depth).flatMap(k =>
@@ -76,8 +86,17 @@ object PlotSeriesJob {
       .groupBy("bin").agg(count(lit(1)).as("n"))
       .orderBy("bin")
 
-    // W12: last-N window re-sorted ascending
-    val tail = series.orderBy(desc("_rid")).limit(tailN).orderBy("_rid")
-    Frames(series, depthCurve, spreadHist, tail)
+    // W12: last-N window re-sorted ascending — per key in partitioned mode
+    // (row_number over a desc window, no global limit bottleneck)
+    val tail =
+      if (keys.isEmpty) series.orderBy(desc("_rid")).limit(tailN).orderBy("_rid")
+      else {
+        val wDesc = Window.partitionBy(keys.map(col): _*)
+          .orderBy(col("ts_ms").cast("long").desc, col("_rid").desc)
+        series.withColumn("_rn", row_number().over(wDesc))
+          .filter(col("_rn") <= tailN).drop("_rn")
+          .orderBy(keys.map(col) ++ ord: _*)
+      }
+    Frames(seriesSorted, depthCurve, spreadHist, tail)
   }
 }

@@ -15,7 +15,7 @@ class GoldenParitySpec extends SparkTestBase {
   private val golden = "/root/reference/data/ws_bybit_ETHUSDTUSDT_d5_5s_5hz_metrics.csv"
 
   test("MetricsJob matches the reference golden metrics CSV byte-for-byte") {
-    val out = MetricsJob.run(spark, in, depth = 5, rvWindow = 20)
+    val out = MetricsJob.run(spark, in, depth = 5, rvWindow = 20, golden = true)
     val tmp = Files.createTempDirectory("golden").toString
     graft.io.BookIO.writeGoldenCsv(out.coalesce(1), tmp)
     val part = Files.list(Paths.get(tmp)).iterator().asScala

@@ -23,6 +23,21 @@ class IoRoundTripSpec extends SparkTestBase {
     assert(nulls === back.count())
   }
 
+  test("append summary sink: header only when new, rows accumulate across runs") {
+    import spark.implicits._
+    val path = Files.createTempDirectory("summary").toString + "/runs/summary.csv"
+    val run1 = Seq(("buy", 50.0, 49.9)).toDF("side", "target_qty", "filled_qty")
+    val run2 = Seq(("sell", 25.0, 25.0), ("buy", 10.0, 10.0))
+      .toDF("side", "target_qty", "filled_qty")
+    BookIO.appendSummaryCsv(run1, path)
+    BookIO.appendSummaryCsv(run2, path)
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path))
+    assert(lines.size === 4, "one header + three data rows")
+    assert(lines.get(0) === "side,target_qty,filled_qty")
+    assert(lines.get(1) === "buy,50.0,49.9")
+    assert(lines.get(3) === "buy,10.0,10.0")
+  }
+
   test("readAny dispatches by extension and rejects unknown ones") {
     assert(BookIO.readAny(spark, "/root/reference/data/ETH_bybit_L2_60s.parquet").count() === 60)
     intercept[IllegalArgumentException] {

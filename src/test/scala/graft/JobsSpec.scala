@@ -1,7 +1,10 @@
 package graft
 
-import graft.jobs.{PlotSeriesJob, TwapJob}
+import graft.jobs.{MetricsJob, PlotSeriesJob, TwapJob}
+import graft.streaming.Recorder
+import org.apache.spark.sql.functions._
 import org.scalactic.Tolerance._
+import java.nio.file.Files
 
 /** Entry-point analogs without committed goldens: property/consistency
   * checks on the reference's own recordings.
@@ -18,6 +21,29 @@ class JobsSpec extends SparkTestBase {
     assert(f.tail.count() === 10)
     val histN = f.spreadHist.agg(org.apache.spark.sql.functions.sum("n")).collect()(0).getLong(0)
     assert(histN === 60)
+  }
+
+  test("MetricsJob default mode shuffles by key and matches per-symbol golden runs") {
+    val dir = Files.createTempDirectory("mj-multi").toString
+    Recorder.synthesizeBook(spark.range(400).toDF("value"), depth = 5)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/book.parquet")
+    val out = MetricsJob.run(spark, s"$dir/book.parquet", depth = 5, rvWindow = 5)
+    // the window stage must hash-partition on the keys (not coalesce(1))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning") && plan.contains("symbol"),
+      s"expected key-partitioned window exchange, got:\n${plan.take(800)}")
+    // each symbol's series equals its single-series golden-mode run
+    val byAll = out.collect().groupBy(r => r.getString(r.fieldIndex("symbol")))
+    for (sym <- Seq("SYN0", "SYN1")) {
+      spark.read.parquet(s"$dir/book.parquet").filter(col("symbol") === sym)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$sym.parquet")
+      val golden = MetricsJob.run(spark, s"$dir/$sym.parquet",
+        depth = 5, rvWindow = 5, golden = true).collect()
+      assert(byAll(sym).length === golden.length)
+      byAll(sym).zip(golden).foreach { case (a, b) =>
+        assert(a.toSeq === b.toSeq, s"row mismatch for $sym")
+      }
+    }
   }
 
   test("TwapJob: fees worsen vwap; allow_residual is a no-op; filled ≤ target") {
