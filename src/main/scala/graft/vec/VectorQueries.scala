@@ -163,10 +163,14 @@ object VectorQueries {
     })
 
   // ---------------------------------------------------------------- q39
-  /** Embedding-cosine near-duplicate detection, LSH-bounded: candidate
-    * pairs only form inside an LSH bucket (q37's planes), then exact
-    * cosine filters at the threshold. This is the 100 TB dedup shape:
-    * bucket-join instead of the O(N²) cross join.
+  /** Embedding-cosine near-duplicate detection, banded-LSH bounded:
+    * 32 deterministic hyperplanes grouped into 4 bands of 8 sign bits;
+    * a pair is a candidate when ANY band's 8-bit code collides (multi-
+    * probe recall: P = 1−(1−p⁸)⁴ instead of the single-code p¹⁰ cliff),
+    * then exact cosine verifies at the threshold. This is the 100 TB
+    * dedup shape twice over: per-band equi-joins shard the shuffle by
+    * (band, code), and no all-pairs product ever forms. Pair dedup
+    * across bands + the matching-band count come from one groupBy.
     */
   val q39 = Q("q39_embedding_neardup",
     (s, dir) => {
@@ -175,27 +179,37 @@ object VectorQueries {
           s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
           s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
           s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
-      val withPlanes = (0 to 9).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
+      val withPlanes = (0 to 31).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
         d.withColumn(s"h$i", plane(i))
       }
-      val bucket = (0 to 9).map(i =>
-        when(col(s"h$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      // cached: the self-join would otherwise re-fold all 10 planes per side
+      def bandCode(b: Int) = (0 to 7).map(i =>
+        when(col(s"h${8 * b + i}") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      // cached: plane folds are the expensive part; both join sides and
+      // the verify join reuse them
       val eb = withPlanes
-        .withColumn("bucket", bucket)
         .withColumn("n2", expr(norm2Expr("embedding")))
-        .select("vec_id", "bucket", "embedding", "n2")
+        .select(col("vec_id") +: col("embedding") +: col("n2") +:
+          (0 to 3).map(b => bandCode(b).as(s"code$b")): _*)
         .cache()
-      val a = eb.select(col("vec_id").as("id_a"), col("bucket"),
-        col("embedding").as("ea"), col("n2").as("na"))
-      val b = eb.select(col("vec_id").as("id_b"), col("bucket").as("bucket_b"),
-        col("embedding").as("eb2"), col("n2").as("nb"))
-      a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      val bands = eb.select(col("vec_id"),
+        posexplode(array((0 to 3).map(b => col(s"code$b")): _*)))
+        .toDF("vec_id", "band_idx", "code")
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.code") === col("b.code") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .agg(count(lit(1)).as("n_bands"))
+      cand
+        .join(eb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("n2").as("na")), "id_a")
+        .join(eb.select(col("vec_id").as("id_b"), col("embedding").as("eb2"),
+          col("n2").as("nb")), "id_b")
         .withColumn("dot", expr(dotExpr("ea", "eb2")))
         .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
           col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
         .filter(col("cos_sim") > 0.15)
-        .select("id_a", "id_b", "bucket", "cos_sim")
+        .select("id_a", "id_b", "n_bands", "cos_sim")
         .orderBy("id_a", "id_b")
     },
     Some {
@@ -203,26 +217,31 @@ object VectorQueries {
         s"CAST(list_sum(list_transform(generate_series(1, len(embedding)), j -> " +
           s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
           s"CAST(embedding[j] AS DOUBLE), 6) AS DECIMAL(38,6)))) AS DOUBLE) AS h$i"
-      val bucket = (0 to 9).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      def bandSql(b: Int) = (0 to 7)
+        .map(i => s"CASE WHEN h${8 * b + i} > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 to 3).map(b =>
+        s"SELECT vec_id, $b AS band_idx, CAST(${bandSql(b)} AS BIGINT) AS code FROM h")
+        .mkString("\n      UNION ALL ")
       s"""WITH h AS (
       SELECT vec_id, embedding,
-        ${(0 to 9).map(planeSql).mkString(",\n        ")}
+        ${(0 to 31).map(planeSql).mkString(",\n        ")}
       FROM embeddings
-    ), eb AS (
-      SELECT vec_id, embedding, CAST($bucket AS BIGINT) AS bucket,
-        ${norm2Sql("embedding")} AS n2
-      FROM h
-    ), pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket,
-        ${dotSql("a.embedding", "b.embedding")} AS dot,
-        a.n2 AS na, b.n2 AS nb
-      FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM h
+    ), bands AS (
+      $bandRows
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
     ), scored AS (
-      SELECT id_a, id_b, bucket,
-        CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb)) END AS cos_sim
-      FROM pairs
+      SELECT c.id_a, c.id_b, c.n_bands,
+        CASE WHEN x.n2 > 0 AND y.n2 > 0
+             THEN ${dotSql("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) END AS cos_sim
+      FROM cand c JOIN en x ON x.vec_id = c.id_a JOIN en y ON y.vec_id = c.id_b
     )
-    SELECT id_a, id_b, bucket, cos_sim FROM scored
+    SELECT id_a, id_b, n_bands, cos_sim FROM scored
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
