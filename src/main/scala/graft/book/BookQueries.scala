@@ -382,5 +382,139 @@ object BookQueries {
     GROUP BY g.g_sym, g.g_seq, g.g_ts
     ORDER BY sym, g.g_seq""")))
 
-  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47)
+  // ---------------------------------------------------------------- q50
+  /** Depth-100 book metrics END-TO-END on the array compute schema
+    * (SURVEY §1.4/§7.4.11): the deep ladder is built directly as
+    * `ARRAY<STRUCT<price,size>>` (never materializing the 408-column
+    * wide layout), and every metric is a higher-order fold — generic in
+    * K, one codegen-friendly projection, no shuffle. Oracle mirrors the
+    * folds with DuckDB `list_reduce` over a prepended zero accumulator,
+    * which reproduces Spark's `aggregate()` left-fold order exactly
+    * (needed for FP-exact notional/slope/walk sums).
+    */
+  val q50 = Q("q50_deep_book_array",
+    (s, dir) => {
+      val K = 100
+      val base = SyntheticBook.fromEvents(Tables(s, dir, "events"), 0)
+      // level expressions in lock-step with SyntheticBook.fromEvents,
+      // with the level index k a runtime value instead of 4K columns
+      val bids = expr(
+        s"""transform(sequence(1, $K), k -> named_struct(
+           'price', CASE WHEN (seq + 7 * k) % 31 = 0 THEN CAST(NULL AS DOUBLE)
+                         ELSE best_bid - 0.01D * (k - 1) END,
+           'size',  CASE WHEN (seq + 3 * k) % 29 = 0 THEN CAST(NULL AS DOUBLE)
+                         ELSE CAST(1 + (seq + k) % 7 AS DOUBLE) END))""")
+      val asks = expr(
+        s"""transform(sequence(1, $K), k -> named_struct(
+           'price', CASE WHEN (seq + 5 * k) % 37 = 0 THEN CAST(NULL AS DOUBLE)
+                         ELSE best_ask + 0.01D * (k - 1) END,
+           'size',  CASE WHEN (seq + 2 * k) % 23 = 0 THEN CAST(NULL AS DOUBLE)
+                         ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END))""")
+      val walk = graft.impact.Impact.walkArray(col("asks"), lit(50.0))
+      base
+        .withColumn("bids", bids).withColumn("asks", asks)
+        .withColumn("imbalance_k", BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")))
+        .withColumn("notional_bid_k", BookMetrics.notionalDepthArray(col("bids")))
+        .withColumn("notional_ask_k", BookMetrics.notionalDepthArray(col("asks")))
+        .withColumn("slope_bid", BookMetrics.bookSlopeArray(col("bids")))
+        .withColumn("slope_ask", BookMetrics.bookSlopeArray(col("asks")))
+        .withColumn("wk", walk)
+        .select(col("seq"), col("sym"), col("imbalance_k"),
+          col("notional_bid_k"), col("notional_ask_k"),
+          col("slope_bid"), col("slope_ask"),
+          col("wk.filled").as("walk_filled"), col("wk.cost").as("walk_cost"),
+          col("wk.touched").as("walk_touched"))
+        .orderBy("seq")
+    },
+    Some {
+      // ordered-fold helpers: list_reduce over a prepended zero struct ≡
+      // Spark aggregate(); elements are pre-shaped to the accumulator type
+      def notionalSql(side: String) =
+        s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform($side, x ->
+           CASE WHEN x.price IS NOT NULL AND x.size IS NOT NULL
+                THEN x.price * x.size ELSE 0.0::DOUBLE END)),
+           (acc, x) -> acc + x)"""
+      // NOTE field order: DuckDB's list_reduce updates the struct
+      // accumulator field-by-field IN PLACE, so a later field reading an
+      // earlier-assigned acc field sees the NEW value. Every fold here
+      // orders fields so no field reads one assigned before it (cum is
+      // read by sy/sxy, so it comes last) — correct under both in-place
+      // and snapshot evaluation.
+      def slopeAccSql(v: String) =
+        s"""list_reduce(list_prepend(
+             struct_pack(sx := 0.0::DOUBLE, sy := 0.0::DOUBLE, sxy := 0.0::DOUBLE,
+                         sxx := 0.0::DOUBLE, cum := 0.0::DOUBLE),
+             list_transform($v, x -> struct_pack(sx := abs(x.price - $v[1].price),
+                         sy := 0.0::DOUBLE, sxy := 0.0::DOUBLE, sxx := 0.0::DOUBLE,
+                         cum := x.size))),
+           (acc, x) -> struct_pack(sx := acc.sx + x.sx,
+                                   sy := acc.sy + (acc.cum + x.cum),
+                                   sxy := acc.sxy + x.sx * (acc.cum + x.cum),
+                                   sxx := acc.sxx + x.sx * x.sx,
+                                   cum := acc.cum + x.cum))"""
+      def slopeSql(a: String, n: String) =
+        s"""CASE WHEN $n >= 2 AND ($a.sxx - $a.sx * $a.sx / $n) > 0
+             THEN ($a.sxy - $a.sx * $a.sy / $n) / ($a.sxx - $a.sx * $a.sx / $n) END"""
+      // take reads acc.rem, so rem must be assigned LAST (see note above);
+      // element structs carry price in `px` / size in `sz` fields
+      val takeSql =
+        """CASE WHEN x.px IS NOT NULL AND x.sz IS NOT NULL AND acc.rem > 0
+               THEN least(acc.rem, greatest(0.0::DOUBLE, x.sz)) ELSE 0.0::DOUBLE END"""
+      val walkSql =
+        s"""list_reduce(list_prepend(
+             struct_pack(cost := 0.0::DOUBLE, tch := 0, px := NULL::DOUBLE,
+                         sz := NULL::DOUBLE, rem := 50.0::DOUBLE),
+             list_transform(asks, x -> struct_pack(cost := 0.0::DOUBLE, tch := 0,
+                         px := x.price, sz := x.size, rem := 0.0::DOUBLE))),
+           (acc, x) -> struct_pack(
+             cost := acc.cost + (CASE WHEN ($takeSql) > 0
+                                      THEN x.px * ($takeSql) ELSE 0.0::DOUBLE END),
+             tch := acc.tch + (CASE WHEN ($takeSql) > 0 THEN 1 ELSE 0 END),
+             px := NULL::DOUBLE, sz := NULL::DOUBLE,
+             rem := acc.rem - ($takeSql)))"""
+      withCte(s""",
+    deep AS (
+      SELECT seq, sym, best_bid, best_ask,
+        list_transform(generate_series(1, 100), k -> struct_pack(
+          price := CASE WHEN (seq + 7 * k) % 31 = 0 THEN NULL
+                        ELSE best_bid - 0.01::DOUBLE * (k - 1) END,
+          size  := CASE WHEN (seq + 3 * k) % 29 = 0 THEN NULL
+                        ELSE CAST(1 + (seq + k) % 7 AS DOUBLE) END)) AS bids,
+        list_transform(generate_series(1, 100), k -> struct_pack(
+          price := CASE WHEN (seq + 5 * k) % 37 = 0 THEN NULL
+                        ELSE best_ask + 0.01::DOUBLE * (k - 1) END,
+          size  := CASE WHEN (seq + 2 * k) % 23 = 0 THEN NULL
+                        ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END)) AS asks
+      FROM book
+    ),
+    vf AS (
+      SELECT *,
+        list_filter(bids, x -> x.price IS NOT NULL AND x.size IS NOT NULL) AS vb,
+        list_filter(asks, x -> x.price IS NOT NULL AND x.size IS NOT NULL) AS va,
+        list_sum(list_transform(bids, x -> coalesce(x.size, 0.0::DOUBLE))) AS szb,
+        list_sum(list_transform(asks, x -> coalesce(x.size, 0.0::DOUBLE))) AS sza
+      FROM deep
+    ),
+    agg AS (
+      SELECT seq, sym, szb, sza,
+        len(vb) AS nvb, len(va) AS nva,
+        ${notionalSql("bids")} AS nb_raw, ${notionalSql("asks")} AS na_raw,
+        ${slopeAccSql("vb")} AS ab, ${slopeAccSql("va")} AS aa,
+        $walkSql AS wa
+      FROM vf
+    )
+    SELECT seq, sym,
+      CASE WHEN szb + sza > 0 THEN szb / (szb + sza) END AS imbalance_k,
+      CASE WHEN nvb > 0 THEN nb_raw END AS notional_bid_k,
+      CASE WHEN nva > 0 THEN na_raw END AS notional_ask_k,
+      ${slopeSql("ab", "CAST(nvb AS DOUBLE)")} AS slope_bid,
+      ${slopeSql("aa", "CAST(nva AS DOUBLE)")} AS slope_ask,
+      50.0::DOUBLE - wa.rem AS walk_filled,
+      wa.cost AS walk_cost,
+      wa.tch AS walk_touched
+    FROM agg ORDER BY seq""")
+    },
+    headline = true)
+
+  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47, q50)
 }

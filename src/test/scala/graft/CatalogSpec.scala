@@ -16,7 +16,8 @@ class CatalogSpec extends SparkTestBase {
     val known = Tables.names.toSet
     val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
-      val ctes = "([a-zA-Z_][a-zA-Z0-9_]*)\\s+AS\\s*\\(".r
+      // allow recursive-CTE column lists: `reach(id, r) AS (`
+      val ctes = "([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs.filterNot(r => known(r) || ctes(r) || r == "generate_series")
