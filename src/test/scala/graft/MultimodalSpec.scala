@@ -23,6 +23,45 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.toDF.exceptAll(f2.toDF).count() === 0)
   }
 
+  test("stub features golden-match an independent recomputation") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id"), col("text"), md5(col("text").cast("binary")).as("fp_catalyst"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = Multimodal.extractFeatures(assets)
+      .filter(col("asset_id") < 10)
+      .collect().map(f => f.asset_id -> f).toMap
+    assert(docs.length === 10)
+    docs.foreach { case (id, text, fpCatalyst) =>
+      val bytes = text.getBytes("UTF-8")
+      val f = feats(id)
+      assert(f.n_bytes === bytes.length.toLong)
+      assert(f.header_sum === bytes.take(16).map(_.toLong & 0xffL).sum)
+      assert(math.abs(f.mean_byte -
+        bytes.map(_.toLong & 0xffL).sum.toDouble / bytes.length) < 1e-12)
+      // fingerprint pinned against BOTH MessageDigest and Catalyst md5 —
+      // two independent hash implementations must agree with the stub
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(f.fingerprint === md && f.fingerprint === fpCatalyst)
+    }
+  }
+
+  test("frame cardinalities: ceil(n_bytes / stride) frames, bytes conserved") {
+    val frames = Multimodal.sampleFrames(assets, stride = 64).cache()
+    val expect = assets.filter(_.kind == "video").collect()
+      .map(a => a.asset_id -> a.payload.length).toMap
+    val got = frames.groupBy("asset_id")
+      .agg(count(lit(1)).as("n"), sum("frame_bytes").as("bytes"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet === expect.keySet)
+    expect.foreach { case (id, len) =>
+      val (n, bytes) = got(id)
+      assert(n === ((len + 63) / 64).toLong, s"asset $id frame count")
+      assert(bytes === len.toLong, s"asset $id bytes conserved across frames")
+    }
+  }
+
   test("frame sampling emits ordered frames for video assets only") {
     val frames = Multimodal.sampleFrames(assets, stride = 64)
     val perAsset = frames.groupBy("asset_id").agg(count(lit(1)).as("n"),
