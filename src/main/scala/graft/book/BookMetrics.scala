@@ -118,12 +118,24 @@ object BookMetrics {
     when(n >= 2 && den > 0, (sxy - sx * sy / n) / den)
   }
 
+  /** Validity filter for an `ARRAY<STRUCT<price,size>>` side. */
+  def validLevels(side: Column): Column =
+    filter(side, x => x.getField("price").isNotNull && x.getField("size").isNotNull)
+
   /** P12 on the array schema: same slope via higher-order functions over
     * `ARRAY<STRUCT<price,size>>` — the generic-K scale path (no 4K-wide
     * codegen). Semantics identical to [[bookSlope]].
+    *
+    * PERF: prefer `bookSlopeValidArray(col)` over a MATERIALIZED
+    * [[validLevels]] column — passing the filter expression inline makes
+    * `element_at(valid, 1)` re-run the O(K) filter per fold element
+    * (O(K²) interpreted work per row; ~100× at K=100).
     */
-  def bookSlopeArray(side: Column): Column = {
-    val valid = filter(side, x => x.getField("price").isNotNull && x.getField("size").isNotNull)
+  def bookSlopeArray(side: Column): Column =
+    bookSlopeValidArray(validLevels(side))
+
+  /** [[bookSlopeArray]] body over an already-valid level array. */
+  def bookSlopeValidArray(valid: Column): Column = {
     val n = size(valid).cast("double")
     val p0 = element_at(valid, 1).getField("price")
     // x_i, running y_i via aggregate with struct accumulator

@@ -413,11 +413,15 @@ object BookQueries {
       val walk = graft.impact.Impact.walkArray(col("asks"), lit(50.0))
       base
         .withColumn("bids", bids).withColumn("asks", asks)
+        // valid arrays MATERIALIZED as columns: inlining the filter into
+        // the slope fold would re-run it per element (O(K²) per row)
+        .withColumn("vb", BookMetrics.validLevels(col("bids")))
+        .withColumn("va", BookMetrics.validLevels(col("asks")))
         .withColumn("imbalance_k", BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")))
         .withColumn("notional_bid_k", BookMetrics.notionalDepthArray(col("bids")))
         .withColumn("notional_ask_k", BookMetrics.notionalDepthArray(col("asks")))
-        .withColumn("slope_bid", BookMetrics.bookSlopeArray(col("bids")))
-        .withColumn("slope_ask", BookMetrics.bookSlopeArray(col("asks")))
+        .withColumn("slope_bid", BookMetrics.bookSlopeValidArray(col("vb")))
+        .withColumn("slope_ask", BookMetrics.bookSlopeValidArray(col("va")))
         .withColumn("wk", walk)
         .select(col("seq"), col("sym"), col("imbalance_k"),
           col("notional_bid_k"), col("notional_ask_k"),

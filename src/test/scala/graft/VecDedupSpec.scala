@@ -33,10 +33,10 @@ class VecDedupSpec extends SparkTestBase {
     // rebuild the band codes exactly as q39 does, via its own output is
     // pair-level — here we just need the code distribution shape
     def plane(i: Int) = expr(
-      s"CAST(aggregate(transform(sequence(1, size(embedding)), j -> " +
-        s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
-        s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
-        s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
+      s"aggregate(transform(sequence(1, size(embedding)), j -> " +
+        s"CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+        s"CAST(element_at(embedding, j) AS DOUBLE)), " +
+        s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
     val withPlanes = (0 to 31).foldLeft(Tables(spark, dir, "embeddings")) { (d, i) =>
       d.withColumn(s"h$i", plane(i))
     }
