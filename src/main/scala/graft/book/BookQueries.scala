@@ -1,7 +1,7 @@
 package graft.book
 
 import graft.{Exact, Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -411,21 +411,46 @@ object BookQueries {
            'size',  CASE WHEN (seq + 2 * k) % 23 = 0 THEN CAST(NULL AS DOUBLE)
                          ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END))""")
       val walk = graft.impact.Impact.walkArray(col("asks"), lit(50.0))
+      // ONE fold per side computes slope sums AND the notional: over the
+      // valid array the zero-contribution adds of the raw-array notional
+      // are IEEE identities (acc + 0.0 ≡ acc for acc ≥ 0), so the value
+      // is bit-identical while the pass count per row drops
+      def sideAgg(v: Column): Column = {
+        val p0 = element_at(v, 1).getField("price")
+        aggregate(v,
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxy"),
+            lit(0.0).as("sxx"), lit(0.0).as("nt"), lit(0.0).as("cum")),
+          (st, x) => {
+            val xi = abs(x.getField("price") - p0)
+            val yi = st.getField("cum") + x.getField("size")
+            struct((st.getField("sx") + xi).as("sx"),
+              (st.getField("sy") + yi).as("sy"),
+              (st.getField("sxy") + xi * yi).as("sxy"),
+              (st.getField("sxx") + xi * xi).as("sxx"),
+              (st.getField("nt") + x.getField("price") * x.getField("size")).as("nt"),
+              yi.as("cum"))
+          })
+      }
+      def slopeOf(a: Column, n: Column): Column = {
+        val den = a.getField("sxx") - a.getField("sx") * a.getField("sx") / n
+        when(n >= 2 && den > 0,
+          (a.getField("sxy") - a.getField("sx") * a.getField("sy") / n) / den)
+      }
       base
         .withColumn("bids", bids).withColumn("asks", asks)
         // valid arrays MATERIALIZED as columns: inlining the filter into
-        // the slope fold would re-run it per element (O(K²) per row)
+        // the folds would re-run it per element (O(K²) per row)
         .withColumn("vb", BookMetrics.validLevels(col("bids")))
         .withColumn("va", BookMetrics.validLevels(col("asks")))
         .withColumn("imbalance_k", BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")))
-        .withColumn("notional_bid_k", BookMetrics.notionalDepthArray(col("bids")))
-        .withColumn("notional_ask_k", BookMetrics.notionalDepthArray(col("asks")))
-        .withColumn("slope_bid", BookMetrics.bookSlopeValidArray(col("vb")))
-        .withColumn("slope_ask", BookMetrics.bookSlopeValidArray(col("va")))
+        .withColumn("ab", sideAgg(col("vb")))
+        .withColumn("aa", sideAgg(col("va")))
         .withColumn("wk", walk)
         .select(col("seq"), col("sym"), col("imbalance_k"),
-          col("notional_bid_k"), col("notional_ask_k"),
-          col("slope_bid"), col("slope_ask"),
+          when(size(col("vb")) > 0, col("ab.nt")).as("notional_bid_k"),
+          when(size(col("va")) > 0, col("aa.nt")).as("notional_ask_k"),
+          slopeOf(col("ab"), size(col("vb")).cast("double")).as("slope_bid"),
+          slopeOf(col("aa"), size(col("va")).cast("double")).as("slope_ask"),
           col("wk.filled").as("walk_filled"), col("wk.cost").as("walk_cost"),
           col("wk.touched").as("walk_touched"))
         .orderBy("seq")
@@ -433,28 +458,25 @@ object BookQueries {
     Some {
       // ordered-fold helpers: list_reduce over a prepended zero struct ≡
       // Spark aggregate(); elements are pre-shaped to the accumulator type
-      def notionalSql(side: String) =
-        s"""list_reduce(list_prepend(0.0::DOUBLE, list_transform($side, x ->
-           CASE WHEN x.price IS NOT NULL AND x.size IS NOT NULL
-                THEN x.price * x.size ELSE 0.0::DOUBLE END)),
-           (acc, x) -> acc + x)"""
       // NOTE field order: DuckDB's list_reduce updates the struct
       // accumulator field-by-field IN PLACE, so a later field reading an
       // earlier-assigned acc field sees the NEW value. Every fold here
       // orders fields so no field reads one assigned before it (cum is
       // read by sy/sxy, so it comes last) — correct under both in-place
-      // and snapshot evaluation.
+      // and snapshot evaluation. The fold also carries the notional (nt)
+      // so one pass per side covers slope + notional, like the Spark side.
       def slopeAccSql(v: String) =
         s"""list_reduce(list_prepend(
              struct_pack(sx := 0.0::DOUBLE, sy := 0.0::DOUBLE, sxy := 0.0::DOUBLE,
-                         sxx := 0.0::DOUBLE, cum := 0.0::DOUBLE),
+                         sxx := 0.0::DOUBLE, nt := 0.0::DOUBLE, cum := 0.0::DOUBLE),
              list_transform($v, x -> struct_pack(sx := abs(x.price - $v[1].price),
                          sy := 0.0::DOUBLE, sxy := 0.0::DOUBLE, sxx := 0.0::DOUBLE,
-                         cum := x.size))),
+                         nt := x.price * x.size, cum := x.size))),
            (acc, x) -> struct_pack(sx := acc.sx + x.sx,
                                    sy := acc.sy + (acc.cum + x.cum),
                                    sxy := acc.sxy + x.sx * (acc.cum + x.cum),
                                    sxx := acc.sxx + x.sx * x.sx,
+                                   nt := acc.nt + x.nt,
                                    cum := acc.cum + x.cum))"""
       def slopeSql(a: String, n: String) =
         s"""CASE WHEN $n >= 2 AND ($a.sxx - $a.sx * $a.sx / $n) > 0
@@ -502,15 +524,14 @@ object BookQueries {
     agg AS (
       SELECT seq, sym, szb, sza,
         len(vb) AS nvb, len(va) AS nva,
-        ${notionalSql("bids")} AS nb_raw, ${notionalSql("asks")} AS na_raw,
         ${slopeAccSql("vb")} AS ab, ${slopeAccSql("va")} AS aa,
         $walkSql AS wa
       FROM vf
     )
     SELECT seq, sym,
       CASE WHEN szb + sza > 0 THEN szb / (szb + sza) END AS imbalance_k,
-      CASE WHEN nvb > 0 THEN nb_raw END AS notional_bid_k,
-      CASE WHEN nva > 0 THEN na_raw END AS notional_ask_k,
+      CASE WHEN nvb > 0 THEN ab.nt END AS notional_bid_k,
+      CASE WHEN nva > 0 THEN aa.nt END AS notional_ask_k,
       ${slopeSql("ab", "CAST(nvb AS DOUBLE)")} AS slope_bid,
       ${slopeSql("aa", "CAST(nva AS DOUBLE)")} AS slope_ask,
       50.0::DOUBLE - wa.rem AS walk_filled,
