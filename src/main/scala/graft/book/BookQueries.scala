@@ -410,49 +410,23 @@ object BookQueries {
                          ELSE best_ask + 0.01D * (k - 1) END,
            'size',  CASE WHEN (seq + 2 * k) % 23 = 0 THEN CAST(NULL AS DOUBLE)
                          ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END))""")
-      val walk = graft.impact.Impact.walkArray(col("asks"), lit(50.0))
-      // ONE fold per side computes slope sums AND the notional: over the
-      // valid array the zero-contribution adds of the raw-array notional
-      // are IEEE identities (acc + 0.0 ≡ acc for acc ≥ 0), so the value
-      // is bit-identical while the pass count per row drops
-      def sideAgg(v: Column): Column = {
-        val p0 = element_at(v, 1).getField("price")
-        aggregate(v,
-          struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxy"),
-            lit(0.0).as("sxx"), lit(0.0).as("nt"), lit(0.0).as("cum")),
-          (st, x) => {
-            val xi = abs(x.getField("price") - p0)
-            val yi = st.getField("cum") + x.getField("size")
-            struct((st.getField("sx") + xi).as("sx"),
-              (st.getField("sy") + yi).as("sy"),
-              (st.getField("sxy") + xi * yi).as("sxy"),
-              (st.getField("sxx") + xi * xi).as("sxx"),
-              (st.getField("nt") + x.getField("price") * x.getField("size")).as("nt"),
-              yi.as("cum"))
-          })
-      }
-      def slopeOf(a: Column, n: Column): Column = {
-        val den = a.getField("sxx") - a.getField("sx") * a.getField("sx") / n
-        when(n >= 2 && den > 0,
-          (a.getField("sxy") - a.getField("sx") * a.getField("sy") / n) / den)
-      }
+      // the native one-pass kernel (graft.functions.DeepBookAgg): same
+      // double ops in the same order as the HOF folds (DeepBookAggSpec
+      // pins the equality), but compiled — whole-stage codegen inlines
+      // one static call per row instead of ~10 interpreted lambda folds
+      graft.functions.DeepBookAgg.ensureRegistered(s)
       base
         .withColumn("bids", bids).withColumn("asks", asks)
-        // valid arrays MATERIALIZED as columns: inlining the filter into
-        // the folds would re-run it per element (O(K²) per row)
-        .withColumn("vb", BookMetrics.validLevels(col("bids")))
-        .withColumn("va", BookMetrics.validLevels(col("asks")))
-        .withColumn("imbalance_k", BookMetrics.imbalanceDepthKArray(col("bids"), col("asks")))
-        .withColumn("ab", sideAgg(col("vb")))
-        .withColumn("aa", sideAgg(col("va")))
-        .withColumn("wk", walk)
-        .select(col("seq"), col("sym"), col("imbalance_k"),
-          when(size(col("vb")) > 0, col("ab.nt")).as("notional_bid_k"),
-          when(size(col("va")) > 0, col("aa.nt")).as("notional_ask_k"),
-          slopeOf(col("ab"), size(col("vb")).cast("double")).as("slope_bid"),
-          slopeOf(col("aa"), size(col("va")).cast("double")).as("slope_ask"),
-          col("wk.filled").as("walk_filled"), col("wk.cost").as("walk_cost"),
-          col("wk.touched").as("walk_touched"))
+        .withColumn("m", expr("deep_book_agg(bids, asks, CAST(50.0 AS DOUBLE))"))
+        .select(col("seq"), col("sym"),
+          col("m.imbalance_k").as("imbalance_k"),
+          col("m.notional_bid_k").as("notional_bid_k"),
+          col("m.notional_ask_k").as("notional_ask_k"),
+          col("m.slope_bid").as("slope_bid"),
+          col("m.slope_ask").as("slope_ask"),
+          col("m.walk_filled").as("walk_filled"),
+          col("m.walk_cost").as("walk_cost"),
+          col("m.walk_touched").as("walk_touched"))
         .orderBy("seq")
     },
     Some {
