@@ -22,6 +22,21 @@ object StreamingMetrics {
         min("px").as("low"), max("px").as("high"),
         first("px").as("open_px"), last("px").as("close_px"))
 
+  /** Streaming exact dedup with BOUNDED state (the LLM-pipeline q29
+    * analog for streams): fingerprint each document, then
+    * `dropDuplicatesWithinWatermark` — a fingerprint's state is evicted
+    * once the watermark passes its event time plus the lateness bound,
+    * so state size is bounded by the dedup horizon, not stream length.
+    * That is the only dedup contract that survives an unbounded 100 TB
+    * stream; global-forever dedup belongs to the batch pipeline (q48).
+    */
+  def dedupStream(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withColumn("fp", md5(col("text").cast("binary")))
+      .withWatermark("event_time", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   case class Tick(sym: String, seq: Long, px: Double)
   case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
   case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)

@@ -1,0 +1,52 @@
+package graft
+
+/** Physical-plan audits: the properties that make these queries survive a
+  * 100× scale-up are pinned here so a refactor can't silently lose them —
+  * predicate pushdown reaching the parquet scan, column pruning, dim
+  * joins broadcast (no sort-merge anywhere a build side is small), anti
+  * joins broadcast, series windows shuffling exactly once on the series
+  * key, and partial (map-side) aggregation before the shuffle.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: filters push to the lineitem scan and columns prune") {
+    val p = plan("q02_top_revenue_orders")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "shipdate filter must reach the parquet reader")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_extendedprice:double," +
+      "l_discount:double,l_shipdate"),
+      "lineitem scan must read only the 4 needed columns")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"))
+  }
+
+  test("q03: every dimension join along the 6-table chain broadcasts") {
+    val p = plan("q03_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size === 5,
+      "orders/customer/supplier/nation/region must all be build sides")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q05: anti join (inactive customers) broadcasts the subquery side") {
+    val p = plan("q05_inactive_customers")
+    assert(p.contains("LeftAnti, BuildRight"))
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,P)"),
+      "status filter must reach the orders scan")
+  }
+
+  test("q13: all series windows share ONE shuffle on the series key") {
+    val p = plan("q13_ofi_l1_strict")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "every window fn must reuse the single (sym) exchange")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation combines map-side before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_"), "expect partial aggregate functions")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+}

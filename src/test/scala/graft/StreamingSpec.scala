@@ -99,6 +99,34 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-horizon duplicates; state evicts past the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(Long, String)]
+    val deduped = StreamingMetrics.dedupStream(
+      src.toDS().toDF("ts_us", "text"), lateness = "10 minutes")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_docs").start()
+    // offset from epoch 0: rows AT the initial watermark would drop as late
+    def us(sec: Long) = (1000000L + sec) * 1000000L
+    try {
+      src.addData((us(0), "hello"), (us(30), "world"))
+      q.processAllAvailable()
+      // same fingerprint within the horizon → dropped; the 3600 s row
+      // advances the watermark to 50 min, evicting the early state
+      src.addData((us(60), "hello"), (us(3600), "fresh"))
+      q.processAllAvailable()
+      // state for "hello" was evicted → re-emitted (bounded-state contract)
+      src.addData((us(4000), "hello"))
+      q.processAllAvailable()
+      val out = spark.table("dedup_docs")
+        .select(col("ts_us"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(out.toSeq === Seq(
+        (us(0), "hello"), (us(30), "world"), (us(3600), "fresh"), (us(4000), "hello")))
+    } finally q.stop()
+  }
+
   test("stateful running delta per symbol carries state across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import StreamingMetrics.{Tick, OfiOut}
