@@ -32,7 +32,9 @@ object Impact {
       .withColumn(s"${pfx}cost0", lit(0.0))
       .withColumn(s"${pfx}tch0", lit(0))
     for (k <- 1 to depth) {
-      val p = col(s"$side${k}_price"); val sz = col(s"$side${k}_size")
+      // cast("double"): no-op for typed inputs, parses CSV string columns
+      val p = col(s"$side${k}_price").cast("double")
+      val sz = col(s"$side${k}_size").cast("double")
       val valid = p.isNotNull && sz.isNotNull
       d = d
         .withColumn(s"${pfx}take$k",
@@ -88,11 +90,13 @@ object Impact {
     var d = df
     var chain: Column = lit(true)
     for (k <- 1 to depth) {
-      chain = chain &&
-        col(s"$side${k}_price").isNotNull && col(s"$side${k}_size").isNotNull &&
-        col(s"$side${k}_size") > 0
-      d = d.withColumn(s"stop$side${k}_price", when(chain, col(s"$side${k}_price")))
-        .withColumn(s"stop$side${k}_size", when(chain, col(s"$side${k}_size")))
+      // cast("double") is a no-op on typed inputs (SimplifyCasts) and
+      // parses the all-string CSV reading path (blanks arrive as NULL)
+      val p = col(s"$side${k}_price").cast("double")
+      val sz = col(s"$side${k}_size").cast("double")
+      chain = chain && p.isNotNull && sz.isNotNull && sz > 0
+      d = d.withColumn(s"stop$side${k}_price", when(chain, p))
+        .withColumn(s"stop$side${k}_size", when(chain, sz))
     }
     d
   }

@@ -58,6 +58,23 @@ class JobsSpec extends SparkTestBase {
     assert(resid.summary.vwap === fee.summary.vwap)
   }
 
+  test("TwapJob and ImpactJob produce identical summaries from CSV input") {
+    val tmp = Files.createTempDirectory("jobs-csv").toString
+    val csvPath = s"$tmp/book.csv"
+    spark.read.parquet(fixture).coalesce(1)
+      .write.option("header", "true").option("emptyValue", "").csv(csvPath)
+    val tp = TwapJob.run(spark, fixture, "buy", 50.0, 20, 10, feeBps = 5.0)
+    val tc = TwapJob.run(spark, csvPath, "buy", 50.0, 20, 10, feeBps = 5.0)
+    assert(tc.summary.vwap === tp.summary.vwap +- 1e-9)
+    assert(tc.summary.filled_qty === tp.summary.filled_qty +- 1e-9)
+    val ip = graft.jobs.ImpactJob.run(spark, fixture, "buy", 40.0, 12, 10)
+    val ic = graft.jobs.ImpactJob.run(spark, csvPath, "buy", 40.0, 12, 10)
+    val (rp, rc) = (ip.summary.collect()(0), ic.summary.collect()(0))
+    Seq("filled_qty", "vwap", "notional").foreach { c =>
+      assert(math.abs(rc.getAs[Double](c) - rp.getAs[Double](c)) < 1e-9, c)
+    }
+  }
+
   test("TwapJob stochastic schedule: sizes sum to target, all positive, seed-stable") {
     val s1 = TwapJob.sliceSizes("stochastic", 50.0, 20, seed = 7L)
     val s2 = TwapJob.sliceSizes("stochastic", 50.0, 20, seed = 7L)
