@@ -264,8 +264,12 @@ object TextQueries {
     * doc_id in the component), whether it is the kept copy, and the
     * group size.
     */
-  val q48 = Q("q48_minhash_lsh_dedup",
-    (s, dir) => {
+  /** Steps 1–5 of the dedup pipeline (shared by q48/q51): returns one row
+    * per document with its connected-component representative
+    * `(doc_id, comp)`.
+    */
+  private def dedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
       val docs = Tables(s, dir, "documents")
       // 1. hash once per (shingle, salt) — md5 projected BEFORE the agg so
       // the 16 min-aggregates slice strings instead of re-hashing
@@ -318,6 +322,12 @@ object TextQueries {
         prevSum = nextSum
         iters += 1
       }
+      labels
+  }
+
+  val q48 = Q("q48_minhash_lsh_dedup",
+    (s, dir) => {
+      val labels = dedupGroups(s, dir)
       val sizes = labels.groupBy(col("comp")).agg(count(lit(1)).as("group_size"))
       labels.join(sizes, "comp")
         .select(col("doc_id"), col("comp").as("group_id"),
@@ -325,13 +335,25 @@ object TextQueries {
           col("group_size"))
         .orderBy("doc_id")
     },
-    Some {
-      val sigCols = (for { k <- 0 to 3; j <- 0 to 3 }
-        yield s"min(substr(h$k, ${1 + 8 * j}, 8)) AS c${k}_$j").mkString(", ")
-      val bandRows = (0 to 3).map(k =>
-        s"SELECT doc_id, $k AS band_idx, md5(c${k}_0 || c${k}_1 || c${k}_2 || c${k}_3) AS bh FROM sig")
-        .mkString("\n      UNION ALL ")
-      s"""WITH RECURSIVE sh AS (
+    Some(s"""$dedupCteSql, gs AS (
+      SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id
+    )
+    SELECT c.doc_id, c.group_id,
+      CAST(c.doc_id = c.group_id AS INTEGER) AS is_kept, gs.group_size
+    FROM comp c JOIN gs USING (group_id)
+    ORDER BY doc_id"""),
+    headline = true)
+
+  /** Oracle mirror of [[dedupGroups]]: the shared WITH-chain ending in
+    * `comp(doc_id, group_id)`.
+    */
+  private lazy val dedupCteSql: String = {
+    val sigCols = (for { k <- 0 to 3; j <- 0 to 3 }
+      yield s"min(substr(h$k, ${1 + 8 * j}, 8)) AS c${k}_$j").mkString(", ")
+    val bandRows = (0 to 3).map(k =>
+      s"SELECT doc_id, $k AS band_idx, md5(c${k}_0 || c${k}_1 || c${k}_2 || c${k}_3) AS bh FROM sig")
+      .mkString("\n      UNION ALL ")
+    s"""WITH RECURSIVE sh AS (
       SELECT doc_id, unnest($shinglesSqlExpr) AS sh FROM documents
     ), h AS (
       SELECT doc_id, ${(0 to 3).map(k => s"md5(sh || '#$k') AS h$k").mkString(", ")} FROM sh
@@ -359,15 +381,46 @@ object TextQueries {
       SELECT e.dst, re.r FROM reach re JOIN esym e ON e.src = re.id
     ), comp AS (
       SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
-    ), gs AS (
-      SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id
-    )
-    SELECT c.doc_id, c.group_id,
-      CAST(c.doc_id = c.group_id AS INTEGER) AS is_kept, gs.group_size
-    FROM comp c JOIN gs USING (group_id)
-    ORDER BY doc_id"""
-    },
-    headline = true)
+    )"""
+  }
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48)
+  // ---------------------------------------------------------------- q51
+  /** Dedup KEEP POLICY variant: instead of "keep the representative",
+    * keep the LONGEST document of each near-dup group (ties → smallest
+    * doc_id) — the policy an LLM-data pipeline actually wants (retain
+    * the most complete near-duplicate). Reuses the q48 group machinery;
+    * the policy itself is one max-per-group + one tie-broken argmax,
+    * both partial-aggregable.
+    */
+  val q51 = Q("q51_dedup_keep_longest",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val scored = dedupGroups(s, dir)
+        .withColumnRenamed("comp", "group_id")
+        .join(docs, "doc_id")
+      val best = scored.groupBy("group_id").agg(max("n_chars").as("best_chars"))
+      val keep = scored.join(best, "group_id")
+        .filter(col("n_chars") === col("best_chars"))
+        .groupBy("group_id").agg(min("doc_id").as("keep_id"))
+      scored.join(keep, "group_id")
+        .select(col("doc_id"), col("group_id"), col("n_chars"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).cast("int").as("is_kept"))
+        .orderBy("doc_id")
+    },
+    Some(s"""$dedupCteSql, scored AS (
+      SELECT c.doc_id, c.group_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), best AS (
+      SELECT group_id, max(n_chars) AS best_chars FROM scored GROUP BY group_id
+    ), keep AS (
+      SELECT s.group_id, min(s.doc_id) AS keep_id
+      FROM scored s JOIN best b ON b.group_id = s.group_id AND s.n_chars = b.best_chars
+      GROUP BY s.group_id
+    )
+    SELECT s.doc_id, s.group_id, s.n_chars, k.keep_id,
+      CAST(s.doc_id = k.keep_id AS INTEGER) AS is_kept
+    FROM scored s JOIN keep k USING (group_id)
+    ORDER BY s.doc_id"""))
+
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51)
 }
