@@ -44,6 +44,20 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q39/q48: dedup candidate joins are equi-joins — no cartesian products") {
+    for (name <- Seq("q39_embedding_neardup", "q48_minhash_lsh_dedup")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must bound candidates by bucket equi-join")
+    }
+  }
+
+  test("q49: nearest as-of is two window passes, no N×S join") {
+    val p = plan("q49_asof_nearest")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("Window"), "expect window-based as-of")
+  }
+
   test("q01: aggregation combines map-side before the shuffle") {
     val p = plan("q01_pricing_summary")
     assert(p.contains("partial_"), "expect partial aggregate functions")
