@@ -363,5 +363,108 @@ object VectorQueries {
     )
     SELECT q_id, cell, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44)
+  // ---------------------------------------------------------------- q52
+  /** Multi-probe IVF ANN (nprobe = 2): queries search their TWO nearest
+    * centroid cells instead of one — the standard recall lever when a
+    * query lands near a cell boundary. Candidates stay assigned to one
+    * cell (no index growth); only the probe fan-out changes, so the
+    * search cost is nprobe × cell size per query and the shuffle is
+    * still an equi-join on the cell key. Centroids/assignment reuse
+    * q44's exact-decimal math, so the probed cells — and therefore the
+    * candidate set — are engine- and partitioning-independent.
+    */
+  val q52 = Q("q52_ivf_multiprobe",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val perDim = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
+        .agg((Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+      val cent = perDim.groupBy(col("label").as("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("cvec"))
+        .withColumn("cnorm2", expr(
+          "CAST(aggregate(cvec, CAST(0 AS DECIMAL(30,8)), (acc, c) -> " +
+            "CAST(acc + CAST(round(c * c, 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"))
+      val xcDot = expr(
+        "CAST(aggregate(zip_with(embedding, cvec, (x, c) -> " +
+          "CAST(round(CAST(x AS DOUBLE) * c, 8) AS DECIMAL(30,8))), " +
+          "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)")
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("clabel").asc)
+      val ranked = emb.join(broadcast(cent))
+        .withColumn("d2", col("cnorm2") - lit(2.0) * xcDot)
+        .withColumn("crn", row_number().over(wCell))
+        .cache()
+      val assigned = ranked.filter(col("crn") === 1)
+        .select(col("vec_id"), col("clabel").as("cell"), col("embedding"),
+          expr(norm2Expr("embedding")).as("n2"))
+      // queries probe their 2 nearest cells; candidates live in 1 cell
+      val probes = ranked.filter(col("vec_id") < 8 && col("crn") <= 2)
+        .select(col("vec_id").as("q_id"), col("clabel").as("pcell"),
+          col("crn").cast("long").as("probe_rank"))
+      val qs = assigned.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val cands = assigned.select(col("vec_id").as("c_id"), col("cell").as("cell_c"),
+        col("embedding").as("ce"), col("n2").as("cn2"))
+      val wTop = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col("c_id"))
+      broadcast(probes.join(qs, "q_id"))
+        .join(cands, col("pcell") === col("cell_c") && col("c_id") =!= col("q_id"))
+        .withColumn("dot", expr(dotExpr("qe", "ce")))
+        .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
+          col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
+        .withColumn("rnk", row_number().over(wTop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "rnk", "c_id", "pcell", "probe_rank", "cos_sim")
+        .orderBy("q_id", "rnk")
+    },
+    Some(s"""WITH ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), rankedA AS (
+      SELECT d.vec_id, d.label,
+        ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+      FROM dots d JOIN cn USING (label)
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM rankedA WHERE crn = 1
+    ), probes AS (
+      SELECT vec_id AS q_id, label AS pcell, CAST(crn AS BIGINT) AS probe_rank
+      FROM rankedA WHERE crn <= 2 AND vec_id < 8
+    ), en AS (
+      SELECT e.vec_id, a.cell, e.embedding, ${norm2Sql("e.embedding")} AS n2
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ), pairs AS (
+      SELECT p.q_id, p.pcell, p.probe_rank, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+        ${dotSql("q.embedding", "c.embedding")} AS dot
+      FROM probes p
+      JOIN en q ON q.vec_id = p.q_id
+      JOIN en c ON c.cell = p.pcell AND c.vec_id != p.q_id
+    ), scored AS (
+      SELECT q_id, pcell, probe_rank, c_id,
+        CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+      FROM pairs
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk
+      FROM scored
+    )
+    SELECT q_id, rnk, c_id, pcell, probe_rank, cos_sim
+    FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52)
 }
