@@ -384,6 +384,54 @@ object TextQueries {
     )"""
   }
 
+  // ---------------------------------------------------------------- q53
+  /** Rabin–Karp document fingerprinting (builder brief: "document
+    * fingerprinting (rolling hash)"): a polynomial hash of the whole
+    * document plus per-position rolling window-8 hashes — the primitive
+    * under content-defined chunking and plagiarism-style overlap
+    * detection. All integer arithmetic mod 1e9+7 (products stay < 2⁶³,
+    * so ANSI long math never overflows and both engines agree exactly).
+    */
+  val q53 = Q("q53_rolling_fingerprint",
+    (s, dir) => {
+      val M = 1000000007L
+      val B = 131L
+      val codes = expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))")
+      val docFp = expr(
+        s"aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> (acc * $B + c) % $M)")
+      val rolling = expr(
+        s"""transform(sequence(1, greatest(length(text) - 7, 1)), i ->
+           aggregate(slice(codes, i, 8), CAST(0 AS BIGINT),
+             (acc, c) -> (acc * $B + c) % $M))""")
+      Tables(s, dir, "documents")
+        .withColumn("codes", codes)
+        .withColumn("doc_fp", docFp)
+        .withColumn("rolling", rolling)
+        .select(col("doc_id"), col("doc_fp"),
+          size(col("rolling")).cast("long").as("n_windows"),
+          size(array_distinct(col("rolling"))).cast("long").as("n_distinct_win"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH c AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(text)), i ->
+          CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes,
+        length(text) AS n
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS doc_fp,
+        list_transform(generate_series(1, greatest(n - 7, 1)), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)) AS rolling
+      FROM c
+    )
+    SELECT doc_id, doc_fp,
+      CAST(len(rolling) AS BIGINT) AS n_windows,
+      CAST(len(list_distinct(rolling)) AS BIGINT) AS n_distinct_win
+    FROM r ORDER BY doc_id"""))
+
   // ---------------------------------------------------------------- q51
   /** Dedup KEEP POLICY variant: instead of "keep the representative",
     * keep the LONGEST document of each near-dup group (ties → smallest
@@ -422,5 +470,5 @@ object TextQueries {
     FROM scored s JOIN keep k USING (group_id)
     ORDER BY s.doc_id"""))
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51)
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53)
 }
