@@ -27,7 +27,11 @@ object Bench {
       val t0 = System.nanoTime()
       try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // cache hygiene: a query may cache subplans for its own duration;
+      // nothing may survive into the next query's measurement
+      spark.catalog.clearCache()
+      q.name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"

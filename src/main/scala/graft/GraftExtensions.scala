@@ -11,9 +11,14 @@ import org.apache.spark.sql.SparkSessionExtensions
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(extensions: SparkSessionExtensions): Unit =
+  override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectFunction((
       functions.DeepBookAgg.identifier,
       functions.DeepBookAgg.info,
       functions.DeepBookAgg.builder))
+    extensions.injectFunction((
+      functions.RollingHash.identifier,
+      functions.RollingHash.info,
+      functions.RollingHash.builder))
+  }
 }

@@ -7,14 +7,15 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Per-slice TWAP input after scheduling + allocation (q26). */
-case class SliceIn(sym: String, i: Long, seq: Long, alloc: Double,
+case class SliceIn(sym: String, i: Long, seq: Long, alloc: Double, mid: Option[Double],
                    p1: Option[Double], s1: Option[Double], p2: Option[Double], s2: Option[Double],
                    p3: Option[Double], s3: Option[Double], p4: Option[Double], s4: Option[Double],
                    p5: Option[Double], s5: Option[Double])
 
 case class SliceOut(sym: String, i: Long, seq: Long, alloc: Double,
                     desired: Double, filled: Double, carry: Double,
-                    cost: Double, levels_touched: Int)
+                    cost: Double, levels_touched: Int,
+                    mid_open: Option[Double], mid_close: Option[Double])
 
 /** Impact-simulation queries (SURVEY.md §2.8, §3.3): X1 ladder walk, X3
   * TWAP scheduling, A4/A5 run summaries, J2 as-of join, X5 VWAP
@@ -262,6 +263,11 @@ object ImpactQueries {
     * allocation (X4) → per-symbol sequential fold (X5) producing desired,
     * filled, carry, cost, levels_touched. The fold's arithmetic is the
     * exact mirror of [[Impact.walkLayers]] / the recursive-CTE oracle.
+    *
+    * The fold ALSO emits the per-symbol open/close slice mids (first/last
+    * non-null mid in seq order — the group is already in memory), so q40
+    * derives its whole summary from this one pass instead of executing
+    * the schedule + fold lineage a second time for the mids.
     */
   private def vwapCarryDf(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -276,13 +282,19 @@ object ImpactQueries {
         when(col("total") > 0, lit(400.0) * col("proxy") / col("total"))
           .otherwise(lit(400.0) / lit(20.0)))
     val ins = sliced.select(col("sym"), col("i"), col("seq"), col("alloc"),
+      BookMetrics.mid(col("best_bid"), col("best_ask")).as("mid"),
       col("ask1_price").as("p1"), col("ask1_size").as("s1"),
       col("ask2_price").as("p2"), col("ask2_size").as("s2"),
       col("ask3_price").as("p3"), col("ask3_size").as("s3"),
       col("ask4_price").as("p4"), col("ask4_size").as("s4"),
       col("ask5_price").as("p5"), col("ask5_size").as("s5")).as[SliceIn]
-    val folded = ins.groupByKey(_.sym).flatMapGroups { (_, it) =>
+    ins.groupByKey(_.sym).flatMapGroups { (_, it) =>
       val slices = it.toSeq.sortBy(_.i)
+      // open/close mid over the SAME slice rows (min_by/max_by(mid, seq)
+      // with nulls skipped — slices are seq-monotone in i)
+      val withMid = slices.filter(_.mid.isDefined)
+      val midOpen = if (withMid.isEmpty) None else withMid.minBy(_.seq).mid
+      val midClose = if (withMid.isEmpty) None else withMid.maxBy(_.seq).mid
       var carry = 0.0
       slices.map { sl =>
         val desired = sl.alloc + carry
@@ -299,10 +311,10 @@ object ImpactQueries {
         }
         val filled = desired - rem
         carry = desired - filled
-        SliceOut(sl.sym, sl.i, sl.seq, sl.alloc, desired, filled, carry, cost, tch)
+        SliceOut(sl.sym, sl.i, sl.seq, sl.alloc, desired, filled, carry, cost, tch,
+          midOpen, midClose)
       }
     }.toDF()
-    (sliced, folded)
   }
 
   /** Oracle WITH-chain shared by q26/q40: recursive carry + a second
@@ -349,7 +361,7 @@ object ImpactQueries {
 
   val q26 = Q("q26_impact_vwap_carry",
     (s, dir) => {
-      vwapCarryDf(s, dir)._2
+      vwapCarryDf(s, dir)
         .select("sym", "i", "seq", "alloc", "desired", "filled", "carry",
           "cost", "levels_touched")
         .orderBy("sym", "i")
@@ -366,20 +378,22 @@ object ImpactQueries {
     */
   val q40 = Q("q40_impact_vwap_summary",
     (s, dir) => {
-      val (sliced, folded) = vwapCarryDf(s, dir)
+      val folded = vwapCarryDf(s, dir)
       val feeRate = lit(5.0) / lit(10000.0)
-      val summary = folded.groupBy("sym").agg(
+      // ONE aggregation over the single fold pass: the open/close mids
+      // ride along from the fold (constant per sym), so the schedule +
+      // carry lineage executes exactly once. The mid_open null filter
+      // mirrors the oracle's inner join against its WHERE mid IS NOT
+      // NULL subquery (a symbol with no non-null mid drops out).
+      folded.groupBy("sym").agg(
         count(lit(1)).as("n_slices"),
         graft.Exact.sumExact(col("filled"), 6).as("filled_qty"),
         graft.Exact.sumExact(col("cost"), 6).as("notional"),
         graft.Exact.sumExact(col("cost") * feeRate, 8).as("fees_paid"),
-        (sum("levels_touched").cast("double") / count(lit(1))).as("avg_levels"))
-      val mids = sliced.withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
-        .filter(col("mid").isNotNull)
-        .groupBy("sym").agg(
-          min_by(col("mid"), col("seq")).as("mid_open"),
-          max_by(col("mid"), col("seq")).as("mid_close"))
-      summary.join(mids, Seq("sym"))
+        (sum("levels_touched").cast("double") / count(lit(1))).as("avg_levels"),
+        min(col("mid_open")).as("mid_open"),
+        min(col("mid_close")).as("mid_close"))
+        .filter(col("mid_open").isNotNull)
         .withColumn("exec_vwap", when(col("filled_qty") > 0, col("notional") / col("filled_qty")))
         .withColumn("notional_with_fees", col("notional") + col("fees_paid"))
         .withColumn("slip_open_bps", Impact.slippageBpsRatio(col("exec_vwap"), col("mid_open")))

@@ -46,8 +46,11 @@ object TextMetrics {
 
   /** Raw (non-distinct) shingle array — O(len) per row. Prefer this for
     * duplicate-insensitive consumers (MinHash min, Jaccard
-    * intersect/union): per-row `array_distinct` is O(len²) on string
-    * arrays, and distributed hash aggregation dedupes cheaper.
+    * intersect/union). For consumers that NEED distinctness, prefer
+    * [[shingles]] (per-row array_distinct): it is O(len²) on string
+    * arrays in the worst case, but at realistic document sizes that
+    * beats shuffling the exploded shingle stream into a distributed
+    * distinct, and it keeps the dedup map-side at any scale.
     */
   def shinglesRaw(n: Int): Column =
     expr(s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> substring(text, i, $n))")
