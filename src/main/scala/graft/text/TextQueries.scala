@@ -285,9 +285,21 @@ object TextQueries {
     dedupMemo.computeIfAbsent((String.valueOf(System.identityHashCode(s)), dir),
       _ => computeDedupGroups(s, dir))
 
-  private def computeDedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-      val docs = Tables(s, dir, "documents")
+  /** Buckets larger than this switch from all-pairs to STAR candidate
+    * generation (see step 3 below). sf0.1's largest band bucket is 11;
+    * a degenerate corpus (thousands of identical docs) would otherwise
+    * make one (band, hash) bucket quadratic.
+    */
+  private val HotBucketCap = 256
+
+  /** Steps 1–3 (banded signatures → hot-bucket-guarded candidate pairs),
+    * package-visible so the adversarial spec can assert the bounded
+    * fan-out directly. Returns (candidates, cached bands handle — the
+    * caller unpersists bands once the candidates are materialized).
+    */
+  private[graft] def dedupCandidates(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
       // 1. hash once per (shingle, salt) — md5 projected BEFORE the agg so
       // the 16 min-aggregates slice strings instead of re-hashing
       val hashed = docs
@@ -300,16 +312,44 @@ object TextQueries {
       // 2. band hash k = md5 of salt-k's four span-mins
       val bandCols = (0 to 3).map(k =>
         TextMetrics.bandId((0 to 3).map(j => col(s"c${k}_$j"))))
+      val wB = Window.partitionBy("band_idx", "bh")
       val bands = sig
         .select(col("doc_id"), posexplode(array(bandCols: _*)))
         .toDF("doc_id", "band_idx", "bh")
-      // 3. candidate pairs: equal band hash within a band, dedup across bands
-      val cand = bands.as("a")
-        .join(bands.as("b"),
+        .withColumn("bsz", count(lit(1)).over(wB))
+        .withColumn("bmin", min("doc_id").over(wB))
+        .cache()
+      // 3. candidate pairs with a HOT-BUCKET GUARD: normal buckets
+      // (≤ HotBucketCap members) form all pairs; an oversized bucket
+      // forms only STAR pairs (bucket-min, member) — O(|bucket|) instead
+      // of O(|bucket|²) while PRESERVING CONNECTIVITY (identical docs all
+      // verify against the representative, so the component survives
+      // intact; only multi-hop recall through a hot bucket can differ).
+      // Nothing is silently dropped — oversized buckets are logged.
+      val smallB = bands.filter(col("bsz") <= HotBucketCap)
+      val allPairs = smallB.as("a")
+        .join(smallB.as("b"),
           col("a.band_idx") === col("b.band_idx") && col("a.bh") === col("b.bh") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val starPairs = bands
+        .filter(col("bsz") > HotBucketCap && col("doc_id") =!= col("bmin"))
+        .select(col("bmin").as("id_a"), col("doc_id").as("id_b"))
+      val cand = allPairs.union(starPairs).distinct()
+      val nHot = bands.filter(col("bsz") > HotBucketCap)
+        .select("band_idx", "bh").distinct().count()
+      if (nHot > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft.dedup] $nHot LSH band bucket(s) exceed $HotBucketCap members; " +
+            "star candidate generation used for them (connectivity preserved, " +
+            "all-pairs recall within those buckets reduced)")
+      (cand, bands)
+  }
+
+  private def computeDedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      val docs = Tables(s, dir, "documents")
+      val (cand, bands) = dedupCandidates(docs)
       // 4. verify with true n-gram Jaccard
       val shd = docs.select(col("doc_id"), TextMetrics.shinglesRaw(N).as("sh"))
       val ver = cand
@@ -318,27 +358,11 @@ object TextQueries {
         .filter(TextMetrics.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
         .select("id_a", "id_b")
         .cache()
-      // 5. connected components by min-label propagation
-      val esym = ver.union(ver.select(col("id_b"), col("id_a"))).toDF("src", "dst").cache()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("comp")).cache()
-      var prevSum = labels.agg(sum("comp")).first().getLong(0)
-      var converged = false
-      var iters = 0
-      while (!converged && iters < 25) {
-        val nbrMin = esym
-          .join(labels.select(col("doc_id").as("src"), col("comp").as("src_comp")), "src")
-          .groupBy(col("dst").as("doc_id")).agg(min("src_comp").as("nbr_comp"))
-        val next = labels.join(nbrMin, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
-          .cache()
-        val nextSum = next.agg(sum("comp")).first().getLong(0)
-        labels.unpersist()
-        labels = next
-        converged = nextSum == prevSum
-        prevSum = nextSum
-        iters += 1
-      }
+      // 5. connected components: alternating large-star/small-star —
+      // O(log n) rounds even on adversarial near-dup chains (see
+      // graph.ConnectedComponents)
+      val (labels, _) =
+        graft.graph.ConnectedComponents.label(ver, docs.select(col("doc_id")))
       // truncate lineage + free every cache this computation took: the
       // memoized result must not pin executor storage across queries
       if (s.sparkContext.getCheckpointDir.isEmpty)
@@ -346,8 +370,8 @@ object TextQueries {
           new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
       val out = labels.checkpoint()
       labels.unpersist()
-      esym.unpersist()
       ver.unpersist()
+      bands.unpersist()
       out
   }
 
@@ -387,10 +411,19 @@ object TextQueries {
       SELECT doc_id, $sigCols FROM h GROUP BY doc_id
     ), bands AS (
       $bandRows
+    ), bandsz AS (
+      SELECT *, COUNT(*) OVER (PARTITION BY band_idx, bh) AS bsz,
+             MIN(doc_id) OVER (PARTITION BY band_idx, bh) AS bmin
+      FROM bands
     ), cand AS (
-      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM bands a JOIN bands b
-        ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bandsz a JOIN bandsz b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh
+         AND a.doc_id < b.doc_id AND a.bsz <= $HotBucketCap
+        UNION ALL
+        SELECT bmin, doc_id FROM bandsz
+        WHERE bsz > $HotBucketCap AND doc_id != bmin)
     ), shd AS (
       SELECT doc_id, $shinglesSqlExpr AS s FROM documents
     ), ver AS (

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   */
 object VectorQueries {
 
+  /** Max members of an LSH (band, code) bucket that participate in the
+    * q39 candidate self-join — bounds per-bucket fan-out at CAP²/2 under
+    * degenerate skew (thousands of identical vectors). sf0.1's largest
+    * bucket is 112, so normal corpora are unaffected.
+    */
+  private val HotBucketCap = 256
+
   /** Exact decimal dot product of two float-array columns (double math
     * per term, rounded at 8dp, decimal-summed).
     */
@@ -213,11 +220,24 @@ object VectorQueries {
         .select(col("vec_id") +: col("embedding") +: col("n2") +:
           (0 to 3).map(b => bandCode(b).as(s"code$b")): _*)
         .cache()
+      // HOT-BUCKET GUARD: only the first HotBucketCap members (by vec_id)
+      // of a (band, code) bucket join — candidate fan-out per bucket is
+      // bounded by CAP²/2 regardless of skew. sf0.1's largest bucket is
+      // 112, so normal corpora are untouched; what a degenerate corpus
+      // loses is logged, never silent.
+      val wB = Window.partitionBy("band_idx", "code").orderBy("vec_id")
       val bands = eb.select(col("vec_id"),
         posexplode(array((0 to 3).map(b => col(s"code$b")): _*)))
         .toDF("vec_id", "band_idx", "code")
-      val cand = bands.as("a")
-        .join(bands.as("b"),
+        .withColumn("bn", row_number().over(wB))
+      val nOver = bands.filter(col("bn") > HotBucketCap).count()
+      if (nOver > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft.neardup] $nOver band-membership row(s) beyond the " +
+            s"$HotBucketCap-member bucket cap excluded from candidate generation")
+      val kept = bands.filter(col("bn") <= HotBucketCap)
+      val cand = kept.as("a")
+        .join(kept.as("b"),
           col("a.band_idx") === col("b.band_idx") && col("a.code") === col("b.code") &&
             col("a.vec_id") < col("b.vec_id"))
         .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
@@ -253,10 +273,14 @@ object VectorQueries {
       SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM h
     ), bands AS (
       $bandRows
+    ), bandrk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+      FROM bands
     ), cand AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
-      FROM bands a JOIN bands b
+      FROM bandrk a JOIN bandrk b
         ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+       AND a.bn <= $HotBucketCap AND b.bn <= $HotBucketCap
       GROUP BY 1, 2
     ), scored AS (
       SELECT c.id_a, c.id_b, c.n_bands,

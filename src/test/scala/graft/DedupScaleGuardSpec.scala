@@ -1,0 +1,71 @@
+package graft
+
+import graft.graph.ConnectedComponents
+import graft.text.TextQueries
+import org.apache.spark.sql.functions._
+
+/** 100×-hardening guards for the dedup pipeline: alternating
+  * large-star/small-star CC must converge in O(log n) rounds on
+  * adversarial chains (min-label propagation needs O(diameter)), and the
+  * LSH hot-bucket guard must bound candidate fan-out on a degenerate
+  * all-identical corpus while keeping the component connected.
+  */
+class DedupScaleGuardSpec extends SparkTestBase {
+
+  test("CC converges in O(log n) rounds on a 500-link chain") {
+    val sess = spark
+    import sess.implicits._
+    val edges = (0L until 499L).map(i => (i, i + 1)).toDF("u", "v")
+    val verts = (0L until 500L).toDF("id")
+    val (labels, rounds) = ConnectedComponents.label(edges, verts)
+    assert(labels.where(col("comp") === 0L).count() === 500)
+    assert(rounds <= 12,
+      s"chain took $rounds rounds; min-label propagation would take ~500")
+    labels.unpersist()
+  }
+
+  test("CC matches brute-force union-find on a random graph") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val es = Seq.fill(150)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    // union-by-min ⇒ every root is its component's minimum
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    es.foreach { case (a, b) =>
+      val ra = find(a.toInt); val rb = find(b.toInt)
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+    val (labels, _) =
+      ConnectedComponents.label(es.toDF("u", "v"), (0L until n.toLong).toDF("id"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    labels.unpersist()
+  }
+
+  test("1000 identical docs: star guard bounds fan-out, component survives") {
+    val sess = spark
+    import sess.implicits._
+    val docs = (0L until 1000L)
+      .map(i => (i, "identical corpus text block " * 12, "en", "adv", 336L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (cand, bands) = TextQueries.dedupCandidates(docs)
+    val nCand = cand.count()
+    // all-pairs would be 1000·999/2 = 499 500; the star guard emits one
+    // (bucket-min, member) pair per member per band, deduped across bands
+    assert(nCand <= 999L * 4,
+      s"candidate fan-out $nCand not bounded by the hot-bucket guard")
+    bands.unpersist()
+
+    // end-to-end: the star pairs keep all 1000 docs in ONE dedup group
+    val dir = java.nio.file.Files.createTempDirectory("graft-adv").toString
+    docs.coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.q48.run(spark, dir).collect()
+    assert(rows.length === 1000)
+    assert(rows.forall(_.getLong(1) == 0L), "all docs grouped under doc 0")
+    assert(rows.forall(_.getLong(3) == 1000L), "group size is the full corpus")
+    assert(rows.count(_.getInt(2) == 1) === 1, "exactly one kept copy")
+  }
+}
