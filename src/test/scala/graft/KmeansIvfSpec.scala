@@ -1,0 +1,43 @@
+package graft
+
+import graft.vec.VectorQueries
+import org.apache.spark.sql.functions._
+
+/** Learned-centroid IVF (q54) quality at sf0.001: the seeded k-means
+  * cells must recall a healthy fraction of the brute-force (q36) top-3
+  * within one probe, and must beat the per-label stand-in cells (q44) —
+  * the point of learning centroids from the embedding geometry.
+  */
+class KmeansIvfSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def top3(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.filter(col("rnk") <= 3).select("q_id", "c_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+  private def meanOverlap(got: Map[Long, Set[Long]], truth: Map[Long, Set[Long]]): Double =
+    truth.map { case (q, t) => got.getOrElse(q, Set.empty).intersect(t).size / 3.0 }
+      .sum / truth.size
+
+  test("k-means IVF recalls brute-force top-3 better than label cells") {
+    val truth = top3(VectorQueries.q36.run(spark, dir))
+    val kmeans = meanOverlap(top3(VectorQueries.q54.run(spark, dir)), truth)
+    val labels = meanOverlap(top3(VectorQueries.q44.run(spark, dir)), truth)
+    info(f"top-3 overlap vs q36 brute force: kmeans=$kmeans%.3f label-cells=$labels%.3f")
+    assert(kmeans >= 0.3, f"learned-cell recall $kmeans%.3f below floor")
+    assert(kmeans > labels,
+      f"learned cells ($kmeans%.3f) should beat the label stand-in ($labels%.3f)")
+  }
+
+  test("every vector lands in exactly one learned cell; cells are non-trivial") {
+    val out = VectorQueries.q54.run(spark, dir).collect()
+    assert(out.length === 24, "8 queries x top-3")
+    val perQ = out.groupBy(_.getLong(0))
+    assert(perQ.keySet === (0L until 8L).toSet)
+    perQ.values.foreach { rows =>
+      assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(1L, 2L, 3L))
+      assert(rows.map(_.getLong(1)).toSet.size === 1, "one cell per query")
+    }
+  }
+}
