@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque BINARY payloads plus typed metadata, with decode / feature
   * extraction as batched partition-local transforms.
   *
-  * The Spark-side plumbing (schema, partitioning, batch shape) is real;
-  * the codec itself is STUBBED — this container has no image/audio
-  * libraries, so [[decodeStub]] derives deterministic fake features from
-  * the payload bytes. Swap `decodeStub` for a real codec (JNI/JavaCV)
-  * without touching the surrounding plan; the `mapPartitions` boundary is
-  * exactly where a vectorized/batched decoder belongs (the Scala analog
-  * of a Pandas-UDF `mapInPandas` batch).
+  * The Spark-side plumbing (schema, partitioning, batch shape) is real.
+  * The IMAGE metadata codec is also real: [[decodeImageMeta]] parses
+  * width/height/format/bands with the JDK's own `javax.imageio` (PNG,
+  * JPEG, GIF, BMP — no external dependency). Pixel-raster, audio and
+  * video codecs remain STUBBED ([[decodeStub]] derives deterministic
+  * fake features from payload bytes) — swap them for a real codec
+  * (JNI/JavaCV) without touching the surrounding plan; the
+  * `mapPartitions` boundary is exactly where a vectorized/batched
+  * decoder belongs (the Scala analog of a Pandas-UDF `mapInPandas`
+  * batch).
   */
 object Multimodal {
 
@@ -60,6 +63,63 @@ object Multimodal {
     assets.mapPartitions { it =>
       // real codec: init decoder/context here, once per partition
       it.map(decodeStub)
+    }
+  }
+
+  /** Decoded image metadata (the REAL codec path). */
+  case class ImageMeta(width: Int, height: Int, format: String, channels: Int)
+
+  /** REAL image decode via the JDK's `javax.imageio` (no external
+    * dependency): a header-level parse yielding width / height / format
+    * name / band count WITHOUT materializing pixel rasters — what a
+    * metadata pass over 100 TB of images wants (`getWidth/getHeight`
+    * read the image header only). Returns None when no installed reader
+    * recognizes the payload (exotic format, corrupt bytes, non-image) —
+    * callers degrade to the declared metadata / [[decodeStub]].
+    */
+  private[multimodal] def decodeImageMeta(payload: Array[Byte]): Option[ImageMeta] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val types = r.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands else 0
+          Some(ImageMeta(r.getWidth(0), r.getHeight(0),
+            r.getFormatName.toLowerCase(java.util.Locale.ROOT), bands))
+        } catch {
+          case _: java.io.IOException => None
+        } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  case class AssetMeta(asset_id: Long, kind: String, n_bytes: Long, decoded: Boolean,
+                       width: Int, height: Int, format: String, channels: Int)
+
+  /** Batched metadata extraction with the REAL codec on the image path:
+    * payloads a JDK reader recognizes yield true decoded dimensions
+    * (`decoded = true`); everything else carries the declared metadata
+    * through with `decoded = false`. Same partition-local batch shape as
+    * [[extractFeatures]].
+    */
+  def extractImageMeta(assets: Dataset[Asset]): Dataset[AssetMeta] = {
+    implicit val enc = Encoders.product[AssetMeta]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        decodeImageMeta(a.payload) match {
+          case Some(m) =>
+            AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, decoded = true,
+              m.width, m.height, m.format, m.channels)
+          case None =>
+            AssetMeta(a.asset_id, a.kind, a.payload.length.toLong, decoded = false,
+              a.width, a.height, "undecoded", 0)
+        }
+      }
     }
   }
 

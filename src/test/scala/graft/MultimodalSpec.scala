@@ -47,6 +47,42 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("real image decode: generated PNG/JPEG dimensions come back exact") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def imageBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"JDK must ship a $fmt writer")
+      bos.toByteArray
+    }
+    val sess = spark
+    import sess.implicits._
+    val ds = Seq(
+      Multimodal.Asset(1L, "image", imageBytes(37, 21, "png"), 0, 0, 0),
+      Multimodal.Asset(2L, "image", imageBytes(64, 48, "jpg"), 0, 0, 0),
+      Multimodal.Asset(3L, "image", "not an image".getBytes("UTF-8"), 640, 480, 0)
+    ).toDS()
+    val metas = Multimodal.extractImageMeta(ds).collect().map(m => m.asset_id -> m).toMap
+    val png = metas(1L)
+    assert(png.decoded && png.width === 37 && png.height === 21)
+    assert(png.format === "png" && png.channels === 3)
+    val jpg = metas(2L)
+    assert(jpg.decoded && jpg.width === 64 && jpg.height === 48)
+    assert(jpg.format.startsWith("jp") && jpg.channels === 3)
+    val txt = metas(3L)
+    assert(!txt.decoded && txt.width === 640 && txt.height === 480)
+    assert(txt.format === "undecoded")
+  }
+
+  test("corpus payloads (text bytes) all degrade to undecoded, none crash") {
+    val metas = Multimodal.extractImageMeta(assets)
+    assert(metas.count() === 500)
+    assert(metas.filter(_.decoded).count() === 0)
+  }
+
   test("frame cardinalities: ceil(n_bytes / stride) frames, bytes conserved") {
     val frames = Multimodal.sampleFrames(assets, stride = 64).cache()
     val expect = assets.filter(_.kind == "video").collect()
