@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.RollingHash.identifier,
       functions.RollingHash.info,
       functions.RollingHash.builder))
+    functions.TextKernels.registrations.foreach(extensions.injectFunction)
   }
 }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up linearity probe for the dedup/ANN layer (the newest, least
+  * scale-proven queries): synthesizes a 10× documents + embeddings
+  * corpus from sf0.1 and times the text/vector catalog queries at 1×
+  * vs 10×, printing per-query step ratios.
+  *
+  * The copies are CONTENT-DECORRELATED so density stays realistic
+  * rather than exploding: each document copy rewrites ten frequent
+  * letters through a rotated substitution alphabet (in-copy near-dup
+  * structure preserved exactly — identical texts stay identical — while
+  * cross-copy shingle Jaccard collapses); each embedding copy rotates
+  * the component order (decorrelating hyperplane codes across copies).
+  * A 10× corpus therefore has ~10× the docs, ~10× the near-dup groups,
+  * and roughly constant group size — the realistic growth mode.
+  *
+  * Usage: `sbt "runMain graft.ScaleBench"` — writes the corpus under
+  * target/scale10 once (reused after), prints one JSON line per scale.
+  */
+object ScaleBench {
+
+  private val Copies = 10
+  private val alphabet = "etaoinsrhl"
+
+  private def rotated(k: Int): String =
+    alphabet.drop(k % alphabet.length) + alphabet.take(k % alphabet.length)
+
+  private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    val nD = docs.count()
+    (0 until Copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k * nD)).as("doc_id"),
+        (if (k == 0) col("text") else translate(col("text"), alphabet, rotated(k))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+    val nE = emb.count()
+    (0 until Copies).map { k =>
+      emb.select(
+        (col("vec_id") + lit(k * nE)).as("vec_id"),
+        (if (k == 0) col("embedding")
+         else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
+           s"slice(embedding, 1, $k))")).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  private val queryNames = Seq(
+    "q27_text_stats", "q29_exact_dedup", "q30_shingle_stats",
+    "q31_minhash_signatures", "q32_simhash", "q36_knn_bruteforce",
+    "q39_embedding_neardup", "q44_ivf_ann", "q48_minhash_lsh_dedup",
+    "q51_dedup_keep_longest", "q52_ivf_multiprobe", "q53_rolling_fingerprint",
+    "q54_kmeans_ivf")
+
+  private def timeAll(spark: SparkSession, dir: String): Seq[(String, Double)] =
+    SparkEntry.catalog.filter(q => queryNames.contains(q.name)).map { q =>
+      val t0 = System.nanoTime()
+      q.run(spark, dir).write.format("noop").mode("overwrite").save()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      q.name -> dt
+    }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val out = new java.io.File("target/scale10").getAbsolutePath
+    val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    if (!new java.io.File(s"$out/documents.parquet").exists()) gen(spark, base, out)
+
+    // JIT/codegen warmup at the small scale so both measured scales are
+    // equally warm
+    timeAll(spark, "/root/testdata/sf0.01")
+
+    val t1 = timeAll(spark, base)
+    val t10 = timeAll(spark, out)
+    def json(ts: Seq[(String, Double)], sf: String) = {
+      val qs = ts.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      s"""{"metric":"scale_total","value":${f"${ts.map(_._2).sum}%.3f"},"unit":"sec","queries":$qs,"sf":"$sf"}"""
+    }
+    println(json(t1, base))
+    println(json(t10, out))
+    val r = t1.zip(t10).map { case ((n, a), (_, b)) => n -> (if (a > 0) b / a else 0.0) }
+    println(r.map { case (n, x) => "\"" + n + "\":" + f"$x%.2f" }
+      .mkString("{\"metric\":\"step_ratio_10x\",", ",", "}"))
+    spark.stop()
+  }
+}

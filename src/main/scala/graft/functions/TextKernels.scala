@@ -1,0 +1,274 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, GenericInternalRow, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass text kernels for the dedup layer (the
+  * custom-`Expression` tier of the operator ladder, like [[DeepBookAgg]]
+  * and [[RollingHash]]).
+  *
+  * Why: the HOF/explode formulations they replace pay two avoidable
+  * costs at scale — (a) Spark's collection ops on NON-PRIMITIVE element
+  * types (`array_distinct`, `array_intersect`, `array_union` on
+  * `array<string>`) fall back to O(n²) nested scans, and (b) exploding
+  * ~300 shingles per document into rows just to aggregate them back
+  * per `doc_id` materializes a 300× row stream through the hash-agg
+  * machinery (map-side combinable, but still per-row interpreted
+  * expression evaluation). Each kernel here is one tight JVM loop per
+  * document with a hash set for distinctness — O(len) per row,
+  * shuffle-free, inlined by whole-stage codegen via a static call.
+  *
+  * EXACTNESS CONTRACT (with the DuckDB oracle mirrors and the HOF
+  * formulations): shingles are `width` consecutive Unicode code points
+  * (what `substring(text, i, w)` / `substr` yield), positions
+  * 1..max(len−width+1, 1) with the tail shingle truncated; hashes are
+  * MD5 over the shingle's UTF-8 bytes (identical to Catalyst
+  * `md5(cast(s AS binary))` and DuckDB `md5(s)`), hex lowercase;
+  * SimHash votes read hex digits (digit ≥ '8' ⟺ high nibble bit), and
+  * MinHash span-mins compare 8-hex-char slices LEXICOGRAPHICALLY —
+  * ASCII hex ordering, portable across all three paths.
+  */
+object TextKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val d = md5Local.get()
+    d.reset()
+    val b = d.digest(s.getBytes(StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexDigits((b(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexDigits(b(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Distinct shingles of `width` code points (tail truncated, degenerate
+    * short text yields its single truncated shingle).
+    */
+  private def distinctShingles(str: UTF8String, width: Int): java.util.LinkedHashSet[String] = {
+    val s = str.toString
+    // code point offsets so shingles slice by characters, not UTF-16 units
+    val n = s.codePointCount(0, s.length)
+    val offs = new Array[Int](n + 1)
+    var k = 0
+    var i = 0
+    while (k < s.length) { offs(i) = k; k = s.offsetByCodePoints(k, 1); i += 1 }
+    offs(n) = s.length
+    val nPos = math.max(n - width + 1, 1)
+    val set = new java.util.LinkedHashSet[String](math.max(16, nPos * 2))
+    i = 0
+    while (i < nPos) {
+      set.add(s.substring(offs(i), offs(math.min(i + width, n))))
+      i += 1
+    }
+    set
+  }
+
+  // ------------------------------------------------------------------
+  /** `shingle_agg(text, width)` →
+    * `STRUCT<n_positions: BIGINT, n_distinct: BIGINT, simhash: BIGINT>`
+    * — shingle-position count, distinct-shingle count, and the SimHash-32
+    * fingerprint (votes over md5 hex digits of each DISTINCT shingle),
+    * one pass, no explode, no shuffle.
+    */
+  case class ShingleAgg(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "shingle_agg"
+    override def dataType: DataType = ShingleAgg.outType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType &&
+        (right.dataType == IntegerType || right.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"shingle_agg expects (string, int), got (${left.dataType.sql}, ${right.dataType.sql})")
+    override protected def nullSafeEval(t: Any, w: Any): Any =
+      ShingleAgg.compute(t.asInstanceOf[UTF8String], w.asInstanceOf[Number].intValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, w) =>
+        s"graft.functions.TextKernels.shingleAggCompute($t, (int)($w))")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  object ShingleAgg {
+    val outType: StructType = StructType(Seq(
+      StructField("n_positions", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+
+    def compute(text: UTF8String, width: Int): InternalRow =
+      TextKernels.shingleAggCompute(text, width)
+  }
+
+  def shingleAggCompute(text: UTF8String, width: Int): InternalRow = {
+    val set = distinctShingles(text, width)
+    val s = text.toString
+    val n = s.codePointCount(0, s.length)
+    val votes = new Array[Int](32)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val hex = md5Hex(it.next())
+      var j = 0
+      while (j < 32) {
+        if (hex.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+    }
+    var sim = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) sim |= 1L << j
+      j += 1
+    }
+    val out = new GenericInternalRow(3)
+    out.update(0, math.max(n - width + 1, 1).toLong)
+    out.update(1, set.size().toLong)
+    out.update(2, sim)
+    out
+  }
+
+  // ------------------------------------------------------------------
+  /** `minhash_spans(text, width, nsalts)` → `ARRAY<STRING>` of MinHash
+    * components: for each salt k (or a single UNSALTED md5 when
+    * nsalts = 0), the lexicographic min over distinct shingles of md5
+    * hex, sliced into four disjoint 8-hex-char spans — salt-major order,
+    * so nsalts = 0 → 4 components, nsalts = 4 → 16. One md5 per
+    * (shingle, salt), no explode, no shuffle; min over raw vs distinct
+    * shingles is identical (min is duplicate-insensitive).
+    */
+  case class MinhashSpans(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+    override def prettyName: String = "minhash_spans"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def intish(dt: DataType) = dt == IntegerType || dt == LongType
+      if (first.dataType == StringType && intish(second.dataType) && intish(third.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"minhash_spans expects (string, int, int), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    }
+    override protected def nullSafeEval(t: Any, w: Any, k: Any): Any =
+      TextKernels.minhashSpansCompute(t.asInstanceOf[UTF8String],
+        w.asInstanceOf[Number].intValue(), k.asInstanceOf[Number].intValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, w, k) =>
+        s"graft.functions.TextKernels.minhashSpansCompute($t, (int)($w), (int)($k))")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  def minhashSpansCompute(text: UTF8String, width: Int, nSalts: Int): GenericArrayData = {
+    val set = distinctShingles(text, width)
+    val salts = math.max(nSalts, 1)
+    val unsalted = nSalts == 0
+    val mins = Array.fill[String](salts * 4)(null)
+    val it = set.iterator()
+    while (it.hasNext) {
+      val sh = it.next()
+      var k = 0
+      while (k < salts) {
+        val hex = md5Hex(if (unsalted) sh else sh + "#" + k)
+        var j = 0
+        while (j < 4) {
+          val span = hex.substring(8 * j, 8 * j + 8)
+          val idx = 4 * k + j
+          if (mins(idx) == null || span.compareTo(mins(idx)) < 0) mins(idx) = span
+          j += 1
+        }
+        k += 1
+      }
+    }
+    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+  }
+
+  // ------------------------------------------------------------------
+  /** `shingle_overlap(text_a, text_b, width)` →
+    * `STRUCT<n_inter: BIGINT, n_union: BIGINT>`: exact
+    * intersection/union sizes of the two distinct-shingle sets
+    * (hash-set membership, O(len), vs the O(n²) non-primitive
+    * `array_intersect`/`array_union`). Jaccard derives as the guarded
+    * ratio of the two exact integers — bit-portable by construction.
+    */
+  case class ShingleOverlap(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+    override def prettyName: String = "shingle_overlap"
+    override def dataType: DataType = ShingleOverlap.outType
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (first.dataType == StringType && second.dataType == StringType &&
+        (third.dataType == IntegerType || third.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"shingle_overlap expects (string, string, int), got " +
+          s"(${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql})")
+    override protected def nullSafeEval(a: Any, b: Any, w: Any): Any =
+      TextKernels.shingleOverlapCompute(a.asInstanceOf[UTF8String],
+        b.asInstanceOf[UTF8String], w.asInstanceOf[Number].intValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, w) =>
+        s"graft.functions.TextKernels.shingleOverlapCompute($a, $b, (int)($w))")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(first = f, second = s, third = t)
+  }
+
+  object ShingleOverlap {
+    val outType: StructType = StructType(Seq(
+      StructField("n_inter", LongType, nullable = false),
+      StructField("n_union", LongType, nullable = false)))
+  }
+
+  def shingleOverlapCompute(a: UTF8String, b: UTF8String, width: Int): InternalRow = {
+    val sa = distinctShingles(a, width)
+    val sb = distinctShingles(b, width)
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val out = new GenericInternalRow(2)
+    out.update(0, inter.toLong)
+    out.update(1, (sa.size() + sb.size() - inter).toLong)
+    out
+  }
+
+  // ------------------------------------------------------------------
+  /** Idempotent session registration of all three kernels. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+    val reg = spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("shingle_agg",
+      exprs => ShingleAgg(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("minhash_spans",
+      exprs => MinhashSpans(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_overlap",
+      exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("shingle_agg"),
+      new ExpressionInfo(classOf[ShingleAgg].getName, "shingle_agg"),
+      exprs => ShingleAgg(exprs(0), exprs(1))),
+    (FunctionIdentifier("minhash_spans"),
+      new ExpressionInfo(classOf[MinhashSpans].getName, "minhash_spans"),
+      exprs => MinhashSpans(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("shingle_overlap"),
+      new ExpressionInfo(classOf[ShingleOverlap].getName, "shingle_overlap"),
+      exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2))))
+}

@@ -135,15 +135,16 @@ object TextQueries {
   // ---------------------------------------------------------------- q30
   val q30 = Q("q30_shingle_stats",
     (s, dir) => {
-      // distinctness is PER-DOCUMENT, so dedupe inside the row with
-      // array_distinct (~300-char docs → ~85k compares/row, trivial)
-      // instead of shuffling the whole exploded shingle stream into a
-      // countDistinct hash agg — zero shuffle, stays map-side at any SF
+      // distinctness is PER-DOCUMENT: the native shingle_agg kernel
+      // (functions.TextKernels) counts distinct shingles in one O(len)
+      // hash-set pass per row — no explode, no shuffle, and none of the
+      // O(len²) cost of array_distinct on non-primitive arrays
+      graft.functions.TextKernels.ensureRegistered(s)
       Tables(s, dir, "documents")
-        .withColumn("n_positions", greatest(length(col("text")) - lit(N - 1), lit(1)).cast("long"))
-        .withColumn("n_distinct", size(TextMetrics.shingles(N)).cast("long"))
+        .withColumn("sa", expr(s"shingle_agg(text, $N)"))
+        .select(col("doc_id"), col("sa.n_positions").as("n_positions"),
+          col("sa.n_distinct").as("n_distinct"))
         .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_positions"))
-        .select("doc_id", "n_positions", "n_distinct", "distinct_ratio")
         .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
@@ -156,15 +157,14 @@ object TextQueries {
   val q31 = Q("q31_minhash_signatures",
     (s, dir) => {
       // ONE md5 per shingle; the 4 signature components are mins over
-      // disjoint 8-hex-char (32-bit) spans of it — 4× less hashing than
-      // salted per-component md5s, same independence in the LSH sense.
-      // Raw (non-distinct) shingles: min is duplicate-insensitive.
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
-        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
-      val sigs = (0 to 3).map(j => TextMetrics.minhashSpanAgg(col("h"), j).as(s"mh$j"))
-      sh.groupBy("doc_id")
-        .agg(sigs.head, sigs.tail: _*)
+      // disjoint 8-hex-char (32-bit) spans of it — computed per-document
+      // by the native minhash_spans kernel (functions.TextKernels): one
+      // O(len) loop per row, no shingle explode, no signature shuffle.
+      graft.functions.TextKernels.ensureRegistered(s)
+      Tables(s, dir, "documents")
+        .withColumn("sig", expr(s"minhash_spans(text, $N, 0)"))
+        .select(col("doc_id") +:
+          (0 to 3).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
         .withColumn("band", TextMetrics.bandId((0 to 3).map(j => col(s"mh$j"))))
         .orderBy("doc_id")
     },
@@ -182,19 +182,15 @@ object TextQueries {
   // ---------------------------------------------------------------- q32
   val q32 = Q("q32_simhash",
     (s, dir) => {
-      // md5 materialized once per shingle row — the 32 vote aggregates
-      // would otherwise each recompute it (32 md5 calls per row).
-      // Shingle distinctness is per-document: array_distinct BEFORE the
-      // explode keeps it map-side (a global .distinct() here shuffles the
-      // entire shingle stream — measured 3.4× slower at sf0.1)
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(TextMetrics.shingles(N)).as("sh"))
-        .select(col("doc_id"), md5(col("sh").cast("binary")).as("h"))
-      val votes = (1 to 32).map(j => TextMetrics.simhashVote(col("h"), j).as(s"v$j"))
-      sh.groupBy("doc_id")
-        .agg(votes.head, votes.tail :+ count(lit(1)).as("n_shingles"): _*)
-        .withColumn("simhash", TextMetrics.simhashFingerprint((1 to 32).map(j => col(s"v$j"))))
-        .select("doc_id", "n_shingles", "simhash")
+      // whole SimHash per document in the native shingle_agg kernel:
+      // distinct shingles via hash set, one md5 each, 32 hex-digit votes
+      // — no explode, no 33-aggregate shuffle (and none of the global
+      // .distinct() that regressed this query 3.4× in round 2)
+      graft.functions.TextKernels.ensureRegistered(s)
+      Tables(s, dir, "documents")
+        .withColumn("sa", expr(s"shingle_agg(text, $N)"))
+        .select(col("doc_id"), col("sa.n_distinct").as("n_shingles"),
+          col("sa.simhash").as("simhash"))
         .orderBy("doc_id")
     },
     Some {
@@ -218,14 +214,16 @@ object TextQueries {
   // ---------------------------------------------------------------- q33
   val q33 = Q("q33_ngram_jaccard_pairs",
     (s, dir) => {
-      // raw arrays: array_intersect/array_union dedupe internally
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), TextMetrics.shinglesRaw(N).as("sh"))
-      val a = sh.as("a"); val b = sh.as("b")
+      // native shingle_overlap kernel: hash-set intersection per pair,
+      // O(len) — array_intersect/array_union on array<string> are O(n²)
+      // nested scans (no primitive-type fast path)
+      graft.functions.TextKernels.ensureRegistered(s)
+      val d = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = d.as("a"); val b = d.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+        .withColumn("ov", expr(s"shingle_overlap(a.text, b.text, $N)"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("n_inter"),
-          size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("n_union"))
+          col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
         .withColumn("jaccard",
           when(col("n_union") > 0, col("n_inter").cast("double") / col("n_union")))
         .orderBy("id_a")
@@ -300,15 +298,15 @@ object TextQueries {
   private[graft] def dedupCandidates(docs: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       import org.apache.spark.sql.expressions.Window
-      // 1. hash once per (shingle, salt) — md5 projected BEFORE the agg so
-      // the 16 min-aggregates slice strings instead of re-hashing
-      val hashed = docs
-        .select(col("doc_id"), explode(TextMetrics.shinglesRaw(N)).as("sh"))
-        .select(col("doc_id") +:
-          (0 to 3).map(k => md5(concat(col("sh"), lit(s"#$k")).cast("binary")).as(s"h$k")): _*)
-      val comps = for { k <- 0 to 3; j <- 0 to 3 }
-        yield TextMetrics.minhashSpanAgg(col(s"h$k"), j).as(s"c${k}_$j")
-      val sig = hashed.groupBy("doc_id").agg(comps.head, comps.tail: _*)
+      graft.functions.TextKernels.ensureRegistered(docs.sparkSession)
+      // 1. 16-component signature (4 salted md5s per shingle × 4
+      // 8-hex-char span-mins) via the native minhash_spans kernel — one
+      // O(len) loop per document, no shingle explode, no signature
+      // shuffle (one row per doc crosses the wire, already final)
+      val sig = docs
+        .withColumn("sig", expr(s"minhash_spans(text, $N, 4)"))
+        .select(col("doc_id") +: (for { k <- 0 to 3; j <- 0 to 3 }
+          yield element_at(col("sig"), 4 * k + j + 1).as(s"c${k}_$j")): _*)
       // 2. band hash k = md5 of salt-k's four span-mins
       val bandCols = (0 to 3).map(k =>
         TextMetrics.bandId((0 to 3).map(j => col(s"c${k}_$j"))))
@@ -350,12 +348,16 @@ object TextQueries {
       : org.apache.spark.sql.DataFrame = {
       val docs = Tables(s, dir, "documents")
       val (cand, bands) = dedupCandidates(docs)
-      // 4. verify with true n-gram Jaccard
-      val shd = docs.select(col("doc_id"), TextMetrics.shinglesRaw(N).as("sh"))
+      // 4. verify with true n-gram Jaccard (native shingle_overlap
+      // kernel: exact set sizes, O(len) per pair, and the join carries
+      // raw text instead of materialized shingle arrays)
+      val txt = docs.select(col("doc_id"), col("text"))
       val ver = cand
-        .join(shd.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-        .join(shd.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-        .filter(TextMetrics.jaccard(col("sh_a"), col("sh_b")) >= 0.8)
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
+        .filter(col("ov.n_union") > 0 &&
+          col("ov.n_inter").cast("double") / col("ov.n_union") >= 0.8)
         .select("id_a", "id_b")
         .cache()
       // 5. connected components: alternating large-star/small-star —
