@@ -396,27 +396,18 @@ object BookQueries {
     (s, dir) => {
       val K = 100
       val base = SyntheticBook.fromEvents(Tables(s, dir, "events"), 0)
-      // level expressions in lock-step with SyntheticBook.fromEvents,
-      // with the level index k a runtime value instead of 4K columns
-      val bids = expr(
-        s"""transform(sequence(1, $K), k -> named_struct(
-           'price', CASE WHEN (seq + 7 * k) % 31 = 0 THEN CAST(NULL AS DOUBLE)
-                         ELSE best_bid - 0.01D * (k - 1) END,
-           'size',  CASE WHEN (seq + 3 * k) % 29 = 0 THEN CAST(NULL AS DOUBLE)
-                         ELSE CAST(1 + (seq + k) % 7 AS DOUBLE) END))""")
-      val asks = expr(
-        s"""transform(sequence(1, $K), k -> named_struct(
-           'price', CASE WHEN (seq + 5 * k) % 37 = 0 THEN CAST(NULL AS DOUBLE)
-                         ELSE best_ask + 0.01D * (k - 1) END,
-           'size',  CASE WHEN (seq + 2 * k) % 23 = 0 THEN CAST(NULL AS DOUBLE)
-                         ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END))""")
-      // the native one-pass kernel (graft.functions.DeepBookAgg): same
-      // double ops in the same order as the HOF folds (DeepBookAggSpec
-      // pins the equality), but compiled — whole-stage codegen inlines
-      // one static call per row instead of ~10 interpreted lambda folds
+      // the native kernels: synth_ladder builds each side's K-level
+      // ARRAY<STRUCT> in one compiled loop (the interpreted
+      // transform+named_struct formulation it replaces was ~85% of this
+      // query's wall — level formulas in lock-step with
+      // SyntheticBook.fromEvents, pinned by ArraySchemaSpec), and
+      // deep_book_agg folds all metrics in one codegen'd pass per side
+      // (DeepBookAggSpec pins equality with the HOF folds)
       graft.functions.DeepBookAgg.ensureRegistered(s)
+      graft.functions.SynthLadder.ensureRegistered(s)
       base
-        .withColumn("bids", bids).withColumn("asks", asks)
+        .withColumn("bids", expr(s"synth_ladder(seq, best_bid, $K, 0)"))
+        .withColumn("asks", expr(s"synth_ladder(seq, best_ask, $K, 1)"))
         .withColumn("m", expr("deep_book_agg(bids, asks, CAST(50.0 AS DOUBLE))"))
         .select(col("seq"), col("sym"),
           col("m.imbalance_k").as("imbalance_k"),

@@ -29,6 +29,33 @@ class ArraySchemaSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("synth_ladder kernel equals the transform+named_struct formulation") {
+    graft.functions.SynthLadder.ensureRegistered(spark)
+    val base = SyntheticBook.fromEvents(
+      Tables(spark, "/root/testdata/sf0.001", "events"), 0)
+    val K = 100
+    val bidsHof = expr(
+      s"""transform(sequence(1, $K), k -> named_struct(
+         'price', CASE WHEN (seq + 7 * k) % 31 = 0 THEN CAST(NULL AS DOUBLE)
+                       ELSE best_bid - 0.01D * (k - 1) END,
+         'size',  CASE WHEN (seq + 3 * k) % 29 = 0 THEN CAST(NULL AS DOUBLE)
+                       ELSE CAST(1 + (seq + k) % 7 AS DOUBLE) END))""")
+    val asksHof = expr(
+      s"""transform(sequence(1, $K), k -> named_struct(
+         'price', CASE WHEN (seq + 5 * k) % 37 = 0 THEN CAST(NULL AS DOUBLE)
+                       ELSE best_ask + 0.01D * (k - 1) END,
+         'size',  CASE WHEN (seq + 2 * k) % 23 = 0 THEN CAST(NULL AS DOUBLE)
+                       ELSE CAST(1 + (seq + 2 * k) % 5 AS DOUBLE) END))""")
+    // null-safe struct-array equality, including the NULL-best rows
+    // (seq % 97 / % 89) where only prices go null
+    val bad = base
+      .withColumn("b_k", expr(s"synth_ladder(seq, best_bid, $K, 0)"))
+      .withColumn("a_k", expr(s"synth_ladder(seq, best_ask, $K, 1)"))
+      .withColumn("b_h", bidsHof).withColumn("a_h", asksHof)
+      .filter(!(col("b_k") <=> col("b_h")) || !(col("a_k") <=> col("a_h")))
+    assert(bad.count() === 0)
+  }
+
   test("depth-100 wide recording (408 cols) converts and computes via array HOFs") {
     val deep = spark.read.parquet("/root/reference/data/ETH_bybit_L2_60s.parquet")
     assert(deep.columns.length === 8 + 4 * 100)
