@@ -29,20 +29,18 @@ object VectorQueries {
   private val HotBucketCap = 256
 
   /** Exact decimal dot product of two float-array columns (double math
-    * per term, rounded at 8dp, decimal-summed).
+    * per term, rounded at 8dp, decimal-summed) — the native dec_dot8
+    * kernel (functions.DecDot8), compiled twin of the `graft.Exact`
+    * fold; register with [[graft.functions.DecDot8.ensureRegistered]]
+    * before use.
     */
-  private def dotExpr(a: String, b: String): String =
-    s"CAST(aggregate(zip_with($a, $b, (x, y) -> " +
-      "CAST(round(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 8) AS DECIMAL(30,8))), " +
-      "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)"
+  private def dotExpr(a: String, b: String): String = s"dec_dot8($a, $b)"
 
   private def dotSql(a: String, b: String): String =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> " +
       "CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE)"
 
-  private def norm2Expr(a: String): String =
-    s"CAST(aggregate($a, CAST(0 AS DECIMAL(30,8)), (acc, x) -> " +
-      "CAST(acc + CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"
+  private def norm2Expr(a: String): String = s"dec_dot8($a, $a)"
 
   private def norm2Sql(a: String): String =
     s"CAST(list_sum(list_transform($a, x -> " +
@@ -70,6 +68,7 @@ object VectorQueries {
   // ---------------------------------------------------------------- q34
   val q34 = Q("q34_embedding_stats",
     (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
       Tables(s, dir, "embeddings")
         .withColumn("dim", size(col("embedding")).cast("long"))
         .withColumn("norm2", expr(norm2Expr("embedding")))
@@ -114,6 +113,7 @@ object VectorQueries {
   // ---------------------------------------------------------------- q36
   val q36 = Q("q36_knn_bruteforce",
     (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
       val en = Tables(s, dir, "embeddings")
         .withColumn("n2", expr(norm2Expr("embedding")))
       val q = en.filter(col("vec_id") < 8)
@@ -200,25 +200,19 @@ object VectorQueries {
     */
   val q39 = Q("q39_embedding_neardup",
     (s, dir) => {
-      // ordered double fold (see dotOrdExpr note): the sign decision and
-      // the cosine verify are bit-identical to the DuckDB mirror without
-      // paying the decimal premium on 32 planes × N + |candidates| dots
-      def plane(i: Int): Column = expr(
-        s"aggregate(transform(sequence(1, size(embedding)), j -> " +
-          s"CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
-          s"CAST(element_at(embedding, j) AS DOUBLE)), " +
-          s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
-      val withPlanes = (0 to 31).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
-        d.withColumn(s"h$i", plane(i))
-      }
-      def bandCode(b: Int) = (0 to 7).map(i =>
-        when(col(s"h${8 * b + i}") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      // cached: plane folds are the expensive part; both join sides and
-      // the verify join reuse them
-      val eb = withPlanes
+      // all 32 hyperplane signs → 4 band codes in ONE compiled loop per
+      // vector (native lsh_band_codes kernel; ordered accumulation keeps
+      // every sign bit-identical to the HOF fold / DuckDB list_reduce
+      // mirror) — the 32 interpreted aggregate(transform(...)) folds
+      // this replaces were ~70% of the query's wall
+      graft.functions.LshBandCodes.ensureRegistered(s)
+      // cached: both join sides and the verify join reuse the codes;
+      // the harness clears it after the query
+      val eb = Tables(s, dir, "embeddings")
         .withColumn("n2", expr(norm2OrdExpr("embedding")))
+        .withColumn("codes", expr("lsh_band_codes(embedding, 4, 8)"))
         .select(col("vec_id") +: col("embedding") +: col("n2") +:
-          (0 to 3).map(b => bandCode(b).as(s"code$b")): _*)
+          (0 to 3).map(b => element_at(col("codes"), b + 1).as(s"code$b")): _*)
         .cache()
       // HOT-BUCKET GUARD: only the first HotBucketCap members (by vec_id)
       // of a (band, code) bucket join — candidate fan-out per bucket is
@@ -293,14 +287,9 @@ object VectorQueries {
     })
 
   // ---- shared IVF assignment machinery (q44 / q52) ------------------
-  private val cnorm2Expr =
-    "CAST(aggregate(cvec, CAST(0 AS DECIMAL(30,8)), (acc, c) -> " +
-      "CAST(acc + CAST(round(c * c, 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE)"
+  private val cnorm2Expr = "dec_dot8(cvec, cvec)"
 
-  private val xcDotExpr =
-    "CAST(aggregate(zip_with(embedding, cvec, (x, c) -> " +
-      "CAST(round(CAST(x AS DOUBLE) * c, 8) AS DECIMAL(30,8))), " +
-      "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)"
+  private val xcDotExpr = "dec_dot8(embedding, cvec)"
 
   private def ensureCkptDir(s: SparkSession): Unit =
     if (s.sparkContext.getCheckpointDir.isEmpty)
@@ -320,6 +309,7 @@ object VectorQueries {
 
   private def cellRanks(s: SparkSession, dir: String): DataFrame =
     ivfMemo.computeIfAbsent((String.valueOf(System.identityHashCode(s)), dir), _ => {
+      graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       val perDim = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
@@ -351,6 +341,7 @@ object VectorQueries {
     */
   val q44 = Q("q44_ivf_ann",
     (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       val assigned = emb
         .join(cellRanks(s, dir).filter(col("crn") === 1)
@@ -428,6 +419,7 @@ object VectorQueries {
     */
   val q52 = Q("q52_ivf_multiprobe",
     (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       val ranked = cellRanks(s, dir)
       val assigned = emb
@@ -534,6 +526,7 @@ object VectorQueries {
     */
   val q54 = Q("q54_kmeans_ivf",
     (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val h = md5(concat(lit("seed#"), col("vec_id").cast("string")).cast("binary"))
       // seeds: distributed top-K by hash; cid = rank within the K
