@@ -241,6 +241,71 @@ object RelationalQueries {
     GROUP BY user_id, session_id
     ORDER BY user_id, session_id"""))
 
+  // ---------------------------------------------------------------- q55
+  /** q09's gap sessionization via Spark's NATIVE `session_window`
+    * operator (batch mode): one groupBy over (user, session_window)
+    * replaces the lag + flag + running-sum + groupBy pipeline — the
+    * idiomatic formulation, and the same operator the streaming path
+    * uses. Semantics note mirrored in the oracle: session_window ends
+    * are EXCLUSIVE (`end = last_ts + gap`; an event exactly `gap` later
+    * starts a NEW session), hence the `>= gap` flag below vs q09's
+    * `> gap`.
+    */
+  val q55 = Q("q55_session_window_native",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumExact(col("value"), 2).as("session_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("session_start_us"),
+          unix_micros(col("sw.end")).as("session_end_us"),
+          col("n_events"), col("session_value"))
+        .orderBy("user_id", "session_start_us")
+    },
+    Some(s"""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN LAG(ts_us) OVER w IS NULL
+                       OR ts_us - LAG(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ), sessions AS (
+      SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts_us) AS session_start_us,
+      MAX(ts_us) + 1800000000 AS session_end_us,
+      COUNT(*) AS n_events, ${Exact.sumExactSql("value", 2)} AS session_value
+    FROM sessions GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us"""))
+
+  // ---------------------------------------------------------------- q56
+  /** Exact per-group top-k through a custom [[TypedImperativeAggregate]]
+    * (`functions.ExactTopK`): O(k) buffer per group, map-side
+    * combinable — at scale each partition ships k doubles per group
+    * instead of the full value stream a window-rank shuffles. The
+    * oracle is the window-rank formulation, proving the two agree
+    * exactly.
+    */
+  val q56 = Q("q56_topk_typed_agg",
+    (s, dir) => {
+      graft.functions.ExactTopK.ensureRegistered(s)
+      Tables(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(expr("exact_topk(o_totalprice, 5)").as("topk"))
+        .select(col("o_orderpriority"), posexplode(col("topk")).as(Seq("pos0", "price")))
+        .select(col("o_orderpriority"), (col("pos0") + 1).cast("long").as("rnk"), col("price"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some("""WITH r AS (
+      SELECT o_orderpriority, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rnk
+      FROM orders)
+    SELECT o_orderpriority, rnk, o_totalprice AS price
+    FROM r WHERE rnk <= 5 ORDER BY o_orderpriority, rnk"""))
+
   val q10 = Q("q10_top_orders_per_customer",
     (s, dir) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -383,5 +448,5 @@ object RelationalQueries {
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
   def all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45, q46)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45, q46, q55, q56)
 }
