@@ -63,4 +63,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("partial_"), "expect partial aggregate functions")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
   }
+
+  test("q30/q32/q53: per-doc kernels keep the whole query shuffle-free") {
+    for (name <- Seq("q30_shingle_stats", "q32_simhash", "q53_rolling_fingerprint")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name must not shuffle — the kernel finishes each doc in its partition")
+      assert(!p.contains("Generate"), s"$name must not explode shingles into rows")
+    }
+  }
+
+  test("q56: exact_topk combines map-side (k doubles/group cross the shuffle)") {
+    val p = plan("q56_topk_typed_agg")
+    assert(p.contains("partial_exact_topk") || p.contains("partial_exacttopk"),
+      s"expect a partial (map-side) exact_topk stage, got:\n${p.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1)
+  }
+
+  test("q54: centroids broadcast to the assignment join — no shuffle of vectors by cell") {
+    val p = plan("q54_kmeans_ivf")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "centroid set must be the broadcast side")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
