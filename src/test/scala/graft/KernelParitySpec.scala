@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Adversarial parity for the native text kernels: on a corpus of
+  * degenerate and non-ASCII strings (empty, shorter than the shingle
+  * width, repeated, multi-byte code points, supplementary-plane emoji),
+  * every kernel must equal the HOF/Catalyst formulation it replaced —
+  * the same contract the DuckDB oracle pins on the (ASCII) test corpus,
+  * extended to the full Unicode input space.
+  */
+class KernelParitySpec extends SparkTestBase {
+
+  private val N = 8
+
+  private lazy val docs = {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("ab", "abcdefgh", "äöüßéñ", "日本語テキスト", "a b\tc\nd")
+    val weird = Seq(
+      "", "a", "short", "aaaaaaaaaaaaaaaaaaaa", "exactly8", "exactly8exactly8",
+      "😀😁😂 emoji 😀😁 text",
+      "mixed ascii und Ümläute 混合テキスト here")
+    val rand = (0 until 40).map { i =>
+      val a = alphabets(i % alphabets.size)
+      (0 until (1 + rnd.nextInt(60))).map(_ => a(rnd.nextInt(a.length))).mkString
+    }
+    (weird ++ rand).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").cache()
+  }
+
+  private def assertNoDiff(bad: org.apache.spark.sql.DataFrame, what: String): Unit = {
+    val rows = bad.limit(3).collect()
+    assert(rows.isEmpty, s"$what mismatch on: ${rows.mkString("; ")}")
+  }
+
+  test("shingle_agg ≡ array_distinct/md5-vote formulation on unicode + degenerate text") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val shingles = expr(
+      s"array_distinct(transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N)))")
+    val votes = (1 to 32).map(j =>
+      expr(s"aggregate(sh, 0, (acc, s) -> acc + IF(substring(md5(CAST(s AS BINARY)), $j, 1) >= '8', 1, -1))").as(s"v$j"))
+    val hof = docs.withColumn("sh", shingles)
+      .select(col("doc_id") +: size(col("sh")).cast("long").as("nd") +:
+        greatest(length(col("text")) - lit(N - 1), lit(1)).cast("long").as("np") +: votes: _*)
+      .withColumn("sim", (1 to 32).map(j =>
+        when(col(s"v$j") > 0, lit(1L << (j - 1))).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "nd", "np", "sim")
+    val kern = docs.withColumn("sa", expr(s"shingle_agg(text, $N)"))
+    assertNoDiff(
+      kern.join(hof, "doc_id").filter(
+        !(col("sa.n_distinct") <=> col("nd")) ||
+          !(col("sa.n_positions") <=> col("np")) ||
+          !(col("sa.simhash") <=> col("sim"))),
+      "shingle_agg")
+  }
+
+  test("minhash_spans ≡ salted md5 span-min formulation") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val raw = expr(
+      s"transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N))")
+    def spanMin(k: Int, j: Int) = expr(
+      s"array_min(transform(sh, s -> substring(md5(CAST(concat(s, '#$k') AS BINARY)), ${1 + 8 * j}, 8)))")
+    val hof = docs.withColumn("sh", raw)
+      .select(col("doc_id") +: (for { k <- 0 to 3; j <- 0 to 3 }
+        yield spanMin(k, j).as(s"e${4 * k + j}")): _*)
+    val kern = docs.withColumn("sig", expr(s"minhash_spans(text, $N, 4)"))
+      .select(col("doc_id") +: (0 to 15).map(i =>
+        element_at(col("sig"), i + 1).as(s"g$i")): _*)
+    val cond = (0 to 15).map(i => !(col(s"e$i") <=> col(s"g$i"))).reduce(_ || _)
+    assertNoDiff(hof.join(kern, "doc_id").filter(cond), "minhash_spans")
+  }
+
+  test("shingle_overlap ≡ array_intersect/array_union sizes") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val sh = expr(
+      s"array_distinct(transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N)))")
+    val a = docs.withColumn("sh", sh).as("a")
+    val b = docs.withColumn("sh", sh).as("b")
+    val pairs = a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("id"), col("a.text").as("ta"), col("b.text").as("tb"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("hi"),
+        size(array_union(col("a.sh"), col("b.sh"))).cast("long").as("hu"))
+      .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
+    assertNoDiff(
+      pairs.filter(!(col("ov.n_inter") <=> col("hi")) || !(col("ov.n_union") <=> col("hu"))),
+      "shingle_overlap")
+  }
+
+  test("rolling_hash ≡ per-window Horner slice+aggregate formulation") {
+    graft.functions.RollingHash.ensureRegistered(spark)
+    val M = 1000000007L; val B = 131L
+    val hof = docs
+      .withColumn("codes",
+        expr("transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .withColumn("fp", expr(s"aggregate(codes, CAST(0 AS BIGINT), (acc, c) -> (acc * $B + c) % $M)"))
+      .withColumn("wins", expr(
+        s"""transform(sequence(1, greatest(length(text) - 7, 1)), i ->
+           aggregate(slice(codes, i, 8), CAST(0 AS BIGINT), (acc, c) -> (acc * $B + c) % $M))"""))
+      .select("doc_id", "fp", "wins")
+    val kern = docs.withColumn("rh", expr("rolling_hash(text, 8, 131, 1000000007)"))
+      .select(col("doc_id"), col("rh.doc_fp").as("kfp"), col("rh.wins").as("kwins"))
+    assertNoDiff(
+      hof.join(kern, "doc_id").filter(
+        !(col("fp") <=> col("kfp")) || !(col("wins") <=> col("kwins"))),
+      "rolling_hash")
+  }
+}
