@@ -37,6 +37,23 @@ object StreamingMetrics {
       .withWatermark("event_time", lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Event-time SESSION windows with watermark (the streaming twin of
+    * batch q55): activity bursts per key, closed once the watermark
+    * passes `last_event + gap`. Session state is one open window per
+    * active key — bounded by key cardinality × gap, not stream length.
+    */
+  def sessionBars(stream: DataFrame, gap: String = "30 minutes",
+                  lateness: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+      .groupBy(col("sym"), session_window(col("event_time"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_ticks"), sum("px").as("sum_px"))
+      .select(col("sym"),
+        unix_micros(col("sw.start")).as("session_start_us"),
+        unix_micros(col("sw.end")).as("session_end_us"),
+        col("n_ticks"), col("sum_px"))
+
   case class Tick(sym: String, seq: Long, px: Double)
   case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
   case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)

@@ -48,4 +48,40 @@ class StreamingStateSpec extends SparkTestBase {
       assert(out("B").map(_.dPx) === Seq(0.0, 0.5))
     } finally q.stop()
   }
+
+  test("streaming session windows finalize when the watermark passes session end") {
+    val dir = Files.createTempDirectory("sess")
+    def rows(ts: Seq[Long]): Seq[(String, Long, Double)] =
+      ts.map(t => ("A", t * 1000000L, 1.0))
+    // two bursts: [0s, 30s] (one session, gap 60s) and [200s] (another)
+    land2(dir, "b1.parquet", rows(Seq(0L, 30L, 200L)))
+    val stream = spark.readStream
+      .schema(rows(Seq(0L)).toDF("sym", "ts_us", "px").schema)
+      .parquet(dir.toString)
+    val q = StreamingMetrics.sessionBars(stream, gap = "1 minute", lateness = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      // nothing can finalize yet — the watermark has not passed any end
+      land2(dir, "b2.parquet", rows(Seq(4000L))) // advances watermark to 3940 s
+      q.processAllAvailable()
+      val out = spark.table("sessions")
+        .select("session_start_us", "session_end_us", "n_ticks")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // session 1: [0, 30+60) merged from two events; session 2: [200, 260)
+      assert(out === Seq((0L, 90000000L, 2L), (200000000L, 260000000L, 1L)),
+        s"got ${out.mkString(", ")}")
+      // the 4000 s burst stays OPEN (watermark has not passed its end)
+    } finally q.stop()
+  }
+
+  private def land2(dir: java.nio.file.Path, name: String,
+                    rows: Seq[(String, Long, Double)]): Unit = {
+    val staging = Files.createTempDirectory("stage")
+    rows.toDF("sym", "ts_us", "px").coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve(name))
+  }
 }
