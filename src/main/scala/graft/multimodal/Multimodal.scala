@@ -123,6 +123,150 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------------
+  // REAL pixel path: full raster decode + deterministic resize + features
+  // ------------------------------------------------------------------
+
+  case class PixelFeatures(asset_id: Long, decoded: Boolean, width: Int, height: Int,
+                           out_w: Int, out_h: Int, mean_luma: Double,
+                           luma_hist: Array[Long], resized_fp: String)
+
+  /** Deterministic nearest-neighbor resize: output pixel (x, y) samples
+    * source pixel (x * srcW / outW, y * srcH / outH) in integer math —
+    * bit-reproducible across JDKs (no Graphics2D interpolation, whose
+    * rounding is renderer-dependent). Returns packed 0xRRGGBB ints in
+    * row-major order.
+    */
+  private[multimodal] def resizeNearest(img: java.awt.image.BufferedImage,
+                                        outW: Int, outH: Int): Array[Int] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val out = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        out(y * outW + x) = img.getRGB((x.toLong * w / outW).toInt, sy) & 0xffffff
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Integer luma (BT.601 weights, floor division) — deterministic. */
+  private[multimodal] def lumaOf(rgb: Int): Int = {
+    val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+    (299 * r + 587 * g + 114 * b) / 1000
+  }
+
+  /** REAL pixel feature extraction: `ImageIO.read` decodes the full
+    * raster (PNG/JPEG/GIF/BMP via the JDK's own plugins), then a
+    * deterministic thumbnail resize, 16-bin luminance histogram, mean
+    * luma, and an md5 fingerprint of the resized RGB bytes — the
+    * embedding-ish per-image summary a training pipeline dedups on.
+    * Non-images come back `decoded = false` with empty features. Batched
+    * per partition like every other codec path here.
+    */
+  def extractPixelFeatures(assets: Dataset[Asset], outW: Int = 8, outH: Int = 8): Dataset[PixelFeatures] = {
+    implicit val enc = Encoders.product[PixelFeatures]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val img =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a.payload)))
+          catch { case _: java.io.IOException => None }
+        img match {
+          case Some(im) =>
+            val px = resizeNearest(im, outW, outH)
+            val hist = new Array[Long](16)
+            var lumaSum = 0L
+            val bytes = new Array[Byte](px.length * 3)
+            var i = 0
+            while (i < px.length) {
+              val l = lumaOf(px(i))
+              hist(l >> 4) += 1
+              lumaSum += l
+              bytes(3 * i) = ((px(i) >> 16) & 0xff).toByte
+              bytes(3 * i + 1) = ((px(i) >> 8) & 0xff).toByte
+              bytes(3 * i + 2) = (px(i) & 0xff).toByte
+              i += 1
+            }
+            val fp = java.security.MessageDigest.getInstance("MD5")
+              .digest(bytes).map("%02x".format(_)).mkString
+            PixelFeatures(a.asset_id, decoded = true, im.getWidth, im.getHeight,
+              outW, outH, lumaSum.toDouble / px.length, hist, fp)
+          case None =>
+            PixelFeatures(a.asset_id, decoded = false, a.width, a.height, 0, 0, 0.0,
+              Array.empty[Long], "")
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL audio path: WAV/PCM decode via the JDK's javax.sound.sampled
+  // ------------------------------------------------------------------
+
+  case class AudioMeta(asset_id: Long, decoded: Boolean, sample_rate: Int, channels: Int,
+                       bits: Int, n_frames: Long, duration_s: Double, rms: Double)
+
+  /** REAL audio decode: `AudioSystem` parses WAV (and AU/AIFF) headers
+    * and streams PCM frames — no external dependency. Emits format
+    * metadata plus the true RMS amplitude over decoded 16-bit samples
+    * (deterministic integer accumulation, one sqrt at the end).
+    * Unrecognized payloads degrade to the declared metadata with
+    * `decoded = false`.
+    */
+  def extractAudioMeta(assets: Dataset[Asset]): Dataset[AudioMeta] = {
+    implicit val enc = Encoders.product[AudioMeta]
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(a.payload))
+            try {
+              val f = ais.getFormat
+              val frames = ais.getFrameLength
+              // true sample decode (16-bit PCM only): sum of squares in a
+              // long is exact for any realistic clip length
+              var sumSq = 0L; var n = 0L
+              if (f.getSampleSizeInBits == 16) {
+                val buf = new Array[Byte](4096)
+                val big = f.isBigEndian
+                var read = ais.read(buf)
+                var carry = -1 // unpaired byte across reads (defensive)
+                while (read > 0) {
+                  var i = 0
+                  if (carry >= 0 && read > 0) {
+                    val s = if (big) ((carry << 8) | (buf(0) & 0xff)).toShort
+                            else (((buf(0) & 0xff) << 8) | carry).toShort
+                    sumSq += s.toLong * s; n += 1; i = 1; carry = -1
+                  }
+                  while (i + 1 < read) {
+                    val s = if (big) (((buf(i) & 0xff) << 8) | (buf(i + 1) & 0xff)).toShort
+                            else (((buf(i + 1) & 0xff) << 8) | (buf(i) & 0xff)).toShort
+                    sumSq += s.toLong * s; n += 1; i += 2
+                  }
+                  if (i < read) carry = buf(i) & 0xff
+                  read = ais.read(buf)
+                }
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+              val dur = if (f.getFrameRate > 0 && frames >= 0) frames / f.getFrameRate.toDouble else 0.0
+              Some(AudioMeta(a.asset_id, decoded = true, f.getSampleRate.toInt, f.getChannels,
+                f.getSampleSizeInBits, frames, dur, rms))
+            } finally ais.close()
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        parsed.getOrElse(
+          AudioMeta(a.asset_id, decoded = false, a.sample_rate, 0, 0, 0L, 0.0, 0.0))
+      }
+    }
+  }
+
   /** Frame-sampling plumbing for "video" payloads: emits every stride-th
     * 16-byte window as a fake frame (stub), preserving (asset_id, frame_no)
     * ordering. Real impl: demux + decode keyframes batch-wise.

@@ -525,5 +525,57 @@ object TextQueries {
     FROM scored s JOIN keep k USING (group_id)
     ORDER BY s.doc_id"""))
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53)
+  // ---------------------------------------------------------------- q57
+  // BPE-style regex pre-tokenization (the GPT-2 pattern family, made
+  // lookahead-free so Java regex and DuckDB's RE2 agree token-for-token):
+  // contractions | space?+letters | space?+digits | space?+punct-run | ws-run.
+  // The alternatives consume every character, so token lengths sum to
+  // length(text) and the classes below are mutually exclusive by
+  // construction. One regex pass per doc; pure projection, no shuffle.
+  private[graft] val bpePat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+  // same pattern as a DuckDB single-quoted literal (apostrophe doubled)
+  private val bpePatSql = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+
+  val q57 = Q("q57_bpe_tokens",
+    (s, dir) => {
+      val cls = Map(
+        "n_word" -> "^ ?\\p{L}+$", "n_number" -> "^ ?\\p{N}+$",
+        "n_punct" -> "^ ?[^\\s\\p{L}\\p{N}]+$", "n_contraction" -> "^'(?:s|t|re|ve|m|ll|d)$",
+        "n_ws" -> "^\\s+$")
+      val base = Tables(s, dir, "documents")
+        .withColumn("toks", regexp_extract_all(col("text"), lit(bpePat), lit(0)))
+      val withCls = cls.toSeq.sortBy(_._1).foldLeft(base) { case (df, (name, pat)) =>
+        df.withColumn(name, size(filter(col("toks"), t => t.rlike(pat))).cast("long"))
+      }
+      withCls
+        .withColumn("n_bpe_tokens", size(col("toks")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("toks"))).cast("long"))
+        .withColumn("avg_token_chars",
+          when(col("n_bpe_tokens") > 0, length(col("text")).cast("double") / col("n_bpe_tokens")))
+        .select("doc_id", "lang", "n_bpe_tokens", "n_word", "n_number", "n_punct",
+          "n_contraction", "n_ws", "n_distinct", "avg_token_chars")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+        regexp_extract_all(text, '$bpePatSql') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_chars, len(toks) AS n_bpe_tokens,
+        len(list_filter(toks, t -> regexp_full_match(t, ' ?\\p{L}+'))) AS n_word,
+        len(list_filter(toks, t -> regexp_full_match(t, ' ?\\p{N}+'))) AS n_number,
+        len(list_filter(toks, t -> regexp_full_match(t, ' ?[^\\s\\p{L}\\p{N}]+'))) AS n_punct,
+        len(list_filter(toks, t -> regexp_full_match(t, '''(?:s|t|re|ve|m|ll|d)'))) AS n_contraction,
+        len(list_filter(toks, t -> regexp_full_match(t, '\\s+'))) AS n_ws,
+        len(list_distinct(toks)) AS n_distinct
+      FROM tk
+    )
+    SELECT doc_id, lang, CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+      CAST(n_word AS BIGINT) AS n_word, CAST(n_number AS BIGINT) AS n_number,
+      CAST(n_punct AS BIGINT) AS n_punct, CAST(n_contraction AS BIGINT) AS n_contraction,
+      CAST(n_ws AS BIGINT) AS n_ws, CAST(n_distinct AS BIGINT) AS n_distinct,
+      CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END AS avg_token_chars
+    FROM c ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57)
 }

@@ -107,4 +107,76 @@ class MultimodalSpec extends SparkTestBase {
     val videoIds = assets.filter(_.kind == "video").count()
     assert(perAsset.count() === videoIds)
   }
+
+  private def pngBytes(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h) img.setRGB(x, y, rgbAt(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    bos.toByteArray
+  }
+
+  test("real pixel decode: nearest-neighbor resize picks the exact source pixels") {
+    // 4x2 source; resize to 2x1 must sample (0,0) and (2,0) per the
+    // integer mapping sx = x*srcW/outW, sy = y*srcH/outH
+    val colors = Map((0, 0) -> 0xffffff, (1, 0) -> 0x123456, (2, 0) -> 0x000000,
+      (3, 0) -> 0xabcdef, (0, 1) -> 0x111111, (1, 1) -> 0x222222,
+      (2, 1) -> 0x333333, (3, 1) -> 0x444444)
+    val sess = spark; import sess.implicits._
+    val ds = Seq(Multimodal.Asset(1L, "image", pngBytes(4, 2, (x, y) => colors((x, y))),
+      0, 0, 0)).toDS()
+    val f = Multimodal.extractPixelFeatures(ds, outW = 2, outH = 1).collect()(0)
+    assert(f.decoded && f.width === 4 && f.height === 2)
+    // white -> luma 255 (bin 15); black -> luma 0 (bin 0); mean = 127.5
+    assert(f.mean_luma === 127.5)
+    assert(f.luma_hist.toSeq === (Seq(1L) ++ Seq.fill(14)(0L) ++ Seq(1L)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array[Byte](-1, -1, -1, 0, 0, 0)).map("%02x".format(_)).mkString
+    assert(f.resized_fp === md)
+  }
+
+  test("pixel features are deterministic; non-images degrade cleanly") {
+    val sess = spark; import sess.implicits._
+    val ds = Seq(
+      Multimodal.Asset(1L, "image", pngBytes(37, 21, (x, y) => (x * 31 + y * 17) & 0xffffff), 0, 0, 0),
+      Multimodal.Asset(2L, "image", "plain text".getBytes("UTF-8"), 99, 88, 0)
+    ).toDS()
+    val a = Multimodal.extractPixelFeatures(ds).collect().map(f => f.asset_id -> f).toMap
+    val b = Multimodal.extractPixelFeatures(ds).collect().map(f => f.asset_id -> f).toMap
+    assert(a(1L).decoded && a(1L).out_w === 8 && a(1L).luma_hist.sum === 64L)
+    assert(a(1L).resized_fp === b(1L).resized_fp && a(1L).mean_luma === b(1L).mean_luma)
+    assert(!a(2L).decoded && a(2L).width === 99 && a(2L).height === 88 && a(2L).resized_fp === "")
+  }
+
+  private def wavBytes(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcm(2 * i) = (s & 0xff).toByte; pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("real WAV decode: format, frame count, duration and exact RMS") {
+    // constant-magnitude square wave at +/-1000 -> RMS is exactly 1000
+    val square = Array.tabulate(8000)(i => if (i % 2 == 0) 1000.toShort else (-1000).toShort)
+    val sess = spark; import sess.implicits._
+    val ds = Seq(
+      Multimodal.Asset(1L, "audio", wavBytes(16000, square), 0, 0, 0),
+      Multimodal.Asset(2L, "audio", "not audio".getBytes("UTF-8"), 0, 0, 44100)
+    ).toDS()
+    val m = Multimodal.extractAudioMeta(ds).collect().map(x => x.asset_id -> x).toMap
+    val wav = m(1L)
+    assert(wav.decoded && wav.sample_rate === 16000 && wav.channels === 1 && wav.bits === 16)
+    assert(wav.n_frames === 8000L)
+    assert(wav.duration_s === 0.5)
+    assert(wav.rms === 1000.0)
+    val bad = m(2L)
+    assert(!bad.decoded && bad.sample_rate === 44100 && bad.rms === 0.0)
+  }
 }
