@@ -86,4 +86,42 @@ class PlanAuditSpec extends SparkTestBase {
       "centroid set must be the broadcast side")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q57: BPE tokenization is a pure projection — no shuffle, no explode") {
+    val p = plan("q57_bpe_tokens")
+    assert(!p.contains("Exchange hashpartitioning"), "token counting must stay map-side")
+    assert(!p.contains("Generate"), "counts derive from the array in place, not exploded rows")
+  }
+
+  test("bucketed fact-fact join co-locates: zero shuffles end-to-end") {
+    import org.apache.spark.sql.functions._
+    // The 100-TB story for fact-fact joins the broadcast path can't cover:
+    // both sides bucketed on the join key at write time, so the join AND
+    // the downstream same-key aggregate reuse the on-disk partitioning.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val prevABJ = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Tables(spark, dir, "orders").select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite").option("path", s"$tmp/orders_bk")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("orders_bk")
+      Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite").option("path", s"$tmp/lineitem_bk")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem_bk")
+      val joined = spark.table("orders_bk")
+        .join(spark.table("lineitem_bk"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(sum("l_quantity").as("qty"), max("o_totalprice").as("price"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), "expect bucket-aligned sort-merge join")
+      assert(!p.contains("Exchange hashpartitioning"),
+        "neither the join nor the aggregate may shuffle — bucket partitioning must carry through")
+      assert(p.contains("SelectedBucketsCount"), "scans must be bucket-aware")
+      assert(joined.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevABJ)
+      spark.sql("DROP TABLE IF EXISTS orders_bk")
+      spark.sql("DROP TABLE IF EXISTS lineitem_bk")
+    }
+  }
 }
