@@ -267,6 +267,59 @@ object Multimodal {
     }
   }
 
+  case class VideoFrame(asset_id: Long, frame_no: Int, width: Int, height: Int,
+                        mean_luma: Double, frame_fp: String)
+
+  /** REAL frame extraction for multi-frame containers the JDK can demux:
+    * animated GIF via `javax.imageio` (`getNumImages` + per-index reads).
+    * Every `stride`-th frame is decoded, summarized (mean luma over a
+    * deterministic 8×8 thumbnail + md5 fingerprint) and emitted as one
+    * row — the keyframe-sampling shape a video pipeline needs, with the
+    * demux/decode swap-point isolated to this partition-local loop.
+    * Payloads without a recognized multi-frame reader yield no rows
+    * (callers fall back to [[sampleFrames]]'s byte-window stub).
+    */
+  def sampleVideoFrames(assets: Dataset[Asset], stride: Int = 1): Dataset[VideoFrame] = {
+    implicit val enc = Encoders.product[VideoFrame]
+    assets.filter(_.kind == "video").mapPartitions { it =>
+      it.flatMap { a =>
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Seq.empty[VideoFrame]
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val n = try r.getNumImages(true) catch { case _: java.io.IOException => 0 }
+              (0 until n by math.max(stride, 1)).flatMap { i =>
+                try {
+                  val im = r.read(i)
+                  val px = resizeNearest(im, 8, 8)
+                  val bytes = new Array[Byte](px.length * 3)
+                  var lumaSum = 0L
+                  var j = 0
+                  while (j < px.length) {
+                    lumaSum += lumaOf(px(j))
+                    bytes(3 * j) = ((px(j) >> 16) & 0xff).toByte
+                    bytes(3 * j + 1) = ((px(j) >> 8) & 0xff).toByte
+                    bytes(3 * j + 2) = (px(j) & 0xff).toByte
+                    j += 1
+                  }
+                  val fp = java.security.MessageDigest.getInstance("MD5")
+                    .digest(bytes).map("%02x".format(_)).mkString
+                  Some(VideoFrame(a.asset_id, i, im.getWidth, im.getHeight,
+                    lumaSum.toDouble / px.length, fp))
+                } catch { case _: java.io.IOException => None }
+              }
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      }
+    }
+  }
+
   /** Frame-sampling plumbing for "video" payloads: emits every stride-th
     * 16-byte window as a fake frame (stub), preserving (asset_id, frame_no)
     * ordering. Real impl: demux + decode keyframes batch-wise.

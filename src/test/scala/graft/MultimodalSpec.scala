@@ -162,6 +162,42 @@ class MultimodalSpec extends SparkTestBase {
     bos.toByteArray
   }
 
+  private def animatedGifBytes(frames: Seq[java.awt.image.BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach(f => writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null))
+    writer.endWriteSequence()
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  test("real GIF frame extraction: count, stride, dimensions and per-frame luma") {
+    def solid(rgb: Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = im.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, 16, 12); g.dispose()
+      im
+    }
+    // black/white survive GIF palettization exactly -> luma 0 / 255
+    val gif = animatedGifBytes(Seq.tabulate(5)(i => solid(if (i % 2 == 0) 0x000000 else 0xffffff)))
+    val sess = spark; import sess.implicits._
+    val ds = Seq(
+      Multimodal.Asset(7L, "video", gif, 0, 0, 0),
+      Multimodal.Asset(8L, "video", "not a container".getBytes("UTF-8"), 0, 0, 0)
+    ).toDS()
+    val all = Multimodal.sampleVideoFrames(ds).collect().sortBy(f => (f.asset_id, f.frame_no))
+    assert(all.forall(_.asset_id === 7L), "unrecognized payloads emit no rows")
+    assert(all.map(_.frame_no).toSeq === Seq(0, 1, 2, 3, 4))
+    assert(all.forall(f => f.width === 16 && f.height === 12))
+    assert(all.map(_.mean_luma).toSeq === Seq(0.0, 255.0, 0.0, 255.0, 0.0))
+    assert(all.map(_.frame_fp).distinct.length === 2)
+    val strided = Multimodal.sampleVideoFrames(ds, stride = 2).collect()
+    assert(strided.map(_.frame_no).sorted.toSeq === Seq(0, 2, 4))
+  }
+
   test("real WAV decode: format, frame count, duration and exact RMS") {
     // constant-magnitude square wave at +/-1000 -> RMS is exactly 1000
     val square = Array.tabulate(8000)(i => if (i % 2 == 0) 1000.toShort else (-1000).toShort)
