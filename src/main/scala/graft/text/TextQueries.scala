@@ -532,16 +532,22 @@ object TextQueries {
   // The alternatives consume every character, so token lengths sum to
   // length(text) and the classes below are mutually exclusive by
   // construction. One regex pass per doc; pure projection, no shuffle.
-  private[graft] val bpePat = "'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
-  // same pattern as a DuckDB single-quoted literal (apostrophe doubled)
-  private val bpePatSql = """''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"""
+  // `\s` differs across dialects (Java includes \x0B, RE2 doesn't), so
+  // whitespace is an explicit class — both engines see the same alphabet
+  private val wsCls = " \\t\\n\\x0B\\f\\r"
+  private[graft] val bpePat =
+    s"'(?:s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^$wsCls\\p{L}\\p{N}]+|[$wsCls]+"
+  // same pattern as a DuckDB single-quoted literal (apostrophe doubled;
+  // raw interpolation keeps the single backslashes RE2 expects)
+  private val bpePatSql =
+    raw"""''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^ \t\n\x0B\f\r\p{L}\p{N}]+|[ \t\n\x0B\f\r]+"""
 
   val q57 = Q("q57_bpe_tokens",
     (s, dir) => {
       val cls = Map(
         "n_word" -> "^ ?\\p{L}+$", "n_number" -> "^ ?\\p{N}+$",
-        "n_punct" -> "^ ?[^\\s\\p{L}\\p{N}]+$", "n_contraction" -> "^'(?:s|t|re|ve|m|ll|d)$",
-        "n_ws" -> "^\\s+$")
+        "n_punct" -> s"^ ?[^$wsCls\\p{L}\\p{N}]+$$", "n_contraction" -> "^'(?:s|t|re|ve|m|ll|d)$",
+        "n_ws" -> s"^[$wsCls]+$$")
       val base = Tables(s, dir, "documents")
         .withColumn("toks", regexp_extract_all(col("text"), lit(bpePat), lit(0)))
       val withCls = cls.toSeq.sortBy(_._1).foldLeft(base) { case (df, (name, pat)) =>
@@ -564,9 +570,9 @@ object TextQueries {
       SELECT doc_id, lang, n_chars, len(toks) AS n_bpe_tokens,
         len(list_filter(toks, t -> regexp_full_match(t, ' ?\\p{L}+'))) AS n_word,
         len(list_filter(toks, t -> regexp_full_match(t, ' ?\\p{N}+'))) AS n_number,
-        len(list_filter(toks, t -> regexp_full_match(t, ' ?[^\\s\\p{L}\\p{N}]+'))) AS n_punct,
+        len(list_filter(toks, t -> regexp_full_match(t, ' ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+'))) AS n_punct,
         len(list_filter(toks, t -> regexp_full_match(t, '''(?:s|t|re|ve|m|ll|d)'))) AS n_contraction,
-        len(list_filter(toks, t -> regexp_full_match(t, '\\s+'))) AS n_ws,
+        len(list_filter(toks, t -> regexp_full_match(t, '[ \\t\\n\\x0B\\f\\r]+'))) AS n_ws,
         len(list_distinct(toks)) AS n_distinct
       FROM tk
     )
