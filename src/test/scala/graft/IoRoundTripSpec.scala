@@ -38,6 +38,22 @@ class IoRoundTripSpec extends SparkTestBase {
     assert(lines.get(3) === "buy,10.0,10.0")
   }
 
+  test("parquet sink round trip: schema types, values and NULL levels survive") {
+    // S7 direct check (record.py's parquet sink): typed columns stay
+    // typed (no string round-trip like CSV), NULL book levels stay NULL
+    val src = graft.streaming.Recorder.synthesizeBook(spark.range(2000).toDF("value"), 5)
+    val out = Files.createTempDirectory("pq-roundtrip").toString + "/book.parquet"
+    src.write.mode("overwrite").parquet(out)
+    val back = BookIO.readAny(spark, out)
+    // parquet reads come back nullable; names + types must round-trip exactly
+    assert(back.schema.map(f => f.name -> f.dataType) === src.schema.map(f => f.name -> f.dataType),
+      "parquet must preserve column names and types")
+    assert(back.count() === 2000)
+    assert(src.exceptAll(back).count() === 0 && back.exceptAll(src).count() === 0)
+    val srcNulls = src.filter(col("bid1_price").isNull).count()
+    assert(srcNulls > 0 && back.filter(col("bid1_price").isNull).count() === srcNulls)
+  }
+
   test("readAny dispatches by extension and rejects unknown ones") {
     assert(BookIO.readAny(spark, "/root/reference/data/ETH_bybit_L2_60s.parquet").count() === 60)
     intercept[IllegalArgumentException] {

@@ -93,6 +93,27 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Generate"), "counts derive from the array in place, not exploded rows")
   }
 
+  test("hive-partitioned layout prunes: date filter never touches other partitions") {
+    import org.apache.spark.sql.functions._
+    // The other half of the 100-TB scan story: a date-partitioned layout
+    // plus a declarative filter must prune at PLANNING time (read 1
+    // partition's files, not 100 TB then filter).
+    val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
+    Tables(spark, dir, "events")
+      .withColumn("event_date", to_date(timestamp_micros((col("ts") / 1000).cast("long"))))
+      .write.mode("overwrite").partitionBy("event_date").parquet(tmp)
+    val dates = spark.read.parquet(tmp).select("event_date").distinct().count()
+    assert(dates > 1, "fixture must span multiple partition values")
+    val q = spark.read.parquet(tmp)
+      .filter(col("event_date") === "2024-01-01")
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+      "the date predicate must become a partition filter, not a row filter")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_date"),
+      "partition column must not degrade to a parquet row-group filter")
+  }
+
   test("bucketed fact-fact join co-locates: zero shuffles end-to-end") {
     import org.apache.spark.sql.functions._
     // The 100-TB story for fact-fact joins the broadcast path can't cover:
