@@ -54,6 +54,38 @@ object StreamingMetrics {
         unix_micros(col("sw.end")).as("session_end_us"),
         col("n_ticks"), col("sum_px"))
 
+  /** Stream-stream AS-OF enrichment (the streaming twin of the batch J2
+    * as-of match): each trade joins every quote of its symbol inside the
+    * look-back `horizon`, then a chained event-time aggregate keeps the
+    * LATEST such quote per trade. Both stateful operators are
+    * watermark-bounded — join state holds `horizon + lateness` of each
+    * stream per symbol, the aggregate one group per in-flight trade —
+    * so state is O(rate × horizon), never O(stream length). Trades with
+    * no in-horizon quote are dropped (inner as-of), matching
+    * `AsOf.backward`'s no-match semantics.
+    *
+    * trades: `ts_us, sym, trade_px`; quotes: `qts_us, qsym, bid, ask`.
+    */
+  def asofEnrich(trades: DataFrame, quotes: DataFrame,
+                 horizon: String = "5 seconds",
+                 lateness: String = "10 seconds"): DataFrame = {
+    val t = trades
+      .withColumn("trade_time", timestamp_micros(col("ts_us")))
+      .withWatermark("trade_time", lateness)
+    val q = quotes
+      .withColumn("quote_time", timestamp_micros(col("qts_us")))
+      .withWatermark("quote_time", lateness)
+    t.join(q, expr(
+        s"sym = qsym AND quote_time BETWEEN trade_time - INTERVAL $horizon AND trade_time"))
+      .groupBy(col("trade_time"), col("sym"), col("ts_us"), col("trade_px"))
+      .agg(max_by(col("bid"), col("quote_time")).as("bid"),
+        max_by(col("ask"), col("quote_time")).as("ask"),
+        unix_micros(max(col("quote_time"))).as("quote_ts_us"),
+        count(lit(1)).as("n_quotes_in_horizon"))
+      .select(col("ts_us"), col("sym"), col("trade_px"), col("bid"), col("ask"),
+        col("quote_ts_us"), col("n_quotes_in_horizon"))
+  }
+
   case class Tick(sym: String, seq: Long, px: Double)
   case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
   case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)
