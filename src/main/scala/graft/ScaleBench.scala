@@ -18,35 +18,57 @@ import org.apache.spark.sql.functions._
   * and roughly constant group size — the realistic growth mode.
   *
   * Usage: `sbt "runMain graft.ScaleBench"` — writes the corpus under
-  * target/scale10 once (reused after), prints one JSON line per scale.
+  * target/scale{N} once (reused after), prints one JSON line per scale.
   */
 object ScaleBench {
 
-  private val Copies = 10
+  /** Copy multiplier — 10 by default; set SPARK_GRAFT_SCALE_COPIES=100
+    * for the 100x probe. Decorrelation composes two independent
+    * substitution alphabets for text (10 x 10 = 100 distinct maps) and
+    * rotation x sign-flip patterns for embeddings (64 x flips), so no
+    * two copies share a transform up to 100x.
+    */
+  private val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val alphabet = "etaoinsrhl"
+  private val alphabet2 = "dcumfpgwyb"
 
-  private def rotated(k: Int): String =
-    alphabet.drop(k % alphabet.length) + alphabet.take(k % alphabet.length)
+  private def rotated(a: String, k: Int): String =
+    a.drop(k % a.length) + a.take(k % a.length)
 
   private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val nD = docs.count()
     (0 until Copies).map { k =>
+      val t1 = if (k % 10 == 0) col("text")
+        else translate(col("text"), alphabet, rotated(alphabet, k % 10))
+      val t2 = if (k / 10 == 0) t1
+        else translate(t1, alphabet2, rotated(alphabet2, k / 10))
       docs.select(
         (col("doc_id") + lit(k * nD)).as("doc_id"),
-        (if (k == 0) col("text") else translate(col("text"), alphabet, rotated(k))).as("text"),
+        t2.as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
 
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val nE = emb.count()
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
     (0 until Copies).map { k =>
+      val rot = k % dim
+      val rotatedC =
+        if (rot == 0) col("embedding")
+        else concat(slice(col("embedding"), rot + 1, dim - rot),
+          slice(col("embedding"), 1, rot))
+      // beyond one full rotation cycle, flip the signs of the component
+      // half selected by bit (k / dim): distinct transform per copy
+      val j = k / dim
+      val flipped =
+        if (j == 0) rotatedC
+        else transform(rotatedC, (x, i) =>
+          when(shiftright(i, (j - 1) % 6).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
       emb.select(
         (col("vec_id") + lit(k * nE)).as("vec_id"),
-        (if (k == 0) col("embedding")
-         else expr(s"concat(slice(embedding, ${k + 1}, size(embedding) - $k), " +
-           s"slice(embedding, 1, $k))")).as("embedding"),
+        flipped.as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
@@ -70,7 +92,7 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = new java.io.File("target/scale10").getAbsolutePath
+    val out = new java.io.File(s"target/scale$Copies").getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     if (!new java.io.File(s"$out/documents.parquet").exists()) gen(spark, base, out)
 
@@ -88,7 +110,7 @@ object ScaleBench {
     println(json(t10, out))
     val r = t1.zip(t10).map { case ((n, a), (_, b)) => n -> (if (a > 0) b / a else 0.0) }
     println(r.map { case (n, x) => "\"" + n + "\":" + f"$x%.2f" }
-      .mkString("{\"metric\":\"step_ratio_10x\",", ",", "}"))
+      .mkString(s"""{"metric":"step_ratio_${Copies}x",""", ",", "}"))
     spark.stop()
   }
 }
