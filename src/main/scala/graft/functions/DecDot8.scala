@@ -57,12 +57,17 @@ case class DecDot8(left: Expression, right: Expression) extends BinaryExpression
       b.asInstanceOf[ArrayData], elemFloat(right))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh per-instance local: two dec_dot8 calls can share one codegen
+      // scope (e.g. both operands non-nullable), where a fixed name would
+      // collide and fail Janino compilation
+      val ddr = ctx.freshName("ddr")
       s"""
-         |java.lang.Double ddr = graft.functions.DecDot8.compute(
+         |java.lang.Double $ddr = graft.functions.DecDot8.compute(
          |  $a, ${elemFloat(left)}, $b, ${elemFloat(right)});
-         |if (ddr == null) { ${ev.isNull} = true; } else { ${ev.value} = ddr.doubleValue(); }
-       """.stripMargin)
+         |if ($ddr == null) { ${ev.isNull} = true; } else { ${ev.value} = $ddr.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -73,6 +78,11 @@ object DecDot8 {
   def compute(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
+    // Fast path: unscaled-long accumulation with checked arithmetic. A single
+    // term only fits a long while |x·y| ≲ 9.2e10 (unscaled = value·1e8); the
+    // running sum can overflow even earlier. Either condition falls back to
+    // BigInteger accumulation, preserving the exactness contract at any
+    // magnitude instead of silently wrapping.
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -81,11 +91,36 @@ object DecDot8 {
       val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
       // Spark round(double, 8): shortest-repr BigDecimal, HALF_UP; the
       // rescaled unscaled value IS the exact DECIMAL(·,8) term
-      acc += java.math.BigDecimal.valueOf(x * y)
-        .setScale(8, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+      val term = java.math.BigDecimal.valueOf(x * y)
+        .setScale(8, RoundingMode.HALF_UP).unscaledValue()
+      try {
+        acc = Math.addExact(acc, term.longValueExact())
+      } catch {
+        case _: ArithmeticException =>
+          return computeWide(a, aFloat, b, bFloat, acc, term, i, n)
+      }
       i += 1
     }
     java.lang.Double.valueOf(java.math.BigDecimal.valueOf(acc, 8).doubleValue())
+  }
+
+  /** Overflow continuation: resume from element `i` (whose term is already
+    * computed) with arbitrary-precision accumulation. Exactness is identical
+    * to the long path — only the carrier type widens.
+    */
+  private def computeWide(a: ArrayData, aFloat: Boolean, b: ArrayData, bFloat: Boolean,
+      accSoFar: Long, pendingTerm: java.math.BigInteger, from: Int, n: Int): java.lang.Double = {
+    var acc = java.math.BigInteger.valueOf(accSoFar).add(pendingTerm)
+    var i = from + 1
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc = acc.add(java.math.BigDecimal.valueOf(x * y)
+        .setScale(8, RoundingMode.HALF_UP).unscaledValue())
+      i += 1
+    }
+    java.lang.Double.valueOf(new java.math.BigDecimal(acc, 8).doubleValue())
   }
 
   /** Idempotent session registration. */

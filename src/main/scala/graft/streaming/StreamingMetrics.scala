@@ -64,7 +64,11 @@ object StreamingMetrics {
     * no in-horizon quote are dropped (inner as-of), matching
     * `AsOf.backward`'s no-match semantics.
     *
-    * trades: `ts_us, sym, trade_px`; quotes: `qts_us, qsym, bid, ask`.
+    * trades: `trade_id, ts_us, sym, trade_px`; quotes: `qts_us, qsym,
+    * bid, ask`. `trade_id` must be unique per trade — it anchors the
+    * per-trade re-aggregation, so two trades that share (ts_us, sym,
+    * trade_px) still come back as two enriched rows with per-trade
+    * quote counts rather than collapsing into one pooled group.
     */
   def asofEnrich(trades: DataFrame, quotes: DataFrame,
                  horizon: String = "5 seconds",
@@ -77,13 +81,13 @@ object StreamingMetrics {
       .withWatermark("quote_time", lateness)
     t.join(q, expr(
         s"sym = qsym AND quote_time BETWEEN trade_time - INTERVAL $horizon AND trade_time"))
-      .groupBy(col("trade_time"), col("sym"), col("ts_us"), col("trade_px"))
+      .groupBy(col("trade_time"), col("trade_id"), col("sym"), col("ts_us"), col("trade_px"))
       .agg(max_by(col("bid"), col("quote_time")).as("bid"),
         max_by(col("ask"), col("quote_time")).as("ask"),
         unix_micros(max(col("quote_time"))).as("quote_ts_us"),
         count(lit(1)).as("n_quotes_in_horizon"))
-      .select(col("ts_us"), col("sym"), col("trade_px"), col("bid"), col("ask"),
-        col("quote_ts_us"), col("n_quotes_in_horizon"))
+      .select(col("trade_id"), col("ts_us"), col("sym"), col("trade_px"), col("bid"),
+        col("ask"), col("quote_ts_us"), col("n_quotes_in_horizon"))
   }
 
   case class Tick(sym: String, seq: Long, px: Double)

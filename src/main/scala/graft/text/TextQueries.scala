@@ -275,13 +275,10 @@ object TextQueries {
     * memory — every cache the computation itself takes is unpersisted
     * before returning.
     */
-  private val dedupMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), org.apache.spark.sql.DataFrame]()
-
   private def dedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
-    dedupMemo.computeIfAbsent((String.valueOf(System.identityHashCode(s)), dir),
-      _ => computeDedupGroups(s, dir))
+    graft.util.SessionMemo.getOrCompute(s, s"dedup-groups:$dir")(
+      computeDedupGroups(s, dir))
 
   /** Buckets larger than this switch from all-pairs to STAR candidate
     * generation (see step 3 below). sf0.1's largest band bucket is 11;

@@ -300,15 +300,13 @@ object VectorQueries {
     * ranked by the exact-decimal distance d2 = ‖c‖² − 2·x·c (ties →
     * smaller label) — the shared IVF assignment subplan behind q44
     * (crn = 1) and q52's probes (crn ≤ 2). Memoized per (session, dir)
-    * and reliably checkpointed (three scalars per vector×cell, no
-    * embedding payload), so the expensive decimal dot products run once
-    * per session even with cache-clearing between catalog queries.
+    * via [[graft.util.SessionMemo]] (stable sessionUUID key, dead-session
+    * eviction) and reliably checkpointed (three scalars per vector×cell,
+    * no embedding payload), so the expensive decimal dot products run
+    * once per session even with cache-clearing between catalog queries.
     */
-  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), DataFrame]()
-
   private def cellRanks(s: SparkSession, dir: String): DataFrame =
-    ivfMemo.computeIfAbsent((String.valueOf(System.identityHashCode(s)), dir), _ => {
+    graft.util.SessionMemo.getOrCompute(s, s"ivf-cellranks:$dir") {
       graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings")
       val perDim = emb
@@ -327,7 +325,7 @@ object VectorQueries {
         .select("vec_id", "clabel", "crn")
       ensureCkptDir(s)
       ranked.checkpoint()
-    })
+    }
 
   // ---------------------------------------------------------------- q44
   /** IVF-style ANN (the other scale path besides LSH): build coarse

@@ -130,10 +130,10 @@ class StreamingSpec extends SparkTestBase {
   test("stream-stream as-of: trades enrich with the latest in-horizon quote") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val trades = MemoryStream[(Long, String, Double)]
+    val trades = MemoryStream[(Long, Long, String, Double)]
     val quotes = MemoryStream[(Long, String, Double, Double)]
     val enriched = StreamingMetrics.asofEnrich(
-      trades.toDS().toDF("ts_us", "sym", "trade_px"),
+      trades.toDS().toDF("trade_id", "ts_us", "sym", "trade_px"),
       quotes.toDS().toDF("qts_us", "qsym", "bid", "ask"),
       horizon = "5 seconds", lateness = "10 seconds")
     val q = enriched.writeStream.outputMode("append")
@@ -142,27 +142,32 @@ class StreamingSpec extends SparkTestBase {
     try {
       quotes.addData((us(1), "A", 10.0, 10.1), (us(3), "A", 11.0, 11.1),
         (us(9), "A", 12.0, 12.1))
-      // B has no quotes at all -> inner as-of drops its trade
-      trades.addData((us(4), "A", 10.5), (us(10), "A", 12.2), (us(4), "B", 9.9))
+      // B has no quotes at all -> inner as-of drops its trade. Trades 1
+      // and 2 share (ts_us, sym, trade_px) — the unique trade_id must
+      // keep them as two rows with per-trade counts, not one pooled row.
+      trades.addData((1L, us(4), "A", 10.5), (2L, us(4), "A", 10.5),
+        (3L, us(10), "A", 12.2), (4L, us(4), "B", 9.9))
       q.processAllAvailable()
       // advance BOTH watermarks far past 10s so the join emits and the
       // chained per-trade aggregate finalizes
       quotes.addData((us(100), "A", 13.0, 13.1))
-      trades.addData((us(100), "Z", 1.0))
+      trades.addData((90L, us(100), "Z", 1.0))
       q.processAllAvailable()
       quotes.addData((us(200), "A", 14.0, 14.1))
-      trades.addData((us(200), "Z", 1.0))
+      trades.addData((91L, us(200), "Z", 1.0))
       q.processAllAvailable()
       val out = spark.table("asof_trades")
-        .select("ts_us", "sym", "bid", "ask", "quote_ts_us", "n_quotes_in_horizon")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
-          r.getDouble(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
-        .filter(t => t._1 <= us(10))
+        .select("trade_id", "ts_us", "sym", "bid", "ask", "quote_ts_us", "n_quotes_in_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5), r.getLong(6))).sortBy(_._1)
+        .filter(t => t._2 <= us(10))
       assert(out.toSeq === Seq(
-        // trade@4s: quotes at 1s and 3s are in [−1s, 4s] — latest (3s) wins
-        (us(4), "A", 11.0, 11.1, us(3), 2L),
-        // trade@10s: only the 9s quote falls in [5s, 10s]
-        (us(10), "A", 12.0, 12.1, us(9), 1L)))
+        // trades 1 and 2 @4s: quotes at 1s and 3s are in [−1s, 4s] — latest
+        // (3s) wins, and each trade counts its OWN 2 in-horizon quotes
+        (1L, us(4), "A", 11.0, 11.1, us(3), 2L),
+        (2L, us(4), "A", 11.0, 11.1, us(3), 2L),
+        // trade 3 @10s: only the 9s quote falls in [5s, 10s]
+        (3L, us(10), "A", 12.0, 12.1, us(9), 1L)))
     } finally q.stop()
   }
 
