@@ -60,8 +60,14 @@ object ConnectedComponents {
     var done = cur.isEmpty
     while (!done && rounds < maxRounds) {
       val next = canonical(smallStar(largeStar(cur))).checkpoint()
-      // exact fixpoint test: star edge sets are invariant under both ops
-      done = next.count() == cur.count() && next.except(cur).isEmpty
+      // exact fixpoint test (star edge sets are invariant under both ops):
+      // symmetric difference empty ⟺ set equality, probed in ONE action —
+      // rounds are driver-latency-bound on small edge sets, so every
+      // saved job round-trip counts
+      done = next.withColumn("side", lit(1))
+        .unionByName(cur.withColumn("side", lit(2)))
+        .groupBy("u", "v").agg(sum("side").as("s"))
+        .filter(col("s") =!= 3).isEmpty
       cur = next
       rounds += 1
     }

@@ -42,11 +42,13 @@ object ImpactQueries {
     (s, dir) => {
       // both X2 flavors: skip-blank (impact.py) and stop-at-first-blank/zero
       // (impact_twap.py) — the stop flavor walks a chain-masked ladder
-      val skip = Impact.walkLayers(bookDf(s, dir), "ask", lit(3.7), D)
+      // sort-early: the walk layers are pure projections; sorting the
+      // narrow book first avoids the trailing sort re-executing them for
+      // range sampling (see BookQueries.q11)
+      val skip = Impact.walkLayers(bookDf(s, dir).orderBy("seq"), "ask", lit(3.7), D)
       Impact.walkLayers(Impact.withStopMask(skip, "ask", D), "stopask", lit(3.7), D, "stop_")
         .select("seq", "sym", "filled", "walk_vwap", "levels_touched",
           "stop_filled", "stop_walk_vwap", "stop_levels_touched")
-        .orderBy("seq")
     },
     Some(withCte(s""",
     ${Impact.walkLayersSql("book", "ask", "3.7::DOUBLE", D)},
@@ -114,7 +116,7 @@ object ImpactQueries {
       twapSlices(s, dir)
         .select("sym", "i", "seq", "slice_target", "filled", "walk_vwap",
           "slice_vwap_fee", "levels_touched", "slip_bps")
-        .orderBy("sym", "i")
+        .transform(graft.Q.presentSorted(_, "sym", "i"))
     },
     Some(withCte(s"""$twapSqlCore
     SELECT sym, i, seq, slice_target, filled, walk_vwap, slice_vwap_fee,
@@ -187,7 +189,7 @@ object ImpactQueries {
         .filter(col("is_q") === 1)
         .select(col("sym"), col("sched_seq"), col("ts").as("t"),
           col("m.seq").as("matched_seq"), col("m.mid").as("matched_mid"))
-        .orderBy("sym", "sched_seq")
+        .transform(graft.Q.presentSorted(_, "sym", "sched_seq"))
     },
     Some(withCte(s""",
     bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
@@ -229,7 +231,7 @@ object ImpactQueries {
         .select(col("sym"), col("probe_id"), col("t"),
           col("matched_ord").as("matched_seq"), col("matched_ts"), col("matched_mid"),
           abs(col("matched_ts") - col("t")).as("dist"))
-        .orderBy("sym", "probe_id")
+        .transform(graft.Q.presentSorted(_, "sym", "probe_id"))
     },
     Some(withCte(s""",
     bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
@@ -364,7 +366,7 @@ object ImpactQueries {
       vwapCarryDf(s, dir)
         .select("sym", "i", "seq", "alloc", "desired", "filled", "carry",
           "cost", "levels_touched")
-        .orderBy("sym", "i")
+        .transform(graft.Q.presentSorted(_, "sym", "i"))
     },
     Some(s"""WITH RECURSIVE $vwapCarryCtes
     SELECT sym, i, seq, alloc, desired, filled, desired - filled AS carry,

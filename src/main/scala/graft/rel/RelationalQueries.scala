@@ -175,7 +175,7 @@ object RelationalQueries {
         sum(round(col("o_totalprice"), 2).cast(DecimalType(38, 2)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
           .cast("double").as("running_spend"))
-        .orderBy("o_custkey", "order_seq")
+        .transform(graft.Q.presentSorted(_, "o_custkey", "order_seq"))
     },
     Some("""SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
       o_totalprice,
@@ -313,7 +313,7 @@ object RelationalQueries {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 3)
         .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
-        .orderBy("o_custkey", "rk")
+        .transform(graft.Q.presentSorted(_, "o_custkey", "rk"))
     },
     Some("""SELECT o_custkey, rk, o_orderkey, o_totalprice
     FROM (

@@ -32,7 +32,9 @@ object TextQueries {
       // derive from a single split array (the per-stopword regexp_replace
       // scans cost ~6 full text traversals per row)
       val t = col("text")
-      Tables(s, dir, "documents")
+      // sort-early: a trailing sort would range-sample (re-execute) the
+      // tokenize projection; sorting the base table first runs it once
+      Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("toks", split(trim(lower(t)), "\\s+"))
         .withColumn("n_tokens",
           when(length(trim(t)) === 0, lit(0L)).otherwise(size(col("toks")).cast("long")))
@@ -51,7 +53,6 @@ object TextQueries {
               lit(0.2) * least(lit(1.0), col("chars_no_ws") / lit(400.0))).otherwise(lit(0.0)))
         .select("doc_id", "lang", "source", "n_tokens", "chars_no_ws", "n_stopwords",
           "avg_token_len", "stop_ratio", "quality_score")
-        .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (
       SELECT doc_id, lang, source, length(trim(text)) AS trimmed_len,
@@ -82,7 +83,7 @@ object TextQueries {
   val q28 = Q("q28_lang_id",
     (s, dir) => {
       val t = col("text")
-      val scored = Tables(s, dir, "documents")
+      val scored = Tables(s, dir, "documents").orderBy("doc_id")
         .withColumns(TextMetrics.langMarkers.map { case (l, _) =>
           s"s_$l" -> TextMetrics.langScore(t, l)
         }.toMap)
@@ -94,7 +95,6 @@ object TextQueries {
       scored.withColumn("pred_lang", pred)
         .withColumn("is_match", (col("pred_lang") === col("lang")).cast("int"))
         .select("doc_id", "lang", "s_en", "s_es", "s_de", "s_fr", "s_zh", "pred_lang", "is_match")
-        .orderBy("doc_id")
     },
     Some {
       val scores = TextMetrics.langMarkers.map { case (l, words) =>
@@ -140,12 +140,11 @@ object TextQueries {
       // hash-set pass per row — no explode, no shuffle, and none of the
       // O(len²) cost of array_distinct on non-primitive arrays
       graft.functions.TextKernels.ensureRegistered(s)
-      Tables(s, dir, "documents")
+      Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("sa", expr(s"shingle_agg(text, $N)"))
         .select(col("doc_id"), col("sa.n_positions").as("n_positions"),
           col("sa.n_distinct").as("n_distinct"))
         .withColumn("distinct_ratio", col("n_distinct").cast("double") / col("n_positions"))
-        .orderBy("doc_id")
     },
     Some(s"""SELECT doc_id,
       CAST(greatest(length(text) - ${N - 1}, 1) AS BIGINT) AS n_positions,
@@ -161,12 +160,11 @@ object TextQueries {
       // by the native minhash_spans kernel (functions.TextKernels): one
       // O(len) loop per row, no shingle explode, no signature shuffle.
       graft.functions.TextKernels.ensureRegistered(s)
-      Tables(s, dir, "documents")
+      Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("sig", expr(s"minhash_spans(text, $N, 0)"))
         .select(col("doc_id") +:
           (0 to 3).map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
         .withColumn("band", TextMetrics.bandId((0 to 3).map(j => col(s"mh$j"))))
-        .orderBy("doc_id")
     },
     Some(s"""WITH sh AS (
       SELECT doc_id, md5(unnest($shinglesSqlExpr)) AS h FROM documents
@@ -187,11 +185,10 @@ object TextQueries {
       // — no explode, no 33-aggregate shuffle (and none of the global
       // .distinct() that regressed this query 3.4× in round 2)
       graft.functions.TextKernels.ensureRegistered(s)
-      Tables(s, dir, "documents")
+      Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("sa", expr(s"shingle_agg(text, $N)"))
         .select(col("doc_id"), col("sa.n_distinct").as("n_shingles"),
           col("sa.simhash").as("simhash"))
-        .orderBy("doc_id")
     },
     Some {
       val votes = (1 to 32)
@@ -226,7 +223,7 @@ object TextQueries {
           col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
         .withColumn("jaccard",
           when(col("n_union") > 0, col("n_inter").cast("double") / col("n_union")))
-        .orderBy("id_a")
+        .transform(graft.Q.presentSorted(_, "id_a"))
     },
     Some(s"""WITH sh AS (
       SELECT doc_id, $shinglesSqlExpr AS sh FROM documents
@@ -457,12 +454,11 @@ object TextQueries {
       // the identity making it bit-equal to the oracle's per-window
       // Horner mirror
       graft.functions.RollingHash.ensureRegistered(s)
-      Tables(s, dir, "documents")
+      Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("rh", expr("rolling_hash(text, 8, 131, 1000000007)"))
         .select(col("doc_id"), col("rh.doc_fp").as("doc_fp"),
           size(col("rh.wins")).cast("long").as("n_windows"),
           size(array_distinct(col("rh.wins"))).cast("long").as("n_distinct_win"))
-        .orderBy("doc_id")
     },
     Some(s"""WITH c AS (
       SELECT doc_id,
@@ -545,7 +541,7 @@ object TextQueries {
         "n_word" -> "^ ?\\p{L}+$", "n_number" -> "^ ?\\p{N}+$",
         "n_punct" -> s"^ ?[^$wsCls\\p{L}\\p{N}]+$$", "n_contraction" -> "^'(?:s|t|re|ve|m|ll|d)$",
         "n_ws" -> s"^[$wsCls]+$$")
-      val base = Tables(s, dir, "documents")
+      val base = Tables(s, dir, "documents").orderBy("doc_id")
         .withColumn("toks", regexp_extract_all(col("text"), lit(bpePat), lit(0)))
       val withCls = cls.toSeq.sortBy(_._1).foldLeft(base) { case (df, (name, pat)) =>
         df.withColumn(name, size(filter(col("toks"), t => t.rlike(pat))).cast("long"))
@@ -557,7 +553,6 @@ object TextQueries {
           when(col("n_bpe_tokens") > 0, length(col("text")).cast("double") / col("n_bpe_tokens")))
         .select("doc_id", "lang", "n_bpe_tokens", "n_word", "n_number", "n_punct",
           "n_contraction", "n_ws", "n_distinct", "avg_token_chars")
-        .orderBy("doc_id")
     },
     Some(s"""WITH tk AS (
       SELECT doc_id, lang, length(text) AS n_chars,

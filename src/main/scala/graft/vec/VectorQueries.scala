@@ -69,7 +69,7 @@ object VectorQueries {
   val q34 = Q("q34_embedding_stats",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      Tables(s, dir, "embeddings")
+      Tables(s, dir, "embeddings").orderBy("vec_id")
         .withColumn("dim", size(col("embedding")).cast("long"))
         .withColumn("norm2", expr(norm2Expr("embedding")))
         .withColumn("norm", sqrt(col("norm2")))
@@ -79,7 +79,6 @@ object VectorQueries {
         .withColumn("comp_min", array_min(col("embedding")).cast("double"))
         .withColumn("comp_max", array_max(col("embedding")).cast("double"))
         .select("vec_id", "label", "dim", "norm2", "norm", "comp_sum", "comp_min", "comp_max")
-        .orderBy("vec_id")
     },
     Some(s"""WITH n AS (
       SELECT vec_id, label,
@@ -129,7 +128,7 @@ object VectorQueries {
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "c_id", "cos_sim")
-        .orderBy("q_id", "rnk")
+        .transform(graft.Q.presentSorted(_, "q_id", "rnk"))
     },
     Some(s"""WITH en AS (
       SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings
@@ -169,7 +168,7 @@ object VectorQueries {
         .withColumn("bucket", bucket)
         .withColumn("n_in_bucket", count(lit(1)).over(Window.partitionBy("bucket")))
         .select("vec_id", "label", "bucket", "n_in_bucket")
-        .orderBy("vec_id")
+        .transform(graft.Q.presentSorted(_, "vec_id"))
     },
     Some {
       def planeSql(i: Int) =
@@ -246,7 +245,7 @@ object VectorQueries {
           col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
         .filter(col("cos_sim") > 0.15)
         .select("id_a", "id_b", "n_bands", "cos_sim")
-        .orderBy("id_a", "id_b")
+        .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
     },
     Some {
       def planeSql(i: Int) =
@@ -360,7 +359,7 @@ object VectorQueries {
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "cell", "rnk", "c_id", "cos_sim")
-        .orderBy("q_id", "rnk")
+        .transform(graft.Q.presentSorted(_, "q_id", "rnk"))
     },
     Some(s"""WITH ux AS (
       SELECT vec_id, label,
@@ -442,7 +441,7 @@ object VectorQueries {
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "rnk", "c_id", "pcell", "probe_rank", "cos_sim")
-        .orderBy("q_id", "rnk")
+        .transform(graft.Q.presentSorted(_, "q_id", "rnk"))
     },
     Some(s"""WITH ux AS (
       SELECT vec_id, label,
@@ -560,7 +559,7 @@ object VectorQueries {
         .withColumn("rnk", row_number().over(wTop).cast("long"))
         .filter(col("rnk") <= 3)
         .select("q_id", "cell", "rnk", "c_id", "cos_sim")
-        .orderBy("q_id", "rnk")
+        .transform(graft.Q.presentSorted(_, "q_id", "rnk"))
     },
     Some {
       // fixed-iteration Lloyd unrolled as a WITH chain: cent_i/cn_i →
