@@ -56,4 +56,23 @@ object Exact {
 
   def avgExactSql(term: String, scale: Int): String =
     s"(${sumExactSql(term, scale)} / COUNT($term))"
+
+  // ------------------------------------------------------ compiled twins
+  // Same recipe, carried as unscaled longs through a primitive SUM(LONG)
+  // hash aggregate instead of Decimal boxing (graft.functions.DecSum) —
+  // bit-identical while |Σ|·10^s < 2⁶³, loud ANSI overflow beyond. The
+  // caller must have run `DecSum.ensureRegistered(session)`. Oracle SQL
+  // is unchanged: the DuckDB mirror stays the decimal formulation.
+
+  def sumExactFast(term: Column, scale: Int): Column =
+    call_function("unscaled_dbl",
+      sum(call_function("dec_unscaled", term, lit(scale))), lit(scale), lit(scale))
+
+  def sumExactRFast(term: Column, termScale: Int, outScale: Int): Column =
+    call_function("unscaled_dbl",
+      sum(call_function("dec_unscaled", term, lit(termScale))),
+      lit(termScale), lit(outScale))
+
+  def avgExactFast(term: Column, scale: Int): Column =
+    sumExactFast(term, scale) / count(term)
 }

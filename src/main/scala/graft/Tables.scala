@@ -17,6 +17,9 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // every query path may use the Exact fast-sum kernels; registration is
+    // an idempotent registry put, so doing it here keeps call sites clean
+    graft.functions.DecSum.ensureRegistered(spark)
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

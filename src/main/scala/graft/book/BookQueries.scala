@@ -303,7 +303,7 @@ object BookQueries {
         .selectExpr(s"stack(${2 * D}, $stackExpr) as (side, level, size)")
         .groupBy("side", "level")
         .agg(count(col("size")).as("n_obs"),
-          (Exact.sumExact(col("size"), 2) / count(col("size"))).as("avg_size"))
+          (Exact.sumExactFast(col("size"), 2) / count(col("size"))).as("avg_size"))
         .withColumn("davg",
           col("avg_size") - lag("avg_size", 1)
             .over(Window.partitionBy("side").orderBy("level")))

@@ -24,15 +24,16 @@ object RelationalQueries {
 
   val q01 = Q("q01_pricing_summary",
     (s, dir) => {
+      graft.functions.DecSum.ensureRegistered(s)
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          Exact.sumExact(col("l_quantity"), 2).as("sum_qty"),
-          Exact.sumExact(col("l_extendedprice"), 2).as("sum_base_price"),
-          Exact.sumExactR(disc, 4, 2).as("sum_disc_price"),
-          Exact.sumExactR(disc * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
-          Exact.avgExact(col("l_quantity"), 2).as("avg_qty"),
+          Exact.sumExactFast(col("l_quantity"), 2).as("sum_qty"),
+          Exact.sumExactFast(col("l_extendedprice"), 2).as("sum_base_price"),
+          Exact.sumExactRFast(disc, 4, 2).as("sum_disc_price"),
+          Exact.sumExactRFast(disc * (lit(1) + col("l_tax")), 6, 2).as("sum_charge"),
+          Exact.avgExactFast(col("l_quantity"), 2).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -57,7 +58,7 @@ object RelationalQueries {
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(Exact.sumExactR(disc, 4, 2).as("revenue"))
+        .agg(Exact.sumExactRFast(disc, 4, 2).as("revenue"))
         .select(col("o_orderkey"),
           date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
           col("revenue"))
@@ -93,7 +94,7 @@ object RelationalQueries {
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(Exact.sumExactR(disc, 4, 2).as("revenue"), count(lit(1)).as("n_items"))
+        .agg(Exact.sumExactRFast(disc, 4, 2).as("revenue"), count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     },
     Some(s"""SELECT r_name, n_name, ${Exact.sumExactRSql(discSql, 4, 2)} AS revenue,
@@ -117,7 +118,7 @@ object RelationalQueries {
       val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "O")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy("c_mktsegment")
-        .agg(count(lit(1)).as("n_customers"), Exact.sumExact(col("c_acctbal"), 2).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), Exact.sumExactFast(col("c_acctbal"), 2).as("sum_acctbal"))
         .orderBy("c_mktsegment")
     },
     Some(s"""SELECT c_mktsegment, COUNT(*) AS n_customers,
@@ -135,7 +136,7 @@ object RelationalQueries {
       c.join(o.filter(o("o_orderstatus") === "P"), c("c_custkey") === o("o_custkey"), "left_anti")
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n_customers"), Exact.sumExact(col("c_acctbal"), 2).as("sum_acctbal"))
+        .agg(count(lit(1)).as("n_customers"), Exact.sumExactFast(col("c_acctbal"), 2).as("sum_acctbal"))
         .orderBy("n_name")
     },
     Some(s"""SELECT n_name, COUNT(*) AS n_customers,
@@ -150,7 +151,7 @@ object RelationalQueries {
     (s, dir) => {
       Tables(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), Exact.sumExactFast(col("l_quantity"), 2).as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -193,7 +194,7 @@ object RelationalQueries {
         .withColumn("minute", expr("(ts div 1000) div 60000000"))
         .groupBy("minute", "event_type")
         .agg(count(lit(1)).as("n"),
-          Exact.sumExact(col("value"), 2).as("sum_value"),
+          Exact.sumExactFast(col("value"), 2).as("sum_value"),
           min("value").as("min_value"),
           max("value").as("max_value"))
         .orderBy("minute", "event_type")
@@ -220,7 +221,7 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_events"),
           min("ts_us").as("session_start_us"),
           max("ts_us").as("session_end_us"),
-          Exact.sumExact(col("value"), 2).as("session_value"))
+          Exact.sumExactFast(col("value"), 2).as("session_value"))
         .orderBy("user_id", "session_id")
     },
     Some(s"""WITH ev AS (
@@ -257,7 +258,7 @@ object RelationalQueries {
         .withColumn("ts_us", expr("ts div 1000"))
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
       ev.groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes").as("sw"))
-        .agg(count(lit(1)).as("n_events"), Exact.sumExact(col("value"), 2).as("session_value"))
+        .agg(count(lit(1)).as("n_events"), Exact.sumExactFast(col("value"), 2).as("session_value"))
         .select(col("user_id"),
           unix_micros(col("sw.start")).as("session_start_us"),
           unix_micros(col("sw.end")).as("session_end_us"),
@@ -387,7 +388,7 @@ object RelationalQueries {
     (s, dir) => {
       Tables(s, dir, "lineitem")
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), Exact.sumExactFast(col("l_quantity"), 2).as("sum_qty"))
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
           coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
@@ -413,8 +414,8 @@ object RelationalQueries {
         .groupBy("p_brand")
         .agg(
           count(lit(1)).as("n_items"),
-          Exact.sumExactR(disc, 4, 2).as("revenue"),
-          Exact.sumExactR(promo, 4, 2).as("promo_revenue"))
+          Exact.sumExactRFast(disc, 4, 2).as("revenue"),
+          Exact.sumExactRFast(promo, 4, 2).as("promo_revenue"))
         .withColumn("promo_share",
           when(col("revenue") =!= 0, col("promo_revenue") / col("revenue")))
         .orderBy("p_brand")
@@ -437,7 +438,7 @@ object RelationalQueries {
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .pivot("l_linestatus", Seq("F", "O"))
-        .agg(count(lit(1)).as("n"), Exact.sumExact(col("l_quantity"), 2).as("qty"))
+        .agg(count(lit(1)).as("n"), Exact.sumExactFast(col("l_quantity"), 2).as("qty"))
         .orderBy("l_returnflag")
     },
     Some(s"""SELECT l_returnflag,

@@ -100,7 +100,7 @@ object VectorQueries {
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
         .agg(count(lit(1)).as("n"),
-          (Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("centroid"))
+          (Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("centroid"))
         .orderBy("label", "pos")
     },
     Some(s"""SELECT label, pos, COUNT(*) AS n,
@@ -311,7 +311,7 @@ object VectorQueries {
       val perDim = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
-        .agg((Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+        .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
       val cent = perDim.groupBy(col("label").as("clabel"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           t => t.getField("c")).as("cvec"))
@@ -538,7 +538,7 @@ object VectorQueries {
         val perDim = emb.join(asg, "vec_id")
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
           .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
-          .agg((Exact.sumExact(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+          .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
         cent = perDim.groupBy(col("cell").as("cid"))
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             t => t.getField("c")).as("cvec"))
