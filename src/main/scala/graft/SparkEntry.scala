@@ -16,6 +16,7 @@ object SparkEntry {
       book.BookQueries.all ++
       impact.ImpactQueries.all ++
       text.TextQueries.all ++
+      text.PipelineQueries.all ++
       vec.VectorQueries.all
 
   /** Flagship: full metrics-enrichment pipeline (mmt-metrics analog) on

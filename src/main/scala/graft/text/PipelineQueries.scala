@@ -1,0 +1,271 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators beyond dedup/ANN (builder brief:
+  * "the operations a large-scale training-data pipeline would need"):
+  * repetition-based quality filtering (the Gopher/MassiveText rule
+  * family), concat-and-chunk sequence packing, deterministic train/val/
+  * test splitting, and TF-IDF term scoring. Every query keeps the
+  * cross-engine exactness contract: integer arithmetic or single IEEE
+  * divisions of integers, so DuckDB mirrors hash-match bit-for-bit.
+  *
+  * Scale notes: everything here is either a per-row projection, a
+  * partial-aggregable groupBy on (doc, gram) keys, or a window
+  * partitioned by shard — no all-pairs, no driver materialization, no
+  * unbounded state. These are the shapes that survive a 100 TB corpus.
+  */
+object PipelineQueries {
+
+  /** Tokenization shared by q58/q59/q61: lowercase whitespace words with
+    * the empty-document guard (mirrors q27's convention).
+    */
+  private val toks = split(trim(lower(col("text"))), "\\s+")
+  private val toksSql = "string_split_regex(trim(lower(text)), '\\s+')"
+
+  // ---------------------------------------------------------------- q58
+  /** Repetition-based quality filter (Rae et al., "Scaling Language
+    * Models: ... Gopher", arXiv:2112.11446 §A1.1 MassiveText rules,
+    * adapted): duplicate-line fraction, most-frequent-2-gram occupancy,
+    * duplicate-3-gram fraction — the standard "is this document
+    * boilerplate/spam" screens run before training. Thresholds follow
+    * the paper's (0.30 dup-lines, 0.20 top-2-gram, 0.60 dup-3-grams).
+    *
+    * Shape: line/3-gram metrics are per-row projections; the top-2-gram
+    * mode goes through ONE explode + (doc, gram) groupBy — the shuffle
+    * carries partial counts keyed by (doc, gram), never raw text.
+    */
+  val q58 = Q("q58_repetition_quality",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val lines = split(col("text"), "\n")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("n_lines", size(lines).cast("long"))
+        .withColumn("n_distinct_lines", size(array_distinct(lines)).cast("long"))
+        .withColumn("toks", toks)
+        .withColumn("n_words",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(col("toks")).cast("long")))
+        .withColumn("tri", when(col("n_words") >= 3,
+          transform(sequence(lit(0), size(col("toks")) - 3),
+            i => concat_ws(" ", element_at(col("toks"), i + 1),
+              element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
+          .otherwise(array().cast("array<string>")))
+        .withColumn("n_tri", size(col("tri")).cast("long"))
+        .withColumn("n_distinct_tri", size(array_distinct(col("tri"))).cast("long"))
+      // most-frequent 2-gram occupancy: explode once, count per (doc, gram),
+      // keep each document's max and total
+      val bi = base.filter(col("n_words") >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(0), size(col("toks")) - 2),
+          i => concat_ws(" ", element_at(col("toks"), i + 1),
+            element_at(col("toks"), i + 2)))).as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id").agg(max("cnt").as("top_bigram_cnt"), sum("cnt").as("n_bigrams"))
+      base.join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_words"),
+          (lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines"))
+            .as("dup_line_frac"),
+          when(col("n_bigrams").isNotNull,
+            col("top_bigram_cnt").cast("double") / col("n_bigrams")).as("top2gram_frac"),
+          when(col("n_tri") > 0,
+            lit(1.0) - col("n_distinct_tri").cast("double") / col("n_tri")).as("dup3gram_frac"))
+        .withColumn("fail_dup_lines", (col("dup_line_frac") > 0.30).cast("int"))
+        .withColumn("fail_top2gram",
+          coalesce((col("top2gram_frac") > 0.20).cast("int"), lit(0)))
+        .withColumn("fail_dup3gram",
+          coalesce((col("dup3gram_frac") > 0.60).cast("int"), lit(0)))
+        .withColumn("quality_pass",
+          (col("fail_dup_lines") + col("fail_top2gram") + col("fail_dup3gram") === 0).cast("int"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, text,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+        $toksSql AS toks,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_words
+      FROM documents
+    ), tri AS (
+      SELECT *,
+        CASE WHEN n_words >= 3
+             THEN list_transform(generate_series(1, n_words - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS trigrams
+      FROM base
+    ), trid AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
+        len(trigrams) AS n_tri, len(list_distinct(trigrams)) AS n_distinct_tri
+      FROM tri
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, n_words - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM trid WHERE n_words >= 2
+    ), bc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, gram
+    ), bs AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    ), m AS (
+      SELECT t.doc_id, CAST(t.n_words AS BIGINT) AS n_words,
+        1.0::DOUBLE - CAST(t.n_distinct_lines AS DOUBLE) / t.n_lines AS dup_line_frac,
+        CASE WHEN bs.n_bigrams IS NOT NULL
+             THEN CAST(bs.top_bigram_cnt AS DOUBLE) / bs.n_bigrams END AS top2gram_frac,
+        CASE WHEN t.n_tri > 0
+             THEN 1.0::DOUBLE - CAST(t.n_distinct_tri AS DOUBLE) / t.n_tri END AS dup3gram_frac
+      FROM trid t LEFT JOIN bs ON bs.doc_id = t.doc_id
+    )
+    SELECT doc_id, n_words, dup_line_frac, top2gram_frac, dup3gram_frac,
+      CAST(dup_line_frac > 0.30::DOUBLE AS INTEGER) AS fail_dup_lines,
+      COALESCE(CAST(top2gram_frac > 0.20::DOUBLE AS INTEGER), 0) AS fail_top2gram,
+      COALESCE(CAST(dup3gram_frac > 0.60::DOUBLE AS INTEGER), 0) AS fail_dup3gram,
+      CAST(CAST(dup_line_frac > 0.30::DOUBLE AS INTEGER)
+         + COALESCE(CAST(top2gram_frac > 0.20::DOUBLE AS INTEGER), 0)
+         + COALESCE(CAST(dup3gram_frac > 0.60::DOUBLE AS INTEGER), 0) = 0
+        AS INTEGER) AS quality_pass
+    FROM m ORDER BY doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q59
+  /** Concat-and-chunk sequence packing: concatenate each source shard's
+    * token stream in doc_id order and cut fixed context windows of
+    * B = 512 tokens — the standard pretraining sample-packing layout.
+    * Each document's token offset is a running sum per shard, so its
+    * first/last context window (and whether it straddles a boundary) is
+    * closed-form integer arithmetic: no sequential fold, one window
+    * partitioned by shard. At 100 TB this is the packing scheme you can
+    * actually run: shards process independently and the window state is
+    * one long per row.
+    */
+  val q59 = Q("q59_sequence_packing",
+    (s, dir) => {
+      val B = 512L
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+        .withColumn("tok_start", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("pack_first", expr(s"tok_start div $B"))
+        .withColumn("pack_last",
+          when(col("n_tokens") > 0, expr(s"(tok_start + n_tokens - 1) div $B"))
+            .otherwise(expr(s"tok_start div $B")))
+        .withColumn("crosses_boundary", (col("pack_last") > col("pack_first")).cast("int"))
+        .withColumn("n_packs_touched", col("pack_last") - col("pack_first") + 1)
+        .select("doc_id", "source", "n_tokens", "tok_start", "pack_first", "pack_last",
+          "crosses_boundary", "n_packs_touched")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id, source,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_tokens
+      FROM documents
+    ), ofs AS (
+      SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      FROM tk
+    )
+    SELECT doc_id, source, n_tokens, tok_start,
+      tok_start // 512 AS pack_first,
+      CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+           ELSE tok_start // 512 END AS pack_last,
+      CAST((CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+                 ELSE tok_start // 512 END) > tok_start // 512 AS INTEGER)
+        AS crosses_boundary,
+      (CASE WHEN n_tokens > 0 THEN (tok_start + n_tokens - 1) // 512
+            ELSE tok_start // 512 END) - tok_start // 512 + 1 AS n_packs_touched
+    FROM ofs ORDER BY doc_id"""),
+    headline = true)
+
+  // ---------------------------------------------------------------- q60
+  /** Deterministic train/val/test split (90/5/5) by multiplicative hash
+    * of doc_id — the assignment every pipeline needs to be STABLE across
+    * reruns, engines, and partitionings (no RNG, no sampling operator).
+    * Emits the 3-row split summary; the per-doc assignment is the same
+    * expression inline.
+    */
+  val q60 = Q("q60_dataset_split",
+    (s, dir) => {
+      val h = expr("(doc_id * 2654435761) % 1000")
+      val split = when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test"))
+      val docs = Tables(s, dir, "documents")
+        .withColumn("split", split)
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+      docs.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("total_chars"),
+          sum("n_tokens").as("total_tokens"),
+          countDistinct("lang").as("n_langs"),
+          min("doc_id").as("min_doc_id"))
+        .orderBy("split")
+    },
+    Some(s"""WITH a AS (
+      SELECT *,
+        CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+             WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+             ELSE 'test' END AS split,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_tokens
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      COUNT(DISTINCT lang) AS n_langs,
+      MIN(doc_id) AS min_doc_id
+    FROM a GROUP BY split ORDER BY split"""))
+
+  // ---------------------------------------------------------------- q61
+  /** TF-IDF top-terms per document, in pure integer arithmetic so the
+    * ranking is cross-engine exact: idf_scaled = (N · 10⁶) div df and
+    * score = tf · idf_scaled (a fixed-point variant of tf·N/df;
+    * log-free on purpose — ln() differs in last-ulp across engines).
+    * Shape: explode → (doc, term) partial-aggregable tf counts; df is a
+    * groupBy over the tf table keyed by term; the doc-count scalar
+    * broadcasts; top-3 via per-doc window.
+    */
+  val q61 = Q("q61_tfidf_topterms",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val terms = docs
+        .select(col("doc_id"), explode(toks).as("term"))
+        .filter(col("term") =!= "")
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val wTop = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+      tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("idf_scaled", expr("(n_docs * 1000000) div df"))
+        .withColumn("score", col("tf") * col("idf_scaled"))
+        .withColumn("rk", row_number().over(wTop).cast("long"))
+        .filter(col("rk") <= 3)
+        .select("doc_id", "rk", "term", "tf", "df", "score")
+        .transform(graft.Q.presentSorted(_, "doc_id", "rk"))
+    },
+    Some(s"""WITH t AS (
+      SELECT doc_id, unnest($toksSql) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term != '' GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    ), sc AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        (n.n_docs * 1000000) // df.df AS idf_scaled,
+        tf.tf * ((n.n_docs * 1000000) // df.df) AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+      FROM sc
+    )
+    SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
+    ORDER BY doc_id, rk"""))
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61)
+}

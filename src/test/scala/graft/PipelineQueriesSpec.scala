@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the training-pipeline operators (q58–q61) on
+  * crafted corpora where the right answers are hand-computable — the
+  * DuckDB oracle pins cross-engine equality, these pin the MEANING.
+  */
+class PipelineQueriesSpec extends SparkTestBase {
+
+  /** Write a tiny documents.parquet into a temp dir shaped like the
+    * driver testdata, so the catalog queries run unmodified.
+    */
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-pipe").toFile.getAbsolutePath
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q58: repetition metrics flag the degenerate docs and pass the clean one") {
+    val dir = docsDir(Seq(
+      // clean prose: all trigrams distinct, top bigram occupancy low
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s0"),
+      // one bigram repeated: "spam ham spam ham ..." → top2gram ≈ 1/2
+      (1L, "spam ham spam ham spam ham spam ham spam ham", "en", "s0"),
+      // duplicated lines
+      (2L, "same line\nsame line\nsame line\nother", "en", "s0"),
+      (3L, "", "en", "s0")))
+    val out = text.PipelineQueries.q58.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0).getInt(8) === 1, "clean doc must pass")          // quality_pass
+    assert(out(1).getInt(6) === 1, "spam-ham must fail top2gram")  // fail_top2gram
+    assert(out(1).getInt(7) === 1, "spam-ham must fail dup3gram")
+    assert(out(2).getInt(5) === 1, "dup lines must fail")          // fail_dup_lines
+    assert(math.abs(out(2).getDouble(2) - 0.5) < 1e-15)            // 2 distinct / 4 lines
+    assert(out(3).getLong(1) === 0L)                                // n_words of empty
+  }
+
+  test("q59: packing offsets chunk each shard's concatenated stream at 512") {
+    // shard s0: 500 + 20 tokens → doc 1 starts at 500, crosses the 512 cut
+    val dir = docsDir(Seq(
+      (0L, Seq.fill(500)("w").mkString(" "), "en", "s0"),
+      (1L, Seq.fill(20)("w").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(600)("w").mkString(" "), "en", "s1"),
+      (3L, "", "en", "s1")))
+    val out = text.PipelineQueries.q59.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getInt(6))).toMap
+    assert(out(0L) === ((500L, 0L, 0L, 0L, 0)))
+    assert(out(1L) === ((20L, 500L, 0L, 1L, 1)), "straddles the 512 boundary")
+    assert(out(2L) === ((600L, 0L, 0L, 1L, 1)), "600-token doc spans packs 0-1")
+    assert(out(3L) === ((0L, 600L, 1L, 1L, 0)), "empty doc sits at its offset")
+  }
+
+  test("q60: split assignment is deterministic and partitions the corpus") {
+    val dir = docsDir((0L until 200L).map(i => (i, s"doc $i tokens here", "en", s"s${i % 3}")))
+    val out = text.PipelineQueries.q60.run(spark, dir).collect()
+    val byName = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.values.sum === 200L, "every doc lands in exactly one split")
+    assert(byName.keySet.subsetOf(Set("train", "val", "test")))
+    assert(byName("train") > byName.getOrElse("val", 0L))
+    // re-run must give the identical assignment (no RNG anywhere)
+    val again = text.PipelineQueries.q60.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === byName)
+  }
+
+  test("q61: integer tf-idf ranks the distinguishing term first") {
+    // "rare" appears in 1 of 4 docs and twice there; "common" in all 4
+    val dir = docsDir(Seq(
+      (0L, "common rare rare common common", "en", "s0"),
+      (1L, "common filler one", "en", "s0"),
+      (2L, "common filler two", "en", "s0"),
+      (3L, "common filler three", "en", "s0")))
+    val out = text.PipelineQueries.q61.run(spark, dir)
+      .filter(col("doc_id") === 0).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.head === ((1L, "rare", 2L, 1L, 2L * (4L * 1000000L / 1L))),
+      "rare (tf=2, df=1) outranks common")
+    assert(out(1) === ((2L, "common", 3L, 4L, 3L * (4L * 1000000L / 4L))))
+  }
+}
