@@ -79,7 +79,8 @@ object ScaleBench {
     "q31_minhash_signatures", "q32_simhash", "q36_knn_bruteforce",
     "q39_embedding_neardup", "q44_ivf_ann", "q48_minhash_lsh_dedup",
     "q51_dedup_keep_longest", "q52_ivf_multiprobe", "q53_rolling_fingerprint",
-    "q54_kmeans_ivf")
+    "q54_kmeans_ivf", "q57_bpe_tokens", "q58_repetition_quality",
+    "q59_sequence_packing", "q61_tfidf_topterms")
 
   private def timeAll(spark: SparkSession, dir: String): Seq[(String, Double)] =
     SparkEntry.catalog.filter(q => queryNames.contains(q.name)).map { q =>
