@@ -29,17 +29,28 @@ object ConnectedComponents {
 
   /** Labels every vertex with its component minimum.
     *
+    * ADAPTIVE: the star rounds are driver-latency-bound (each is a
+    * handful of jobs), which swamps small graphs — and the edge set an
+    * LSH-verify stage emits is usually tiny relative to the corpus. So
+    * a graph at or below `smallGraphThreshold` edges (counted first;
+    * the bound makes the driver memory O(threshold), never O(input))
+    * short-circuits to an in-driver union-find whose labels broadcast
+    * back — the same small-side adaptivity Spark applies to broadcast
+    * joins. Larger graphs take the distributed star rounds unchanged.
+    * Both paths produce the identical component-minimum labeling
+    * (DedupScaleGuardSpec pins equality).
+    *
     * @param edges    undirected edge list, two LONG columns (u, v);
     *                 self-loops and duplicates tolerated
     * @param vertices one LONG id column — vertices with no edges become
     *                 singleton components
-    * @return (labels DataFrame (id, comp), rounds run). The labels are
-    *         CACHED AND MATERIALIZED (round edge sets live in per-round
-    *         reliable checkpoints, not executor storage); the caller owns
-    *         the unpersist.
+    * @return (labels DataFrame (id, comp), rounds run; 0 rounds on the
+    *         small-graph path). The labels are CACHED AND MATERIALIZED
+    *         (round edge sets live in per-round reliable checkpoints,
+    *         not executor storage); the caller owns the unpersist.
     */
-  def label(edges: DataFrame, vertices: DataFrame, maxRounds: Int = 50)
-      : (DataFrame, Int) = {
+  def label(edges: DataFrame, vertices: DataFrame, maxRounds: Int = 50,
+            smallGraphThreshold: Long = 100000L): (DataFrame, Int) = {
     val spark = edges.sparkSession
     // each round composes `cur` into itself ~12× (unions + self-joins),
     // so an uncheckpointed lineage grows EXPONENTIALLY — truncate it
@@ -56,6 +67,36 @@ object ConnectedComponents {
       .filter(col("u") =!= col("v"))
       .distinct()
       .checkpoint()
+
+    if (smallGraphThreshold > 0 && cur.count() <= smallGraphThreshold) {
+      // ---- small-graph fast path: bounded driver union-find ----
+      val es = cur.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // union-by-min ⇒ every root is its component's minimum
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val comp = es.iterator.flatMap { case (a, b) => Iterator(a, b) }
+        .toSet[Long].toSeq.map(v => (v, find(v)))
+      val sess = spark
+      import sess.implicits._
+      val compDf = comp.toDF(vcol, "comp")
+      val labels = vertices.select(col(vcol))
+        .join(broadcast(compDf), Seq(vcol), "left")
+        .select(col(vcol), coalesce(col("comp"), col(vcol)).as("comp"))
+        .cache()
+      labels.count()
+      return (labels, 0)
+    }
+
     var rounds = 0
     var done = cur.isEmpty
     while (!done && rounds < maxRounds) {

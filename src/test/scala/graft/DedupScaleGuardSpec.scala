@@ -17,7 +17,7 @@ class DedupScaleGuardSpec extends SparkTestBase {
     import sess.implicits._
     val edges = (0L until 499L).map(i => (i, i + 1)).toDF("u", "v")
     val verts = (0L until 500L).toDF("id")
-    val (labels, rounds) = ConnectedComponents.label(edges, verts)
+    val (labels, rounds) = ConnectedComponents.label(edges, verts, smallGraphThreshold = 0)
     assert(labels.where(col("comp") === 0L).count() === 500)
     assert(rounds <= 12,
       s"chain took $rounds rounds; min-label propagation would take ~500")
@@ -39,10 +39,27 @@ class DedupScaleGuardSpec extends SparkTestBase {
     }
     val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
     val (labels, _) =
-      ConnectedComponents.label(es.toDF("u", "v"), (0L until n.toLong).toDF("id"))
+      ConnectedComponents.label(es.toDF("u", "v"), (0L until n.toLong).toDF("id"),
+        smallGraphThreshold = 0)
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === expected)
     labels.unpersist()
+  }
+
+  test("small-graph fast path ≡ distributed star rounds on a random graph") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(7)
+    val n = 300
+    val es = Seq.fill(220)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+    val verts = (0L until n.toLong).toDF("id")
+    val (small, r0) = ConnectedComponents.label(es.toDF("u", "v"), verts)
+    val (dist, _) = ConnectedComponents.label(es.toDF("u", "v"), verts,
+      smallGraphThreshold = 0)
+    assert(r0 === 0, "graph under threshold must take the driver union-find")
+    assert(small.except(dist).isEmpty && dist.except(small).isEmpty,
+      "both paths must produce the identical component-minimum labeling")
+    small.unpersist(); dist.unpersist()
   }
 
   test("1000 identical docs: star guard bounds fan-out, component survives") {
