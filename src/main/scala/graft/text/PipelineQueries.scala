@@ -267,5 +267,189 @@ object PipelineQueries {
     SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
     ORDER BY doc_id, rk"""))
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61)
+  // ---------------------------------------------------------------- q62
+  /** GREEDY bin packing — the other packing layout (q59 chunks the
+    * concatenated stream; this keeps documents WHOLE): within each
+    * source shard in doc_id order, a document opens a new 512-token
+    * pack when it doesn't fit the current one. Sequential within a
+    * shard by nature (each decision depends on the running fill), so it
+    * runs as one `flatMapGroups` fold per shard — parallel across
+    * shards, no driver collect — mirrored by a DuckDB recursive CTE
+    * exactly like the VWAP carry fold (q26).
+    */
+  val q62 = Q("q62_greedy_packing",
+    (s, dir) => {
+      import s.implicits._
+      val B = 512L
+      val ins = Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+        .as[(Long, String, Long)]
+      ins.groupByKey(_._2).flatMapGroups { (src, it) =>
+        val docs = it.toSeq.sortBy(_._1)
+        var pack = 0L; var fill = 0L
+        docs.map { case (id, _, n) =>
+          if (fill > 0 && fill + n > B) { pack += 1; fill = 0 }
+          val row = (id, src, n, pack, fill, if (n > B) 1 else 0)
+          fill += n
+          row
+        }
+      }.toDF("doc_id", "source", "n_tokens", "pack_id", "pack_pos", "truncated")
+        .transform(graft.Q.presentSorted(_, "doc_id"))
+    },
+    Some(s"""WITH RECURSIVE tk AS (
+      SELECT doc_id, source,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len($toksSql) END AS BIGINT) AS n_tokens,
+        ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ), rec AS (
+      SELECT source, rn, doc_id, n_tokens,
+        CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS pack_pos,
+        n_tokens AS fill
+      FROM tk WHERE rn = 1
+      UNION ALL
+      SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+        CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 512
+             THEN r.pack_id + 1 ELSE r.pack_id END,
+        CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 512
+             THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        CASE WHEN r.fill > 0 AND r.fill + t.n_tokens > 512
+             THEN t.n_tokens ELSE r.fill + t.n_tokens END
+      FROM rec r JOIN tk t ON t.source = r.source AND t.rn = r.rn + 1
+    )
+    SELECT doc_id, source, n_tokens, pack_id, pack_pos,
+      CAST(n_tokens > 512 AS INTEGER) AS truncated
+    FROM rec ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q63
+  /** Deterministic mixture sampling: per-language keep rates (the data-
+    * mixing knob of a training run — e.g. upweight en, downsample the
+    * rest) applied by multiplicative doc_id hash, so the sample is
+    * reproducible across engines and partitionings. Emits the
+    * per-stratum audit a pipeline needs: totals, kept counts, kept
+    * token mass, and the realized permille vs the configured rate.
+    */
+  val q63 = Q("q63_mixture_sample",
+    (s, dir) => {
+      val h = expr("(doc_id * 2654435761) % 1000")
+      val rate = when(col("lang") === "en", lit(500L))
+        .when(col("lang").isin("de", "fr", "es"), lit(250L))
+        .otherwise(lit(100L))
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+        .withColumn("rate_permille", rate)
+        .withColumn("kept", (h < rate).cast("int"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum("kept").as("n_kept"),
+          sum(col("kept") * col("n_tokens")).as("kept_tokens"),
+          max("rate_permille").as("rate_permille"),
+          expr("1000 * sum(kept) div count(1)").as("realized_permille"))
+        .orderBy("lang")
+    },
+    Some(s"""WITH a AS (
+      SELECT lang,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_tokens,
+        CASE WHEN lang = 'en' THEN 500
+             WHEN lang IN ('de', 'fr', 'es') THEN 250
+             ELSE 100 END AS rate_permille,
+        CASE WHEN (doc_id * 2654435761) % 1000 <
+               CASE WHEN lang = 'en' THEN 500
+                    WHEN lang IN ('de', 'fr', 'es') THEN 250
+                    ELSE 100 END
+             THEN 1 ELSE 0 END AS kept
+      FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_total,
+      CAST(SUM(kept) AS BIGINT) AS n_kept,
+      CAST(SUM(kept * n_tokens) AS BIGINT) AS kept_tokens,
+      CAST(MAX(rate_permille) AS BIGINT) AS rate_permille,
+      CAST(1000 * SUM(kept) // COUNT(*) AS BIGINT) AS realized_permille
+    FROM a GROUP BY lang ORDER BY lang"""))
+
+  // ---------------------------------------------------------------- q64
+  /** INCREMENTAL near-dedup — the ingestion shape: match a NEW batch
+    * (doc_id ≥ split point) against the EXISTING corpus (doc_id below)
+    * without ever joining batch×batch or corpus×corpus. Reuses the q48
+    * machinery (minhash_spans band signatures → per-(band, hash)
+    * equi-join → shingle_overlap Jaccard ≥ 0.8 verify), but the band
+    * join is ASYMMETRIC: only (new, base) pairs form, so ingesting a
+    * day's batch against a 100 TB corpus shuffles one day of
+    * signatures against bucketed base signatures — never the corpus
+    * against itself. Each new doc reports its best base match
+    * (min doc_id among verified matches) or drops out if none.
+    */
+  val q64 = Q("q64_incremental_dedup",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val nShingle = 8
+      val docs = Tables(s, dir, "documents")
+      // every 5th doc forms the incoming batch (deterministic and
+      // sf-independent); the rest is the existing corpus
+      val sig = docs
+        .withColumn("sig", expr(s"minhash_spans(text, $nShingle, 4)"))
+        .select(col("doc_id"), col("text"),
+          posexplode(array((0 to 3).map(k =>
+            TextMetrics.bandId((0 to 3).map(j =>
+              element_at(col("sig"), 4 * k + j + 1)))): _*)).as(Seq("band_idx", "bh")))
+      val base = sig.filter(col("doc_id") % 5 < 4)
+        .select(col("doc_id").as("base_id"), col("text").as("base_text"),
+          col("band_idx"), col("bh"))
+      val fresh = sig.filter(col("doc_id") % 5 === 4)
+        .select(col("doc_id").as("new_id"), col("text").as("new_text"),
+          col("band_idx"), col("bh"))
+      fresh.join(base, Seq("band_idx", "bh"))
+        .select("new_id", "new_text", "base_id", "base_text").distinct()
+        .withColumn("ov", expr(s"shingle_overlap(new_text, base_text, $nShingle)"))
+        .withColumn("jaccard",
+          when(col("ov.n_union") > 0,
+            col("ov.n_inter").cast("double") / col("ov.n_union")))
+        .filter(col("jaccard") >= 0.8)
+        .groupBy(col("new_id"))
+        .agg(min("base_id").as("matched_base_id"),
+          max("jaccard").as("best_jaccard"),
+          count(lit(1)).as("n_base_matches"))
+        .orderBy("new_id")
+    },
+    Some {
+      val sh = s"list_distinct(list_transform(generate_series(1, greatest(length(text) - 7, 1)), i -> substr(text, i, 8)))"
+      val sigCols = (for { k <- 0 to 3; j <- 0 to 3 }
+        yield s"min(substr(h$k, ${1 + 8 * j}, 8)) AS c${k}_$j").mkString(", ")
+      val bandRows = (0 to 3).map(k =>
+        s"SELECT doc_id, $k AS band_idx, md5(c${k}_0 || c${k}_1 || c${k}_2 || c${k}_3) AS bh FROM sig")
+        .mkString("\n      UNION ALL ")
+      s"""WITH shs AS (
+      SELECT doc_id, unnest($sh) AS sh FROM documents
+    ), h AS (
+      SELECT doc_id, ${(0 to 3).map(k => s"md5(sh || '#$k') AS h$k").mkString(", ")} FROM shs
+    ), sig AS (
+      SELECT doc_id, $sigCols FROM h GROUP BY doc_id
+    ), bands AS (
+      $bandRows
+    ), pairs AS (
+      SELECT DISTINCT f.doc_id AS new_id, b.doc_id AS base_id
+      FROM bands f JOIN bands b
+        ON f.band_idx = b.band_idx AND f.bh = b.bh
+      WHERE f.doc_id % 5 = 4 AND b.doc_id % 5 < 4
+    ), shd AS (
+      SELECT doc_id, $sh AS s FROM documents
+    ), ver AS (
+      SELECT p.new_id, p.base_id,
+        CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+      FROM pairs p JOIN shd a ON a.doc_id = p.new_id JOIN shd b ON b.doc_id = p.base_id
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+    )
+    SELECT new_id, MIN(base_id) AS matched_base_id,
+      MAX(jaccard) AS best_jaccard, COUNT(*) AS n_base_matches
+    FROM ver WHERE jaccard >= 0.8::DOUBLE
+    GROUP BY new_id ORDER BY new_id"""
+    },
+    headline = true)
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64)
 }

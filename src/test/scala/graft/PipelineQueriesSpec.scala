@@ -71,6 +71,54 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(again === byName)
   }
 
+  test("q62: greedy packing keeps docs whole and opens packs on overflow") {
+    // shard s0: 300 + 300 + 20 tokens → doc 1 (300) doesn't fit after
+    // doc 0 (300+300 > 512) → new pack; doc 2 (20) fits after doc 1
+    val dir = docsDir(Seq(
+      (0L, Seq.fill(300)("w").mkString(" "), "en", "s0"),
+      (1L, Seq.fill(300)("w").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(20)("w").mkString(" "), "en", "s0"),
+      (3L, Seq.fill(600)("w").mkString(" "), "en", "s1"), // oversized: own pack, truncated
+      (4L, Seq.fill(10)("w").mkString(" "), "en", "s1")))
+    val out = text.PipelineQueries.q62.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getLong(4), r.getInt(5))).toMap
+    assert(out(0L) === ((0L, 0L, 0)))
+    assert(out(1L) === ((1L, 0L, 0)), "300 after 300 overflows 512 → new pack")
+    assert(out(2L) === ((1L, 300L, 0)), "20 fits beside 300")
+    assert(out(3L) === ((0L, 0L, 1)), "oversized doc flagged truncated")
+    assert(out(4L) === ((1L, 0L, 0)), "doc after an oversized pack starts fresh")
+  }
+
+  test("q63: mixture sampling applies per-stratum rates deterministically") {
+    val dir = docsDir((0L until 300L).map(i =>
+      (i, s"tok a b c $i", if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "zh", "s0")))
+    val out = text.PipelineQueries.q63.run(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4))).toMap
+    assert(out("en")._3 === 500L && out("de")._3 === 250L && out("zh")._3 === 100L)
+    // en must keep a strictly larger fraction than zh (100 docs each)
+    assert(out("en")._2.toDouble / out("en")._1 > out("zh")._2.toDouble / out("zh")._1)
+    val again = text.PipelineQueries.q63.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again === out.map { case (k, v) => k -> v._2 })
+  }
+
+  test("q64: incremental dedup matches new docs against the base corpus only") {
+    // ids 4 and 9 are "new" (id % 5 == 4); 4 duplicates base doc 1,
+    // 9 matches nothing; base-base duplicate pair (0, 1) must NOT appear
+    val common = "the quick brown fox jumps over the lazy dog again and again padding"
+    val dir = docsDir(Seq(
+      (0L, common, "en", "s0"), (1L, common, "en", "s0"),
+      (2L, "completely different text about spark plans", "en", "s0"),
+      (3L, "another unrelated document body here", "en", "s0"),
+      (4L, common, "en", "s0"),
+      (9L, "nothing like anything else in this corpus at all", "en", "s0")))
+    val out = text.PipelineQueries.q64.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq((4L, 0L, 1.0, 2L)),
+      "new doc 4 matches base 0 and 1 (min id 0, both jaccard 1.0); doc 9 drops out")
+  }
+
   test("q61: integer tf-idf ranks the distinguishing term first") {
     // "rare" appears in 1 of 4 docs and twice there; "common" in all 4
     val dir = docsDir(Seq(
