@@ -448,6 +448,41 @@ object RelationalQueries {
       ${Exact.sumExactSql("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS "O_qty"
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  /** EXACT distribution quantiles (p50/p95/p99, linear interpolation) —
+    * verifiably identical across engines: Spark `percentile` and DuckDB
+    * `quantile_cont` compute the same p·(n−1) position and interpolation
+    * over the same doubles, so the oracle pins them bit-for-bit (probed
+    * on all groups before adoption). Scale note: exact percentile holds
+    * each group's values in its aggregation buffer — right for bounded
+    * groups and for oracle-able exactness; an unbounded-cardinality
+    * production path uses approx_percentile (t-digest), whose sketch
+    * results are engine-specific by construction (q42's family).
+    */
+  val q65 = Q("q65_exact_quantiles",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("price_p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("price_p99"),
+          expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+          min("l_extendedprice").as("price_min"),
+          max("l_extendedprice").as("price_max"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS price_p50,
+      quantile_cont(l_extendedprice, 0.95) AS price_p95,
+      quantile_cont(l_extendedprice, 0.99) AS price_p99,
+      quantile_cont(l_quantity, 0.5) AS qty_p50,
+      MIN(l_extendedprice) AS price_min,
+      MAX(l_extendedprice) AS price_max,
+      COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
+
   def all: Seq[Q] =
-    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45, q46, q55, q56)
+    Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
+      q46, q55, q56, q65)
 }

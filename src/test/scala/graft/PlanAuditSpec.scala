@@ -93,6 +93,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Generate"), "counts derive from the array in place, not exploded rows")
   }
 
+  test("q59: packing offsets are ONE window shuffle per shard key") {
+    val p = plan("q59_sequence_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "the per-source running sum must be the only hash shuffle")
+    assert(!p.contains("Generate"), "token counts come from the split array in place")
+  }
+
+  test("q58/q61: gram and term counts combine map-side before their shuffles") {
+    for (name <- Seq("q58_repetition_quality", "q61_tfidf_topterms")) {
+      val p = plan(name)
+      assert(p.contains("partial_count"),
+        s"$name must partially aggregate (doc, gram/term) counts before shuffling")
+      assert(!p.contains("CartesianProduct"), s"$name must stay equi-join only")
+    }
+  }
+
+  test("q64: incremental dedup joins new×base on (band, hash) — equi only") {
+    val p = plan("q64_incremental_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the asymmetric band join must be an equi-join")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
