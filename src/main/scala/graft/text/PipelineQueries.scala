@@ -451,5 +451,82 @@ object PipelineQueries {
     },
     headline = true)
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64)
+  // ---------------------------------------------------------------- q66
+  /** Benchmark decontamination (Brown et al., "Language Models are
+    * Few-Shot Learners", arXiv:2005.14165 §C — 13-gram overlap; n = 5
+    * here to suit the synthetic corpus's vocabulary): flag every TRAIN
+    * document sharing a distinct word 5-gram with any TEST document,
+    * using the q60 hash split. The check every serious pretraining
+    * pipeline runs before shipping a corpus.
+    *
+    * Shape: the benchmark side is tiny by construction (5% of docs →
+    * distinct grams), so it BROADCASTS; the train side streams through
+    * one explode + hash join + per-doc count — no shuffle of corpus
+    * text, no all-pairs. At 100 TB the benchmark gram set (benchmarks
+    * are MBs, corpora are TBs) still fits in every executor.
+    */
+  val q66 = Q("q66_benchmark_decontam",
+    (s, dir) => {
+      val h = expr("(doc_id * 2654435761) % 1000")
+      val split = when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test"))
+      val base = Tables(s, dir, "documents")
+        .withColumn("split", split)
+        .withColumn("tk", toks)
+        .withColumn("nw",
+          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+        .withColumn("grams", when(col("nw") >= 5,
+          array_distinct(transform(sequence(lit(0), col("nw") - 5), i =>
+            concat_ws(" ", (0 until 5).map(k => element_at(col("tk"), i + k + 1)): _*))))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), col("split"), col("grams"))
+      val bench = base.filter(col("split") === "test")
+        .select(explode(col("grams")).as("gram")).distinct()
+        .withColumn("hit", lit(1L))
+      base.filter(col("split") === "train")
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_grams"),
+          explode_outer(col("grams")).as("gram"))
+        .join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id", "n_grams")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_contaminated"))
+        .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+          when(col("n_grams") > 0,
+            col("n_contaminated").cast("double") / col("n_grams")).as("contamination_frac"),
+          (col("n_contaminated") > 0).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id,
+        CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+             WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+             ELSE 'test' END AS split,
+        $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
+      FROM documents
+    ), g AS (
+      SELECT doc_id, split,
+        CASE WHEN nw >= 5
+             THEN list_distinct(list_transform(generate_series(1, nw - 4),
+                    i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3] || ' ' || tk[i+4]))
+             ELSE [] END AS grams
+      FROM base
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'test'
+    ), tr AS (
+      SELECT doc_id, len(grams) AS n_grams,
+        unnest(CASE WHEN len(grams) = 0 THEN [NULL] ELSE grams END) AS gram
+      FROM g WHERE split = 'train'
+    ), c AS (
+      SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+        CAST(SUM(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+      FROM tr t LEFT JOIN bench b ON b.gram = t.gram
+      GROUP BY t.doc_id, t.n_grams
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+      CASE WHEN n_grams > 0
+           THEN CAST(n_contaminated AS DOUBLE) / n_grams END AS contamination_frac,
+      CAST(n_contaminated > 0 AS INTEGER) AS contaminated
+    FROM c ORDER BY doc_id"""),
+    headline = true)
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66)
 }

@@ -575,5 +575,163 @@ object TextQueries {
       CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END AS avg_token_chars
     FROM c ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57)
+  // ---------------------------------------------------------------- q67
+  /** SimHash NEAR-DUP PAIRS — the q32 fingerprint put to work (Manku,
+    * Jarvelin, Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07): split the 32-bit simhash into 4 bands of 8 bits; by
+    * pigeonhole, any pair within Hamming distance 3 agrees EXACTLY on at
+    * least one band, so candidates form only inside (band, code) buckets
+    * — never all-pairs. Verify with the true popcount of the XOR.
+    *
+    * Scale notes: 8-bit bands follow from the 32-bit fingerprint (the
+    * md5 hex-digit vote yields 32 bits); a 100 TB deployment widens to a
+    * 64-bit simhash with 16-bit bands — same plan shape, 65 536-way
+    * bucket fan-out instead of 256. The band join is the q48/q39 bucket
+    * pattern; bucket population is corpus/256 per band here, bounded and
+    * uniform because the code bits are md5-derived.
+    */
+  val q67 = Q("q67_simhash_neardup",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val side = Tables(s, dir, "documents")
+        .withColumn("simhash", expr(s"shingle_agg(text, $N).simhash"))
+        .select(col("doc_id"), col("simhash"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)"))
+            .as(Seq("band", "code")))
+      val a = side.select(col("band"), col("code"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      val b = side.select(col("band"), col("code"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      a.join(b, Seq("band", "code"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+        .agg(count(lit(1)).as("n_bands_shared"))
+        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "n_bands_shared", "hamming")
+        .transform(graft.Q.presentSorted(_, "doc_a", "doc_b"))
+    },
+    Some {
+      val votes = (1 to 32)
+        .map(j => s"SUM(CASE WHEN substr(h, $j, 1) >= '8' THEN 1 ELSE -1 END) AS v$j")
+        .mkString(", ")
+      val fp = (1 to 32)
+        .map(j => s"CASE WHEN v$j > 0 THEN ${1L << (j - 1)} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH sh AS (
+      SELECT doc_id, md5(unnest($shinglesSqlExpr)) AS h FROM documents
+    ), v AS (
+      SELECT doc_id, $votes FROM sh GROUP BY doc_id
+    ), f AS (
+      SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM v
+    ), bands AS (
+      SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS code
+      FROM f, (SELECT unnest(generate_series(0, 3)) AS band) bs
+    ), cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        x.simhash AS sh_a, y.simhash AS sh_b, COUNT(*) AS n_bands_shared
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared,
+      CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b"""
+    })
+
+  // ---------------------------------------------------------------- q69
+  /** Content-defined chunking + SUB-DOCUMENT dedup (the FastCDC/rsync
+    * family, applied to text): cut each document where the q53 Rabin
+    * fingerprint of the trailing 8-char window ≡ 0 (mod 64) — expected
+    * chunk ≈ 64 chars, boundaries determined by CONTENT so an insertion
+    * shifts at most one chunk — then count, per document, how many of
+    * its chunks also occur in another document. Finds shared boilerplate
+    * and partial copies that document-level dedup (q29/q48) cannot see.
+    *
+    * Shape: chunking is a per-row projection over the one-pass
+    * rolling_hash kernel; the dedup side explodes (doc, chunk_md5) into
+    * a partial-aggregable groupBy keyed by the 128-bit chunk hash — the
+    * shuffle carries hashes, never chunk text. That is the shape that
+    * dedups 100 TB: chunk hashes shard uniformly, no all-pairs.
+    */
+  val q69 = Q("q69_cdc_chunk_dedup",
+    (s, dir) => {
+      graft.functions.RollingHash.ensureRegistered(s)
+      val base = Tables(s, dir, "documents")
+        .withColumn("wins", expr("rolling_hash(text, 8, 131, 1000000007).wins"))
+        .withColumn("n", length(col("text")))
+        // a cut closes the chunk at the END of window i (char i+7); the
+        // final bound is always n, so p = n would duplicate it
+        .withColumn("bounds", expr(
+          "concat(filter(transform(filter(sequence(1, size(wins)), " +
+            "i -> element_at(wins, i) % 64 = 0), i -> i + 7), p -> p < n), array(n))"))
+        .withColumn("chunks", expr(
+          """CASE WHEN n = 0 THEN array() ELSE transform(sequence(1, size(bounds)), j ->
+               md5(substring(text,
+                 CASE WHEN j = 1 THEN 1 ELSE element_at(bounds, j - 1) + 1 END,
+                 element_at(bounds, j) - CASE WHEN j = 1 THEN 0 ELSE element_at(bounds, j - 1) END)))
+             END"""))
+      val ex = base.select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        explode_outer(col("chunks")).as("ch"))
+      val freq = ex.filter(col("ch").isNotNull)
+        .groupBy("ch").agg(countDistinct("doc_id").as("ndocs"))
+      ex.join(freq, Seq("ch"), "left")
+        .groupBy("doc_id", "n_chars")
+        .agg(count(col("ch")).as("n_chunks"),
+          sum(when(col("ndocs") > 1, 1L).otherwise(0L)).as("n_shared_chunks"))
+        .select(col("doc_id"), col("n_chars"), col("n_chunks"), col("n_shared_chunks"),
+          expr("CASE WHEN n_chunks > 0 THEN n_chars div n_chunks END").as("avg_chunk_len"),
+          when(col("n_chunks") > 0,
+            col("n_shared_chunks").cast("double") / col("n_chunks")).as("shared_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH c AS (
+      SELECT doc_id, text, length(text) AS n,
+        list_transform(generate_series(1, length(text)), i ->
+          CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes
+      FROM documents
+    ), r AS (
+      SELECT doc_id, text, n,
+        list_transform(generate_series(1, greatest(n - 7, 1)), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)) AS wins
+      FROM c
+    ), bd AS (
+      SELECT doc_id, text, n,
+        list_append(list_filter(list_transform(
+          list_filter(generate_series(1, len(wins)), i -> wins[i] % 64 = 0),
+          i -> i + 7), p -> p < n), n) AS bounds
+      FROM r
+    ), ck AS (
+      SELECT doc_id, n,
+        CASE WHEN n = 0 THEN []
+             ELSE list_transform(generate_series(1, len(bounds)), j ->
+               md5(substr(text,
+                 CASE WHEN j = 1 THEN 1 ELSE bounds[j-1] + 1 END,
+                 bounds[j] - CASE WHEN j = 1 THEN 0 ELSE bounds[j-1] END)))
+        END AS chunks
+      FROM bd
+    ), ex AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        unnest(CASE WHEN len(chunks) = 0 THEN [NULL] ELSE chunks END) AS ch
+      FROM ck
+    ), freq AS (
+      SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM ex WHERE ch IS NOT NULL GROUP BY ch
+    ), agg AS (
+      SELECT e.doc_id, e.n_chars,
+        CAST(COUNT(e.ch) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN f.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_chunks
+      FROM ex e LEFT JOIN freq f ON f.ch = e.ch
+      GROUP BY e.doc_id, e.n_chars
+    )
+    SELECT doc_id, n_chars, n_chunks, n_shared_chunks,
+      CASE WHEN n_chunks > 0 THEN n_chars // n_chunks END AS avg_chunk_len,
+      CASE WHEN n_chunks > 0
+           THEN CAST(n_shared_chunks AS DOUBLE) / n_chunks END AS shared_frac
+    FROM agg ORDER BY doc_id"""),
+    headline = true)
+
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69)
 }

@@ -618,5 +618,125 @@ object VectorQueries {
     SELECT q_id, cell, rnk, c_id, cos_sim FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
     })
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54)
+  // ---------------------------------------------------------------- q68
+  /** INT8 embedding quantization + retrieval recall — the compression
+    * every vector store applies before ANN (4× smaller than float32,
+    * integer SIMD dots): per-vector symmetric scale q_i = ⌊x_i·127/max|x|
+    * + ½⌋, candidate ranking by INTEGER dot product (exact — no float
+    * accumulation at all), measured against the exact float cosine top-5
+    * (the q36 ranking) as top-1 agreement and recall@5 per probe.
+    *
+    * Cross-engine exactness: the quantized values come from one double
+    * multiply, divide, add, floor — identical IEEE ops in both engines —
+    * and everything after is 64-bit integer math; the exact side reuses
+    * the dec_dot8 kernel. At 100 TB the int8 codes are what actually
+    * ships to executors: 64 B/vector instead of 256 B, and the dot is a
+    * codegen'd long fold.
+    */
+  val q68 = Q("q68_int8_quant_recall",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val en = Tables(s, dir, "embeddings")
+        .withColumn("mx", expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
+          "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qv", expr(
+          "CASE WHEN mx > CAST(0 AS DOUBLE) THEN transform(embedding, x -> " +
+            "CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / mx + CAST(0.5 AS DOUBLE)) AS BIGINT)) " +
+            "ELSE transform(embedding, x -> CAST(0 AS BIGINT)) END"))
+        .withColumn("qn2", expr(
+          "aggregate(transform(qv, v -> v * v), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("n2", expr(norm2Expr("embedding")))
+      val q = en.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("qv").as("q_qv"),
+          col("n2").as("q_n2"), col("qn2").as("q_qn2"))
+      val c = en.select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("qv").as("c_qv"),
+        col("n2").as("c_n2"), col("qn2").as("c_qn2"))
+      val wE = Window.partitionBy("q_id").orderBy(desc("cos_exact"), col("c_id"))
+      val wQ = Window.partitionBy("q_id").orderBy(desc("cos_q"), col("c_id"))
+      val ranked = broadcast(q).join(c, col("c_id") =!= col("q_id"))
+        .withColumn("dot_exact", expr(dotExpr("qe", "ce")))
+        .withColumn("cos_exact", when(col("q_n2") > 0 && col("c_n2") > 0,
+          col("dot_exact") / (sqrt(col("q_n2")) * sqrt(col("c_n2")))))
+        .withColumn("dot_q", expr(
+          "aggregate(zip_with(q_qv, c_qv, (x, y) -> x * y), CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+        .withColumn("cos_q", when(col("q_qn2") > 0 && col("c_qn2") > 0,
+          col("dot_q").cast("double") /
+            (sqrt(col("q_qn2").cast("double")) * sqrt(col("c_qn2").cast("double")))))
+        .withColumn("re", row_number().over(wE))
+        .withColumn("rq", row_number().over(wQ))
+        .filter(col("re") <= 5 || col("rq") <= 5)
+        .select("q_id", "c_id", "re", "rq")
+        .cache() // tiny (≤ 10 rows/probe); reused by 4 derivations below
+      val e5 = ranked.filter(col("re") <= 5)
+      val q5 = ranked.filter(col("rq") <= 5)
+      val ov = e5.select("q_id", "c_id")
+        .join(q5.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap5"))
+      val e1 = e5.filter(col("re") === 1).select(col("q_id"), col("c_id").as("exact_top1"))
+      val q1 = q5.filter(col("rq") === 1).select(col("q_id"), col("c_id").as("int8_top1"))
+      e1.join(q1, "q_id").join(ov, "q_id")
+        .select(col("q_id"), col("exact_top1"), col("int8_top1"),
+          (col("exact_top1") === col("int8_top1")).cast("int").as("top1_match"),
+          col("n_overlap5"),
+          (col("n_overlap5").cast("double") / lit(5)).as("recall5"))
+        .transform(graft.Q.presentSorted(_, "q_id"))
+    },
+    Some(s"""WITH en AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))), (acc, x) -> greatest(acc, x)) AS mx,
+        ${norm2Sql("embedding")} AS n2
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id, embedding, n2,
+        CASE WHEN mx > 0.0::DOUBLE
+             THEN list_transform(embedding, x ->
+                    CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / mx + 0.5::DOUBLE) AS BIGINT))
+             ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+      FROM en
+    ), qn AS (
+      SELECT vec_id, embedding, n2, qv,
+        list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(qv, v -> v * v)),
+          (acc, v) -> acc + v) AS qn2
+      FROM qz
+    ), p AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        ${dotSql("q.embedding", "c.embedding")} AS dot_exact,
+        q.n2 AS q_n2, c.n2 AS c_n2,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_zip(q.qv, c.qv), pr -> pr[1] * pr[2])),
+          (acc, v) -> acc + v) AS dot_q,
+        q.qn2 AS q_qn2, c.qn2 AS c_qn2
+      FROM qn q JOIN qn c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), sc AS (
+      SELECT q_id, c_id,
+        CASE WHEN q_n2 > 0 AND c_n2 > 0
+             THEN dot_exact / (sqrt(q_n2) * sqrt(c_n2)) END AS cos_exact,
+        CASE WHEN q_qn2 > 0 AND c_qn2 > 0
+             THEN CAST(dot_q AS DOUBLE) /
+                  (sqrt(CAST(q_qn2 AS DOUBLE)) * sqrt(CAST(c_qn2 AS DOUBLE))) END AS cos_q
+      FROM p
+    ), r AS (
+      SELECT q_id, c_id,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_exact DESC, c_id) AS re,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q DESC, c_id) AS rq
+      FROM sc
+    ), e5 AS (SELECT q_id, c_id, re FROM r WHERE re <= 5
+    ), q5 AS (SELECT q_id, c_id, rq FROM r WHERE rq <= 5
+    ), ov AS (
+      SELECT e5.q_id, COUNT(*) AS n_overlap5
+      FROM e5 JOIN q5 ON q5.q_id = e5.q_id AND q5.c_id = e5.c_id
+      GROUP BY e5.q_id
+    )
+    SELECT e1.q_id, e1.c_id AS exact_top1, q1.c_id AS int8_top1,
+      CAST(e1.c_id = q1.c_id AS INTEGER) AS top1_match,
+      CAST(ov.n_overlap5 AS BIGINT) AS n_overlap5,
+      CAST(ov.n_overlap5 AS DOUBLE) / 5 AS recall5
+    FROM (SELECT q_id, c_id FROM e5 WHERE re = 1) e1
+    JOIN (SELECT q_id, c_id FROM q5 WHERE rq = 1) q1 USING (q_id)
+    JOIN ov USING (q_id)
+    ORDER BY q_id"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68)
 }

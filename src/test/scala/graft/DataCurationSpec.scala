@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-4 data-curation operators — benchmark
+  * decontamination (q66), SimHash near-dup pairs (q67), int8 quantized
+  * retrieval recall (q68), and content-defined chunk dedup (q69) — on
+  * crafted corpora where the right answers are hand-checkable. The
+  * DuckDB oracle pins cross-engine equality; these pin the MEANING.
+  */
+class DataCurationSpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String)]): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    rows.map { case (id, text) => (id, text, "en", "s0", text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  private def vecsDir(rows: Seq[(Long, Seq[Float])]): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  /** The q60/q66 split hash, for picking doc_ids that land in a split. */
+  private def split(id: Long): String = {
+    val h = (id * 2654435761L) % 1000
+    if (h < 900) "train" else if (h < 950) "val" else "test"
+  }
+
+  test("q66: train docs sharing a 5-gram with a test doc are flagged") {
+    val testId = (0L until 1000L).find(split(_) == "test").get
+    val trainIds = (0L until 1000L).filter(split(_) == "train").take(3)
+    val benchText = "the quick brown fox jumps over the lazy dog tonight"
+    val dir = docsDir(Seq(
+      (testId, benchText),
+      // copies 6 consecutive benchmark words → contains shared 5-grams
+      (trainIds(0), "intro words then the quick brown fox jumps over and more"),
+      (trainIds(1), "completely unrelated corpus text with many plain words here"),
+      (trainIds(2), "")))
+    val out = text.PipelineQueries.q66.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === trainIds.toSet, "only train docs are emitted")
+    assert(out(trainIds(0)).getInt(4) === 1, "overlapping doc flagged")
+    // "the quick brown fox jumps" and "quick brown fox jumps over"
+    assert(out(trainIds(0)).getLong(2) === 2L, "exactly 2 shared 5-grams")
+    assert(out(trainIds(1)).getInt(4) === 0, "clean doc not flagged")
+    assert(out(trainIds(2)).getLong(1) === 0L, "empty doc has 0 grams")
+    assert(out(trainIds(2)).getInt(4) === 0)
+  }
+
+  test("q67: identical docs pair at hamming 0 with all 4 bands shared") {
+    val dup = "key agg row scan slow fast table value part hash " * 5
+    val dir = docsDir(Seq(
+      (0L, dup), (1L, dup),
+      (2L, "batch window spark order data column agg join small line " * 5),
+      (3L, "vector stream group filter sort merge query big customer mid " * 5)))
+    val rows = text.TextQueries.q67.run(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+    val byPair = rows.toMap
+    assert(byPair.contains((0L, 1L)), "identical docs must be paired")
+    assert(byPair((0L, 1L)) === ((4L, 0L)), "4 bands shared, hamming 0")
+    assert(rows.forall { case ((a, b), (nb, hd)) => a < b && hd <= 3 && nb >= 1 },
+      "every pair is ordered, within distance 3, and bucket-joined")
+  }
+
+  test("q68: collinear int8 quantization preserves the exact ranking") {
+    // probes 0-7 = scaled unit basis vectors in 8-dim; candidates 8-15 =
+    // 3x the matching probe (exactly collinear → cos 1, and the symmetric
+    // int8 code of x equals that of 3x, so both rankings must agree)
+    val dim = 8
+    def basis(i: Int, scale: Float) =
+      Seq.tabulate(dim)(j => if (j == i) scale else 0.0f)
+    val rows = (0 until 8).map(i => (i.toLong, basis(i, 1.5f + i))) ++
+      (0 until 8).map(i => ((8 + i).toLong, basis(i, 3 * (1.5f + i))))
+    val out = vec.VectorQueries.q68.run(spark, vecsDir(rows))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.length === 8)
+    out.foreach { case (qId, exact1, int81, m, ov5, r5) =>
+      assert(exact1 === qId + 8, s"probe $qId exact top-1 is its collinear twin")
+      assert(int81 === qId + 8, s"probe $qId int8 top-1 survives quantization")
+      assert(m === 1)
+      assert(ov5 === 5L && r5 === 1.0, "orthogonal ties break by c_id in both spaces")
+    }
+  }
+
+  test("q69: shared boilerplate yields shared chunks; prefix shifts only locally") {
+    // lexically diverse (numbered clauses) so the 8-char window hashes
+    // vary — a short repeated phrase can deterministically miss every
+    // 1/64 cut and produce a single chunk
+    val boiler = (0 until 60)
+      .map(i => s"clause $i subsection ${i * 7 % 13} of the service terms")
+      .mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, "unique preamble alpha beta. " + boiler + " unique tail gamma."),
+      (1L, "different opening words entirely. " + boiler + " other ending."),
+      // content-defined cuts re-synchronize inside the copied region even
+      // after an insertion — the property fixed-width chunking lacks
+      (2L, "INSERTED PREFIX CHANGES OFFSETS. unique preamble alpha beta. " +
+        boiler + " unique tail gamma."),
+      (3L, "totally unrelated text with no duplicated content whatsoever"),
+      (4L, "")))
+    val out = text.TextQueries.q69.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(0L)._1 >= 2L, "boilerplate long enough to span multiple chunks")
+    assert(out(0L)._2 > 0L && out(1L)._2 > 0L, "boilerplate chunks shared")
+    assert(out(2L)._2 > 0L, "shifted copy still shares chunks (CDC resync)")
+    assert(out(3L)._2 === 0L, "unique doc shares nothing")
+    assert(out(4L) === ((0L, 0L)), "empty doc has no chunks")
+  }
+}
