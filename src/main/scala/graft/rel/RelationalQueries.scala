@@ -460,16 +460,29 @@ object RelationalQueries {
     */
   val q65 = Q("q65_exact_quantiles",
     (s, dir) => {
+      // distributed exact quantiles (see ExactQuantile): built-in
+      // `percentile` buffers every group value in ONE reducer — correct
+      // here, impossible at 100 TB. Range-sort + rank-pick returns
+      // bit-identical interpolations without materializing any group.
+      val li = Tables(s, dir, "lineitem")
+      val pq = ExactQuantile
+        .perGroup(li, "l_returnflag", "l_extendedprice", Seq(0.5, 0.95, 0.99))
+        .groupBy("g").agg(
+          max(when(col("p") === 0.5, col("q"))).as("price_p50"),
+          max(when(col("p") === 0.95, col("q"))).as("price_p95"),
+          max(when(col("p") === 0.99, col("q"))).as("price_p99"))
+      val qq = ExactQuantile.perGroup(li, "l_returnflag", "l_quantity", Seq(0.5))
+        .select(col("g").as("g2"), col("q").as("qty_p50"))
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-          expr("percentile(l_extendedprice, 0.5)").as("price_p50"),
-          expr("percentile(l_extendedprice, 0.95)").as("price_p95"),
-          expr("percentile(l_extendedprice, 0.99)").as("price_p99"),
-          expr("percentile(l_quantity, 0.5)").as("qty_p50"),
           min("l_extendedprice").as("price_min"),
           max("l_extendedprice").as("price_max"),
           count(lit(1)).as("n"))
+        .join(broadcast(pq), col("l_returnflag") === col("g"))
+        .join(broadcast(qq), col("l_returnflag") === col("g2"))
+        .select(col("l_returnflag"), col("price_p50"), col("price_p95"),
+          col("price_p99"), col("qty_p50"), col("price_min"), col("price_max"), col("n"))
         .orderBy("l_returnflag")
     },
     Some("""SELECT l_returnflag,

@@ -593,8 +593,14 @@ object TextQueries {
   val q67 = Q("q67_simhash_neardup",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
-      val side = Tables(s, dir, "documents")
+      // materialize the tiny signature table (2 longs/doc) so the
+      // shingle_agg kernel — the expensive part — runs ONCE, not once
+      // per self-join side (and again in each side's pushed-down
+      // isnotnull filter); the harness clears the cache post-query
+      val sig = Tables(s, dir, "documents")
         .withColumn("simhash", expr(s"shingle_agg(text, $N).simhash"))
+        .select(col("doc_id"), col("simhash")).cache()
+      val side = sig
         .select(col("doc_id"), col("simhash"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> shiftright(simhash, b * 8) & 255)"))
@@ -673,8 +679,11 @@ object TextQueries {
                  CASE WHEN j = 1 THEN 1 ELSE element_at(bounds, j - 1) + 1 END,
                  element_at(bounds, j) - CASE WHEN j = 1 THEN 0 ELSE element_at(bounds, j - 1) END)))
              END"""))
+      // materialize the exploded (doc, chunk_md5) table (~3 short rows
+      // per doc) so the rolling_hash + chunking projection runs ONCE,
+      // not once for the frequency table and again for the per-doc agg
       val ex = base.select(col("doc_id"), col("n").cast("long").as("n_chars"),
-        explode_outer(col("chunks")).as("ch"))
+        explode_outer(col("chunks")).as("ch")).cache()
       val freq = ex.filter(col("ch").isNotNull)
         .groupBy("ch").agg(countDistinct("doc_id").as("ndocs"))
       ex.join(freq, Seq("ch"), "left")
