@@ -499,14 +499,17 @@ object VectorQueries {
     * d2 = ‖c‖² − 2·x·c, ties → smaller cid). `cent`: (cid, cvec, cnorm2),
     * small → broadcast.
     */
-  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame = {
-    val wCell = Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)
+  private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
+    // nearest-centroid argmin as a lexicographic min(struct(d2, cid)):
+    // partial-aggregable (map-side combine — one row/vector crosses the
+    // shuffle) where the row_number window it replaces sorted the whole
+    // (vector × centroid) stream per vec_id. Ties break by cid, same as
+    // the window's (d2 asc, cid asc) order.
     emb.join(broadcast(cent))
       .withColumn("d2", col("cnorm2") - lit(2.0) * expr(xcDotExpr))
-      .withColumn("crn", row_number().over(wCell))
-      .filter(col("crn") === 1)
-      .select(col("vec_id"), col("cid").as("cell"))
-  }
+      .groupBy("vec_id")
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cell"))
 
   /** IVF over LEARNED k-means centroids (q44/q52's per-label cells kept
     * as the deterministic fallback): seeded init — the K vectors with
@@ -543,9 +546,14 @@ object VectorQueries {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             t => t.getField("c")).as("cvec"))
           .withColumn("cnorm2", expr(cnorm2Expr))
+          // K rows — materializing each round stops the Lloyd lineage
+          // nesting (each round's subtree would otherwise re-execute
+          // inside every later broadcast that references it)
+          .cache()
       }
       val en = emb.join(assignCells(emb, cent), "vec_id")
         .withColumn("n2", expr(norm2Expr("embedding")))
+        .cache() // read twice: probe side and candidate side of the cell join
       val qs = en.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("cell"), col("embedding").as("qe"),
           col("n2").as("qn2"))
