@@ -742,5 +742,150 @@ object TextQueries {
     FROM agg ORDER BY doc_id"""),
     headline = true)
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69)
+  // ---------------------------------------------------------------- q70
+  /** END-TO-END CURATION FUNNEL — the whole pipeline in one DAG,
+    * composed from the operators' own outputs: language-ID match (q28)
+    * → repetition-quality screen (q58) → exact dedup keep-first (q29) →
+    * near-dup keep-longest (q51) → train split (q60's hash). Emits the
+    * per-stage survivor/dropped counts a curation run reports. Each
+    * stage's flag is computed on the FULL corpus and survival is the
+    * cumulative AND, so stages are independently attributable.
+    *
+    * Scale notes: the funnel adds nothing beyond its constituent
+    * operators — five per-doc flag columns equi-joined on doc_id, one
+    * global partial-aggregable sum. If each stage scales, the funnel
+    * scales.
+    */
+  val q70 = Q("q70_curation_funnel",
+    (s, dir) => {
+      val lang = q28.run(s, dir)
+        .select(col("doc_id"), col("is_match").cast("long").as("k_lang"))
+      val qual = PipelineQueries.q58.run(s, dir)
+        .select(col("doc_id"), col("quality_pass").cast("long").as("k_qual"))
+      val exact = Tables(s, dir, "documents")
+        .select(col("doc_id").as("d"), md5(col("text").cast("binary")).as("fp"))
+        .join(q29.run(s, dir).select("fp", "keep_id"), "fp")
+        .select(col("d").as("doc_id"), (col("d") === col("keep_id")).cast("long").as("k_exact"))
+      val near = q51.run(s, dir)
+        .select(col("doc_id"), col("is_kept").cast("long").as("k_near"))
+      val split = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
+      split.join(lang, "doc_id").join(qual, "doc_id")
+        .join(exact, "doc_id").join(near, "doc_id")
+        .agg(count(lit(1)).as("n0"),
+          sum(col("k_lang")).as("n1"),
+          sum(col("k_lang") * col("k_qual")).as("n2"),
+          sum(col("k_lang") * col("k_qual") * col("k_exact")).as("n3"),
+          sum(col("k_lang") * col("k_qual") * col("k_exact") * col("k_near")).as("n4"),
+          sum(col("k_lang") * col("k_qual") * col("k_exact") * col("k_near") * col("k_train"))
+            .as("n5"))
+        .select(expr("""stack(6,
+            0, 'total',       n0, CAST(0 AS BIGINT),
+            1, 'lang_match',  n1, n0 - n1,
+            2, 'quality',     n2, n1 - n2,
+            3, 'exact_dedup', n3, n2 - n3,
+            4, 'near_dedup',  n4, n3 - n4,
+            5, 'train_split', n5, n4 - n5)""")
+          .as(Seq("stage", "stage_name", "n_surviving", "n_dropped")))
+        .orderBy("stage")
+    },
+    Some {
+      val scores = TextMetrics.langMarkers.map { case (l, words) =>
+        words.map(occSql).mkString(" + ") + s" AS s_$l"
+      }.mkString(", ")
+      val langCase = """CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+           WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+           WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END"""
+      // q58's tokenization, verbatim — the quality CTEs must mirror it
+      val toksSqlExpr = "string_split_regex(trim(lower(text)), '\\s+')"
+      s"""$dedupCteSql, scoredq AS (
+      SELECT c.doc_id, c.group_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), bestq AS (
+      SELECT group_id, max(n_chars) AS best_chars FROM scoredq GROUP BY group_id
+    ), keepq AS (
+      SELECT s.group_id, min(s.doc_id) AS keep_id
+      FROM scoredq s JOIN bestq b ON b.group_id = s.group_id AND s.n_chars = b.best_chars
+      GROUP BY s.group_id
+    ), nearf AS (
+      SELECT s.doc_id, CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS k_near
+      FROM scoredq s JOIN keepq k USING (group_id)
+    ), langf AS (
+      SELECT doc_id, CASE WHEN $langCase = lang THEN 1 ELSE 0 END AS k_lang
+      FROM (SELECT doc_id, lang, $scores FROM documents) sc
+    ), qbase AS (
+      SELECT doc_id, text,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+        $toksSqlExpr AS toks,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSqlExpr) END AS n_words
+      FROM documents
+    ), qtri AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
+        CASE WHEN n_words >= 3
+             THEN list_transform(generate_series(1, n_words - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS trigrams
+      FROM qbase
+    ), qtrid AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
+        len(trigrams) AS n_tri, len(list_distinct(trigrams)) AS n_distinct_tri
+      FROM qtri
+    ), qbg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, n_words - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM qtrid WHERE n_words >= 2
+    ), qbc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM qbg GROUP BY doc_id, gram
+    ), qbs AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+      FROM qbc GROUP BY doc_id
+    ), qualf AS (
+      SELECT t.doc_id,
+        CASE WHEN CAST(1.0::DOUBLE - CAST(t.n_distinct_lines AS DOUBLE) / t.n_lines
+                    > 0.30::DOUBLE AS INTEGER)
+           + COALESCE(CAST(CAST(bs.top_bigram_cnt AS DOUBLE) / bs.n_bigrams
+                    > 0.20::DOUBLE AS INTEGER), 0)
+           + COALESCE(CAST(CASE WHEN t.n_tri > 0
+                    THEN 1.0::DOUBLE - CAST(t.n_distinct_tri AS DOUBLE) / t.n_tri END
+                    > 0.60::DOUBLE AS INTEGER), 0) = 0
+             THEN 1 ELSE 0 END AS k_qual
+      FROM qtrid t LEFT JOIN qbs bs ON bs.doc_id = t.doc_id
+    ), exactf AS (
+      SELECT doc_id,
+        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+             THEN 1 ELSE 0 END AS k_exact
+      FROM documents
+    ), flags AS (
+      SELECT d.doc_id,
+        CASE WHEN (d.doc_id * 2654435761) % 1000 < 900 THEN 1 ELSE 0 END AS k_train,
+        l.k_lang, q.k_qual, e.k_exact, n.k_near
+      FROM documents d
+      JOIN langf l USING (doc_id) JOIN qualf q USING (doc_id)
+      JOIN exactf e USING (doc_id) JOIN nearf n USING (doc_id)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(SUM(k_lang) AS BIGINT) AS n1,
+        CAST(SUM(k_lang * k_qual) AS BIGINT) AS n2,
+        CAST(SUM(k_lang * k_qual * k_exact) AS BIGINT) AS n3,
+        CAST(SUM(k_lang * k_qual * k_exact * k_near) AS BIGINT) AS n4,
+        CAST(SUM(k_lang * k_qual * k_exact * k_near * k_train) AS BIGINT) AS n5
+      FROM flags
+    )
+    SELECT 0 AS stage, 'total' AS stage_name, n0 AS n_surviving,
+           CAST(0 AS BIGINT) AS n_dropped FROM tot
+    UNION ALL SELECT 1, 'lang_match', n1, n0 - n1 FROM tot
+    UNION ALL SELECT 2, 'quality', n2, n1 - n2 FROM tot
+    UNION ALL SELECT 3, 'exact_dedup', n3, n2 - n3 FROM tot
+    UNION ALL SELECT 4, 'near_dedup', n4, n3 - n4 FROM tot
+    UNION ALL SELECT 5, 'train_split', n5, n4 - n5 FROM tot
+    ORDER BY stage"""
+    },
+    headline = true)
+
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70)
 }

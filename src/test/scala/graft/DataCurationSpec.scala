@@ -95,6 +95,19 @@ class DataCurationSpec extends SparkTestBase {
     }
   }
 
+  test("q70: funnel stages are monotone and drops are conserved") {
+    val rows = text.TextQueries.q70.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._2).toSeq ===
+      Seq("total", "lang_match", "quality", "exact_dedup", "near_dedup", "train_split"))
+    rows.sliding(2).foreach { case Array((_, _, prev, _), (_, name, cur, dropped)) =>
+      assert(cur <= prev, s"$name must not gain documents")
+      assert(dropped === prev - cur, s"$name drop count must reconcile")
+    }
+    assert(rows.last._3 > 0, "a non-degenerate corpus survives to training")
+  }
+
   test("q69: shared boilerplate yields shared chunks; prefix shifts only locally") {
     // lexically diverse (numbered clauses) so the 8-char window hashes
     // vary — a short repeated phrase can deterministically miss every
