@@ -80,7 +80,9 @@ object ScaleBench {
     "q39_embedding_neardup", "q44_ivf_ann", "q48_minhash_lsh_dedup",
     "q51_dedup_keep_longest", "q52_ivf_multiprobe", "q53_rolling_fingerprint",
     "q54_kmeans_ivf", "q57_bpe_tokens", "q58_repetition_quality",
-    "q59_sequence_packing", "q61_tfidf_topterms")
+    "q59_sequence_packing", "q61_tfidf_topterms",
+    "q66_benchmark_decontam", "q67_simhash_neardup",
+    "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel")
 
   private def timeAll(spark: SparkSession, dir: String): Seq[(String, Double)] =
     SparkEntry.catalog.filter(q => queryNames.contains(q.name)).map { q =>

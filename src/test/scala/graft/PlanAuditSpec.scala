@@ -115,6 +115,33 @@ class PlanAuditSpec extends SparkTestBase {
       "the asymmetric band join must be an equi-join")
   }
 
+  test("q66: the benchmark gram side broadcasts; the corpus side never shuffles text") {
+    val p = plan("q66_benchmark_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "train grams must stream past a broadcast benchmark set")
+    assert(!p.contains("SortMergeJoin"),
+      "no sort-merge: the corpus side must not shuffle for the gram probe")
+  }
+
+  test("q67: simhash pairs form only inside (band, code) buckets — equi only") {
+    val p = plan("q67_simhash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the band self-join must be an equi-join")
+  }
+
+  test("q65: quantiles never use the group-buffering percentile aggregate") {
+    val p = plan("q65_exact_quantiles")
+    assert(!p.toLowerCase.contains("objecthashaggregate"),
+      "percentile's per-group value buffer must not appear — " +
+        "ExactQuantile range-partitions by value instead")
+  }
+
+  test("q54: cell assignment argmin combines map-side (no per-vector window sort)") {
+    val p = plan("q54_kmeans_ivf")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      "min(struct(d2, cid)) must partial-aggregate before the shuffle")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
