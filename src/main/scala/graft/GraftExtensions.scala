@@ -20,6 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       functions.RollingHash.identifier,
       functions.RollingHash.info,
       functions.RollingHash.builder))
+    extensions.injectFunction((
+      functions.DecDot8.identifier,
+      functions.DecDot8.info,
+      functions.DecDot8.builder))
+    extensions.injectFunction((
+      functions.SynthLadder.identifier,
+      functions.SynthLadder.info,
+      functions.SynthLadder.builder))
+    extensions.injectFunction((
+      functions.LshBandCodes.identifier,
+      functions.LshBandCodes.info,
+      functions.LshBandCodes.builder))
+    extensions.injectFunction((
+      functions.ExactTopK.identifier,
+      functions.ExactTopK.info,
+      functions.ExactTopK.builder))
+    functions.DecSum.registrations.foreach(extensions.injectFunction)
     functions.TextKernels.registrations.foreach(extensions.injectFunction)
   }
 }

@@ -3,8 +3,9 @@ package graft.functions
 import java.math.RoundingMode
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -130,4 +131,8 @@ object DecDot8 {
       .createOrReplaceTempFunction("dec_dot8",
         exprs => DecDot8(exprs(0), exprs(1)), "built-in")
   }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("dec_dot8")
+  val info: ExpressionInfo = new ExpressionInfo(classOf[DecDot8].getName, "dec_dot8")
+  val builder: Seq[Expression] => Expression = exprs => DecDot8(exprs(0), exprs(1))
 }

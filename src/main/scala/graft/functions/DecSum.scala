@@ -3,8 +3,9 @@ package graft.functions
 import java.math.RoundingMode
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
@@ -48,6 +49,15 @@ object DecSum {
     reg.createOrReplaceTempFunction("unscaled_dbl",
       exprs => UnscaledDbl(exprs(0), exprs(1), exprs(2)), "built-in")
   }
+
+  val registrations: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dec_unscaled"),
+      new ExpressionInfo(classOf[DecUnscaled].getName, "dec_unscaled"),
+      exprs => DecUnscaled(exprs(0), exprs(1))),
+    (FunctionIdentifier("unscaled_dbl"),
+      new ExpressionInfo(classOf[UnscaledDbl].getName, "unscaled_dbl"),
+      exprs => UnscaledDbl(exprs(0), exprs(1), exprs(2))))
 }
 
 case class DecUnscaled(left: Expression, right: Expression) extends BinaryExpression {

@@ -4,9 +4,9 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 import java.util.PriorityQueue
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, InternalRow}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
@@ -125,4 +125,8 @@ object ExactTopK {
       .createOrReplaceTempFunction("exact_topk",
         exprs => ExactTopK(exprs(0), exprs(1)), "built-in")
   }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("exact_topk")
+  val info: ExpressionInfo = new ExpressionInfo(classOf[ExactTopK].getName, "exact_topk")
+  val builder: Seq[Expression] => Expression = exprs => ExactTopK(exprs(0), exprs(1))
 }

@@ -1,8 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -99,4 +100,9 @@ object LshBandCodes {
       .createOrReplaceTempFunction("lsh_band_codes",
         exprs => LshBandCodes(exprs(0), exprs(1), exprs(2)), "built-in")
   }
+
+  val identifier: FunctionIdentifier = FunctionIdentifier("lsh_band_codes")
+  val info: ExpressionInfo = new ExpressionInfo(classOf[LshBandCodes].getName, "lsh_band_codes")
+  val builder: Seq[Expression] => Expression =
+    exprs => LshBandCodes(exprs(0), exprs(1), exprs(2))
 }
