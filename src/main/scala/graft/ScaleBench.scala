@@ -82,7 +82,8 @@ object ScaleBench {
     "q54_kmeans_ivf", "q57_bpe_tokens", "q58_repetition_quality",
     "q59_sequence_packing", "q61_tfidf_topterms",
     "q66_benchmark_decontam", "q67_simhash_neardup",
-    "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel")
+    "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel",
+    "q71_simhash64_neardup", "q72_embedding_neardup_wide")
 
   private def timeAll(spark: SparkSession, dir: String): Seq[(String, Double)] =
     SparkEntry.catalog.filter(q => queryNames.contains(q.name)).map { q =>

@@ -111,7 +111,8 @@ object TextKernels {
     val outType: StructType = StructType(Seq(
       StructField("n_positions", LongType, nullable = false),
       StructField("n_distinct", LongType, nullable = false),
-      StructField("simhash", LongType, nullable = false)))
+      StructField("simhash", LongType, nullable = false),
+      StructField("simhash64", LongType, nullable = false)))
 
     def compute(text: UTF8String, width: Int): InternalRow =
       TextKernels.shingleAggCompute(text, width)
@@ -122,12 +123,28 @@ object TextKernels {
     val s = text.toString
     val n = s.codePointCount(0, s.length)
     val votes = new Array[Int](32)
+    // 64-bit votes: bit b = 4j + k votes on bit k of hex digit j's
+    // value (the fleet-scale fingerprint — 16-bit bands stay selective
+    // as the corpus grows; the 32-bit hex-digit-majority variant is the
+    // gate-SF fingerprint with its DuckDB mirror in q32)
+    val votes64 = new Array[Int](64)
     val it = set.iterator()
     while (it.hasNext) {
       val hex = md5Hex(it.next())
       var j = 0
       while (j < 32) {
         if (hex.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      j = 0
+      while (j < 16) {
+        val c = hex.charAt(j)
+        val v = if (c <= '9') c - '0' else c - 'a' + 10
+        var k = 0
+        while (k < 4) {
+          if (((v >> k) & 1) == 1) votes64(4 * j + k) += 1 else votes64(4 * j + k) -= 1
+          k += 1
+        }
         j += 1
       }
     }
@@ -137,10 +154,17 @@ object TextKernels {
       if (votes(j) > 0) sim |= 1L << j
       j += 1
     }
-    val out = new GenericInternalRow(3)
+    var sim64 = 0L
+    j = 0
+    while (j < 64) {
+      if (votes64(j) > 0) sim64 |= 1L << j
+      j += 1
+    }
+    val out = new GenericInternalRow(4)
     out.update(0, math.max(n - width + 1, 1).toLong)
     out.update(1, set.size().toLong)
     out.update(2, sim)
+    out.update(3, sim64)
     out
   }
 

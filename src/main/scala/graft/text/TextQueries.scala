@@ -647,6 +647,76 @@ object TextQueries {
     ORDER BY doc_a, doc_b"""
     })
 
+  // ---------------------------------------------------------------- q71
+  /** SimHash-64 near-dup pairs — q67's FLEET-SCALE operating point made
+    * real: the 64-bit fingerprint (per-bit votes over the md5 digest's
+    * first 16 hex digits) banded into 4 × 16-bit codes. Same pigeonhole
+    * guarantee (hamming ≤ 3 ⇒ ≥ 1 exact band) but 65 536-way bucket
+    * fan-out per band, so expected bucket occupancy stays O(N/2¹⁶) —
+    * the width that keeps candidate generation linear as the corpus
+    * grows (see PERF.md's q39 band-width analysis; this is the text-side
+    * answer).
+    */
+  val q71 = Q("q71_simhash64_neardup",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val sig = Tables(s, dir, "documents")
+        .withColumn("simhash64", expr(s"shingle_agg(text, $N).simhash64"))
+        .select(col("doc_id"), col("simhash64")).cache()
+      val side = sig
+        .select(col("doc_id"), col("simhash64"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftright(simhash64, b * 16) & 65535)"))
+            .as(Seq("band", "code")))
+      val a = side.select(col("band"), col("code"),
+        col("doc_id").as("doc_a"), col("simhash64").as("sh_a"))
+      val b = side.select(col("band"), col("code"),
+        col("doc_id").as("doc_b"), col("simhash64").as("sh_b"))
+      a.join(b, Seq("band", "code"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "sh_a", "sh_b")
+        .agg(count(lit(1)).as("n_bands_shared"))
+        .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+        .filter(col("hamming") <= 3)
+        .select("doc_a", "doc_b", "n_bands_shared", "hamming")
+        .transform(graft.Q.presentSorted(_, "doc_a", "doc_b"))
+    },
+    Some {
+      // bit b = 4j + k votes on bit k of hex digit j's value
+      val votes = (0 until 64).map { bb =>
+        val j = bb / 4 + 1
+        val k = bb % 4
+        s"SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h, $j, 1)) - 1) >> $k) & 1 = 1 " +
+          s"THEN 1 ELSE -1 END) AS w$bb"
+      }.mkString(", ")
+      // bit 63 is the sign bit: adding −2⁶³ reproduces the kernel's
+      // two's-complement long exactly without BIGINT overflow
+      val fp = (0 until 63)
+        .map(bb => s"CASE WHEN w$bb > 0 THEN ${1L << bb} ELSE 0 END")
+        .mkString(" + ") +
+        " + CASE WHEN w63 > 0 THEN (-9223372036854775807 - 1) ELSE 0 END"
+      s"""WITH sh AS (
+      SELECT doc_id, md5(unnest($shinglesSqlExpr)) AS h FROM documents
+    ), v AS (
+      SELECT doc_id, $votes FROM sh GROUP BY doc_id
+    ), f AS (
+      SELECT doc_id, CAST($fp AS BIGINT) AS simhash64 FROM v
+    ), bands AS (
+      SELECT doc_id, simhash64, band, (simhash64 >> (band * 16)) & 65535 AS code
+      FROM f, (SELECT unnest(generate_series(0, 3)) AS band) bs
+    ), cand AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        x.simhash64 AS sh_a, y.simhash64 AS sh_b, COUNT(*) AS n_bands_shared
+      FROM bands x JOIN bands y
+        ON x.band = y.band AND x.code = y.code AND x.doc_id < y.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, CAST(n_bands_shared AS BIGINT) AS n_bands_shared,
+      CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    ORDER BY doc_a, doc_b"""
+    })
+
   // ---------------------------------------------------------------- q69
   /** Content-defined chunking + SUB-DOCUMENT dedup (the FastCDC/rsync
     * family, applied to text): cut each document where the q53 Rabin
@@ -887,5 +957,5 @@ object TextQueries {
     },
     headline = true)
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70)
+  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70, q71)
 }

@@ -285,6 +285,88 @@ object VectorQueries {
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
+  // ---------------------------------------------------------------- q72
+  /** q39 at the FLEET-SCALE band width: 4 bands × 16 sign bits (64
+    * hyperplanes, same deterministic integer family) instead of 4 × 8.
+    * Expected (band, code) occupancy is O(N/2¹⁶) — at 10× corpus the
+    * 8-bit codes go quadratic in candidate pairs (measured 15.7× wall
+    * in ScaleBench, N²/2⁸ exactly as theory predicts) while these stay
+    * ~linear. Same verify (ordered-double cosine > 0.15), same
+    * hot-bucket guard; the operating-point trade is recall at small N
+    * (fewer sign-agreements required at 8 bits) vs candidate volume at
+    * large N — which is why BOTH widths are catalog entries.
+    */
+  val q72 = Q("q72_embedding_neardup_wide",
+    (s, dir) => {
+      graft.functions.LshBandCodes.ensureRegistered(s)
+      val eb = Tables(s, dir, "embeddings")
+        .withColumn("n2", expr(norm2OrdExpr("embedding")))
+        .withColumn("codes", expr("lsh_band_codes(embedding, 4, 16)"))
+        .select(col("vec_id") +: col("embedding") +: col("n2") +:
+          (0 to 3).map(b => element_at(col("codes"), b + 1).as(s"code$b")): _*)
+        .cache()
+      val wB = Window.partitionBy("band_idx", "code").orderBy("vec_id")
+      val bands = eb.select(col("vec_id"),
+        posexplode(array((0 to 3).map(b => col(s"code$b")): _*)))
+        .toDF("vec_id", "band_idx", "code")
+        .withColumn("bn", row_number().over(wB))
+      val kept = bands.filter(col("bn") <= HotBucketCap)
+      val cand = kept.as("a")
+        .join(kept.as("b"),
+          col("a.band_idx") === col("b.band_idx") && col("a.code") === col("b.code") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .agg(count(lit(1)).as("n_bands"))
+      cand
+        .join(eb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("n2").as("na")), "id_a")
+        .join(eb.select(col("vec_id").as("id_b"), col("embedding").as("eb2"),
+          col("n2").as("nb")), "id_b")
+        .withColumn("dot", expr(dotOrdExpr("ea", "eb2")))
+        .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
+          col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+        .filter(col("cos_sim") > 0.15)
+        .select("id_a", "id_b", "n_bands", "cos_sim")
+        .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
+    },
+    Some {
+      def planeSql(i: Int) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(generate_series(1, len(embedding)), j -> " +
+          s"CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) AS h$i"
+      def bandSql(b: Int) = (0 to 15)
+        .map(i => s"CASE WHEN h${16 * b + i} > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 to 3).map(b =>
+        s"SELECT vec_id, $b AS band_idx, CAST(${bandSql(b)} AS BIGINT) AS code FROM h")
+        .mkString("\n      UNION ALL ")
+      s"""WITH h AS (
+      SELECT vec_id, embedding,
+        ${(0 to 63).map(planeSql).mkString(",\n        ")}
+      FROM embeddings
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM h
+    ), bands AS (
+      $bandRows
+    ), bandrk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+      FROM bands
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+      FROM bandrk a JOIN bandrk b
+        ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+       AND a.bn <= $HotBucketCap AND b.bn <= $HotBucketCap
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.id_a, c.id_b, c.n_bands,
+        CASE WHEN x.n2 > 0 AND y.n2 > 0
+             THEN ${dotOrdSql("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) END AS cos_sim
+      FROM cand c JOIN en x ON x.vec_id = c.id_a JOIN en y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, n_bands, cos_sim FROM scored
+    WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
+    })
+
   // ---- shared IVF assignment machinery (q44 / q52) ------------------
   private val cnorm2Expr = "dec_dot8(cvec, cvec)"
 
@@ -746,5 +828,5 @@ object VectorQueries {
     JOIN ov USING (q_id)
     ORDER BY q_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68)
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72)
 }

@@ -56,6 +56,29 @@ class KernelParitySpec extends SparkTestBase {
       "shingle_agg")
   }
 
+  test("shingle_agg simhash64 ≡ per-bit md5-digest-vote formulation") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val shingles = expr(
+      s"array_distinct(transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N)))")
+    // bit b = 4j + k votes on bit k of hex digit j's value
+    val votes = (0 until 64).map { b =>
+      val j = b / 4 + 1
+      val k = b % 4
+      expr(s"aggregate(sh, 0, (acc, s) -> acc + IF(" +
+        s"shiftright(CAST(conv(substring(md5(CAST(s AS BINARY)), $j, 1), 16, 10) AS INT), $k) & 1 = 1" +
+        s", 1, -1))").as(s"w$b")
+    }
+    val hof = docs.withColumn("sh", shingles)
+      .select(col("doc_id") +: votes: _*)
+      .withColumn("sim64", (0 until 64).map(b =>
+        when(col(s"w$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _))
+      .select("doc_id", "sim64")
+    val kern = docs.withColumn("k64", expr(s"shingle_agg(text, $N).simhash64"))
+    assertNoDiff(
+      kern.join(hof, "doc_id").filter(!(col("k64") <=> col("sim64"))),
+      "shingle_agg.simhash64")
+  }
+
   test("minhash_spans ≡ salted md5 span-min formulation") {
     graft.functions.TextKernels.ensureRegistered(spark)
     val raw = expr(

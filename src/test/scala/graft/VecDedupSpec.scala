@@ -70,4 +70,25 @@ class VecDedupSpec extends SparkTestBase {
     assert(got.exists { case (_, nb) => nb == 1 },
       "some pairs are caught by only one band — a single code would lose them")
   }
+
+  test("16-bit bands (q72) generate strictly fewer candidates than 8-bit (q39)") {
+    graft.functions.LshBandCodes.ensureRegistered(spark)
+    // candidate volume = Σ_buckets n·(n−1)/2 — the quantity that goes
+    // N²/2^bits at fixed width (the measured q39 cliff in PERF.md);
+    // width is the knob, and this pins the direction of the knob
+    def candidateVolume(bits: Int): Long =
+      Tables(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(expr(s"lsh_band_codes(embedding, 4, $bits)")))
+        .toDF("vec_id", "band_idx", "code")
+        .groupBy("band_idx", "code").count()
+        .agg(sum(expr("count * (count - 1) / 2"))).collect()(0).getDouble(0).toLong
+    val narrow = candidateVolume(8)
+    val wide = candidateVolume(16)
+    assert(wide < narrow,
+      s"wide codes must shrink the candidate set (8-bit: $narrow, 16-bit: $wide)")
+    // and the verified outputs of BOTH widths contain only true pairs
+    val q72 = vec.VectorQueries.q72.run(spark, dir)
+    assert(q72.filter(col("cos_sim") <= 0.15).count() === 0)
+  }
 }
