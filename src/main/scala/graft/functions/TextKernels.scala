@@ -46,6 +46,19 @@ object TextKernels {
 
   private val hexDigits = "0123456789abcdef".toCharArray
 
+  /** Digest `prefix ++ suffix` into `out` (16 bytes) without building
+    * the concatenated string — the hot-loop path (one call per
+    * (shingle, salt); string-building here was ~half the signature
+    * stage's wall). `suffix` may be empty.
+    */
+  private def md5Into(d: MessageDigest, prefix: Array[Byte], suffix: Array[Byte],
+                      out: Array[Byte]): Unit = {
+    d.reset()
+    d.update(prefix)
+    if (suffix.length > 0) d.update(suffix)
+    d.digest(out, 0, 16)
+  }
+
   private def md5Hex(s: String): String = {
     val d = md5Local.get()
     d.reset()
@@ -128,24 +141,30 @@ object TextKernels {
     // as the corpus grows; the 32-bit hex-digit-majority variant is the
     // gate-SF fingerprint with its DuckDB mirror in q32)
     val votes64 = new Array[Int](64)
+    val d = md5Local.get()
+    val digest = new Array[Byte](16)
     val it = set.iterator()
     while (it.hasNext) {
-      val hex = md5Hex(it.next())
-      var j = 0
-      while (j < 32) {
-        if (hex.charAt(j) >= '8') votes(j) += 1 else votes(j) -= 1
-        j += 1
-      }
-      j = 0
-      while (j < 16) {
-        val c = hex.charAt(j)
-        val v = if (c <= '9') c - '0' else c - 'a' + 10
-        var k = 0
-        while (k < 4) {
-          if (((v >> k) & 1) == 1) votes64(4 * j + k) += 1 else votes64(4 * j + k) -= 1
-          k += 1
+      md5Into(d, it.next().getBytes(StandardCharsets.UTF_8),
+        Array.emptyByteArray, digest)
+      // hex digit 2i is byte i's high nibble, 2i+1 its low nibble;
+      // "digit ≥ '8'" ⟺ nibble ≥ 8; digit VALUE bits drive votes64
+      var bi = 0
+      while (bi < 16) {
+        val hi = (digest(bi) >> 4) & 0xf
+        val lo = digest(bi) & 0xf
+        if (hi >= 8) votes(2 * bi) += 1 else votes(2 * bi) -= 1
+        if (lo >= 8) votes(2 * bi + 1) += 1 else votes(2 * bi + 1) -= 1
+        if (bi < 8) {
+          var k = 0
+          while (k < 4) {
+            if (((hi >> k) & 1) == 1) votes64(8 * bi + k) += 1 else votes64(8 * bi + k) -= 1
+            if (((lo >> k) & 1) == 1) votes64(8 * bi + 4 + k) += 1
+            else votes64(8 * bi + 4 + k) -= 1
+            k += 1
+          }
         }
-        j += 1
+        bi += 1
       }
     }
     var sim = 0L
@@ -204,24 +223,41 @@ object TextKernels {
     val set = distinctShingles(text, width)
     val salts = math.max(nSalts, 1)
     val unsalted = nSalts == 0
-    val mins = Array.fill[String](salts * 4)(null)
+    val saltBytes: Array[Array[Byte]] =
+      if (unsalted) Array(Array.emptyByteArray)
+      else Array.tabulate(salts)(k => ("#" + k).getBytes(StandardCharsets.UTF_8))
+    // an 8-hex-char span is 4 digest bytes; lexicographic order on
+    // lowercase hex ≡ unsigned order on the 32-bit value, so the min
+    // scan runs on longs and only the final mins get hex-formatted
+    val mins = Array.fill[Long](salts * 4)(-1L)
+    val d = md5Local.get()
+    val digest = new Array[Byte](16)
     val it = set.iterator()
     while (it.hasNext) {
-      val sh = it.next()
+      val shBytes = it.next().getBytes(StandardCharsets.UTF_8)
       var k = 0
       while (k < salts) {
-        val hex = md5Hex(if (unsalted) sh else sh + "#" + k)
+        md5Into(d, shBytes, saltBytes(k), digest)
         var j = 0
         while (j < 4) {
-          val span = hex.substring(8 * j, 8 * j + 8)
+          val v = ((digest(4 * j) & 0xffL) << 24) | ((digest(4 * j + 1) & 0xffL) << 16) |
+            ((digest(4 * j + 2) & 0xffL) << 8) | (digest(4 * j + 3) & 0xffL)
           val idx = 4 * k + j
-          if (mins(idx) == null || span.compareTo(mins(idx)) < 0) mins(idx) = span
+          if (mins(idx) == -1L || v < mins(idx)) mins(idx) = v
           j += 1
         }
         k += 1
       }
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(if (m == null) "" else m)))
+    new GenericArrayData(mins.map { m =>
+      if (m == -1L) UTF8String.EMPTY_UTF8
+      else {
+        val out = new Array[Char](8)
+        var i = 0
+        while (i < 8) { out(i) = hexDigits(((m >> (4 * (7 - i))) & 0xf).toInt); i += 1 }
+        UTF8String.fromString(new String(out))
+      }
+    })
   }
 
   // ------------------------------------------------------------------
