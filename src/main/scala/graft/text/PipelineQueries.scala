@@ -528,5 +528,73 @@ object PipelineQueries {
     FROM c ORDER BY doc_id"""),
     headline = true)
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66)
+  // ---------------------------------------------------------------- q74
+  /** TOKEN-BUDGET selection — "give me B tokens of this corpus,
+    * deterministically": docs are priority-ordered by a doc_id hash and
+    * greedily taken while the tokens BEFORE a doc stay under the
+    * budget. The data-budgeting step of every scoped training run.
+    *
+    * The running token offset is a GLOBAL prefix sum — the naive window
+    * (`ORDER BY p` with no partition key) drags the whole corpus into
+    * one task. Here it's the ExactQuantile pattern instead:
+    * range-partition by priority, per-partition token sums to the
+    * driver (nPart longs — the only driver data), prefix offsets back,
+    * then one local running-sum pass per partition. No global sort
+    * task, no whole-corpus window state.
+    */
+  val q74 = Q("q74_token_budget",
+    (s, dir) => {
+      import org.apache.spark.TaskContext
+      val B = 10000L
+      val nPart = 32
+      val sess = s
+      import sess.implicits._
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("(doc_id * 2654435761) % 1000000007").as("p"),
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")).as("n_tokens"))
+        .as[(Long, Long, Long)]
+      val parted = base.repartitionByRange(nPart, col("p"), col("doc_id"))
+        .sortWithinPartitions("p", "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val partSums: Map[Int, Long] = parted.mapPartitions { it =>
+          Iterator.single((TaskContext.getPartitionId(), it.map(_._3).sum))
+        }.collect().toMap
+        val offsets: Map[Int, Long] = {
+          var acc = 0L
+          (0 until nPart).map { pid =>
+            val o = pid -> acc; acc += partSums.getOrElse(pid, 0L); o
+          }.toMap
+        }
+        val offB = s.sparkContext.broadcast(offsets)
+        parted.mapPartitions { it =>
+          var cum = offB.value.getOrElse(TaskContext.getPartitionId(), 0L)
+          it.map { case (id, _, n) =>
+            val start = cum
+            cum += n
+            (id, n, start, if (start < B) 1 else 0)
+          }
+        }.toDF("doc_id", "n_tokens", "tok_start", "selected")
+          .orderBy("doc_id")
+      } finally parted.unpersist(blocking = false)
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_tokens,
+        (doc_id * 2654435761) % 1000000007 AS p
+      FROM documents
+    ), o AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY p, doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+      FROM tk
+    )
+    SELECT doc_id, n_tokens, tok_start,
+      CAST(tok_start < 10000 AS INTEGER) AS selected
+    FROM o ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74)
 }

@@ -717,6 +717,55 @@ object TextQueries {
     ORDER BY doc_a, doc_b"""
     })
 
+  // ---------------------------------------------------------------- q73
+  /** SPLIT LEAKAGE via near-duplicates — q66's fuzzy complement: a
+    * near-dup GROUP (the q48 connected components) whose members land
+    * in different q60 splits leaks paraphrased training text into
+    * evaluation. Exact n-gram decontamination (q66) misses these; the
+    * group-level audit below is how a pipeline finds them. Emits every
+    * multi-member group with its per-split membership and a leak flag.
+    *
+    * Shape: one equi-join of the memoized group table against the
+    * per-doc split flags, one partial-aggregable groupBy — nothing
+    * beyond what q48 already paid.
+    */
+  val q73 = Q("q73_split_leakage",
+    (s, dir) => {
+      val h = expr("(doc_id * 2654435761) % 1000")
+      val split = when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test"))
+      val flags = Tables(s, dir, "documents").select(col("doc_id"), split.as("split"))
+      dedupGroups(s, dir).withColumnRenamed("comp", "group_id")
+        .join(flags, "doc_id")
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          sum((col("split") === "train").cast("long")).as("n_train"),
+          sum((col("split") === "val").cast("long")).as("n_val"),
+          sum((col("split") === "test").cast("long")).as("n_test"),
+          countDistinct("split").as("n_splits"))
+        .filter(col("n_members") > 1)
+        .withColumn("leaked", (col("n_splits") > 1).cast("int"))
+        .select("group_id", "n_members", "n_train", "n_val", "n_test", "leaked")
+        .orderBy("group_id")
+    },
+    Some(s"""$dedupCteSql, fl AS (
+      SELECT doc_id,
+        CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+             WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT c.group_id, COUNT(*) AS n_members,
+        CAST(SUM(CASE WHEN f.split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        CAST(SUM(CASE WHEN f.split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        CAST(SUM(CASE WHEN f.split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        COUNT(DISTINCT f.split) AS n_splits
+      FROM comp c JOIN fl f USING (doc_id)
+      GROUP BY c.group_id
+    )
+    SELECT group_id, n_members, n_train, n_val, n_test,
+      CAST(n_splits > 1 AS INTEGER) AS leaked
+    FROM g WHERE n_members > 1 ORDER BY group_id"""))
+
   // ---------------------------------------------------------------- q69
   /** Content-defined chunking + SUB-DOCUMENT dedup (the FastCDC/rsync
     * family, applied to text): cut each document where the q53 Rabin
@@ -957,5 +1006,6 @@ object TextQueries {
     },
     headline = true)
 
-  def all: Seq[Q] = Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70, q71)
+  def all: Seq[Q] =
+    Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70, q71, q73)
 }

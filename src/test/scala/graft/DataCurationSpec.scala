@@ -108,6 +108,40 @@ class DataCurationSpec extends SparkTestBase {
     assert(rows.last._3 > 0, "a non-degenerate corpus survives to training")
   }
 
+  test("q73: near-dup groups spanning splits are flagged as leaks") {
+    val rows = text.TextQueries.q73.run(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(1),
+        Seq(r.getLong(2), r.getLong(3), r.getLong(4)), r.getInt(5)))
+    assert(rows.nonEmpty, "the sf0.01 corpus has multi-member near-dup groups")
+    rows.foreach { case (n, bySplit, leaked) =>
+      assert(n >= 2 && bySplit.sum === n, "split membership partitions each group")
+      assert(leaked === (if (bySplit.count(_ > 0) > 1) 1 else 0),
+        "leak flag ⟺ members in more than one split")
+    }
+    assert(rows.exists(_._3 == 1) && rows.exists(_._3 == 0),
+      "corpus exhibits both leaked and clean groups")
+  }
+
+  test("q74: the budget cut is a consistent global prefix sum") {
+    val rows = text.PipelineQueries.q74.run(spark, "/root/testdata/sf0.01")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val B = 10000L
+    rows.foreach { case (_, _, start, sel) =>
+      assert(sel === (if (start < B) 1 else 0), "selection rule is tok_start < B")
+    }
+    // offsets must reconstruct exactly from the priority ordering
+    def prio(id: Long) = (id * 2654435761L) % 1000000007L
+    var cum = 0L
+    rows.sortBy { case (id, _, _, _) => (prio(id), id) }.foreach {
+      case (id, n, start, _) =>
+        assert(start === cum, s"doc $id offset must equal the running sum")
+        cum += n
+    }
+    val selTokens = rows.filter(_._4 == 1).map(_._2).sum
+    assert(selTokens >= B, "greedy fill crosses the budget with its last doc")
+    assert(rows.count(_._4 == 1) < rows.length, "the cut must exclude someone at sf0.01")
+  }
+
   test("q69: shared boilerplate yields shared chunks; prefix shifts only locally") {
     // lexically diverse (numbered clauses) so the 8-char window hashes
     // vary — a short repeated phrase can deterministically miss every
