@@ -90,6 +90,50 @@ object StreamingMetrics {
         col("ask"), col("quote_ts_us"), col("n_quotes_in_horizon"))
   }
 
+  /** Banded MinHash signatures for the stream-static near-dedup join:
+    * one row per (doc, band) with the band's md5 id — the q48/q64
+    * signature scheme (4 salted md5 span-min components per band).
+    */
+  private def bandSignatures(docs: DataFrame, idAs: String, textAs: String): DataFrame =
+    docs.withColumn("sig", expr("minhash_spans(text, 8, 4)"))
+      .select(col(docs.columns.head) +: docs.columns.tail.map(col) :+
+        posexplode(array((0 to 3).map(k =>
+          graft.text.TextMetrics.bandId((0 to 3).map(j =>
+            element_at(col("sig"), 4 * k + j + 1)))): _*)).as(Seq("band_idx", "bh")): _*)
+      .withColumnRenamed("doc_id", idAs).withColumnRenamed("text", textAs)
+
+  /** Streaming INGESTION near-dedup — the streaming twin of batch q64:
+    * each arriving document's band signatures equi-join the STATIC
+    * corpus signature table (a stream-static join: no join state at
+    * all — the base table is just read per micro-batch, broadcast or
+    * bucketed at fleet scale), then the exact `shingle_overlap` Jaccard
+    * verifies, and `dropDuplicatesWithinWatermark` collapses the ≤ 4
+    * band hits per (new, base) pair with horizon-bounded state. Emits
+    * one row per verified (new doc, matching base doc).
+    *
+    * At 100 TB the base signature table is the thing you maintain
+    * incrementally (append each ingested batch's signatures); state on
+    * the stream side stays bounded by the dedup horizon regardless.
+    */
+  def streamNearDedup(stream: DataFrame, base: DataFrame,
+                      lateness: String = "10 minutes",
+                      threshold: Double = 0.8): DataFrame = {
+    graft.functions.TextKernels.ensureRegistered(base.sparkSession)
+    val baseSig = bandSignatures(
+      base.select(col("doc_id"), col("text")), "base_id", "base_text")
+    val newSig = bandSignatures(
+      stream.select(col("doc_id"), col("text"), col("ts_us")), "new_id", "new_text")
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", lateness)
+    newSig.join(baseSig, Seq("band_idx", "bh"))
+      .withColumn("ov", expr("shingle_overlap(new_text, base_text, 8)"))
+      .withColumn("jaccard",
+        when(col("ov.n_union") > 0, col("ov.n_inter").cast("double") / col("ov.n_union")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "base_id", "jaccard", "event_time")
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
+  }
+
   case class Tick(sym: String, seq: Long, px: Double)
   case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
   case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)

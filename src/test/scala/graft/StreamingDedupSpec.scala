@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.StreamingMetrics
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** Streaming ingestion near-dedup (stream-static band join + Jaccard
+  * verify + watermark-bounded pair dedup): arriving documents must be
+  * checked against the static corpus without join state, matches must
+  * verify above the threshold, and the ≤ 4 per-pair band hits must
+  * collapse to one emitted row.
+  */
+class StreamingDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def land(dir: java.nio.file.Path, name: String,
+                   rows: Seq[(Long, String, Long)]): Unit = {
+    val staging = Files.createTempDirectory("stage")
+    rows.toDF("doc_id", "text", "ts_us").coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve(name))
+  }
+
+  test("arriving near-dups match the static corpus once; novel docs pass through") {
+    val baseText = "the quick brown fox jumps over the lazy dog while the " +
+      "market microstructure toolkit records order book snapshots at depth"
+    val base = Seq((100L, baseText), (101L, "an entirely different corpus document " +
+      "about realized variance and order flow imbalance metrics"))
+      .toDF("doc_id", "text")
+    val dir = Files.createTempDirectory("ingest")
+    // doc 1: identical to base 100 (Jaccard 1); doc 2: novel text
+    land(dir, "b1.parquet", Seq(
+      (1L, baseText, 1000000L),
+      (2L, "completely novel content sharing no eight-character shingles " +
+        "with anything in the existing base corpus whatsoever", 2000000L)))
+    val stream = spark.readStream
+      .schema(Seq((1L, "a", 1L)).toDF("doc_id", "text", "ts_us").schema)
+      .parquet(dir.toString)
+    val q = StreamingMetrics.streamNearDedup(stream, base)
+      .writeStream.outputMode("append").format("memory").queryName("ingest_dedup").start()
+    try {
+      q.processAllAvailable()
+      // a second micro-batch: another copy of the base doc under a new id
+      land(dir, "b2.parquet", Seq((3L, baseText, 3000000L)))
+      q.processAllAvailable()
+      val out = spark.table("ingest_dedup")
+        .select("new_id", "base_id", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(out.count(_._1 == 1L) === 1,
+        "per-pair band hits must collapse to ONE emitted match")
+      assert(out.find(_._1 == 1L).get._2 === 100L)
+      assert(out.find(_._1 == 1L).get._3 >= 0.999, "identical text verifies at Jaccard 1")
+      assert(!out.exists(_._1 == 2L), "novel doc must not match anything")
+      assert(out.count(_._1 == 3L) === 1, "mid-stream batch still matches the base")
+    } finally q.stop()
+  }
+}
