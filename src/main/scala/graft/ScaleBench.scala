@@ -85,8 +85,18 @@ object ScaleBench {
     "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel",
     "q71_simhash64_neardup", "q72_embedding_neardup_wide")
 
+  /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
+    * 100× probe runs the width-scaled pairs only; fixed-8-bit band
+    * queries are N²/2⁸ by design there (see PERF.md) and would swamp
+    * the run demonstrating exactly that.
+    */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+
   private def timeAll(spark: SparkSession, dir: String): Seq[(String, Double)] =
-    SparkEntry.catalog.filter(q => queryNames.contains(q.name)).map { q =>
+    SparkEntry.catalog
+      .filter(q => queryNames.contains(q.name) && only.forall(_.contains(q.name)))
+      .map { q =>
       val t0 = System.nanoTime()
       q.run(spark, dir).write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9

@@ -136,6 +136,17 @@ class PlanAuditSpec extends SparkTestBase {
         "ExactQuantile range-partitions by value instead")
   }
 
+  test("q74: the budget prefix sum never plans a global window") {
+    val p = plan("q74_token_budget")
+    assert(!p.contains("WindowExec") && !p.contains("Window ["),
+      "the distributed prefix-sum cut must not fall back to a single-task window")
+  }
+
+  test("q73: leakage audit joins group table to split flags — equi only") {
+    val p = plan("q73_split_leakage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q54: cell assignment argmin combines map-side (no per-vector window sort)") {
     val p = plan("q54_kmeans_ivf")
     assert(p.contains("partial_min") || p.contains("partial min"),
