@@ -611,13 +611,20 @@ object VectorQueries {
       graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val h = md5(concat(lit("seed#"), col("vec_id").cast("string")).cast("binary"))
-      // seeds: distributed top-K by hash; cid = rank within the K
-      val wSeed = Window.orderBy(col("h"), col("vec_id"))
-      val seeds = emb.withColumn("h", h).orderBy(col("h"), col("vec_id")).limit(KCells)
-        .withColumn("cid", (row_number().over(wSeed) - lit(1)).cast("long"))
-      var cent = seeds
-        .select(col("cid"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
-        .withColumn("cnorm2", expr(cnorm2Expr))
+      // seeds: distributed top-K by hash (the cluster sorts); cid = rank
+      // within the K, assigned on the driver over the ≤ K collected rows
+      // — bounded driver data, and no single-partition window anywhere
+      // in the plan
+      val seedVecs: Seq[(Long, Seq[Double])] = emb
+        .withColumn("h", h).orderBy(col("h"), col("vec_id")).limit(KCells)
+        .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
+        .toIndexedSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+      var cent = {
+        val sess = s
+        import sess.implicits._
+        seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
+      }
       for (_ <- 1 to LloydRounds) {
         val asg = assignCells(emb, cent)
         val perDim = emb.join(asg, "vec_id")
