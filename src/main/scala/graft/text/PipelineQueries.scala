@@ -596,5 +596,90 @@ object PipelineQueries {
       CAST(tok_start < 10000 AS INTEGER) AS selected
     FROM o ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74)
+  // ---------------------------------------------------------------- q75
+  /** CORPUS DATASHEET — the per-source profile that accompanies a
+    * dataset release ("Datasheets for Datasets", Gebru et al.,
+    * arXiv:1803.09010, quantitative section): document/token/char
+    * volumes, language spread, exact-duplicate rate, and
+    * repetition-quality pass rate, one row per source. Everything is
+    * integer counts or single integer divisions — cross-engine exact.
+    *
+    * Shape: one explode-free pass for volumes, the q58 bigram groupBy
+    * for quality, one (source, fp) groupBy for dup counts — all
+    * partial-aggregable; output is O(sources).
+    */
+  val q75 = Q("q75_corpus_datasheet",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val qual = q58.run(s, dir).select(col("doc_id"), col("quality_pass"))
+      val firstOfFp = Window.partitionBy("fp").orderBy("doc_id")
+      val base = docs
+        .withColumn("n_tokens",
+          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+        .withColumn("fp", md5(col("text").cast("binary")))
+        .withColumn("is_first", (row_number().over(firstOfFp) === 1).cast("long"))
+        .join(qual, "doc_id")
+      base.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          countDistinct("lang").as("n_langs"),
+          (count(lit(1)) - sum("is_first")).as("n_exact_dups"),
+          sum("quality_pass").cast("long").as("n_quality_pass"),
+          expr("CAST(sum(n_chars) div greatest(sum(n_tokens), 1) AS BIGINT)")
+            .as("chars_per_token"))
+        .orderBy("source")
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id, source, lang, n_chars,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($toksSql) END AS n_tokens,
+        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+             THEN 1 ELSE 0 END AS is_first,
+        $toksSql AS toks,
+        string_split(text, chr(10)) AS lns
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, source, lang, n_chars, n_tokens, is_first,
+        len(lns) AS n_lines, len(list_distinct(lns)) AS n_distinct_lines,
+        CASE WHEN n_tokens >= 3
+             THEN list_transform(generate_series(1, n_tokens - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS trigrams,
+        toks
+      FROM tk
+    ), trid AS (
+      SELECT *, len(trigrams) AS n_tri, len(list_distinct(trigrams)) AS n_distinct_tri
+      FROM tri
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, n_tokens - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM trid WHERE n_tokens >= 2
+    ), bc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, gram
+    ), bs AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+      FROM bc GROUP BY doc_id
+    ), q AS (
+      SELECT t.doc_id, t.source, t.lang, t.n_chars, t.n_tokens, t.is_first,
+        CASE WHEN CAST(1.0::DOUBLE - CAST(t.n_distinct_lines AS DOUBLE) / t.n_lines
+                    > 0.30::DOUBLE AS INTEGER)
+           + COALESCE(CAST(CAST(b.top_bigram_cnt AS DOUBLE) / b.n_bigrams
+                    > 0.20::DOUBLE AS INTEGER), 0)
+           + COALESCE(CAST(CASE WHEN t.n_tri > 0
+                    THEN 1.0::DOUBLE - CAST(t.n_distinct_tri AS DOUBLE) / t.n_tri END
+                    > 0.60::DOUBLE AS INTEGER), 0) = 0
+             THEN 1 ELSE 0 END AS quality_pass
+      FROM trid t LEFT JOIN bs b ON b.doc_id = t.doc_id
+    )
+    SELECT source, COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      COUNT(DISTINCT lang) AS n_langs,
+      CAST(COUNT(*) - SUM(is_first) AS BIGINT) AS n_exact_dups,
+      CAST(SUM(quality_pass) AS BIGINT) AS n_quality_pass,
+      CAST(SUM(n_chars) // greatest(SUM(n_tokens), 1) AS BIGINT) AS chars_per_token
+    FROM q GROUP BY source ORDER BY source"""))
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75)
 }

@@ -142,6 +142,26 @@ class DataCurationSpec extends SparkTestBase {
     assert(rows.count(_._4 == 1) < rows.length, "the cut must exclude someone at sf0.01")
   }
 
+  test("q75: datasheet counts volumes, dups, and quality per source") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "sA"),
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "sA"),   // exact dup of 0
+      (2L, "spam ham spam ham spam ham spam ham spam ham", "en", "sA"), // fails quality
+      (3L, "one two three four five six seven eight nine ten", "de", "sB"))
+      .map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.PipelineQueries.q75.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(out("sA") === ((3L, 1L, 1L, 2L)),
+      "sA: 3 docs, 1 lang, 1 exact dup, 2 quality passes")
+    assert(out("sB") === ((1L, 1L, 0L, 1L)), "sB: clean singleton source")
+  }
+
   test("q69: shared boilerplate yields shared chunks; prefix shifts only locally") {
     // lexically diverse (numbered clauses) so the 8-char window hashes
     // vary — a short repeated phrase can deterministically miss every
