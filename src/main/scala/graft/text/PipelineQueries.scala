@@ -681,5 +681,84 @@ object PipelineQueries {
       CAST(SUM(n_chars) // greatest(SUM(n_tokens), 1) AS BIGINT) AS chars_per_token
     FROM q GROUP BY source ORDER BY source"""))
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75)
+  // ---------------------------------------------------------------- q76
+  /** REFERENCE-corpus likelihood scoring — the statistical twin of the
+    * q58 heuristics (the CCNet/Wenzek et al. arXiv:1911.00359 idea:
+    * score documents by how typical their text is under a language
+    * model trained on a REFERENCE corpus; here a bigram model over the
+    * q60 TRAIN split, LOG-FREE so the ranking is cross-engine exact):
+    * each document's score is the mean scaled conditional bigram
+    * probability `avg(count_ref(w1, w2) · 10⁶ div count_ref(w1))` over
+    * its token bigrams, with unseen bigrams backing off to 0. Low
+    * scores = garbled/out-of-distribution docs (what a perplexity
+    * filter drops). The reference must be a SEPARATE slice: a model
+    * trained on the scored text itself awards singleton bigrams
+    * p = 1 and word salad scores HIGHEST.
+    *
+    * Shape: model counts are partial-aggregable over the train slice;
+    * scoring is one shuffle join keyed by the bigram, then a per-doc
+    * partial agg. The (pruned) model tables are what you'd broadcast
+    * at fleet scale.
+    */
+  val q76 = Q("q76_corpus_likelihood",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bigrams = docs
+        .withColumn("tk", toks)
+        .withColumn("nw",
+          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+        .filter(col("nw") >= 2)
+        .select(col("doc_id"), explode(transform(sequence(lit(0), col("nw") - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      val ref = bigrams.filter(expr("(doc_id * 2654435761) % 1000 < 900"))
+      val bgCnt = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ugCnt = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val scored = bigrams
+        .join(bgCnt, Seq("w1", "w2"), "left").join(ugCnt, Seq("w1"), "left")
+        .withColumn("p_scaled", expr(
+          "CASE WHEN c2 IS NULL OR c1 IS NULL THEN CAST(0 AS BIGINT) " +
+            "ELSE (c2 * 1000000) div c1 END"))
+      scored.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          expr("sum(p_scaled) div count(1)").as("mean_p_scaled"),
+          min("p_scaled").as("min_p_scaled"))
+        .withColumn("atypical", (col("mean_p_scaled") < 33500).cast("int"))
+        .select("doc_id", "n_bigrams", "mean_p_scaled", "min_p_scaled", "atypical")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, nw - 1), i -> tk[i])) AS w1,
+        unnest(list_transform(generate_series(1, nw - 1), i -> tk[i+1])) AS w2
+      FROM tk WHERE nw >= 2
+    ), ref AS (
+      SELECT * FROM bigrams WHERE (doc_id * 2654435761) % 1000 < 900
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY w1, w2
+    ), ug AS (
+      SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+        CASE WHEN bg.c2 IS NULL OR ug.c1 IS NULL THEN 0
+             ELSE (bg.c2 * 1000000) // ug.c1 END AS p_scaled
+      FROM bigrams b
+      LEFT JOIN bg ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN ug ON ug.w1 = b.w1
+    ), agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(p_scaled) // COUNT(*) AS BIGINT) AS mean_p_scaled,
+        CAST(MIN(p_scaled) AS BIGINT) AS min_p_scaled
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_p_scaled, min_p_scaled,
+      CAST(mean_p_scaled < 33500 AS INTEGER) AS atypical
+    FROM agg ORDER BY doc_id"""))
+
+  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76)
 }

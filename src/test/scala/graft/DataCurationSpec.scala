@@ -162,6 +162,30 @@ class DataCurationSpec extends SparkTestBase {
     assert(out("sB") === ((1L, 1L, 0L, 1L)), "sB: clean singleton source")
   }
 
+  test("q76: reference-typical docs outscore word salad (unseen bigrams → 0)") {
+    // reference model trains on the TRAIN split; a doc of bigrams the
+    // reference has never seen must back off to score 0 — the property
+    // that requires a held-out reference (a self-trained model would
+    // award singleton bigrams p = 1 and rank salad HIGHEST)
+    val trainIds = (0L until 1000L).filter(split(_) == "train")
+    val saladId = (0L until 1000L).find(split(_) == "test").get
+    val typical = "the market opens the market closes the market settles"
+    val dir = docsDir(Seq(
+      (trainIds(0), typical),
+      (trainIds(1), typical + " and the market opens again"),
+      (trainIds(2), "the market opens and the market closes early today"),
+      (saladId, "zx qv plo wk njd rr uio eeq ws mnb")))
+    val out = text.PipelineQueries.q76.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    val scores = out.view.mapValues(_._1).toMap
+    assert(scores(saladId) === 0L,
+      s"every salad bigram is unseen by the train-split model → 0; got $scores")
+    assert(out(saladId)._2 === 1, "salad flagged atypical")
+    assert(Seq(trainIds(0), trainIds(1), trainIds(2))
+      .forall(id => scores(id) > scores(saladId)),
+      s"typical docs must outscore salad: $scores")
+  }
+
   test("q69: shared boilerplate yields shared chunks; prefix shifts only locally") {
     // lexically diverse (numbered clauses) so the 8-char window hashes
     // vary — a short repeated phrase can deterministically miss every
