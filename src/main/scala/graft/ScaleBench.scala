@@ -83,7 +83,9 @@ object ScaleBench {
     "q59_sequence_packing", "q61_tfidf_topterms",
     "q66_benchmark_decontam", "q67_simhash_neardup",
     "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel",
-    "q71_simhash64_neardup", "q72_embedding_neardup_wide")
+    "q71_simhash64_neardup", "q72_embedding_neardup_wide",
+    "q73_split_leakage", "q74_token_budget", "q75_corpus_datasheet",
+    "q76_corpus_likelihood")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band
