@@ -85,7 +85,13 @@ object ScaleBench {
     "q68_int8_quant_recall", "q69_cdc_chunk_dedup", "q70_curation_funnel",
     "q71_simhash64_neardup", "q72_embedding_neardup_wide",
     "q73_split_leakage", "q74_token_budget", "q75_corpus_datasheet",
-    "q76_corpus_likelihood")
+    "q76_corpus_likelihood",
+    // q77 semantic dedup is EXCLUDED by the same analysis as the 8-bit
+    // band points: its 10 label-cells are fixed, so a 10× corpus grows
+    // every cell 10× and the in-cell pair count 100× — quadratic BY the
+    // toy clustering, not the operator (SemDeDup's contract is k ∝ N;
+    // see the q77 scaladoc). Including it would just re-measure that.
+    "q78_vocab_oov", "q79_source_overlap", "q80_pii_redaction")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

@@ -760,5 +760,196 @@ object PipelineQueries {
       CAST(mean_p_scaled < 33500 AS INTEGER) AS atypical
     FROM agg ORDER BY doc_id"""))
 
-  def all: Seq[Q] = Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76)
+  // ---------------------------------------------------------------- q78
+  /** Vocabulary-coverage / OOV audit — the tokenizer-design feedback
+    * loop: build the top-16 corpus vocabulary (count desc, word asc —
+    * fully deterministic, no RNG) and measure each document's
+    * out-of-vocabulary token fraction. Corpus term counts are
+    * partial-aggregable; the vocabulary is driver-sized and BROADCAST
+    * back; per-doc stats are one explode + groupBy(doc_id). At 100 TB
+    * the vocab build is the classic word-count shape and the audit adds
+    * one map-side hash-probe pass — no extra shuffle of text.
+    */
+  val q78 = Q("q78_vocab_oov",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(toks).as("tk"))
+      val tok = base.select(col("doc_id"), explode(col("tk")).as("tok"))
+      val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("tok")).limit(16)
+        .select(col("tok"), lit(1).as("in_v"))
+      val st = tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      base.select("doc_id")
+        .join(st, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          when(col("n_toks") > 0,
+            col("n_oov").cast("double") / col("n_toks")).as("oov_frac"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toksSql END AS tk
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(tk) AS tok FROM base
+    ), vocab AS (
+      SELECT tok FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+      ORDER BY cnt DESC, tok LIMIT 16
+    ), st AS (
+      SELECT t.doc_id, COUNT(*) AS n_toks,
+        CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+      GROUP BY t.doc_id
+    )
+    SELECT b.doc_id, COALESCE(st.n_toks, 0) AS n_toks,
+      COALESCE(st.n_oov, 0) AS n_oov,
+      CASE WHEN st.n_toks > 0 THEN CAST(st.n_oov AS DOUBLE) / st.n_toks END AS oov_frac
+    FROM base b LEFT JOIN st USING (doc_id) ORDER BY b.doc_id"""))
+
+  // ---------------------------------------------------------------- q79
+  /** Cross-source contamination matrix: 3-gram Jaccard overlap between
+    * every source pair — the "is corpus B secretly corpus A" audit run
+    * before mixing training sources. Per-source DISTINCT shingle sets
+    * are partial-aggregable (the shuffle carries each (source, gram)
+    * once); intersections form by equi-join on the gram key; the
+    * source×source matrix is driver-sized. No document text crosses a
+    * shuffle and there is no all-pairs join over documents anywhere.
+    */
+  val q79 = Q("q79_source_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val tri = docs.select(col("source"), col("text"))
+        .withColumn("tk", toks)
+        .withColumn("nw",
+          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+        .filter(col("nw") >= 3)
+        .select(col("source"), explode(transform(sequence(lit(0), col("nw") - 3),
+          i => concat_ws(" ", element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))).as("gram"))
+        .distinct()
+      val sz = tri.groupBy("source").agg(count(lit(1)).as("n_grams"))
+      val inter = tri.as("a")
+        .join(tri.as("b"),
+          col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      sz.select(col("source").as("source_a"), col("n_grams").as("n_a"))
+        .join(broadcast(sz.select(col("source").as("source_b"), col("n_grams").as("n_b"))),
+          col("source_a") < col("source_b"))
+        .join(inter, Seq("source_a", "source_b"), "left")
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"))
+        .withColumn("jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+        .orderBy("source_a", "source_b")
+    },
+    Some(s"""WITH base AS (
+      SELECT source, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
+      FROM documents
+    ), tri AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source, unnest(list_transform(generate_series(1, nw - 2),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM base WHERE nw >= 3)
+    ), sz AS (
+      SELECT source, COUNT(*) AS n_grams FROM tri GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+      FROM tri a JOIN tri b ON a.gram = b.gram AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT sa.source AS source_a, sb.source AS source_b,
+      sa.n_grams AS n_a, sb.n_grams AS n_b,
+      COALESCE(i.n_inter, 0) AS n_inter,
+      CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+        (sa.n_grams + sb.n_grams - COALESCE(i.n_inter, 0)) AS jaccard
+    FROM sz sa JOIN sz sb ON sa.source < sb.source
+    LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+    ORDER BY source_a, source_b"""))
+
+  // ---------------------------------------------------------------- q80
+  /** PII scrub — the redaction pass every released corpus runs before
+    * training. The synthetic corpus is PII-free word salad, so
+    * deterministic PII spans (emails / IPv4s / phone extensions keyed
+    * off doc_id) are appended first — both engines construct the SAME
+    * augmented text, then detect with RE2-and-Java-compatible regexes
+    * (no lookaround, no backrefs), count, and redact to typed
+    * placeholders. The output carries the redacted-text md5 so the
+    * oracle pins the exact rewritten bytes, not just the counts. Pure
+    * per-row projection — no shuffle at all, trivially 100 TB-shaped.
+    */
+  val q80 = Q("q80_pii_redaction",
+    (s, dir) => {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phonePat = "\\b555-\\d{4}\\b"
+      val idS = col("doc_id").cast("string")
+      val m = col("doc_id") % 5
+      val aug = concat(col("text"),
+        when(m === 0, concat(lit(" contact user"), idS, lit("@example.com now")))
+          .when(m === 1, concat(lit(" node 10."), (col("doc_id") % 200).cast("string"),
+            lit(".3."), (col("doc_id") % 250).cast("string"), lit(" up")))
+          .when(m === 2, concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today")))
+          .when(m === 3, concat(lit(" mail ops"), idS, lit("@mail.example.org via 192.168."),
+            (col("doc_id") % 100).cast("string"), lit(".7")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(emailPat)).cast("long").as("n_email"),
+          regexp_count(col("t"), lit(ipPat)).cast("long").as("n_ip"),
+          regexp_count(col("t"), lit(phonePat)).cast("long").as("n_phone"),
+          md5(regexp_replace(
+            regexp_replace(
+              regexp_replace(col("t"), emailPat, "<EMAIL>"),
+              ipPat, "<IP>"),
+            phonePat, "<PHONE>")).as("redacted_md5"))
+        .withColumn("pii_total", col("n_email") + col("n_ip") + col("n_phone"))
+        .withColumn("clean", (col("pii_total") === 0).cast("int"))
+        .select("doc_id", "n_email", "n_ip", "n_phone", "pii_total", "redacted_md5", "clean")
+        .orderBy("doc_id")
+    },
+    Some {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phonePat = "\\b555-\\d{4}\\b"
+      s"""WITH aug AS (
+      SELECT doc_id, text ||
+        CASE doc_id % 5
+          WHEN 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+          WHEN 1 THEN ' node 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.' ||
+                      CAST(doc_id % 250 AS VARCHAR) || ' up'
+          WHEN 2 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+          WHEN 3 THEN ' mail ops' || CAST(doc_id AS VARCHAR) || '@mail.example.org via 192.168.' ||
+                      CAST(doc_id % 100 AS VARCHAR) || '.7'
+          ELSE '' END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(t, '$emailPat')) AS BIGINT) AS n_email,
+        CAST(len(regexp_extract_all(t, '$ipPat')) AS BIGINT) AS n_ip,
+        CAST(len(regexp_extract_all(t, '$phonePat')) AS BIGINT) AS n_phone,
+        md5(regexp_replace(regexp_replace(regexp_replace(t,
+          '$emailPat', '<EMAIL>', 'g'), '$ipPat', '<IP>', 'g'),
+          '$phonePat', '<PHONE>', 'g')) AS redacted_md5
+      FROM aug
+    )
+    SELECT doc_id, n_email, n_ip, n_phone,
+      n_email + n_ip + n_phone AS pii_total,
+      redacted_md5,
+      CAST(n_email + n_ip + n_phone = 0 AS INTEGER) AS clean
+    FROM c ORDER BY doc_id"""
+    })
+
+  def all: Seq[Q] =
+    Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80)
 }

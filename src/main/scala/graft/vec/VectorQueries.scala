@@ -835,5 +835,103 @@ object VectorQueries {
     JOIN ov USING (q_id)
     ORDER BY q_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72)
+  // ---------------------------------------------------------------- q77
+  /** The q44 exact-decimal cell-assignment CTE chain (per-label centroid
+    * means → ‖c‖² − 2·x·c argmin), shared verbatim by the q77 oracle.
+    */
+  private val ivfAssignSql: String =
+    s"""ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT d.vec_id, d.label,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+        FROM dots d JOIN cn USING (label))
+      WHERE crn = 1
+    )"""
+
+  /** Semantic-dedup keep/drop policy: a vector is dropped iff a LOWER-id
+    * vector in the same cell is within the cosine threshold.
+    */
+  private val SemDedupTau = 0.30
+
+  /** Semantic dedup (SemDeDup, Abbas et al. arXiv:2303.09540 — prune
+    * embedding-space near-duplicates the text-level pipelines can't
+    * see): cluster the corpus, form pairs only WITHIN a cell, and drop
+    * every vector with a lower-id in-cell neighbor at cosine ≥ τ. The
+    * clustering is what makes semantic dedup tractable: candidates are
+    * bounded by cell size, never the corpus, and the shuffle key is the
+    * cell. Cells reuse q44's exact-decimal assignment (memoized
+    * [[cellRanks]], shared with q44/q52 in a catalog run); pair math
+    * uses the ordered-double folds, bit-identical to the DuckDB mirror,
+    * so the kept-set is engine-exact.
+    *
+    * Scale contract (paper §3): the cluster count must grow with the
+    * corpus — k ∝ N keeps cell size (and the per-cell quadratic) flat.
+    * These 10 fixed toy cells are the oracle-able stand-in; at fleet
+    * scale the k-means path (q54) supplies k, not the label count.
+    */
+  val q77 = Q("q77_semantic_dedup",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      // cached: both pair sides and the final left join reuse it; the
+      // harness clears it after the query
+      val en = emb
+        .join(cellRanks(s, dir).filter(col("crn") === 1)
+          .select(col("vec_id"), col("clabel").as("cell")), "vec_id")
+        .select(col("vec_id"), col("cell"), col("embedding"),
+          expr(norm2OrdExpr("embedding")).as("n2"))
+        .cache()
+      val pairs = en.select(col("cell"), col("vec_id").as("dom"),
+          col("embedding").as("ea"), col("n2").as("na"))
+        .join(en.select(col("cell"), col("vec_id").as("vid"),
+          col("embedding").as("eb2"), col("n2").as("nb")), Seq("cell"))
+        .filter(col("dom") < col("vid"))
+        .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
+          expr(dotOrdExpr("ea", "eb2")) / (sqrt(col("na")) * sqrt(col("nb")))))
+        .filter(col("cos_sim") >= SemDedupTau)
+      val dom = pairs.groupBy(col("vid"))
+        .agg(count(lit(1)).as("n_dom"), min(col("dom")).as("dom_min"))
+      en.select("vec_id", "cell")
+        .join(dom.withColumnRenamed("vid", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          coalesce(col("n_dom"), lit(0L)).as("n_dom"), col("dom_min"),
+          col("n_dom").isNull.cast("int").as("kept"))
+        .transform(graft.Q.presentSorted(_, "vec_id"))
+    },
+    Some(s"""WITH $ivfAssignSql, en AS (
+      SELECT e.vec_id, a.cell, e.embedding, ${norm2OrdSql("e.embedding")} AS n2
+      FROM embeddings e JOIN assigned a USING (vec_id)
+    ), p AS (
+      SELECT a.vec_id AS dom, b.vec_id AS vid
+      FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE (CASE WHEN a.n2 > 0 AND b.n2 > 0
+             THEN ${dotOrdSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))
+             END) >= $SemDedupTau
+    ), d AS (
+      SELECT vid, COUNT(*) AS n_dom, MIN(dom) AS dom_min FROM p GROUP BY vid
+    )
+    SELECT e.vec_id, e.cell, COALESCE(d.n_dom, 0) AS n_dom, d.dom_min,
+      CAST(d.vid IS NULL AS INTEGER) AS kept
+    FROM en e LEFT JOIN d ON d.vid = e.vec_id
+    ORDER BY e.vec_id"""))
+
+  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77)
 }

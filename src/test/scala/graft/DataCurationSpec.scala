@@ -210,4 +210,77 @@ class DataCurationSpec extends SparkTestBase {
     assert(out(3L)._2 === 0L, "unique doc shares nothing")
     assert(out(4L) === ((0L, 0L)), "empty doc has no chunks")
   }
+
+  private def docsDirSrc(rows: Seq[(Long, String, String)]): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    rows.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q77: a vector is dropped iff a lower-id cell-mate is within tau") {
+    val z = Seq.fill(2)(0f)
+    val dir = vecsDir(Seq(
+      (1L, Seq(1f, 0f) ++ z),            // exemplar: kept
+      (2L, Seq(1f, 0f) ++ z),            // identical to 1 → dropped
+      (3L, Seq(0f, 1f) ++ z),            // orthogonal to everything → kept
+      (4L, Seq(0.9f, 0.1f) ++ z)))       // cos≈0.99 vs 1 AND 2 → dropped
+    val out = vec.VectorQueries.q77.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), r.getInt(4)))).toMap
+    assert(out(1L) === ((0L, -1L, 1)), "lowest id in its dup group is kept")
+    assert(out(2L) === ((1L, 1L, 0)), "exact duplicate dominated by vec 1")
+    assert(out(3L) === ((0L, -1L, 1)), "orthogonal vector untouched")
+    assert(out(4L)._3 === 0, "near-duplicate dropped")
+    assert(out(4L)._1 === 2L && out(4L)._2 === 1L,
+      "dominated by both lower-id dup-group members, min recorded")
+  }
+
+  test("q78: OOV fraction measures tokens outside the top-16 vocabulary") {
+    // 17 distinct words: a01/a02 appear twice (docA + docB), a03..a16
+    // once, 'rare' once. Top-16 by (count desc, word asc) excludes
+    // exactly 'rare' (ties at count 1 break alphabetically).
+    val docA = (1 to 16).map(i => f"a$i%02d").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, docA),
+      (1L, "a01 a02 rare"),
+      (2L, "")))
+    val out = text.PipelineQueries.q78.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), if (r.isNullAt(3)) -1.0 else r.getDouble(3)))).toMap
+    assert(out(0L) === ((16L, 0L, 0.0)), "all of docA is in-vocab")
+    assert(out(1L) === ((3L, 1L, 1.0 / 3)), "'rare' is the only OOV token")
+    assert(out(2L) === ((0L, 0L, -1.0)), "empty doc: zero tokens, null rate")
+  }
+
+  test("q79: source-pair trigram Jaccard; sub-trigram sources drop out") {
+    val dir = docsDirSrc(Seq(
+      (0L, "a b c d", "sA"),   // grams {a b c, b c d}
+      (1L, "a b c x", "sB"),   // grams {a b c, b c x}
+      (2L, "too short", "sC"))) // < 3 words → no gram set at all
+    val rows = text.PipelineQueries.q79.run(spark, dir).collect()
+    assert(rows.length === 1, "only the two gram-bearing sources pair up")
+    val r = rows.head
+    assert((r.getString(0), r.getString(1)) === (("sA", "sB")))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((2L, 2L, 1L)))
+    assert(r.getDouble(5) === 1.0 / 3, "jaccard = |∩| / |∪| = 1/3")
+  }
+
+  test("q80: synthetic PII spans are counted and redacted byte-exactly") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = docsDir((0L to 4L).map(i => (i, "hello")))
+    val out = text.PipelineQueries.q80.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5), r.getInt(6)))).toMap
+    assert(out(0L) === ((1L, 0L, 0L, md5hex("hello contact <EMAIL> now"), 0)))
+    assert(out(1L) === ((0L, 1L, 0L, md5hex("hello node <IP> up"), 0)))
+    assert(out(2L) === ((0L, 0L, 1L, md5hex("hello call <PHONE> today"), 0)))
+    assert(out(3L) === ((1L, 1L, 0L, md5hex("hello mail <EMAIL> via <IP>"), 0)))
+    assert(out(4L) === ((0L, 0L, 0L, md5hex("hello"), 1)), "PII-free doc untouched")
+  }
 }
