@@ -153,6 +153,32 @@ class PlanAuditSpec extends SparkTestBase {
       "min(struct(d2, cid)) must partial-aggregate before the shuffle")
   }
 
+  test("q77: semantic-dedup pairs form only inside a cell — equi join, no all-pairs") {
+    val p = plan("q77_semantic_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate pairs must be bounded by the cell equi-join")
+  }
+
+  test("q78: the vocabulary broadcasts back for the OOV probe") {
+    val p = plan("q78_vocab_oov")
+    assert(p.contains("BroadcastHashJoin"),
+      "the driver-sized vocab must be the build side of the probe join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q79: source overlap intersects via the gram equi-join — no doc all-pairs") {
+    val p = plan("q79_source_overlap")
+    assert(!p.contains("CartesianProduct"),
+      "only the driver-sized source×source matrix may be non-equi (broadcast)")
+  }
+
+  test("q80: PII scrub is a pure projection — no shuffle, no explode") {
+    val p = plan("q80_pii_redaction")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "regex count/replace must finish inside the scan's partition")
+    assert(!p.contains("Generate"))
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
