@@ -91,7 +91,8 @@ object ScaleBench {
     // every cell 10× and the in-cell pair count 100× — quadratic BY the
     // toy clustering, not the operator (SemDeDup's contract is k ∝ N;
     // see the q77 scaladoc). Including it would just re-measure that.
-    "q78_vocab_oov", "q79_source_overlap", "q80_pii_redaction")
+    "q78_vocab_oov", "q79_source_overlap", "q80_pii_redaction",
+    "q81_hybrid_neardup")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

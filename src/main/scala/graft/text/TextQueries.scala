@@ -390,16 +390,16 @@ object TextQueries {
     ORDER BY doc_id"""),
     headline = true)
 
-  /** Oracle mirror of [[dedupGroups]]: the shared WITH-chain ending in
-    * `comp(doc_id, group_id)`.
+  /** Oracle mirror of [[dedupCandidates]]: the WITH-chain body ending in
+    * `cand(id_a, id_b)` — shared by the q48/q51 comp chain and q81.
     */
-  private lazy val dedupCteSql: String = {
+  private lazy val candChainSql: String = {
     val sigCols = (for { k <- 0 to 3; j <- 0 to 3 }
       yield s"min(substr(h$k, ${1 + 8 * j}, 8)) AS c${k}_$j").mkString(", ")
     val bandRows = (0 to 3).map(k =>
       s"SELECT doc_id, $k AS band_idx, md5(c${k}_0 || c${k}_1 || c${k}_2 || c${k}_3) AS bh FROM sig")
       .mkString("\n      UNION ALL ")
-    s"""WITH RECURSIVE sh AS (
+    s"""sh AS (
       SELECT doc_id, unnest($shinglesSqlExpr) AS sh FROM documents
     ), h AS (
       SELECT doc_id, ${(0 to 3).map(k => s"md5(sh || '#$k') AS h$k").mkString(", ")} FROM sh
@@ -420,7 +420,14 @@ object TextQueries {
         UNION ALL
         SELECT bmin, doc_id FROM bandsz
         WHERE bsz > $HotBucketCap AND doc_id != bmin)
-    ), shd AS (
+    )"""
+  }
+
+  /** Oracle mirror of [[dedupGroups]]: the shared WITH-chain ending in
+    * `comp(doc_id, group_id)`.
+    */
+  private lazy val dedupCteSql: String =
+    s"""WITH RECURSIVE $candChainSql, shd AS (
       SELECT doc_id, $shinglesSqlExpr AS s FROM documents
     ), ver AS (
       SELECT c.id_a, c.id_b
@@ -437,7 +444,6 @@ object TextQueries {
     ), comp AS (
       SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
     )"""
-  }
 
   // ---------------------------------------------------------------- q53
   /** Rabin–Karp document fingerprinting (builder brief: "document
@@ -1006,6 +1012,90 @@ object TextQueries {
     },
     headline = true)
 
+  // ---------------------------------------------------------------- q81
+  /** Hybrid lexical–semantic near-dup audit: every MinHash-LSH candidate
+    * pair (q48's banded machinery, hot-bucket-guarded) is scored BOTH
+    * ways — true shingle Jaccard (the lexical verdict) and embedding
+    * cosine (the semantic verdict, documents joined to embeddings on
+    * id) — and the audit reports where the two disagree: paraphrases
+    * the lexical filter misses, boilerplate the semantic filter misses.
+    * Embedding coverage is partial at scale (sf0.1 embeds 2 000 of
+    * 5 000 docs); un-embedded pairs keep a NULL cosine and default to
+    * sem_dup = 0 rather than vanishing. Shapes: band-bucket equi-joins
+    * for candidates, two broadcast-or-keyed id joins for payloads —
+    * no all-pairs anywhere.
+    */
+  val q81 = Q("q81_hybrid_neardup",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      // bands handle stays cached for the query's duration; the harness
+      // clears it after the query (same contract as q39)
+      val (cand, _) = dedupCandidates(docs)
+      val txt = docs.select(col("doc_id"), col("text"))
+      val jm = cand
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
+        .select(col("id_a"), col("id_b"),
+          when(col("ov.n_union") > 0,
+            col("ov.n_inter").cast("double") / col("ov.n_union"))
+            .otherwise(lit(0.0)).as("jaccard"))
+      val n2Expr =
+        "aggregate(embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+      val em = emb.select(col("vec_id"), col("embedding"), expr(n2Expr).as("n2"))
+      val dotOrd =
+        "aggregate(zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      jm
+        .join(em.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("n2").as("na")), Seq("id_a"), "left")
+        .join(em.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("n2").as("nb")), Seq("id_b"), "left")
+        .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
+          expr(dotOrd) / (sqrt(col("na")) * sqrt(col("nb")))))
+        .withColumn("lex_dup", (col("jaccard") >= 0.8).cast("int"))
+        .withColumn("sem_dup",
+          when(col("cos_sim").isNotNull && col("cos_sim") >= 0.30, 1).otherwise(0))
+        .withColumn("agree", (col("lex_dup") === col("sem_dup")).cast("int"))
+        .select("id_a", "id_b", "jaccard", "cos_sim", "lex_dup", "sem_dup", "agree")
+        .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
+    },
+    Some(s"""WITH $candChainSql, shd AS (
+      SELECT doc_id, $shinglesSqlExpr AS s FROM documents
+    ), jm AS (
+      SELECT c.id_a, c.id_b,
+        CASE WHEN len(list_distinct(list_concat(a.s, b.s))) > 0
+             THEN CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s)))
+             ELSE 0.0::DOUBLE END AS jaccard
+      FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
+    ), em AS (
+      SELECT vec_id, embedding,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(embedding, x ->
+          CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x) AS n2
+      FROM embeddings
+    ), wc AS (
+      SELECT j.id_a, j.id_b, j.jaccard,
+        CASE WHEN ea.n2 > 0 AND eb.n2 > 0 THEN
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(list_zip(ea.embedding, eb.embedding), p ->
+              CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)
+          / (sqrt(ea.n2) * sqrt(eb.n2)) END AS cos_sim
+      FROM jm j
+      LEFT JOIN em ea ON ea.vec_id = j.id_a
+      LEFT JOIN em eb ON eb.vec_id = j.id_b
+    )
+    SELECT id_a, id_b, jaccard, cos_sim,
+      CAST(jaccard >= 0.8::DOUBLE AS INTEGER) AS lex_dup,
+      CASE WHEN cos_sim IS NOT NULL AND cos_sim >= 0.30::DOUBLE
+           THEN 1 ELSE 0 END AS sem_dup,
+      CAST(CAST(jaccard >= 0.8::DOUBLE AS INTEGER) =
+           (CASE WHEN cos_sim IS NOT NULL AND cos_sim >= 0.30::DOUBLE
+                 THEN 1 ELSE 0 END) AS INTEGER) AS agree
+    FROM wc ORDER BY id_a, id_b"""))
+
   def all: Seq[Q] =
-    Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70, q71, q73)
+    Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
+      q71, q73, q81)
 }

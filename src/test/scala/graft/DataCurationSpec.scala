@@ -269,6 +269,31 @@ class DataCurationSpec extends SparkTestBase {
     assert(r.getDouble(5) === 1.0 / 3, "jaccard = |∩| / |∪| = 1/3")
   }
 
+  test("q81: lexical and semantic verdicts disagree exactly where embeddings say so") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    val boiler = "identical boilerplate paragraph repeated verbatim across documents"
+    Seq((1L, boiler), (2L, boiler), (3L, boiler), (4L, "totally different content here"))
+      .map { case (id, t) => (id, t, "en", "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // doc 3's embedding is orthogonal to 1/2; doc 4 has NO embedding row
+    Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(1f, 0f, 0f, 0f)), (3L, Seq(0f, 1f, 0f, 0f)))
+      .map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = text.TextQueries.q81.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(4), r.getInt(5), r.getInt(6), r.isNullAt(3)))).toMap
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      "only identical texts become LSH candidates")
+    assert(out((1L, 2L)) === ((1, 1, 1, false)), "lex dup + identical embedding agree")
+    assert(out((1L, 3L)) === ((1, 0, 0, false)),
+      "orthogonal embedding → semantic verdict disagrees with lexical")
+    assert(out((2L, 3L)) === ((1, 0, 0, false)))
+  }
+
   test("q80: synthetic PII spans are counted and redacted byte-exactly") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
