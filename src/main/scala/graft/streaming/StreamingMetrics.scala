@@ -134,6 +134,60 @@ object StreamingMetrics {
       .dropDuplicatesWithinWatermark("new_id", "base_id")
   }
 
+  /** Streaming SEMANTIC dedup — the streaming twin of batch q77
+    * (SemDeDup): each arriving embedding is assigned to its nearest
+    * centroid cell with a pure PER-ROW fold over the driver-sized
+    * centroid list (no stream-side aggregation state, no shuffle for
+    * the assignment), then stream-static equi-joins the corpus within
+    * its cell and emits matches at cosine ≥ τ, with per-pair emission
+    * state bounded by the watermark. Cross-cell near-dups are invisible
+    * by construction — the same nprobe trade-off as batch IVF (q52).
+    *
+    * `cent` is the learned/label centroid list (cell id, vector) — at
+    * fleet scale k ∝ corpus size but stays driver-broadcastable (q54
+    * trains it); base rows carry (vec_id, embedding).
+    */
+  def streamSemanticDedup(stream: DataFrame, base: DataFrame,
+                          cent: Seq[(Int, Seq[Double])],
+                          lateness: String = "10 minutes",
+                          tau: Double = 0.30): DataFrame = {
+    val centArr = array(cent.sortBy(_._1).map { case (cid, v) =>
+      struct(lit(cid).as("cell"), array(v.map(lit(_)): _*).as("cvec"))
+    }: _*)
+    // nearest-centroid argmin as one codegen'd fold: d2 = ‖c‖² − 2·x·c,
+    // strict < keeps the first (smallest) cell id on ties
+    def assignCell(embCol: String): org.apache.spark.sql.Column = {
+      val dot = s"aggregate(zip_with($embCol, c.cvec, (x, y) -> CAST(x AS DOUBLE) * y), " +
+        "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+      val cn2 = "aggregate(c.cvec, CAST(0 AS DOUBLE), (acc, y) -> acc + y * y)"
+      expr(s"""aggregate(centarr,
+        named_struct('d2', CAST('Infinity' AS DOUBLE), 'cell', -1),
+        (acc, c) -> CASE WHEN $cn2 - 2.0D * $dot < acc.d2
+                         THEN named_struct('d2', $cn2 - 2.0D * $dot, 'cell', c.cell)
+                         ELSE acc END).cell""")
+    }
+    val n2 = (c: String) =>
+      expr(s"aggregate($c, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    val baseCells = base
+      .withColumn("centarr", centArr)
+      .select(col("vec_id").as("base_id"), col("embedding").as("base_emb"),
+        n2("embedding").as("base_n2"), assignCell("embedding").as("cell"))
+    val newCells = stream
+      .withColumn("centarr", centArr)
+      .select(col("vec_id").as("new_id"), col("embedding").as("new_emb"),
+        n2("embedding").as("new_n2"), assignCell("embedding").as("cell"),
+        timestamp_micros(col("ts_us")).as("event_time"))
+      .withWatermark("event_time", lateness)
+    newCells.join(baseCells, Seq("cell"))
+      .withColumn("cos_sim", when(col("new_n2") > 0 && col("base_n2") > 0,
+        expr("aggregate(zip_with(new_emb, base_emb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+          "CAST(0 AS DOUBLE), (acc, v) -> acc + v)") /
+          (sqrt(col("new_n2")) * sqrt(col("base_n2")))))
+      .filter(col("cos_sim") >= tau)
+      .select("new_id", "base_id", "cell", "cos_sim", "event_time")
+      .dropDuplicatesWithinWatermark("new_id", "base_id")
+  }
+
   case class Tick(sym: String, seq: Long, px: Double)
   case class OfiState(prevPx: Double, prevSeq: Long, cum: Double)
   case class OfiOut(sym: String, seq: Long, dPx: Double, cum: Double)

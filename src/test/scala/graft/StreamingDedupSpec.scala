@@ -57,4 +57,47 @@ class StreamingDedupSpec extends SparkTestBase {
       assert(out.count(_._1 == 3L) === 1, "mid-stream batch still matches the base")
     } finally q.stop()
   }
+
+  private def landVecs(dir: java.nio.file.Path, name: String,
+                       rows: Seq[(Long, Seq[Float], Long)]): Unit = {
+    val staging = Files.createTempDirectory("stage")
+    rows.toDF("vec_id", "embedding", "ts_us").coalesce(1)
+      .write.mode("overwrite").parquet(staging.toString)
+    val part = Files.list(staging).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, dir.resolve(name))
+  }
+
+  test("arriving embeddings match the corpus within their cell at cos >= tau") {
+    val base = Seq((100L, Seq(1f, 0f)), (101L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    val dir = Files.createTempDirectory("semingest")
+    // vec 1 → cell 0, cos≈0.99 vs base 100 → match; vec 2 → cell 1 but
+    // cos 0.8 vs base 101 < τ=0.9 → shares the cell, does NOT match
+    landVecs(dir, "v1.parquet", Seq(
+      (1L, Seq(0.99f, 0.14f), 1000000L),
+      (2L, Seq(0.6f, 0.8f), 2000000L)))
+    val stream = spark.readStream
+      .schema(Seq((1L, Seq(1f), 1L)).toDF("vec_id", "embedding", "ts_us").schema)
+      .parquet(dir.toString)
+    val q = StreamingMetrics.streamSemanticDedup(stream, base, cent, tau = 0.9)
+      .writeStream.outputMode("append").format("memory").queryName("sem_dedup").start()
+    try {
+      q.processAllAvailable()
+      // second micro-batch: an exact copy of base 100
+      landVecs(dir, "v2.parquet", Seq((3L, Seq(1f, 0f), 3000000L)))
+      q.processAllAvailable()
+      val out = spark.table("sem_dedup")
+        .select("new_id", "base_id", "cell", "cos_sim").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+      assert(out.count(_._1 == 1L) === 1, "near-dup matches its cell-mate once")
+      val m1 = out.find(_._1 == 1L).get
+      assert(m1._2 === 100L && m1._3 === 0 && m1._4 > 0.98)
+      assert(!out.exists(_._1 == 2L),
+        "same cell but below the cosine threshold must not match")
+      assert(out.find(_._1 == 3L).exists(m => m._2 === 100L && m._4 >= 0.999),
+        "mid-stream exact copy matches the base")
+    } finally q.stop()
+  }
 }
