@@ -950,6 +950,54 @@ object PipelineQueries {
     FROM c ORDER BY doc_id"""
     })
 
+  // ---------------------------------------------------------------- q82
+  /** Release manifest — the artifact a corpus RELEASE ships: per
+    * (split, lang) partition, document/char volumes plus TWO content
+    * checksums. `release_md5` is the content-address (md5 over per-doc
+    * md5s concatenated in doc_id order — any changed byte, dropped doc,
+    * or reordered id changes it); `fp_sum` is the order-INDEPENDENT
+    * Σ doc_fp twin (the q53 Rabin–Karp kernel) that partial-aggregates
+    * map-side — the checksum you'd actually verify at 100 TB, where an
+    * ordered concat-of-hashes per partition is a deliberate single
+    * reduction over a driver-bounded group list, not a corpus sort.
+    */
+  val q82 = Q("q82_release_manifest",
+    (s, dir) => {
+      graft.functions.RollingHash.ensureRegistered(s)
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .withColumn("split", expr(
+          "CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train' " +
+            "WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END"))
+        .withColumn("h", md5(col("text").cast("binary")))
+        .withColumn("doc_fp", expr("rolling_hash(text, 8, 131, 1000000007).doc_fp"))
+      base.groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum("doc_fp").as("fp_sum"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("h")))),
+              x => x.getField("h"))).cast("binary")).as("release_md5"))
+        .select("split", "lang", "n_docs", "sum_chars", "fp_sum", "release_md5")
+        .transform(graft.Q.presentSorted(_, "split", "lang"))
+    },
+    Some("""WITH c AS (
+      SELECT doc_id, lang, n_chars,
+        CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+             WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val' ELSE 'test' END AS split,
+        md5(text) AS h,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, length(text)), i ->
+            CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+          (acc, x) -> (acc * 131 + x) % 1000000007) AS doc_fp
+      FROM documents
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(doc_fp) AS BIGINT) AS fp_sum,
+      md5(string_agg(h, '' ORDER BY doc_id)) AS release_md5
+    FROM c GROUP BY split, lang ORDER BY split, lang"""))
+
   def all: Seq[Q] =
-    Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80)
+    Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80, q82)
 }

@@ -294,6 +294,29 @@ class DataCurationSpec extends SparkTestBase {
     assert(out((2L, 3L)) === ((1, 0, 0, false)))
   }
 
+  test("q82: manifest checksums are content-addressed and hand-computable") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def horner(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 1000000007L)
+    val trainIds = (0L until 100L).filter(split(_) == "train").take(2)
+    val testId = (0L until 1000L).find(split(_) == "test").get
+    val byId = Map(trainIds(0) -> "alpha doc", trainIds(1) -> "beta doc",
+      testId -> "gamma doc")
+    val dir = docsDir(byId.toSeq.map { case (id, t) => (id, t) })
+    val out = text.PipelineQueries.q82.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))).toMap
+    val trainDocs = trainIds.sorted.map(byId)
+    assert(out("train") === ((2L, trainDocs.map(_.length.toLong).sum,
+      trainDocs.map(horner).sum, md5hex(trainDocs.map(md5hex).mkString))),
+      "train manifest row is exactly the hand-computed volumes + checksums")
+    assert(out("test") === ((1L, byId(testId).length.toLong,
+      horner(byId(testId)), md5hex(md5hex(byId(testId))))))
+    assert(!out.contains("val"), "no val-split doc → no manifest row")
+  }
+
   test("q80: synthetic PII spans are counted and redacted byte-exactly") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
