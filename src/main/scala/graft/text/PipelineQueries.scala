@@ -700,35 +700,40 @@ object PipelineQueries {
     * partial agg. The (pruned) model tables are what you'd broadcast
     * at fleet scale.
     */
-  val q76 = Q("q76_corpus_likelihood",
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val bigrams = docs
-        .withColumn("tk", toks)
-        .withColumn("nw",
-          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
-        .filter(col("nw") >= 2)
-        .select(col("doc_id"), explode(transform(sequence(lit(0), col("nw") - 2),
-          i => struct(element_at(col("tk"), i + 1).as("w1"),
-            element_at(col("tk"), i + 2).as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
-      val ref = bigrams.filter(expr("(doc_id * 2654435761) % 1000 < 900"))
-      val bgCnt = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-      val ugCnt = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
-      val scored = bigrams
-        .join(bgCnt, Seq("w1", "w2"), "left").join(ugCnt, Seq("w1"), "left")
-        .withColumn("p_scaled", expr(
-          "CASE WHEN c2 IS NULL OR c1 IS NULL THEN CAST(0 AS BIGINT) " +
-            "ELSE (c2 * 1000000) div c1 END"))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          expr("sum(p_scaled) div count(1)").as("mean_p_scaled"),
-          min("p_scaled").as("min_p_scaled"))
-        .withColumn("atypical", (col("mean_p_scaled") < 33500).cast("int"))
-        .select("doc_id", "n_bigrams", "mean_p_scaled", "min_p_scaled", "atypical")
-        .orderBy("doc_id")
-    },
-    Some(s"""WITH tk AS (
+  /** The q76 scoring chain up to per-doc aggregates — shared with q83:
+    * (doc_id, n_bigrams, mean_p_scaled, min_p_scaled), bigram-less docs
+    * absent.
+    */
+  private def likelihoodScores(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val bigrams = docs
+      .withColumn("tk", toks)
+      .withColumn("nw",
+        when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+      .filter(col("nw") >= 2)
+      .select(col("doc_id"), explode(transform(sequence(lit(0), col("nw") - 2),
+        i => struct(element_at(col("tk"), i + 1).as("w1"),
+          element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+    val ref = bigrams.filter(expr("(doc_id * 2654435761) % 1000 < 900"))
+    val bgCnt = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val ugCnt = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bigrams
+      .join(bgCnt, Seq("w1", "w2"), "left").join(ugCnt, Seq("w1"), "left")
+      .withColumn("p_scaled", expr(
+        "CASE WHEN c2 IS NULL OR c1 IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (c2 * 1000000) div c1 END"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(p_scaled) div count(1)").as("mean_p_scaled"),
+        min("p_scaled").as("min_p_scaled"))
+  }
+
+  /** Oracle mirror of [[likelihoodScores]]: WITH-chain body ending in
+    * `agg(doc_id, n_bigrams, mean_p_scaled, min_p_scaled)`.
+    */
+  private val likelihoodCteSql: String = s"""tk AS (
       SELECT doc_id, $toksSql AS tk,
         CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
       FROM documents
@@ -755,7 +760,16 @@ object PipelineQueries {
         CAST(SUM(p_scaled) // COUNT(*) AS BIGINT) AS mean_p_scaled,
         CAST(MIN(p_scaled) AS BIGINT) AS min_p_scaled
       FROM scored GROUP BY doc_id
-    )
+    )"""
+
+  val q76 = Q("q76_corpus_likelihood",
+    (s, dir) => {
+      likelihoodScores(s, dir)
+        .withColumn("atypical", (col("mean_p_scaled") < 33500).cast("int"))
+        .select("doc_id", "n_bigrams", "mean_p_scaled", "min_p_scaled", "atypical")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $likelihoodCteSql
     SELECT doc_id, n_bigrams, mean_p_scaled, min_p_scaled,
       CAST(mean_p_scaled < 33500 AS INTEGER) AS atypical
     FROM agg ORDER BY doc_id"""))
@@ -998,6 +1012,59 @@ object PipelineQueries {
       md5(string_agg(h, '' ORDER BY doc_id)) AS release_md5
     FROM c GROUP BY split, lang ORDER BY split, lang"""))
 
+  // ---------------------------------------------------------------- q83
+  /** Curriculum difficulty bucketing — order training data easy→hard:
+    * quartile the corpus by its q76 reference-likelihood score using
+    * the DISTRIBUTED exact-quantile cuts (rel.ExactQuantile — never the
+    * group-buffering `percentile`, never a single-partition NTILE
+    * window), then profile each difficulty bucket. The three cut values
+    * are driver-sized (one row per quantile) and embed as literals in
+    * the bucketing projection, so the second pass is shuffle-free up to
+    * the final 4-row profile agg. Bucket boundaries use strict `<`
+    * (ties promote to the harder bucket); bigram-less docs carry no
+    * score and are absent, as in q76.
+    */
+  val q83 = Q("q83_curriculum_buckets",
+    (s, dir) => {
+      val scores = likelihoodScores(s, dir)
+        .select(col("doc_id"), col("mean_p_scaled"))
+      val cuts = graft.rel.ExactQuantile
+        .perGroup(scores.withColumn("g", lit("all")), "g", "mean_p_scaled",
+          Seq(0.25, 0.5, 0.75))
+        .orderBy("p").select("q").collect().map(_.getDouble(0))
+      val Array(c1, c2, c3) = cuts
+      scores
+        .withColumn("bucket",
+          when(col("mean_p_scaled") < c1, 0)
+            .when(col("mean_p_scaled") < c2, 1)
+            .when(col("mean_p_scaled") < c3, 2).otherwise(3))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min("mean_p_scaled").as("min_score"),
+          max("mean_p_scaled").as("max_score"),
+          expr("sum(mean_p_scaled) div count(1)").as("mean_score"))
+        .select("bucket", "n_docs", "min_score", "max_score", "mean_score")
+        .orderBy("bucket")
+    },
+    Some(s"""WITH $likelihoodCteSql, cuts AS (
+      SELECT quantile_cont(CAST(mean_p_scaled AS DOUBLE), 0.25) AS c1,
+             quantile_cont(CAST(mean_p_scaled AS DOUBLE), 0.50) AS c2,
+             quantile_cont(CAST(mean_p_scaled AS DOUBLE), 0.75) AS c3
+      FROM agg
+    ), b AS (
+      SELECT a.doc_id, a.mean_p_scaled,
+        CASE WHEN a.mean_p_scaled < cuts.c1 THEN 0
+             WHEN a.mean_p_scaled < cuts.c2 THEN 1
+             WHEN a.mean_p_scaled < cuts.c3 THEN 2 ELSE 3 END AS bucket
+      FROM agg a, cuts
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+      MIN(mean_p_scaled) AS min_score,
+      MAX(mean_p_scaled) AS max_score,
+      CAST(SUM(mean_p_scaled) // COUNT(*) AS BIGINT) AS mean_score
+    FROM b GROUP BY bucket ORDER BY bucket"""))
+
   def all: Seq[Q] =
-    Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80, q82)
+    Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
+      q82, q83)
 }

@@ -133,4 +133,24 @@ class PipelineQueriesSpec extends SparkTestBase {
       "rare (tf=2, df=1) outranks common")
     assert(out(1) === ((2L, "common", 3L, 4L, 3L * (4L * 1000000L / 4L))))
   }
+
+  test("q83: buckets partition the scored corpus with monotone score ranges") {
+    // doc i mixes i high-frequency "m x" bigrams with (12−i) copies of
+    // its own rare "m y<i>" bigram — reference-likelihood rises with i,
+    // and doc 0 (all-rare) scores strictly below doc 11 (all-common)
+    val docs = (0 until 12).map { i =>
+      val t = (("m x " * i) + (s"m y$i " * (12 - i))).trim
+      (i.toLong, t, "en", "s0")
+    }
+    val dir = docsDir(docs)
+    val rows = text.PipelineQueries.q83.run(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.values.map(_._1).sum === 12L, "every scored doc is bucketed once")
+    assert(rows.size >= 2, "distinct scores must spread across buckets")
+    val present = rows.keys.toSeq.sorted
+    for (Seq(a, b) <- present.sliding(2).toSeq)
+      assert(rows(a)._3 < rows(b)._2,
+        s"bucket $a's max score must sit strictly below bucket $b's min")
+  }
 }
