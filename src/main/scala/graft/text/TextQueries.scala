@@ -1095,7 +1095,66 @@ object TextQueries {
                  THEN 1 ELSE 0 END) AS INTEGER) AS agree
     FROM wc ORDER BY id_a, id_b"""))
 
+  // ---------------------------------------------------------------- q84
+  /** KMV distinct-cardinality sketch WITH an exact accuracy audit — the
+    * oracle-able sketch q42's HLL/theta row-checks can't be: per
+    * source, the k = 64 minimum 48-bit shingle-hash values estimate the
+    * distinct-shingle cardinality as (k−1)·2⁴⁸ div v₍ₖ₎ (all integer
+    * math, so the estimate — not just the exact count — hash-matches
+    * DuckDB). The k-mins ride the existing `exact_topk`
+    * TypedImperativeAggregate on negated values: O(k) buffer, map-side
+    * combinable — each partition ships ≤ 64 doubles per source where
+    * exact distinct-count shuffles every (source, shingle) once. The
+    * audit column reports the sketch's real per-mille error against
+    * the exact count; sources with < k distinct shingles yield NULL
+    * (the sketch is undefined there, not silently exact).
+    */
+  val q84 = Q("q84_kmv_distinct",
+    (s, dir) => {
+      graft.functions.ExactTopK.ensureRegistered(s)
+      val docs = Tables(s, dir, "documents")
+      val shingleArr =
+        s"array_distinct(transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), " +
+          s"i -> substring(text, i, $N)))"
+      val sh = docs.select(col("source"), explode(expr(shingleArr)).as("sh")).distinct()
+      val withV = sh.withColumn("v",
+        expr("CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
+      withV.groupBy("source")
+        .agg(count(lit(1)).as("n_exact"),
+          expr("exact_topk(CAST(-v AS DOUBLE), 64)").as("topneg"))
+        .withColumn("v_k", when(size(col("topneg")) >= 64,
+          (-element_at(col("topneg"), 64)).cast("long")))
+        .withColumn("kmv_est", expr("CAST((63 * 281474976710656) div v_k AS BIGINT)"))
+        .withColumn("err_permille", expr("abs(kmv_est - n_exact) * 1000 div n_exact"))
+        .select("source", "n_exact", "v_k", "kmv_est", "err_permille")
+        .orderBy("source")
+    },
+    Some(s"""WITH sh AS (
+      SELECT DISTINCT source, sh FROM (
+        SELECT source, unnest($shinglesSqlExpr) AS sh FROM documents)
+    ), hv AS (
+      SELECT source, sh,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS v
+      FROM sh
+    ), rk AS (
+      SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
+      FROM hv
+    ), ex AS (
+      SELECT source, COUNT(*) AS n_exact FROM hv GROUP BY source
+    ), kv AS (
+      SELECT source, v AS v_k FROM rk WHERE rn = 64
+    )
+    SELECT e.source, e.n_exact, kv.v_k,
+      CAST((63 * 281474976710656) // kv.v_k AS BIGINT) AS kmv_est,
+      abs(CAST((63 * 281474976710656) // kv.v_k AS BIGINT) - e.n_exact) * 1000 // e.n_exact
+        AS err_permille
+    FROM ex e LEFT JOIN kv ON kv.source = e.source
+    ORDER BY e.source"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81)
+      q71, q73, q81, q84)
 }

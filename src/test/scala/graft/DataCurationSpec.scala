@@ -294,6 +294,30 @@ class DataCurationSpec extends SparkTestBase {
     assert(out((2L, 3L)) === ((1, 0, 0, false)))
   }
 
+  test("q84: KMV estimates the exact shingle cardinality; sub-k sources stay NULL") {
+    // deterministic "random" text: enough distinct 8-char shingles for a
+    // meaningful estimate on the big source, fewer than k=64 on the small
+    def scramble(seed: Long, n: Int): String =
+      Iterator.iterate(seed)(x => x * 6364136223846793005L + 1442695040888963407L)
+        .drop(1).take(n).map(x => ('a' + math.floorMod(x >>> 33, 26)).toChar).mkString
+    val big = (0 until 4).map(i => (i.toLong, scramble(i + 1, 400), "big"))
+    val small = Seq((10L, "abcdefghij", "small")) // 3 shingles
+    val dir = docsDirSrc(big ++ small)
+    def exactShingles(texts: Seq[String]): Long =
+      texts.flatMap(t => (1 to math.max(t.length - 7, 1)).map(i =>
+        t.substring(i - 1, math.min(i + 7, t.length)))).distinct.size.toLong
+    val out = text.TextQueries.q84.run(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("small").getLong(1) === exactShingles(small.map(_._2)))
+    assert(out("small").isNullAt(2) && out("small").isNullAt(3) && out("small").isNullAt(4),
+      "fewer than k distinct shingles → the sketch is undefined, not silently exact")
+    val b = out("big")
+    assert(b.getLong(1) === exactShingles(big.map(_._2)))
+    assert(!b.isNullAt(3))
+    assert(b.getLong(4) < 500L,
+      s"KMV estimate ${b.getLong(3)} should sit within 50% of exact ${b.getLong(1)}")
+  }
+
   test("q82: manifest checksums are content-addressed and hand-computable") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
