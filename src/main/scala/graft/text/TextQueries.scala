@@ -1154,7 +1154,61 @@ object TextQueries {
     FROM ex e LEFT JOIN kv ON kv.source = e.source
     ORDER BY e.source"""))
 
+  // ---------------------------------------------------------------- q85
+  /** Contrastive pair mining — the SimCSE/CLIP-style training-data op:
+    * POSITIVES are same-near-dup-group pairs (the q48 component memo —
+    * paraphrase pairs the pipeline already found), each anchor paired
+    * with its smallest group-mate; NEGATIVES are 4 deterministic
+    * strided picks `(doc_id + stride) mod N` (contiguous-id corpus —
+    * the id-ring stand-in for a hash ring; strides that divide N are
+    * skipped so no anchor draws itself). Every sampled negative is
+    * AUDITED against the group table: `is_false_neg` marks negatives
+    * that are secretly near-dups of their anchor — the contamination
+    * contrastive training must measure, not assume away. Shapes: group
+    * sizes bound the positive self-join, negatives are id-equi-joins;
+    * the only driver value is the corpus count.
+    */
+  val q85 = Q("q85_contrastive_pairs",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val labels = dedupGroups(s, dir)
+      val n = docs.count()
+      val pos = labels.as("a").join(labels.as("b"),
+          col("a.comp") === col("b.comp") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_id")).agg(min(col("b.doc_id")).as("pos_id"))
+      val strides = Seq(1L, 11L, 37L, 101L).filter(_ % n != 0)
+      labels.select(col("doc_id"), col("comp").as("group_id"))
+        .withColumn("stride", explode(array(strides.map(lit(_)): _*)))
+        .withColumn("neg_id", (col("doc_id") + col("stride")) % n)
+        .join(labels.select(col("doc_id").as("neg_id"), col("comp").as("neg_comp")),
+          "neg_id")
+        .join(pos, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("group_id"), col("pos_id"), col("stride"),
+          col("neg_id"), (col("neg_comp") === col("group_id")).cast("int").as("is_false_neg"))
+        .transform(graft.Q.presentSorted(_, "doc_id", "stride"))
+    },
+    Some(s"""$dedupCteSql, nn AS (
+      SELECT COUNT(*) AS n FROM documents
+    ), pos AS (
+      SELECT a.doc_id, MIN(b.doc_id) AS pos_id
+      FROM comp a JOIN comp b ON a.group_id = b.group_id AND b.doc_id != a.doc_id
+      GROUP BY a.doc_id
+    ), st AS (
+      SELECT unnest([1, 11, 37, 101]) AS stride
+    ), negs AS (
+      SELECT c.doc_id, c.group_id, CAST(s.stride AS BIGINT) AS stride,
+        (c.doc_id + s.stride) % nn.n AS neg_id
+      FROM comp c, st s, nn
+      WHERE (s.stride % nn.n) != 0
+    )
+    SELECT g.doc_id, g.group_id, p.pos_id, g.stride, g.neg_id,
+      CAST(cn.group_id = g.group_id AS INTEGER) AS is_false_neg
+    FROM negs g
+    JOIN comp cn ON cn.doc_id = g.neg_id
+    LEFT JOIN pos p ON p.doc_id = g.doc_id
+    ORDER BY g.doc_id, g.stride"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84)
+      q71, q73, q81, q84, q85)
 }

@@ -318,6 +318,28 @@ class DataCurationSpec extends SparkTestBase {
       s"KMV estimate ${b.getLong(3)} should sit within 50% of exact ${b.getLong(1)}")
   }
 
+  test("q85: positives come from dup groups; strided negatives are audited") {
+    val boiler = "identical boilerplate paragraph repeated verbatim across documents"
+    // N=4: anchors 0/1 are dups (one group); strides {1,11,37,101} mod 4
+    // land on ids {1,3,1,1} for anchor 0 — three of its four negatives
+    // are secretly its own dup-mate and must be flagged
+    val dir = docsDir(Seq(
+      (0L, boiler), (1L, boiler),
+      (2L, "first unique document with entirely different words inside"),
+      (3L, "second unique document about something else altogether now")))
+    val rows = text.TextQueries.q85.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) ->
+        ((if (r.isNullAt(2)) -1L else r.getLong(2), r.getLong(4), r.getInt(5)))).toMap
+    assert(rows.size === 16, "4 anchors x 4 strides")
+    assert(rows((0L, 1L)) === ((1L, 1L, 1)), "dup-mate drawn as negative is flagged")
+    assert(rows((0L, 11L)) === ((1L, 3L, 0)), "honest negative passes the audit")
+    assert(rows((0L, 37L))._3 === 1 && rows((0L, 101L))._3 === 1)
+    assert(rows((1L, 1L))._1 === 0L, "anchor 1's positive is its group-mate 0")
+    assert(rows((2L, 1L))._1 === -1L, "singleton anchors have no positive")
+    assert(Seq(1L, 11L, 37L, 101L).forall(st => rows((2L, st))._3 === 0),
+      "singleton anchor draws no false negatives")
+  }
+
   test("q82: manifest checksums are content-addressed and hand-computable") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
