@@ -179,6 +179,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Generate"))
   }
 
+  test("q81/q85: dedup-derived pair queries stay equi-join bounded") {
+    for (name <- Seq("q81_hybrid_neardup", "q85_contrastive_pairs")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must bound pairs by band-bucket / id equi-joins")
+    }
+  }
+
+  test("q84: the KMV k-mins combine map-side via exact_topk") {
+    val p = plan("q84_kmv_distinct")
+    assert(p.contains("partial_exact_topk") || p.contains("partial_exacttopk"),
+      "the sketch side must ship <= k doubles per source per partition")
+  }
+
+  test("q83: curriculum bucketing never plans a global ranking window") {
+    val p = plan("q83_curriculum_buckets")
+    assert(!p.contains("CartesianProduct"))
+    assert(!"Window.*\\[\\]".r.findFirstIn(p).isDefined &&
+      !p.contains("No Partition Defined"),
+      "quantile cuts must come from the range-partition path, not a global window")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
