@@ -891,6 +891,16 @@ object VectorQueries {
   val q77 = Q("q77_semantic_dedup",
     (s, dir) => {
       val emb = Tables(s, dir, "embeddings")
+      // HOT-CELL GUARD (same family as q39/q48): the first HotBucketCap
+      // members of a cell (by vec_id) form all pairs; members beyond the
+      // cap compare ONLY against the cell's min-id exemplar (star
+      // pairs) — fan-out ≤ CAP²/2 + |cell| under degenerate skew
+      // (thousands of identical vectors), while dominance semantics for
+      // the overflow rows stay correct for exactly that degenerate case
+      // (an identical copy IS within τ of the exemplar). Largest real
+      // cell here is ~200 members, so normal corpora take the exact
+      // all-pairs path untouched.
+      val wCell = Window.partitionBy("cell").orderBy("vec_id")
       // cached: both pair sides and the final left join reuse it; the
       // harness clears it after the query
       val en = emb
@@ -898,12 +908,30 @@ object VectorQueries {
           .select(col("vec_id"), col("clabel").as("cell")), "vec_id")
         .select(col("vec_id"), col("cell"), col("embedding"),
           expr(norm2OrdExpr("embedding")).as("n2"))
+        .withColumn("rn", row_number().over(wCell))
+        .withColumn("cmin", min("vec_id").over(Window.partitionBy("cell")))
         .cache()
-      val pairs = en.select(col("cell"), col("vec_id").as("dom"),
+      val nOver = en.filter(col("rn") > HotBucketCap).count()
+      if (nOver > 0)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"[graft.semdedup] $nOver vector(s) beyond the $HotBucketCap-member " +
+            "cell cap compare only against their cell exemplar (star pairs)")
+      val small = en.filter(col("rn") <= HotBucketCap)
+      val allPairs = small.select(col("cell"), col("vec_id").as("dom"),
           col("embedding").as("ea"), col("n2").as("na"))
-        .join(en.select(col("cell"), col("vec_id").as("vid"),
+        .join(small.select(col("cell"), col("vec_id").as("vid"),
           col("embedding").as("eb2"), col("n2").as("nb")), Seq("cell"))
         .filter(col("dom") < col("vid"))
+      val starPairs = en.filter(col("rn") > HotBucketCap && col("vec_id") =!= col("cmin"))
+        .select(col("cell"), col("cmin").as("dom"), col("embedding").as("eb2"),
+          col("n2").as("nb"), col("vec_id").as("vid"))
+        .join(en.select(col("cell"), col("vec_id").as("dom"),
+          col("embedding").as("ea"), col("n2").as("na")), Seq("cell", "dom"))
+        .select(col("cell"), col("dom"), col("ea"), col("na"),
+          col("vid"), col("eb2"), col("nb"))
+      val pairs = allPairs
+        .select("cell", "dom", "ea", "na", "vid", "eb2", "nb")
+        .union(starPairs)
         .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
           expr(dotOrdExpr("ea", "eb2")) / (sqrt(col("na")) * sqrt(col("nb")))))
         .filter(col("cos_sim") >= SemDedupTau)
@@ -916,13 +944,25 @@ object VectorQueries {
           col("n_dom").isNull.cast("int").as("kept"))
         .transform(graft.Q.presentSorted(_, "vec_id"))
     },
-    Some(s"""WITH $ivfAssignSql, en AS (
+    Some(s"""WITH $ivfAssignSql, en0 AS (
       SELECT e.vec_id, a.cell, e.embedding, ${norm2OrdSql("e.embedding")} AS n2
       FROM embeddings e JOIN assigned a USING (vec_id)
+    ), en AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+             MIN(vec_id) OVER (PARTITION BY cell) AS cmin
+      FROM en0
     ), p AS (
       SELECT a.vec_id AS dom, b.vec_id AS vid
       FROM en a JOIN en b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       AND a.rn <= $HotBucketCap AND b.rn <= $HotBucketCap
       WHERE (CASE WHEN a.n2 > 0 AND b.n2 > 0
+             THEN ${dotOrdSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))
+             END) >= $SemDedupTau
+      UNION ALL
+      SELECT a.vec_id, b.vec_id
+      FROM en b JOIN en a ON a.cell = b.cell AND a.vec_id = b.cmin
+      WHERE b.rn > $HotBucketCap AND b.vec_id != b.cmin
+        AND (CASE WHEN a.n2 > 0 AND b.n2 > 0
              THEN ${dotOrdSql("a.embedding", "b.embedding")} / (sqrt(a.n2) * sqrt(b.n2))
              END) >= $SemDedupTau
     ), d AS (

@@ -239,6 +239,23 @@ class DataCurationSpec extends SparkTestBase {
       "dominated by both lower-id dup-group members, min recorded")
   }
 
+  test("q77: a degenerate cell of identical vectors stays cap-bounded, dedup intact") {
+    // 600 identical vectors in ONE cell (cap = 256) + 1 orthogonal: the
+    // all-pairs region is capped, overflow rows compare only against the
+    // exemplar, and the kept-set is still exactly {exemplar, orthogonal}
+    val dir = vecsDir(
+      (1L to 600L).map(i => (i, Seq(1f, 0f, 0f, 0f))) :+ (601L, Seq(0f, 1f, 0f, 0f)))
+    val out = vec.VectorQueries.q77.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(4)))).toMap
+    assert(out.filter(_._2._2 == 1).keySet === Set(1L, 601L),
+      "only the min-id exemplar and the orthogonal vector survive")
+    assert(out(600L)._1 === 1L,
+      "beyond-cap members carry exactly the one star pair, not |cell| pairs")
+    val totalPairs = out.values.map(_._1).sum
+    assert(totalPairs === (256L * 255L) / 2 + (600L - 256L),
+      s"candidate fan-out must be CAP²/2 + overflow, got $totalPairs")
+  }
+
   test("q78: OOV fraction measures tokens outside the top-16 vocabulary") {
     // 17 distinct words: a01/a02 appear twice (docA + docB), a03..a16
     // once, 'rare' once. Top-16 by (count desc, word asc) excludes
