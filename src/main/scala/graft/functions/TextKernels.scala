@@ -309,7 +309,56 @@ object TextKernels {
   }
 
   // ------------------------------------------------------------------
-  /** Idempotent session registration of all three kernels. */
+  /** `shingle_hash48(text, width)` → `ARRAY<BIGINT>`: the distinct
+    * shingles' md5 hex-prefixes as 48-bit values — one loop per
+    * document, no per-shingle string rows, longs instead of hex
+    * strings across the downstream shuffle. EXACTNESS: each value is
+    * the first 12 hex chars of `md5(shingle)` read as an unsigned
+    * 48-bit integer, identical to the DuckDB fold over
+    * `substr(md5(sh), 1, 12)` and to Catalyst
+    * `conv(substr(md5(sh), 1, 12), 16, 10)`. Order is first-occurrence
+    * (LinkedHashSet) — consumers must treat it as a set.
+    */
+  case class ShingleHash48(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def prettyName: String = "shingle_hash48"
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType &&
+        (right.dataType == IntegerType || right.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"shingle_hash48 expects (string, int), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    override protected def nullSafeEval(t: Any, w: Any): Any =
+      TextKernels.shingleHash48Compute(t.asInstanceOf[UTF8String],
+        w.asInstanceOf[Number].intValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, w) =>
+        s"graft.functions.TextKernels.shingleHash48Compute($t, (int)($w))")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def shingleHash48Compute(text: UTF8String, width: Int): GenericArrayData = {
+    val set = distinctShingles(text, width)
+    val out = new Array[Long](set.size())
+    val d = md5Local.get()
+    val digest = new Array[Byte](16)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) {
+      md5Into(d, it.next().getBytes(StandardCharsets.UTF_8), Array.emptyByteArray, digest)
+      out(i) = ((digest(0) & 0xffL) << 40) | ((digest(1) & 0xffL) << 32) |
+        ((digest(2) & 0xffL) << 24) | ((digest(3) & 0xffL) << 16) |
+        ((digest(4) & 0xffL) << 8) | (digest(5) & 0xffL)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------------
+  /** Idempotent session registration of the kernels. */
   def ensureRegistered(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
     val reg = spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
@@ -319,6 +368,8 @@ object TextKernels {
       exprs => MinhashSpans(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("shingle_overlap",
       exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2)), "built-in")
+    reg.createOrReplaceTempFunction("shingle_hash48",
+      exprs => ShingleHash48(exprs(0), exprs(1)), "built-in")
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -330,5 +381,8 @@ object TextKernels {
       exprs => MinhashSpans(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("shingle_overlap"),
       new ExpressionInfo(classOf[ShingleOverlap].getName, "shingle_overlap"),
-      exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2))))
+      exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2))),
+    (FunctionIdentifier("shingle_hash48"),
+      new ExpressionInfo(classOf[ShingleHash48].getName, "shingle_hash48"),
+      exprs => ShingleHash48(exprs(0), exprs(1))))
 }

@@ -1099,26 +1099,31 @@ object TextQueries {
   /** KMV distinct-cardinality sketch WITH an exact accuracy audit — the
     * oracle-able sketch q42's HLL/theta row-checks can't be: per
     * source, the k = 64 minimum 48-bit shingle-hash values estimate the
-    * distinct-shingle cardinality as (k−1)·2⁴⁸ div v₍ₖ₎ (all integer
-    * math, so the estimate — not just the exact count — hash-matches
-    * DuckDB). The k-mins ride the existing `exact_topk`
+    * distinct-shingle-hash cardinality as (k−1)·2⁴⁸ div v₍ₖ₎ (all
+    * integer math, so the estimate — not just the exact count —
+    * hash-matches DuckDB). The k-mins ride the existing `exact_topk`
     * TypedImperativeAggregate on negated values: O(k) buffer, map-side
     * combinable — each partition ships ≤ 64 doubles per source where
-    * exact distinct-count shuffles every (source, shingle) once. The
-    * audit column reports the sketch's real per-mille error against
-    * the exact count; sources with < k distinct shingles yield NULL
-    * (the sketch is undefined there, not silently exact).
+    * the exact distinct-count audit shuffles every (source, hash48)
+    * once (longs from the `shingle_hash48` kernel, not shingle
+    * strings). The audit column reports the sketch's real per-mille
+    * error against the exact count; sources with < k distinct shingles
+    * yield NULL (the sketch is undefined there, not silently exact).
     */
   val q84 = Q("q84_kmv_distinct",
     (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
       graft.functions.ExactTopK.ensureRegistered(s)
       val docs = Tables(s, dir, "documents")
-      val shingleArr =
-        s"array_distinct(transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), " +
-          s"i -> substring(text, i, $N)))"
-      val sh = docs.select(col("source"), explode(expr(shingleArr)).as("sh")).distinct()
-      val withV = sh.withColumn("v",
-        expr("CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)"))
+      // native kernel: one loop per doc emits the distinct shingles'
+      // 48-bit md5 prefixes as longs — no shingle-string rows, no
+      // per-row md5 expression; the cross-doc distinct shuffles
+      // (source, long) pairs. Cardinality is therefore distinct-HASH
+      // count in both engines (collision odds ~N²/2⁴⁹ — negligible,
+      // and identical across engines by construction).
+      val withV = docs
+        .select(col("source"), explode(expr(s"shingle_hash48(text, $N)")).as("v"))
+        .distinct()
       withV.groupBy("source")
         .agg(count(lit(1)).as("n_exact"),
           expr("exact_topk(CAST(-v AS DOUBLE), 64)").as("topneg"))
@@ -1129,16 +1134,13 @@ object TextQueries {
         .select("source", "n_exact", "v_k", "kmv_est", "err_permille")
         .orderBy("source")
     },
-    Some(s"""WITH sh AS (
-      SELECT DISTINCT source, sh FROM (
-        SELECT source, unnest($shinglesSqlExpr) AS sh FROM documents)
-    ), hv AS (
-      SELECT source, sh,
+    Some(s"""WITH hv AS (
+      SELECT DISTINCT source,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(generate_series(1, 12), i ->
             CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT))),
           (acc, x) -> acc * 16 + x) AS v
-      FROM sh
+      FROM (SELECT source, unnest($shinglesSqlExpr) AS sh FROM documents)
     ), rk AS (
       SELECT source, v, ROW_NUMBER() OVER (PARTITION BY source ORDER BY v) AS rn
       FROM hv
