@@ -111,6 +111,19 @@ class KernelParitySpec extends SparkTestBase {
       "shingle_overlap")
   }
 
+  test("shingle_hash48 ≡ sorted conv(md5-prefix) formulation on unicode + degenerate text") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    // the kernel's order is first-occurrence; compare as SORTED sets
+    val kernel = expr(s"array_sort(shingle_hash48(text, $N))")
+    val recipe = expr(
+      s"array_sort(transform(array_distinct(transform(" +
+        s"sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N))), " +
+        "sh -> CAST(conv(substr(md5(sh), 1, 12), 16, 10) AS BIGINT)))")
+    val bad = docs.select(col("doc_id"), kernel.as("k"), recipe.as("r"))
+      .filter(not(col("k") === col("r")))
+    assertNoDiff(bad, "shingle_hash48")
+  }
+
   test("rolling_hash ≡ per-window Horner slice+aggregate formulation") {
     graft.functions.RollingHash.ensureRegistered(spark)
     val M = 1000000007L; val B = 131L
