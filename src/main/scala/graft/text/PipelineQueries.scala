@@ -1026,8 +1026,12 @@ object PipelineQueries {
     */
   val q83 = Q("q83_curriculum_buckets",
     (s, dir) => {
+      // cached: the cut computation (an action inside ExactQuantile) and
+      // the bucketing pass both read it; the harness clears it after the
+      // query
       val scores = likelihoodScores(s, dir)
         .select(col("doc_id"), col("mean_p_scaled"))
+        .cache()
       val cuts = graft.rel.ExactQuantile
         .perGroup(scores.withColumn("g", lit("all")), "g", "mean_p_scaled",
           Seq(0.25, 0.5, 0.75))
