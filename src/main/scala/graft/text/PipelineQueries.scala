@@ -1068,7 +1068,97 @@ object PipelineQueries {
       CAST(SUM(mean_p_scaled) // COUNT(*) AS BIGINT) AS mean_score
     FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // ---------------------------------------------------------------- q86
+  /** BM25 top-k lexical retrieval — the keyword-side twin of the ANN
+    * queries (RAG data pipelines need both). With k1 = 6/5 and b = 3/4
+    * the Robertson tf saturation collapses to an INTEGER rational:
+    *
+    *   tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *     = 44·tf·D / (20·tf·D + 6·D + 18·dl·N)
+    *
+    * (D = Σ dl, N = corpus size, avgdl = D/N), evaluated at fixed
+    * point ×1000 — one integer division per (query term, doc), so
+    * scores and therefore the top-10 ranking are engine-exact. idf is the repo's log-free family
+    * (N·10⁶ div df, as in q61/q76 — rank-preserving per term; rare
+    * terms weigh more than Robertson's log idf, stated deviation).
+    * Multi-term query scores sum the per-term integers. Shapes: tokens
+    * filter to the 6 query terms BEFORE any shuffle, df/tf/dl are
+    * partial-aggregable, the (D, N) scalars broadcast, top-10 is a
+    * per-query window over ≤ matched docs.
+    */
+  val q86 = Q("q86_bm25_topk",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val terms = Seq(1 -> Seq("table", "scan"), 2 -> Seq("spark", "query"),
+        3 -> Seq("merge", "batch"))
+      val qdf = {
+        val sess = s
+        import sess.implicits._
+        terms.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }.toDF("query_id", "term")
+      }
+      val base = docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(toks).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val scal = base.agg(sum("dl").as("big_d"), count(lit(1)).as("n_docs"))
+      val tok = base.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .join(broadcast(qdf.select("term").distinct()), Seq("term"))
+      val tf = tok.groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(broadcast(df), Seq("term"))
+        .crossJoin(broadcast(scal))
+        .withColumn("idf_scaled", expr("(n_docs * 1000000) div df"))
+        .withColumn("term_score", expr(
+          "idf_scaled * ((44 * tf * big_d * 1000) div " +
+            "(20 * tf * big_d + 6 * big_d + 18 * dl * n_docs))"))
+        .join(broadcast(qdf), Seq("term"))
+      val byQuery = scored.groupBy("query_id", "doc_id")
+        .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms_hit"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      byQuery.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH qt AS (
+      SELECT * FROM (VALUES (1, 'table'), (1, 'scan'), (2, 'spark'), (2, 'query'),
+        (3, 'merge'), (3, 'batch')) AS t(query_id, term)
+    ), base AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toksSql END AS tk
+      FROM documents
+    ), dld AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
+    ), scal AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS big_d, COUNT(*) AS n_docs FROM dld
+    ), tok AS (
+      SELECT doc_id, dl, term FROM (
+        SELECT b.doc_id, d.dl, unnest(b.tk) AS term
+        FROM base b JOIN dld d USING (doc_id))
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+    ), tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok GROUP BY term, doc_id, dl
+    ), dft AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT q.query_id, f.doc_id,
+        ((s.n_docs * 1000000) // d.df) *
+          ((44 * f.tf * s.big_d * 1000) //
+           (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs))
+          AS term_score
+      FROM tf f JOIN dft d USING (term) CROSS JOIN scal s JOIN qt q USING (term)
+    ), byq AS (
+      SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        COUNT(*) AS n_terms_hit
+      FROM scored GROUP BY query_id, doc_id
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM byq
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83)
+      q82, q83, q86)
 }

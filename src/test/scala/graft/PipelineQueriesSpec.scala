@@ -134,6 +134,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(1) === ((2L, "common", 3L, 4L, 3L * (4L * 1000000L / 4L))))
   }
 
+  test("q86: BM25 ranking shows tf saturation, idf, and length normalization") {
+    val fill = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val dir = docsDir(Seq(
+      (0L, s"table $fill", "en", "s0"),                       // tf=1, dl=10
+      (1L, s"table $fill $fill $fill", "en", "s0"),           // tf=1, dl=28 (longer)
+      (2L, s"table table table table table $fill", "en", "s0"), // tf=5, dl=14
+      (3L, s"scan table $fill", "en", "s0"),                  // both query-1 terms
+      (4L, s"$fill $fill", "en", "s0")))                      // no query terms
+    val q1 = text.PipelineQueries.q86.run(spark, dir)
+      .collect().filter(_.getInt(0) == 1)
+      .map(r => r.getLong(2) -> ((r.getLong(1), r.getLong(3), r.getLong(4)))).toMap
+    assert(!q1.contains(4L), "docs with no query term never surface")
+    assert(q1(3L)._3 === 2L, "both query terms hit doc 3")
+    val (s0, s1, s2) = (q1(0L)._2, q1(1L)._2, q1(2L)._2)
+    assert(s2 > s0, "higher tf scores higher")
+    assert(s2 < 5 * s0, "...but sub-linearly (Robertson saturation)")
+    assert(s0 > s1, "same tf in a longer doc scores lower (length normalization)")
+  }
+
   test("q83: buckets partition the scored corpus with monotone score ranges") {
     // doc i mixes i high-frequency "m x" bigrams with (12−i) copies of
     // its own rare "m y<i>" bigram — reference-likelihood rises with i,
