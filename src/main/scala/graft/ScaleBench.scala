@@ -93,7 +93,8 @@ object ScaleBench {
     // see the q77 scaladoc). Including it would just re-measure that.
     "q78_vocab_oov", "q79_source_overlap", "q80_pii_redaction",
     "q81_hybrid_neardup", "q82_release_manifest", "q83_curriculum_buckets",
-    "q84_kmv_distinct", "q85_contrastive_pairs", "q86_bm25_topk")
+    "q84_kmv_distinct", "q85_contrastive_pairs", "q86_bm25_topk",
+    "q87_phrase_search")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

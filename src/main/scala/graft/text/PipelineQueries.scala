@@ -1158,7 +1158,78 @@ object PipelineQueries {
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
     FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  // ---------------------------------------------------------------- q87
+  /** Positional phrase search — the inverted-index build q86's bag-of-
+    * words scoring can't answer: per (term, doc) posting lists carry
+    * SORTED token positions, and a two-term phrase hit is an
+    * intersection of (positions(t1) + 1) with positions(t2) — exact
+    * adjacency, no text rescan. Shapes: tokens filter to the 6 phrase
+    * terms before any shuffle, posting lists are one groupBy away
+    * (collect_list bounded by per-doc tf), the phrase join is per-doc
+    * equi. The positional index is what a 100 TB retrieval corpus
+    * materializes once and queries forever.
+    */
+  val q87 = Q("q87_phrase_search",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val phrases = Seq((1, "table", "scan"), (2, "spark", "query"), (3, "merge", "batch"))
+      val pdf = {
+        val sess = s
+        import sess.implicits._
+        phrases.toDF("query_id", "t1", "t2")
+      }
+      val base = docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(toks).as("tk"))
+      val wanted = phrases.flatMap(p => Seq(p._2, p._3)).distinct
+      val tok = base.select(col("doc_id"), posexplode(col("tk")).as(Seq("pos0", "term")))
+        .filter(col("term").isInCollection(wanted))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("term"))
+      val plist = tok.groupBy("doc_id", "term")
+        .agg(sort_array(collect_list(col("pos"))).as("ps"),
+          count(lit(1)).as("tf"))
+      broadcast(pdf)
+        .join(plist.select(col("doc_id"), col("term").as("t1"),
+          col("ps").as("ps1"), col("tf").as("tf1")), Seq("t1"))
+        .join(plist.select(col("doc_id"), col("term").as("t2"),
+          col("ps").as("ps2"), col("tf").as("tf2")), Seq("t2", "doc_id"))
+        .withColumn("n_phrase_hits",
+          size(array_intersect(transform(col("ps1"), p => p + 1), col("ps2"))).cast("long"))
+        .filter(col("n_phrase_hits") >= 1)
+        .select("query_id", "doc_id", "tf1", "tf2", "n_phrase_hits")
+        .orderBy("query_id", "doc_id")
+    },
+    Some(s"""WITH pq AS (
+      SELECT * FROM (VALUES (1, 'table', 'scan'), (2, 'spark', 'query'),
+        (3, 'merge', 'batch')) AS t(query_id, t1, t2)
+    ), base AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toksSql END AS tk
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, pos, term FROM (
+        SELECT doc_id,
+          unnest(generate_series(1, len(tk))) AS pos,
+          unnest(tk) AS term
+        FROM base)
+      WHERE term IN (SELECT t1 FROM pq UNION SELECT t2 FROM pq)
+    ), plist AS (
+      SELECT doc_id, term, list_sort(list(CAST(pos AS BIGINT))) AS ps,
+        COUNT(*) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), hits AS (
+      SELECT q.query_id, a.doc_id, a.tf AS tf1, b.tf AS tf2,
+        CAST(len(list_intersect(list_transform(a.ps, p -> p + 1), b.ps)) AS BIGINT)
+          AS n_phrase_hits
+      FROM pq q
+      JOIN plist a ON a.term = q.t1
+      JOIN plist b ON b.term = q.t2 AND b.doc_id = a.doc_id
+    )
+    SELECT query_id, doc_id, tf1, tf2, n_phrase_hits
+    FROM hits WHERE n_phrase_hits >= 1
+    ORDER BY query_id, doc_id"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83, q86)
+      q82, q83, q86, q87)
 }

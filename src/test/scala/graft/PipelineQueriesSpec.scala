@@ -153,6 +153,20 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(s0 > s1, "same tf in a longer doc scores lower (length normalization)")
   }
 
+  test("q87: phrase hits require exact adjacency in order, counted per occurrence") {
+    val dir = docsDir(Seq(
+      (0L, "alpha table scan beta table scan", "en", "s0"), // "table scan" x2
+      (1L, "table beta scan table", "en", "s0"),            // both terms, never adjacent
+      (2L, "scan table", "en", "s0"),                       // adjacent but reversed
+      (3L, "no relevant words at all here", "en", "s0")))
+    val rows = text.PipelineQueries.q87.run(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet === Set((1, 0L)),
+      "only the in-order adjacent doc matches; co-occurrence alone is not a phrase")
+    assert(rows((1, 0L)) === ((2L, 2L, 2L)), "both occurrences of the phrase count")
+  }
+
   test("q83: buckets partition the scored corpus with monotone score ranges") {
     // doc i mixes i high-frequency "m x" bigrams with (12−i) copies of
     // its own rare "m y<i>" bigram — reference-likelihood rises with i,
