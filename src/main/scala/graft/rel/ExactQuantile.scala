@@ -37,6 +37,12 @@ object ExactQuantile {
 
   /** Per-group exact quantiles of `valueCol`.
     *
+    * NULL semantics match the built-in `percentile`: NULL values are
+    * ignored, and a group whose values are ALL NULL still emits its
+    * `(g, p, NULL)` rows (found via a map-side-combinable distinct over
+    * the group column — bounded by the groups-are-tiny contract this
+    * operator already carries for its count grid).
+    *
     * @return one row per (group, p): `(g, p, q)` — tiny (groups ×
     *         quantiles), safe to broadcast-join back to group stats
     */
@@ -44,6 +50,9 @@ object ExactQuantile {
                ps: Seq[Double], nPart: Int = 32): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val allGroups: Array[String] = df
+      .select(col(groupCol).cast("string").as("g")).distinct()
+      .as[String].collect()
     val base = df.select(col(groupCol).cast("string").as("g"),
         col(valueCol).cast("double").as("v"))
       .filter(col("v").isNotNull).as[(String, Double)]
@@ -108,9 +117,15 @@ object ExactQuantile {
         // the built-in percentile's exact expression (two products, one
         // add — NOT v_lo + d·Δ, which differs in the last ulp)
         val q = if (hi == lo) vLo else vLo * (hi - pos) + vHi * (pos - lo)
-        (g, p, q)
+        (g, p, Option(q))
       }
-      rows.toDF("g", "p", "q")
+      // groups present in the input but erased by the NULL filter keep
+      // their rows with NULL quantiles, exactly as `percentile` does
+      val nullRows = for {
+        g <- allGroups.toSeq if !totals.contains(g)
+        p <- ps
+      } yield (g, p, Option.empty[Double])
+      (rows ++ nullRows).toDF("g", "p", "q")
     } finally parted.unpersist(blocking = false)
   }
 }

@@ -1035,13 +1035,20 @@ object PipelineQueries {
       val cuts = graft.rel.ExactQuantile
         .perGroup(scores.withColumn("g", lit("all")), "g", "mean_p_scaled",
           Seq(0.25, 0.5, 0.75))
-        .orderBy("p").select("q").collect().map(_.getDouble(0))
-      val Array(c1, c2, c3) = cuts
-      scores
-        .withColumn("bucket",
+        .orderBy("p").select("q").collect()
+        .flatMap(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+      // degenerate corpus (no doc yields a bigram): no cuts — every score
+      // row is gone too, so any bucket expr produces the same empty
+      // profile the oracle's NULL-cut CASE does; don't destructure
+      val bucketExpr = cuts match {
+        case Array(c1, c2, c3) =>
           when(col("mean_p_scaled") < c1, 0)
             .when(col("mean_p_scaled") < c2, 1)
-            .when(col("mean_p_scaled") < c3, 2).otherwise(3))
+            .when(col("mean_p_scaled") < c3, 2).otherwise(3)
+        case _ => lit(3)
+      }
+      scores
+        .withColumn("bucket", bucketExpr)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           min("mean_p_scaled").as("min_score"),

@@ -1174,7 +1174,16 @@ object TextQueries {
     (s, dir) => {
       val docs = Tables(s, dir, "documents")
       val labels = dedupGroups(s, dir)
-      val n = docs.count()
+      // the strided ring sampler below assumes doc_ids are dense 0..N-1;
+      // on a gapped corpus the neg_id equi-join would silently shrink the
+      // per-anchor negative count (identically in both engines, so the
+      // oracle can't see it) — fail loudly instead of sampling quietly
+      val idStats = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+      val n = idStats.getLong(0)
+      require(n == 0 || (idStats.getLong(1) == 0L && idStats.getLong(2) == n - 1),
+        s"q85 strided negative sampling requires contiguous doc_ids 0..N-1; " +
+          s"got n=$n min=${idStats.get(1)} max=${idStats.get(2)} — " +
+          "sample over a dense rank instead for gapped corpora")
       val pos = labels.as("a").join(labels.as("b"),
           col("a.comp") === col("b.comp") && col("a.doc_id") =!= col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_id")).agg(min(col("b.doc_id")).as("pos_id"))

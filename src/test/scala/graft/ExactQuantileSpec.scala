@@ -60,4 +60,18 @@ class ExactQuantileSpec extends SparkTestBase {
     import sess.implicits._
     check(Seq(("a", 3.0), ("a", 1.0), ("a", 2.0)).toDF("g", "v"), 32)
   }
+
+  test("all-NULL group emits NULL quantiles like the built-in percentile") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(("a", Some(1.0)), ("a", Some(3.0)),
+        ("dead", None), ("dead", None), ("mixed", None), ("mixed", Some(7.0)))
+      .toDF("g", "v").repartition(4)
+    val got = ExactQuantile.perGroup(df, "g", "v", Seq(0.5), 8)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // `percentile` keeps the all-NULL group with a NULL result; so must we
+    assert(got === Map(("a", 0.5) -> Some(2.0), ("dead", 0.5) -> None,
+      ("mixed", 0.5) -> Some(7.0)))
+  }
 }
