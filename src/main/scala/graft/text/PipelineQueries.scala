@@ -1236,7 +1236,305 @@ object PipelineQueries {
     FROM hits WHERE n_phrase_hits >= 1
     ORDER BY query_id, doc_id"""))
 
+  // ---------------------------------------------------------------- q88
+  /** Cross-document duplicated-substring screen (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — the ExactSubstr idea at word-8-gram
+    * granularity): a window occurring in MORE THAN ONE document is
+    * "shared"; each document reports how much of its distinct window
+    * set is shared. Doc-level MinHash (q48) misses partial overlap —
+    * two documents pasting the same boilerplate paragraph into
+    * otherwise-different text score low Jaccard but high
+    * shared-window fraction; this screen catches them.
+    *
+    * Shapes: windows hash to 48-bit md5 prefixes inside a per-doc
+    * projection (distinct on PRIMITIVE longs, not the O(n²)
+    * `array_distinct` over strings); the cross-doc doc-frequency
+    * groupBy shuffles (hash, doc) longs once — map-side combinable,
+    * no raw text, no all-pairs; the per-doc rollup joins back on the
+    * same hash key. 48-bit collisions (~N²/2⁴⁹) are negligible and
+    * identical in both engines by construction. The small projected
+    * base (doc_id + hash array) is cached for its three consumers;
+    * at corpus scale persist it to disk or recompute — it is one
+    * tokenize pass either way.
+    */
+  val q88 = Q("q88_dup_substrings",
+    (s, dir) => {
+      val W = 8
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), col("text"))
+        .withColumn("tk", toks)
+        .withColumn("n_words",
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(col("tk")).cast("long")))
+        .withColumn("grams", when(col("n_words") >= W,
+          transform(sequence(lit(0), size(col("tk")) - W),
+            i => concat_ws(" ", (0 until W).map(j => element_at(col("tk"), i + j + 1)): _*)))
+          .otherwise(array().cast("array<string>")))
+        .select(col("doc_id"), size(col("grams")).cast("long").as("n_windows"),
+          array_distinct(transform(col("grams"),
+            g => conv(substring(md5(g.cast("binary")), 1, 12), 16, 10).cast("long")))
+            .as("hs"))
+        .withColumn("n_distinct", size(col("hs")).cast("long"))
+        .cache()
+      val exploded = base.select(col("doc_id"), explode(col("hs")).as("h"))
+      // rows are (doc, hash)-distinct already, so COUNT(*) IS the
+      // document frequency
+      val docFreq = exploded.groupBy("h").agg(count(lit(1)).as("df"))
+      val shared = exploded.join(docFreq.filter(col("df") >= 2), "h")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      base.select("doc_id", "n_windows", "n_distinct")
+        .join(shared, Seq("doc_id"), "left")
+        .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+        .withColumn("shared_frac",
+          when(col("n_distinct") > 0,
+            col("n_shared").cast("double") / col("n_distinct")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_words
+      FROM documents
+    ), g AS (
+      SELECT doc_id, n_words,
+        CASE WHEN n_words >= 8
+             THEN list_transform(generate_series(1, n_words - 7),
+                    i -> array_to_string(tk[i:i+7], ' '))
+             ELSE [] END AS grams
+      FROM base
+    ), hs AS (
+      SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_windows,
+        list_distinct(list_transform(grams, s ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, 12), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(s), i, 1)) - 1 AS BIGINT))),
+            (acc, x) -> acc * 16 + x))) AS hv
+      FROM g
+    ), e AS (
+      SELECT doc_id, unnest(hv) AS h FROM hs
+    ), dfq AS (
+      SELECT h, COUNT(*) AS df FROM e GROUP BY h
+    ), sh AS (
+      SELECT e.doc_id, COUNT(*) AS n_shared
+      FROM e JOIN dfq USING (h) WHERE dfq.df >= 2 GROUP BY e.doc_id
+    )
+    SELECT b.doc_id, b.n_windows, CAST(len(b.hv) AS BIGINT) AS n_distinct,
+      CAST(COALESCE(s.n_shared, 0) AS BIGINT) AS n_shared,
+      CASE WHEN len(b.hv) > 0
+           THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE) / len(b.hv) END AS shared_frac
+    FROM hs b LEFT JOIN sh s USING (doc_id) ORDER BY doc_id"""))
+
+  // ---------------------------------------------------------------- q89
+  /** RAG chunk extraction — fixed 64-token windows at stride 48
+    * (16-token overlap), the op between curation and embedding in a
+    * retrieval pipeline. Chunk count is closed-form integer math
+    * (`1 + ceil(max(n−W, 0)/S)` — full coverage, tail chunk may run
+    * short, empty docs emit nothing), so the row set needs no window
+    * function; each chunk carries its token offset, length, and an
+    * md5 over the space-joined token slice — the content address a
+    * chunk store / vector index would key on. Pure per-row explode:
+    * no shuffle at all until the presentation sort.
+    */
+  val q89 = Q("q89_rag_chunks",
+    (s, dir) => {
+      val W = 64
+      val S = 48
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), col("text"))
+        .withColumn("tk", toks)
+        .withColumn("n_words",
+          when(length(trim(col("text"))) === 0, lit(0L))
+            .otherwise(size(col("tk")).cast("long")))
+        .filter(col("n_words") > 0)
+        .withColumn("nc",
+          expr(s"CAST(1 + (greatest(n_words - $W, 0) + ${S - 1}) div $S AS INT)"))
+        .withColumn("chunk_idx", explode(sequence(lit(0), col("nc") - 1)))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          (col("chunk_idx") * S).cast("long").as("start_tok"),
+          least(col("n_words") - col("chunk_idx") * S, lit(W.toLong)).as("n_tok"),
+          md5(concat_ws(" ",
+            slice(col("tk"), col("chunk_idx") * S + 1, lit(W))).cast("binary"))
+            .as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH base AS (
+      SELECT doc_id, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS n_words
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_words, tk,
+        unnest(generate_series(0, (greatest(n_words - 64, 0) + 47) // 48)) AS chunk_idx
+      FROM base WHERE n_words > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+      CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+      CAST(least(n_words - chunk_idx * 48, 64) AS BIGINT) AS n_tok,
+      md5(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ')) AS chunk_md5
+    FROM c ORDER BY doc_id, chunk_idx"""))
+
+  // ---------------------------------------------------------------- q90
+  /** Temperature-scaled source mixture — the sampling-weight table a
+    * multi-source training run reads (Arivazhagan et al.,
+    * arXiv:1907.05019 §4; Conneau & Lample use α = 0.7 — here
+    * α = 0.5, i.e. w ∝ √count, because sqrt is a single IEEE op both
+    * engines evaluate identically while pow(x, 0.7) is not; stated
+    * deviation). Upweights tail sources; `boost` reports each
+    * source's resulting over/under-sampling factor vs natural
+    * frequency, and `quota_100k` its integer allocation of a 100k-doc
+    * epoch. The denominator is an ordered fold over the per-source
+    * √counts (source-ascending, prepended 0 — same adds, same order
+    * in both engines), the one scalar a 100 TB corpus would broadcast.
+    */
+  val q90 = Q("q90_mixture_weights",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val denoms = cnt.agg(
+        sum("n_docs").as("n_total"),
+        aggregate(
+          transform(
+            array_sort(collect_list(struct(col("source"),
+              sqrt(col("n_docs").cast("double")).as("sq")))),
+            x => x.getField("sq")),
+          lit(0.0), (a, x) => a + x).as("denom"))
+      cnt.crossJoin(broadcast(denoms))
+        .withColumn("p_natural", col("n_docs").cast("double") / col("n_total"))
+        .withColumn("w_temp", sqrt(col("n_docs").cast("double")) / col("denom"))
+        .withColumn("quota_100k", floor(col("w_temp") * 100000).cast("long"))
+        .withColumn("boost", col("w_temp") / col("p_natural"))
+        .select("source", "n_docs", "p_natural", "w_temp", "quota_100k", "boost")
+        .orderBy("source")
+    },
+    Some("""WITH cnt AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), d AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(sqrt(CAST(n_docs AS DOUBLE)) ORDER BY source)),
+          (a, x) -> a + x) AS denom
+      FROM cnt
+    ), w AS (
+      SELECT c.source, CAST(c.n_docs AS BIGINT) AS n_docs,
+        CAST(c.n_docs AS DOUBLE) / d.n_total AS p_natural,
+        sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom AS w_temp
+      FROM cnt c, d
+    )
+    SELECT source, n_docs, p_natural, w_temp,
+      CAST(floor(w_temp * 100000) AS BIGINT) AS quota_100k,
+      w_temp / p_natural AS boost
+    FROM w ORDER BY source"""))
+
+  // ---------------------------------------------------------------- q91
+  /** Hard-negative mining for retrieval training — for each anchor
+    * document, BM25-retrieve the top-10 lexically-closest documents
+    * that are NOT near-duplicates of it (q48's dedup groups are the
+    * positives a contrastive trainer must exclude — a near-dup ranked
+    * as a "negative" poisons the loss; cf. q85's is_false_neg audit,
+    * which MEASURES the contamination this query REMOVES). Each
+    * anchor's query is its 5 rarest distinct terms (corpus df
+    * ascending, ties by term — deterministic), scored with q86's
+    * integer-rational BM25, so ranking is engine-exact end-to-end.
+    *
+    * Shapes: corpus df is one map-side-combinable groupBy over
+    * per-doc DISTINCT terms; the ≤15 (anchor, term) rows broadcast;
+    * the token stream filters to those terms BEFORE any shuffle; the
+    * dedup-group exclusion is an equi-join against the memoized group
+    * table. No all-pairs, no driver data beyond the anchor list.
+    */
+  val q91 = Q("q91_hard_negatives",
+    (s, dir) => {
+      val anchors = Seq(0L, 7L, 23L)
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"),
+        when(length(trim(col("text"))) === 0, array().cast("array<string>"))
+          .otherwise(toks).as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val scal = base.agg(sum("dl").as("big_d"), count(lit(1)).as("n_docs"))
+      val corpusDf = base.select(explode(array_distinct(col("tk"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val aw = Window.partitionBy("query_id").orderBy(col("df"), col("term"))
+      val qterms = base.filter(col("doc_id").isInCollection(anchors))
+        .select(col("doc_id").as("query_id"), explode(array_distinct(col("tk"))).as("term"))
+        .join(corpusDf, "term")
+        .withColumn("trk", row_number().over(aw)).filter(col("trk") <= 5)
+        .select("query_id", "term", "df")
+      val tok = base.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+        .join(broadcast(qterms.select("term").distinct()), Seq("term"))
+      val tf = tok.groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+      val scored = tf.join(broadcast(qterms), Seq("term"))
+        .crossJoin(broadcast(scal))
+        .withColumn("idf_scaled", expr("(n_docs * 1000000) div df"))
+        .withColumn("term_score", expr(
+          "idf_scaled * ((44 * tf * big_d * 1000) div " +
+            "(20 * tf * big_d + 6 * big_d + 18 * dl * n_docs))"))
+      val byQuery = scored.groupBy("query_id", "doc_id")
+        .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms_hit"))
+      val labels = TextQueries.dedupGroups(s, dir)
+      val acomp = labels.filter(col("doc_id").isInCollection(anchors))
+        .select(col("doc_id").as("query_id"), col("comp").as("qcomp"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      byQuery
+        .join(broadcast(acomp), "query_id")
+        .join(labels, "doc_id")
+        .filter(col("comp") =!= col("qcomp"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""${TextQueries.dedupCteSql}, base AS (
+      SELECT doc_id,
+        CASE WHEN length(trim(text)) = 0 THEN [] ELSE $toksSql END AS tk
+      FROM documents
+    ), dld AS (
+      SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl FROM base
+    ), scal AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS big_d, COUNT(*) AS n_docs FROM dld
+    ), dfq AS (
+      SELECT term, COUNT(*) AS df FROM (
+        SELECT doc_id, unnest(list_distinct(tk)) AS term FROM base)
+      GROUP BY term
+    ), aterm AS (
+      SELECT doc_id AS query_id, unnest(list_distinct(tk)) AS term
+      FROM base WHERE doc_id IN (0, 7, 23)
+    ), qt AS (
+      SELECT query_id, term, df FROM (
+        SELECT a.query_id, a.term, d.df,
+          ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY d.df, a.term) AS trk
+        FROM aterm a JOIN dfq d USING (term))
+      WHERE trk <= 5
+    ), tok AS (
+      SELECT doc_id, dl, term FROM (
+        SELECT b.doc_id, d.dl, unnest(b.tk) AS term
+        FROM base b JOIN dld d USING (doc_id))
+      WHERE term IN (SELECT DISTINCT term FROM qt)
+    ), tf AS (
+      SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok GROUP BY term, doc_id, dl
+    ), scored AS (
+      SELECT q.query_id, f.doc_id,
+        ((s.n_docs * 1000000) // q.df) *
+          ((44 * f.tf * s.big_d * 1000) //
+           (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs))
+          AS term_score
+      FROM tf f JOIN qt q USING (term) CROSS JOIN scal s
+    ), byq AS (
+      SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
+        COUNT(*) AS n_terms_hit
+      FROM scored GROUP BY query_id, doc_id
+    ), ac AS (
+      SELECT doc_id AS query_id, group_id AS qcomp FROM comp WHERE doc_id IN (0, 7, 23)
+    ), r AS (
+      SELECT b.query_id, b.doc_id, b.score, b.n_terms_hit,
+        ROW_NUMBER() OVER (PARTITION BY b.query_id ORDER BY b.score DESC, b.doc_id) AS rnk
+      FROM byq b
+      JOIN ac USING (query_id)
+      JOIN comp c ON c.doc_id = b.doc_id
+      WHERE c.group_id != ac.qcomp
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83, q86, q87)
+      q82, q83, q86, q87, q88, q89, q90, q91)
 }

@@ -272,7 +272,7 @@ object TextQueries {
     * memory — every cache the computation itself takes is unpersisted
     * before returning.
     */
-  private def dedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+  private[text] def dedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     graft.util.SessionMemo.getOrCompute(s, s"dedup-groups:$dir")(
       computeDedupGroups(s, dir))
@@ -426,7 +426,7 @@ object TextQueries {
   /** Oracle mirror of [[dedupGroups]]: the shared WITH-chain ending in
     * `comp(doc_id, group_id)`.
     */
-  private lazy val dedupCteSql: String =
+  private[text] lazy val dedupCteSql: String =
     s"""WITH RECURSIVE $candChainSql, shd AS (
       SELECT doc_id, $shinglesSqlExpr AS s FROM documents
     ), ver AS (

@@ -380,6 +380,84 @@ class DataCurationSpec extends SparkTestBase {
     assert(!out.contains("val"), "no val-split doc → no manifest row")
   }
 
+  test("q88: a pasted 8-word run is shared; unique and short docs are clean") {
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val dir = docsDir(Seq(
+      (0L, boiler),                                   // 1 window, fully shared
+      (1L, s"one two three $boiler"),                 // 4 windows, 1 shared
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),         // 3 windows, none shared
+      (3L, "tiny doc")))                              // < 8 words → no windows
+    val out = text.PipelineQueries.q88.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
+    assert(out(0L) === ((1L, 1L, 1L, Some(1.0))), "whole doc is the shared window")
+    assert(out(1L) === ((4L, 4L, 1L, Some(0.25))), "only the pasted run is shared")
+    assert(out(2L) === ((3L, 3L, 0L, Some(0.0))), "unique doc shares nothing")
+    assert(out(3L) === ((0L, 0L, 0L, None)), "sub-window doc: no windows, NULL frac")
+  }
+
+  test("q89: chunk grid covers every token with stride-48 starts and a short tail") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val words100 = (1 to 100).map(i => s"w$i")
+    val words5 = (1 to 5).map(i => s"v$i")
+    val dir = docsDir(Seq(
+      (0L, words100.mkString(" ")), (1L, words5.mkString(" ")), (2L, "")))
+    val out = text.PipelineQueries.q89.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out.keySet === Set((0L, 0L), (0L, 1L), (1L, 0L)), "empty doc emits nothing")
+    // 100 words: chunk 0 = tokens 1..64, chunk 1 = tokens 49..100 (52 long)
+    assert(out((0L, 0L)) === ((0L, 64L, md5hex(words100.take(64).mkString(" ")))))
+    assert(out((0L, 1L)) === ((48L, 52L, md5hex(words100.drop(48).mkString(" ")))))
+    assert(out((1L, 0L)) === ((0L, 5L, md5hex(words5.mkString(" ")))),
+      "short doc is its own single chunk")
+  }
+
+  test("q90: sqrt-temperature weights upweight tails; quotas floor to the epoch") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    // 16 + 4 + 1 docs → sqrt counts 4, 2, 1; denominator 7
+    val rows = (0 until 16).map(i => (i.toLong, "a", "s_big")) ++
+      (16 until 20).map(i => (i.toLong, "b", "s_mid")) :+ ((20L, "c", "s_tiny"))
+    rows.map { case (id, t, src) => (id, t, "en", src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.PipelineQueries.q90.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out("s_big") === ((16L, 4.0 / 7, 57142L, (4.0 / 7) / (16.0 / 21))))
+    assert(out("s_mid") === ((4L, 2.0 / 7, 28571L, (2.0 / 7) / (4.0 / 21))))
+    assert(out("s_tiny") === ((1L, 1.0 / 7, 14285L, (1.0 / 7) / (1.0 / 21))))
+    assert(out("s_tiny")._4 === 3.0, "tail source is 3x upsampled")
+    assert(out("s_big")._4 < 1.0, "head source is downsampled")
+  }
+
+  test("q91: near-dups of the anchor never surface as negatives") {
+    val dir = docsDir(Seq(
+      (0L, "zebra quokka axolotl pangolin wombat"),
+      (1L, "zebra quokka axolotl pangolin wombat"),     // exact dup of anchor 0
+      (2L, "zebra quokka axolotl pangolin crocodile"),  // overlap, NOT a near-dup
+      (7L, "wombat stew recipe with vegetables"),
+      (23L, "unrelated filler text entirely")))
+    val rows = text.PipelineQueries.q91.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+    val anchor0 = rows.filter(_._1 == 0L).sortBy(_._2)
+    assert(!anchor0.exists(_._3 == 1L), "dup-group mate is excluded")
+    assert(!anchor0.exists(_._3 == 0L), "the anchor itself is excluded")
+    assert(anchor0.map(t => (t._2, t._3, t._4)).toSeq ===
+      Seq((1L, 2L, 4L), (2L, 7L, 1L)),
+      "doc 2 (4 rare terms) outranks doc 7 (1 term)")
+    for (a <- Seq(0L, 7L, 23L)) {
+      val rnks = rows.filter(_._1 == a).map(_._2).sorted.toSeq
+      assert(rnks === (1L to rnks.length).toSeq, s"anchor $a ranks are contiguous")
+    }
+  }
+
   test("q80: synthetic PII spans are counted and redacted byte-exactly") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

@@ -193,6 +193,28 @@ class PlanAuditSpec extends SparkTestBase {
       "the sketch side must ship <= k doubles per source per partition")
   }
 
+  test("q88: window doc-frequency combines map-side; rollups are equi-joins only") {
+    val p = plan("q88_dup_substrings")
+    assert(p.contains("partial_count"), "df groupBy must combine before the shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "per-doc rollup must join back on the hash key, never all-pairs")
+  }
+
+  test("q89: chunk extraction is explode-and-project — no shuffle before the sort") {
+    val p = plan("q89_rag_chunks")
+    assert(!p.contains("Exchange hashpartitioning"),
+      "chunk rows derive per-doc; only the presentation range sort may exchange")
+    assert(!p.contains("Window"), "chunk grid is closed-form, not a window function")
+  }
+
+  test("q91: hard negatives broadcast the term/anchor sides — no cartesian blowup") {
+    val p = plan("q91_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      "only the 1-row scalar crossJoin may nest; candidate joins stay equi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "query terms, anchor groups, and scalars must all be build sides")
+  }
+
   test("q83: curriculum bucketing never plans a global ranking window") {
     val p = plan("q83_curriculum_buckets")
     assert(!p.contains("CartesianProduct"))
