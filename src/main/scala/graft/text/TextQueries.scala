@@ -1219,7 +1219,63 @@ object TextQueries {
     LEFT JOIN pos p ON p.doc_id = g.doc_id
     ORDER BY g.doc_id, g.stride"""))
 
+  // ---------------------------------------------------------------- q93
+  /** Tokenizer fertility by language — subword tokens per whitespace
+    * word, the metric multilingual tokenizer audits report (fertility
+    * ≫ 1 where the vocab underserves a script; Rust et al., "How Good
+    * is Your Tokenizer?", arXiv:2012.15613), plus chars/token and
+    * bytes/token — byte and char fertility diverge exactly where
+    * non-ASCII scripts live, which is why both are reported. Token
+    * counts use q57's lookahead-free BPE pre-tokenizer (identical
+    * token streams in both engines); byte lengths are
+    * octet_length ↔ strlen. One map-side-combinable groupBy(lang);
+    * every ratio is a single IEEE division of exact BIGINT sums, so
+    * the rollup is engine-exact at any corpus size.
+    */
+  val q93 = Q("q93_tokenizer_fertility",
+    (s, dir) => {
+      val t = col("text")
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(regexp_extract_all(t, lit(bpePat), lit(0))).cast("long"))
+        .withColumn("n_words", when(length(trim(t)) === 0, lit(0L))
+          .otherwise(size(split(trim(lower(t)), "\\s+")).cast("long")))
+        .withColumn("n_chars", length(t).cast("long"))
+        .withColumn("n_bytes", octet_length(t).cast("long"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("sum_words"), sum("n_tokens").as("sum_tokens"),
+          sum("n_chars").as("sum_chars"), sum("n_bytes").as("sum_bytes"))
+        .withColumn("fertility", when(col("sum_words") > 0,
+          col("sum_tokens").cast("double") / col("sum_words")))
+        .withColumn("chars_per_token", when(col("sum_tokens") > 0,
+          col("sum_chars").cast("double") / col("sum_tokens")))
+        .withColumn("bytes_per_token", when(col("sum_tokens") > 0,
+          col("sum_bytes").cast("double") / col("sum_tokens")))
+        .orderBy("lang")
+    },
+    Some(s"""WITH tk AS (
+      SELECT lang,
+        len(regexp_extract_all(text, '$bpePatSql')) AS n_tokens,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_words,
+        length(text) AS n_chars, strlen(text) AS n_bytes
+      FROM documents
+    ), g AS (
+      SELECT lang, COUNT(*) AS n_docs,
+        CAST(SUM(n_words) AS BIGINT) AS sum_words,
+        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+      FROM tk GROUP BY lang
+    )
+    SELECT lang, n_docs, sum_words, sum_tokens, sum_chars, sum_bytes,
+      CASE WHEN sum_words > 0 THEN CAST(sum_tokens AS DOUBLE) / sum_words END AS fertility,
+      CASE WHEN sum_tokens > 0 THEN CAST(sum_chars AS DOUBLE) / sum_tokens END AS chars_per_token,
+      CASE WHEN sum_tokens > 0 THEN CAST(sum_bytes AS DOUBLE) / sum_tokens END AS bytes_per_token
+    FROM g ORDER BY lang"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85)
+      q71, q73, q81, q84, q85, q93)
 }

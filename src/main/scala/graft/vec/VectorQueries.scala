@@ -973,5 +973,204 @@ object VectorQueries {
     FROM en e LEFT JOIN d ON d.vid = e.vec_id
     ORDER BY e.vec_id"""))
 
-  def all: Seq[Q] = Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77)
+  // ---------------------------------------------------------------- q92
+  private val PqK = 4        // codes per subspace codebook
+  private val PqRounds = 2   // Lloyd iterations per subspace
+  private val SubDim = 32    // 64-dim embeddings → 2 subspaces of 32
+
+  /** Seeded k-means codebook over a (vec_id, embedding) frame — q54's
+    * recipe (md5-seeded init, exact-decimal Lloyd) parameterized so each
+    * PQ subspace trains its own codebook. Returns (cid, cvec, cnorm2),
+    * K rows, cached (the harness clears caches per query).
+    */
+  private def lloydCodebook(s: SparkSession, sub: DataFrame, seedTag: String,
+                            k: Int, rounds: Int): DataFrame = {
+    val h = md5(concat(lit(seedTag), col("vec_id").cast("string")).cast("binary"))
+    val seedVecs: Seq[(Long, Seq[Double])] = sub
+      .withColumn("h", h).orderBy(col("h"), col("vec_id")).limit(k)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))")).collect()
+      .toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    var cent = {
+      val sess = s
+      import sess.implicits._
+      seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
+    }
+    for (_ <- 1 to rounds) {
+      val asg = assignCells(sub, cent)
+      val perDim = sub.join(asg, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
+        .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+      cent = perDim.groupBy(col("cell").as("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          t => t.getField("c")).as("cvec"))
+        .withColumn("cnorm2", expr(cnorm2Expr))
+        .cache()
+    }
+    cent
+  }
+
+  /** Product quantization + asymmetric-distance recall audit (Jégou,
+    * Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): split each 64-dim vector into 2 subspaces of 32, train
+    * a 4-code codebook per subspace (q54's seeded exact-decimal Lloyd,
+    * independent seeds), encode every vector as 2 code ids — 2 bytes
+    * instead of 256 — and rank candidates by ADC: the query stays full
+    * precision, dist ≈ Σ_m (‖c_m‖² − 2·q_m·c_m) summed from a per-query
+    * LOOKUP TABLE of K·M = 8 precomputed entries. The audit ranks the
+    * same probes by exact squared L2 and reports top-1 agreement and
+    * recall@5 — the compression-loss measurement (q68's int8 audit, one
+    * rung further down the memory ladder).
+    *
+    * Scale shape: codebooks and LUTs are driver-/broadcast-sized (K·M
+    * entries per query); encoding is the q54 argmin (map-side
+    * combinable); candidate scoring touches only the 2-code rows plus
+    * two broadcast joins — at 100 TB the codes are what ships, and the
+    * scan reads 2 longs per vector instead of the float array.
+    */
+  val q92 = Q("q92_pq_adc_recall",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val sub0 = emb.select(col("vec_id"), slice(col("embedding"), 1, SubDim).as("embedding"))
+      val sub1 = emb.select(col("vec_id"),
+        slice(col("embedding"), SubDim + 1, SubDim).as("embedding"))
+      val cent0 = lloydCodebook(s, sub0, "pq0#", PqK, PqRounds)
+      val cent1 = lloydCodebook(s, sub1, "pq1#", PqK, PqRounds)
+      val codes = assignCells(sub0, cent0).withColumnRenamed("cell", "code0")
+        .join(assignCells(sub1, cent1).withColumnRenamed("cell", "code1"), "vec_id")
+      def lut(sub: DataFrame, cent: DataFrame, m: Int): DataFrame =
+        sub.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .crossJoin(cent)
+          .withColumn(s"part$m", col("cnorm2") - lit(2.0) * expr(dotExpr("qe", "cvec")))
+          .select(col("q_id"), col("cid").as(s"code$m"), col(s"part$m"))
+      val adc = codes
+        .join(broadcast(lut(sub0, cent0, 0)), "code0")
+        .join(broadcast(lut(sub1, cent1, 1)), Seq("q_id", "code1"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("c_id"),
+          (col("part0") + col("part1")).as("adc_d2"))
+      val en = emb.withColumn("n2", expr(norm2Expr("embedding")))
+      val qex = en.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val exact = broadcast(qex)
+        .join(en.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+        .select(col("q_id"), col("c_id"),
+          (col("qn2") + col("cn2") - lit(2.0) * expr(dotExpr("qe", "ce"))).as("d2_exact"))
+      val wE = Window.partitionBy("q_id").orderBy(col("d2_exact"), col("c_id"))
+      val wQ = Window.partitionBy("q_id").orderBy(col("adc_d2"), col("c_id"))
+      val ranked = exact.join(adc, Seq("q_id", "c_id"))
+        .withColumn("re", row_number().over(wE))
+        .withColumn("rq", row_number().over(wQ))
+        .filter(col("re") <= 5 || col("rq") <= 5)
+        .cache() // ≤ 10 rows/probe; reused by the 4 derivations below
+      val e5 = ranked.filter(col("re") <= 5)
+      val q5 = ranked.filter(col("rq") <= 5)
+      val ov = e5.select("q_id", "c_id")
+        .join(q5.select("q_id", "c_id"), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_overlap5"))
+      val e1 = e5.filter(col("re") === 1).select(col("q_id"), col("c_id").as("exact_top1"))
+      val q1 = q5.filter(col("rq") === 1).select(col("q_id"), col("c_id").as("pq_top1"))
+      // LEFT join: a probe whose ADC top-5 misses the exact top-5
+      // entirely must report recall 0, not vanish (4-code codebooks are
+      // coarse — zero overlap is a legitimate measurement)
+      e1.join(q1, "q_id").join(ov, Seq("q_id"), "left")
+        .withColumn("n_overlap5", coalesce(col("n_overlap5"), lit(0L)))
+        .select(col("q_id"), col("exact_top1"), col("pq_top1"),
+          (col("exact_top1") === col("pq_top1")).cast("int").as("top1_match"),
+          col("n_overlap5"),
+          (col("n_overlap5").cast("double") / lit(5)).as("recall5"))
+        .transform(graft.Q.presentSorted(_, "q_id"))
+    },
+    Some {
+      // per-subspace Lloyd unrolled as a WITH chain, twice (q54's SQL
+      // recipe parameterized by subspace slice + seed prefix)
+      def chain(p: String, lo: Int): String = {
+        def cn(i: Int) =
+          s"""${p}cn_$i AS (
+      SELECT cid, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM ${p}cent_$i GROUP BY cid
+    )"""
+        def asg(i: Int) =
+          s"""${p}dots_$i AS (
+      SELECT u.vec_id, ct.cid,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM ${p}ux u JOIN ${p}cent_$i ct USING (pos) GROUP BY u.vec_id, ct.cid
+    ), ${p}asg_$i AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.cid ASC) AS crn
+        FROM ${p}dots_$i d JOIN ${p}cn_$i cn USING (cid)) WHERE crn = 1
+    )"""
+        def centn(i: Int) =
+          s"""${p}cent_$i AS (
+      SELECT a.cell AS cid, u.pos, (${Exact.sumExactSql("u.x", 8)} / COUNT(*)) AS c
+      FROM ${p}ux u JOIN ${p}asg_${i - 1} a USING (vec_id) GROUP BY a.cell, u.pos
+    )"""
+        s"""${p}ux AS (
+      SELECT vec_id, unnest(generate_series(1, $SubDim)) AS pos,
+             CAST(unnest(embedding[$lo:${lo + SubDim - 1}]) AS DOUBLE) AS x
+      FROM embeddings
+    ), ${p}sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY md5('$p#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings
+    ), ${p}cent_0 AS (
+      SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
+      FROM ${p}ux u JOIN ${p}sd s USING (vec_id) WHERE s.cid < $PqK
+    ), ${cn(0)}, ${asg(0)}, """ +
+          (1 to PqRounds).map(i => s"${centn(i)}, ${cn(i)}, ${asg(i)}").mkString(", ")
+      }
+      def lutSql(p: String, m: Int) =
+        s"""lut$m AS (
+      SELECT u.vec_id AS q_id, ct.cid AS code$m,
+        cn.cnorm2 - 2.0::DOUBLE *
+          CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS part$m
+      FROM ${p}ux u JOIN ${p}cent_$PqRounds ct USING (pos)
+      JOIN ${p}cn_$PqRounds cn ON cn.cid = ct.cid
+      WHERE u.vec_id < 8 GROUP BY u.vec_id, ct.cid, cn.cnorm2
+    )"""
+      s"""WITH ${chain("pq0", 1)}, ${chain("pq1", SubDim + 1)}, codes AS (
+      SELECT e.vec_id, a0.cell AS code0, a1.cell AS code1
+      FROM embeddings e
+      JOIN pq0asg_$PqRounds a0 USING (vec_id)
+      JOIN pq1asg_$PqRounds a1 USING (vec_id)
+    ), ${lutSql("pq0", 0)}, ${lutSql("pq1", 1)}, adc AS (
+      SELECT l0.q_id, c.vec_id AS c_id, l0.part0 + l1.part1 AS adc_d2
+      FROM codes c
+      JOIN lut0 l0 ON l0.code0 = c.code0
+      JOIN lut1 l1 ON l1.code1 = c.code1 AND l1.q_id = l0.q_id
+      WHERE c.vec_id != l0.q_id
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings
+    ), exact AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        q.n2 + c.n2 - 2.0::DOUBLE * ${dotSql("q.embedding", "c.embedding")} AS d2_exact
+      FROM en q JOIN en c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), rk AS (
+      SELECT e.q_id, e.c_id,
+        ROW_NUMBER() OVER (PARTITION BY e.q_id ORDER BY e.d2_exact, e.c_id) AS re,
+        ROW_NUMBER() OVER (PARTITION BY e.q_id ORDER BY a.adc_d2, e.c_id) AS rq
+      FROM exact e JOIN adc a ON a.q_id = e.q_id AND a.c_id = e.c_id
+    ), ov AS (
+      SELECT a.q_id, COUNT(*) AS n_overlap5
+      FROM rk a JOIN rk b ON b.q_id = a.q_id AND b.c_id = a.c_id
+      WHERE a.re <= 5 AND b.rq <= 5 GROUP BY a.q_id
+    )
+    SELECT e1.q_id, e1.c_id AS exact_top1, q1.c_id AS pq_top1,
+      CAST(e1.c_id = q1.c_id AS INTEGER) AS top1_match,
+      CAST(COALESCE(ov.n_overlap5, 0) AS BIGINT) AS n_overlap5,
+      CAST(COALESCE(ov.n_overlap5, 0) AS DOUBLE) / 5 AS recall5
+    FROM (SELECT q_id, c_id FROM rk WHERE re = 1) e1
+    JOIN (SELECT q_id, c_id FROM rk WHERE rq = 1) q1 USING (q_id)
+    LEFT JOIN ov USING (q_id)
+    ORDER BY q_id"""
+    })
+
+  def all: Seq[Q] =
+    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92)
 }

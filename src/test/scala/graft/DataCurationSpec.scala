@@ -458,6 +458,43 @@ class DataCurationSpec extends SparkTestBase {
     }
   }
 
+  test("q92: PQ reconstructs a 4-pattern corpus exactly — recall@5 is perfect") {
+    // 4 distinct (subspace0 | subspace1) patterns x 3 copies: the 4-code
+    // codebooks can represent every vector exactly, so ADC == exact L2
+    // and the audit must report full agreement
+    def pat(a: Float, b: Float): Seq[Float] =
+      Seq.fill(32)(a) ++ Seq.fill(32)(b)
+    val pats = Seq(pat(1f, 0f), pat(1f, 5f), pat(0f, 0f), pat(0f, 5f))
+    val rows = (0 until 12).map(i => (i.toLong, pats(i % 4)))
+    val dir = vecsDir(rows)
+    val out = vec.VectorQueries.q92.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out.keySet === (0L to 7L).toSet, "all 8 probes report")
+    for ((q, (top1, ov, rec)) <- out) {
+      assert(top1 === 1, s"probe $q: exact and PQ top-1 must agree")
+      assert(ov === 5L && rec === 1.0, s"probe $q: recall@5 must be perfect")
+    }
+  }
+
+  test("q93: fertility ratios split bytes from chars exactly on non-ASCII text") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    Seq((0L, "hello world", "en"), (1L, "héllo wörld", "de"), (2L, "", "zz"))
+      .map { case (id, t, lang) => (id, t, lang, "s0", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.TextQueries.q93.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          if (r.isNullAt(8)) None else Some(r.getDouble(8))))).toMap
+    assert(out("en") === ((2L, 2L, 11L, 11L, Some(11.0 / 2))), "ASCII: bytes == chars")
+    assert(out("de") === ((2L, 2L, 11L, 13L, Some(13.0 / 2))),
+      "two 2-byte letters: 11 chars but 13 bytes; BPE still sees 2 tokens")
+    assert(out("zz") === ((0L, 0L, 0L, 0L, None)), "empty doc: zero sums, NULL ratios")
+  }
+
   test("q80: synthetic PII spans are counted and redacted byte-exactly") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")

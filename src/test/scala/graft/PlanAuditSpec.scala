@@ -215,6 +215,22 @@ class PlanAuditSpec extends SparkTestBase {
       "query terms, anchor groups, and scalars must all be build sides")
   }
 
+  test("q92: PQ encoding argmin combines map-side; code scoring joins broadcast LUTs") {
+    val p = plan("q92_pq_adc_recall")
+    assert(!p.contains("CartesianProduct"),
+      "only the K-row codebook crossJoins may nest; candidate scoring stays equi")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "the per-query LUTs must broadcast to the code rows")
+  }
+
+  test("q93: fertility rollup is ONE map-side-combined shuffle on lang") {
+    val p = plan("q93_tokenizer_fertility")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-doc counts must combine before the shuffle")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "exactly the groupBy(lang) exchange")
+  }
+
   test("q83: curriculum bucketing never plans a global ranking window") {
     val p = plan("q83_curriculum_buckets")
     assert(!p.contains("CartesianProduct"))
