@@ -1171,6 +1171,138 @@ object VectorQueries {
     ORDER BY q_id"""
     })
 
+  // ---------------------------------------------------------------- q94
+  private val MmrK = 5        // diverse picks
+  private val MmrCand = 12    // relevance candidate pool
+
+  /** MMR diverse top-k (Carbonell & Goldstein, "The Use of MMR,
+    * Diversity-Based Reranking", SIGIR'98): greedy selection of 5 from
+    * the 12 most-relevant candidates to probe vec 0, maximizing
+    * λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 1/2 — the diversity
+    * rerank a curation pipeline runs so its exemplars don't collapse
+    * onto near-identical documents. The greedy loop is a FIXED-k
+    * unroll (q54's fixed-iteration Lloyd philosophy): candidate
+    * generation and all similarities are distributed exact-decimal
+    * cosines; each of the k−1 argmax steps reduces a ≤(C−k)-row scored
+    * frame, and the only driver data is the picked id per step —
+    * bounded by k. Output re-derives rel / max-sim-to-previous /
+    * mmr from the DataFrames (preceding-pick max is selection-time
+    * exact because the preceding set is identical), so every reported
+    * number is engine-exact.
+    *
+    * Scale shape: the candidate pool is top-C by relevance (a
+    * distributed TakeOrdered), sims form only among the C picked rows
+    * — C² tiny — and k is a constant; nothing grows with the corpus
+    * but the initial relevance scan, which is q36's broadcast shape.
+    */
+  val q94 = Q("q94_mmr_diverse",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val en = Tables(s, dir, "embeddings")
+        .withColumn("n2", expr(norm2Expr("embedding")))
+        .filter(col("n2") > 0)
+      val qv = en.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("n2").as("qn2"))
+      val cand = en.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .withColumn("rel",
+          expr(dotExpr("embedding", "qe")) / (sqrt(col("n2")) * sqrt(col("qn2"))))
+        .orderBy(desc("rel"), col("vec_id"))
+        .limit(MmrCand)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("n2").as("cn2"), col("rel"))
+        .cache()
+      val sims = cand.select(col("c_id").as("a_id"), col("ce").as("ae"), col("cn2").as("an2"))
+        .crossJoin(cand.select(col("c_id").as("b_id"), col("ce").as("be"), col("cn2").as("bn2")))
+        .filter(col("a_id") =!= col("b_id"))
+        .withColumn("sim",
+          expr(dotExpr("ae", "be")) / (sqrt(col("an2")) * sqrt(col("bn2"))))
+        .select("a_id", "b_id", "sim")
+        .cache()
+      val picked = scala.collection.mutable.ArrayBuffer[Long]()
+      picked += cand.orderBy(desc("rel"), col("c_id")).limit(1)
+        .select("c_id").head().getLong(0)
+      for (_ <- 2 to MmrK) {
+        val ms = sims.filter(col("b_id").isInCollection(picked))
+          .groupBy("a_id").agg(max("sim").as("ms"))
+        // headOption: a pool smaller than k runs dry gracefully (the
+        // oracle's empty stage yields the same shorter pick list)
+        cand.filter(!col("c_id").isInCollection(picked))
+          .join(ms, col("c_id") === col("a_id"))
+          .withColumn("mmr", lit(0.5) * col("rel") - lit(0.5) * col("ms"))
+          .orderBy(desc("mmr"), col("c_id")).limit(1)
+          .select("c_id").collect().headOption
+          .foreach(r => picked += r.getLong(0))
+      }
+      val sel = {
+        val sess = s
+        import sess.implicits._
+        picked.toSeq.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) }
+          .toDF("c_id", "pick_rank")
+      }
+      val msPrev = sims
+        .join(broadcast(sel.select(col("c_id").as("b_id"), col("pick_rank").as("br"))), "b_id")
+        .join(broadcast(sel.select(col("c_id").as("a_id"), col("pick_rank").as("ar"))), "a_id")
+        .filter(col("br") < col("ar"))
+        .groupBy("a_id").agg(max("sim").as("max_sim_prev"))
+      broadcast(sel).join(cand, "c_id")
+        .join(msPrev, col("c_id") === col("a_id"), "left")
+        .withColumn("mmr", when(col("pick_rank") > 1,
+          lit(0.5) * col("rel") - lit(0.5) * col("max_sim_prev")))
+        .select("pick_rank", "c_id", "rel", "max_sim_prev", "mmr")
+        .orderBy("pick_rank")
+    },
+    Some {
+      def stage(i: Int) =
+        s"""m$i AS (
+      SELECT s.a_id, MAX(s.sim) AS ms
+      FROM sims s JOIN selupto${i - 1} p ON p.c_id = s.b_id
+      GROUP BY s.a_id
+    ), s$i AS (
+      SELECT c.c_id FROM cand c JOIN m$i mm ON mm.a_id = c.c_id
+      WHERE c.c_id NOT IN (SELECT c_id FROM selupto${i - 1})
+      ORDER BY 0.5::DOUBLE * c.rel - 0.5::DOUBLE * mm.ms DESC, c.c_id LIMIT 1
+    ), selupto$i AS (
+      SELECT c_id FROM selupto${i - 1} UNION ALL SELECT c_id FROM s$i
+    )"""
+      val stages = (2 to MmrK).map(stage).mkString(", ")
+      val ranks = (1 to MmrK).map(i =>
+        s"SELECT c_id, CAST($i AS BIGINT) AS pick_rank FROM s$i").mkString("\n      UNION ALL ")
+      s"""WITH en AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings
+    ), enp AS (
+      SELECT * FROM en WHERE n2 > 0
+    ), cand AS (
+      SELECT c.vec_id AS c_id, c.embedding AS ce, c.n2 AS cn2,
+        ${dotSql("c.embedding", "q.embedding")} / (sqrt(c.n2) * sqrt(q.n2)) AS rel
+      FROM enp c, (SELECT embedding, n2 FROM enp WHERE vec_id = 0) q
+      WHERE c.vec_id != 0
+      ORDER BY rel DESC, c.vec_id LIMIT $MmrCand
+    ), sims AS (
+      SELECT a.c_id AS a_id, b.c_id AS b_id,
+        ${dotSql("a.ce", "b.ce")} / (sqrt(a.cn2) * sqrt(b.cn2)) AS sim
+      FROM cand a JOIN cand b ON a.c_id != b.c_id
+    ), s1 AS (
+      SELECT c_id FROM cand ORDER BY rel DESC, c_id LIMIT 1
+    ), selupto1 AS (
+      SELECT c_id FROM s1
+    ), $stages, sel AS (
+      $ranks
+    ), msprev AS (
+      SELECT sa.pick_rank AS ar, s.a_id, MAX(s.sim) AS max_sim_prev
+      FROM sims s
+      JOIN sel sb ON sb.c_id = s.b_id
+      JOIN sel sa ON sa.c_id = s.a_id
+      WHERE sb.pick_rank < sa.pick_rank
+      GROUP BY sa.pick_rank, s.a_id
+    )
+    SELECT se.pick_rank, se.c_id, c.rel, m.max_sim_prev,
+      CASE WHEN se.pick_rank > 1
+           THEN 0.5::DOUBLE * c.rel - 0.5::DOUBLE * m.max_sim_prev END AS mmr
+    FROM sel se JOIN cand c USING (c_id)
+    LEFT JOIN msprev m ON m.a_id = se.c_id
+    ORDER BY se.pick_rank"""
+    })
+
   def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92)
+    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94)
 }

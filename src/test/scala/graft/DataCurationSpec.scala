@@ -495,6 +495,26 @@ class DataCurationSpec extends SparkTestBase {
     assert(out("zz") === ((0L, 0L, 0L, 0L, None)), "empty doc: zero sums, NULL ratios")
   }
 
+  test("q94: MMR promotes the diverse candidate over near-collinear higher-rel ones") {
+    import math.{cos, sin, toRadians => rad}
+    def v(deg: Double): Seq[Float] =
+      Seq(cos(rad(deg)).toFloat, sin(rad(deg)).toFloat, 0f, 0f)
+    // probe at 0°; candidates a/b at ±10° (rel .985), c at 20° (rel .940),
+    // d at −80° (rel .174 but orthogonal to a) — relevance top-3 would be
+    // {a, b, c}; MMR must pick d SECOND because a's clones score ~0
+    val dir = vecsDir(Seq(0L -> v(0), 1L -> v(10), 2L -> v(-10),
+      3L -> v(20), 4L -> v(-80)))
+    val out = vec.VectorQueries.q94.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(out.map(_._2).toSeq === Seq(1L, 4L, 2L, 3L),
+      "pick order: most relevant, then the diverse outlier, then the clones")
+    assert(out.length === 4, "pool smaller than k runs dry gracefully")
+    assert(out.head._3 === None, "first pick has no preceding-sim")
+    // d's max-sim-to-previous is vs a: orthogonal ⟹ ~0
+    assert(math.abs(out(1)._3.get) < 1e-6, "the diverse pick is orthogonal to pick 1")
+  }
+
   test("q80: synthetic PII spans are counted and redacted byte-exactly") {
     def md5hex(s: String): String =
       java.security.MessageDigest.getInstance("MD5")
