@@ -716,13 +716,26 @@ object PipelineQueries {
         i => struct(element_at(col("tk"), i + 1).as("w1"),
           element_at(col("tk"), i + 2).as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1"), col("bg.w2"))
+      // the bigram stream is read twice (model build + scoring join);
+      // materialize the single tokenize+explode pass instead of paying
+      // it per consumer — this is the layer a 100 TB pipeline would
+      // write to scratch storage once
+      .persist()
     val ref = bigrams.filter(expr("(doc_id * 2654435761) % 1000 < 900"))
     val bgCnt = ref.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val ugCnt = ref.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // c1(w1) — the ref bigram instances sharing the head word — is by
+    // definition sum(c2) over w2, so it derives from the already
+    // aggregated bigram counts (a window over the SMALL model table)
+    // rather than a second full groupBy pass over raw ref bigrams; the
+    // scoring side then needs ONE join instead of two. A bigram absent
+    // from the model scores 0 either way, so the two-left-join oracle
+    // formulation is value-identical.
+    val model = bgCnt.withColumn("c1",
+      sum("c2").over(Window.partitionBy("w1")))
     bigrams
-      .join(bgCnt, Seq("w1", "w2"), "left").join(ugCnt, Seq("w1"), "left")
+      .join(model, Seq("w1", "w2"), "left")
       .withColumn("p_scaled", expr(
-        "CASE WHEN c2 IS NULL OR c1 IS NULL THEN CAST(0 AS BIGINT) " +
+        "CASE WHEN c2 IS NULL THEN CAST(0 AS BIGINT) " +
           "ELSE (c2 * 1000000) div c1 END"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -790,7 +803,12 @@ object PipelineQueries {
       val base = docs.select(col("doc_id"),
         when(length(trim(col("text"))) === 0, array().cast("array<string>"))
           .otherwise(toks).as("tk"))
+      // ONE tokenize+explode pass feeds both the vocab build and the
+      // per-doc audit (the text is never re-tokenized); both consumers
+      // aggregate with map-side combine, so no raw-token shuffle is
+      // added by the sharing
       val tok = base.select(col("doc_id"), explode(col("tk")).as("tok"))
+        .persist()
       val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("tok")).limit(16)
         .select(col("tok"), lit(1).as("in_v"))
@@ -848,6 +866,10 @@ object PipelineQueries {
           i => concat_ws(" ", element_at(col("tk"), i + 1),
             element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))).as("gram"))
         .distinct()
+        // read three times (sizes + both sides of the intersection
+        // self-join): materialize the distinct (source, gram) set once
+        // instead of re-running tokenize+explode+distinct per consumer
+        .persist()
       val sz = tri.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val inter = tri.as("a")
         .join(tri.as("b"),
