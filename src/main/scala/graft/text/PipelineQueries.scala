@@ -1556,7 +1556,249 @@ object PipelineQueries {
     SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
     FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
+  // ---------------------------------------------------------------- q95
+  /** Stratified exact sampling — downsample the corpus to a 20 % budget
+    * with per-source quotas apportioned by LARGEST REMAINDER (exact:
+    * quotas sum to the global target, no rounding drift) and membership
+    * decided by md5-rank within each stratum (deterministic, seedless,
+    * uniform over the stratum). This is the "make a representative dev
+    * slice" operator: `sample(fraction)` can't hit exact per-stratum
+    * counts and TABLESAMPLE isn't stratified.
+    *
+    * Shape: stratum counts are one partial agg; the quota table is
+    * driver-sized (one row per source) and BROADCAST; the pick is one
+    * per-source rank window — sources are a bounded dimension (like
+    * symbols in the book layer), so each window partition is a constant
+    * fraction of the corpus. The two tiny windows over the quota table
+    * itself are single-partition BY DESIGN (≤ #sources rows).
+    */
+  val q95 = Q("q95_stratified_sample",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = cnt.agg(
+        sum("n_docs").cast("long").as("n_total"),
+        expr("CAST(sum(n_docs) div 5 AS BIGINT)").as("t_target"))
+      val wr = cnt.crossJoin(broadcast(tot))
+        .withColumn("base", expr("(n_docs * t_target) div n_total"))
+        .withColumn("rem", expr("(n_docs * t_target) % n_total"))
+      val quotas = wr
+        .withColumn("rk",
+          row_number().over(Window.orderBy(desc("rem"), col("source"))))
+        .withColumn("extra",
+          col("t_target") - sum("base").over(
+            Window.partitionBy(lit(1))))
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+        .select("source", "quota")
+      val wS = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("h", md5(col("doc_id").cast("string")))
+        .withColumn("pick_rank", row_number().over(wS).cast("long"))
+        .join(broadcast(quotas), Seq("source"))
+        .filter(col("pick_rank") <= col("quota"))
+        .select("doc_id", "source", "pick_rank")
+        .transform(graft.Q.presentSorted(_, "source", "pick_rank"))
+    },
+    Some("""WITH cnt AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(SUM(n_docs) // 5 AS BIGINT) AS t_target FROM cnt
+    ), wr AS (
+      SELECT c.source, c.n_docs,
+        (c.n_docs * t.t_target) // t.n_total AS base,
+        (c.n_docs * t.t_target) % t.n_total AS rem,
+        t.t_target
+      FROM cnt c, tot t
+    ), quotas AS (
+      SELECT source,
+        base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                    <= t_target - SUM(base) OVER () THEN 1 ELSE 0 END AS quota
+      FROM wr
+    ), ranked AS (
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pick_rank
+      FROM documents
+    )
+    SELECT r.doc_id, r.source, r.pick_rank
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.pick_rank <= q.quota
+    ORDER BY source, pick_rank"""))
+
+  // ---------------------------------------------------------------- q96
+  /** Release-to-release corpus diff — the "what changed since the last
+    * snapshot" audit a dataset release pipeline runs before shipping:
+    * per (source, status) counts of added / removed / changed /
+    * unchanged documents, where the previous snapshot is a deterministic
+    * simulation on the same table (bucket < 980 existed before, buckets
+    * 960–979 were edited since — simulated by case-folding — and
+    * buckets < 20 have been retired from the current release).
+    *
+    * Shape: one self-equi-join on doc_id (co-partitioned scans of the
+    * same table) feeding a partial-aggregable (source, status) count —
+    * at 100 TB this is the standard two-snapshot reconciliation join,
+    * shuffle keyed by doc_id only, text never leaves the map side
+    * (statuses derive from md5 fingerprints computed at scan).
+    */
+  val q96 = Q("q96_release_diff",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val hb = expr("(doc_id * 2654435761) % 1000")
+      val prev = docs.withColumn("hb", hb).filter(col("hb") < 980)
+        .select(col("doc_id"), col("source").as("source_p"),
+          md5(when(col("hb") >= 960, upper(col("text")))
+            .otherwise(col("text"))).as("fp_prev"),
+          length(col("text")).cast("long").as("len_p"))
+      val curr = docs.withColumn("hb", hb).filter(col("hb") >= 20)
+        .select(col("doc_id"), col("source").as("source_c"),
+          md5(col("text")).as("fp_curr"),
+          length(col("text")).cast("long").as("len_c"))
+      prev.join(curr, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("fp_curr").isNull, lit("removed"))
+            .when(col("fp_prev").isNull, lit("added"))
+            .when(col("fp_prev") =!= col("fp_curr"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .withColumn("source", coalesce(col("source_c"), col("source_p")))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("len_c"), col("len_p"))).as("sum_chars"))
+        .orderBy("source", "status")
+    },
+    Some("""WITH prev AS (
+      SELECT doc_id, source AS source_p,
+        md5(CASE WHEN (doc_id * 2654435761) % 1000 >= 960
+                 THEN upper(text) ELSE text END) AS fp_prev,
+        CAST(length(text) AS BIGINT) AS len_p
+      FROM documents WHERE (doc_id * 2654435761) % 1000 < 980
+    ), curr AS (
+      SELECT doc_id, source AS source_c, md5(text) AS fp_curr,
+        CAST(length(text) AS BIGINT) AS len_c
+      FROM documents WHERE (doc_id * 2654435761) % 1000 >= 20
+    )
+    SELECT COALESCE(source_c, source_p) AS source,
+      CASE WHEN fp_curr IS NULL THEN 'removed'
+           WHEN fp_prev IS NULL THEN 'added'
+           WHEN fp_prev != fp_curr THEN 'changed'
+           ELSE 'unchanged' END AS status,
+      COUNT(*) AS n_docs,
+      CAST(SUM(COALESCE(len_c, len_p)) AS BIGINT) AS sum_chars
+    FROM prev FULL OUTER JOIN curr USING (doc_id)
+    GROUP BY 1, 2 ORDER BY source, status"""))
+
+  // ---------------------------------------------------------------- q97
+  /** PMI collocation mining — the top-50 word pairs whose adjacency is
+    * most above chance, the standard signal for tokenizer merge-rule
+    * and stop-phrase curation. LOG-FREE integer PMI so the ranking is
+    * cross-engine exact: score = ((c12·N div c1)·10⁶) div c2 where c1 /
+    * c2 are the head / tail marginals of the bigram table itself —
+    * both derive from the aggregated bigram counts via window sums
+    * (the q76 trick), so the corpus is tokenized ONCE and nothing
+    * re-aggregates raw text. Support floor c12 ≥ 5 kills noise pairs.
+    *
+    * Shape: one explode + (w1, w2) partial agg, two window passes over
+    * the already-aggregated model table, global top-50 via
+    * TakeOrdered (no full sort shuffle).
+    */
+  val q97 = Q("q97_pmi_collocations",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val bg = docs
+        .withColumn("tk", toks)
+        .withColumn("nw",
+          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+        .filter(col("nw") >= 2)
+        .select(explode(transform(sequence(lit(0), col("nw") - 2),
+          i => struct(element_at(col("tk"), i + 1).as("w1"),
+            element_at(col("tk"), i + 2).as("w2")))).as("bg"))
+        .select(col("bg.w1"), col("bg.w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        // the aggregated model is read twice (marginal windows + the
+        // global total); materialize it so the corpus tokenizes once
+        .persist()
+      bg
+        .withColumn("c1", sum("c12").over(Window.partitionBy("w1")))
+        .withColumn("c2", sum("c12").over(Window.partitionBy("w2")))
+        .crossJoin(broadcast(bg.agg(sum("c12").cast("long").as("n_big"))))
+        .filter(col("c12") >= 5)
+        .withColumn("pmi_scaled",
+          expr("(((c12 * n_big) div c1) * 1000000) div c2"))
+        .select("w1", "w2", "c12", "c1", "c2", "pmi_scaled")
+        .orderBy(desc("pmi_scaled"), col("w1"), col("w2"))
+        .limit(50)
+    },
+    Some(s"""WITH tk AS (
+      SELECT doc_id, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
+      FROM documents
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT
+          unnest(list_transform(generate_series(1, nw - 1), i -> tk[i])) AS w1,
+          unnest(list_transform(generate_series(1, nw - 1), i -> tk[i+1])) AS w2
+        FROM tk WHERE nw >= 2
+      ) GROUP BY w1, w2
+    ), m AS (
+      SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        CAST(SUM(c12) OVER (PARTITION BY w1) AS BIGINT) AS c1,
+        CAST(SUM(c12) OVER (PARTITION BY w2) AS BIGINT) AS c2,
+        CAST(SUM(c12) OVER () AS BIGINT) AS n_big
+      FROM bg
+    )
+    SELECT w1, w2, c12, c1, c2,
+      (((c12 * n_big) // c1) * 1000000) // c2 AS pmi_scaled
+    FROM m WHERE c12 >= 5
+    ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50"""))
+
+  // ---------------------------------------------------------------- q98
+  /** Truncation-loss curve — for candidate context lengths, how many
+    * documents exceed the window and what fraction of corpus tokens the
+    * tail truncation throws away. This is the measurement behind
+    * "train at 512 or 1024?": the loss fraction is the direct cost of
+    * each choice. One tokenize pass computes per-doc token counts; the
+    * 4-point curve is a broadcastable constant dimension exploded
+    * against the counts, then a partial-aggregable per-ctx fold; the
+    * loss fraction is a single IEEE division of exact longs.
+    */
+  val q98 = Q("q98_truncation_curve",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nt = docs.select(
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(toks).cast("long")).as("n_toks"))
+      nt.select(col("n_toks"),
+          explode(array(Seq(128, 256, 512, 1024).map(c => lit(c.toLong)): _*)).as("ctx"))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_toks") > col("ctx"), 1L).otherwise(0L)).as("n_truncated"),
+          sum(least(col("n_toks"), col("ctx"))).as("toks_kept"),
+          sum(greatest(col("n_toks") - col("ctx"), lit(0L))).as("toks_lost"))
+        .withColumn("loss_frac",
+          when(col("toks_kept") + col("toks_lost") > 0,
+            col("toks_lost").cast("double") / (col("toks_kept") + col("toks_lost"))))
+        .orderBy("ctx")
+    },
+    Some(s"""WITH nt AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len($toksSql) END AS n_toks
+      FROM documents
+    ), x AS (
+      SELECT n_toks, CAST(unnest([128, 256, 512, 1024]) AS BIGINT) AS ctx FROM nt
+    ), agg AS (
+      SELECT ctx, COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN n_toks > ctx THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        CAST(SUM(least(n_toks, ctx)) AS BIGINT) AS toks_kept,
+        CAST(SUM(greatest(n_toks - ctx, 0)) AS BIGINT) AS toks_lost
+      FROM x GROUP BY ctx
+    )
+    SELECT ctx, n_docs, n_truncated, toks_kept, toks_lost,
+      CASE WHEN toks_kept + toks_lost > 0
+           THEN CAST(toks_lost AS DOUBLE) / (toks_kept + toks_lost) END AS loss_frac
+    FROM agg ORDER BY ctx"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83, q86, q87, q88, q89, q90, q91)
+      q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98)
 }

@@ -1303,6 +1303,89 @@ object VectorQueries {
     ORDER BY se.pick_rank"""
     })
 
+  // ---------------------------------------------------------------- q99
+  /** Embedding drift monitor — split each label's vectors into two
+    * deterministic halves (vec_id parity — a stand-in for "last week's
+    * batch vs this week's") and measure how far the per-label centroids
+    * have moved: the cosine between the half-centroids. A healthy
+    * embedding pipeline shows cos ≈ 1 per label; a drop flags encoder
+    * drift or a population shift in that label before it poisons
+    * downstream ANN indexes.
+    *
+    * Exactness: half-centroids are exact decimal sums / counts (the q35
+    * recipe); the cosine folds the 64 products in pos order with a
+    * prepended-zero left fold — identical adds in identical order in
+    * both engines, so the doubles match bit-for-bit.
+    *
+    * Shape: one posexplode + (label, half, pos) partial agg — the only
+    * shuffle keyed by a bounded dimension — then a label-keyed join of
+    * two tiny centroid tables and a per-label 64-element fold. At
+    * 100 TB the exploded agg is the classic map-side-combinable
+    * component sum; nothing downstream touches raw vectors.
+    */
+  val q99 = Q("q99_centroid_drift",
+    (s, dir) => {
+      graft.functions.DecSum.ensureRegistered(s)
+      val cent = Tables(s, dir, "embeddings")
+        .select(col("label"), expr("CAST(vec_id % 2 AS INT)").as("half"),
+          posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), col("half"),
+          (col("pos0") + lit(1)).cast("long").as("pos"))
+        .agg(count(lit(1)).as("n"),
+          (Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+        // two consumers (even / odd side of the join): materialize the
+        // tiny centroid table instead of re-exploding the vectors
+        .persist()
+      val even = cent.filter(col("half") === 0)
+        .select(col("label"), col("pos"), col("n").as("n_even"), col("c").as("ce"))
+      val odd = cent.filter(col("half") === 1)
+        .select(col("label"), col("pos"), col("n").as("n_odd"), col("c").as("co"))
+      def fold(v: org.apache.spark.sql.Column) =
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), v.as("v")))),
+            x => x.getField("v")),
+          lit(0.0), (a, x) => a + x)
+      even.join(odd, Seq("label", "pos"))
+        .groupBy("label")
+        .agg(max("n_even").as("n_even"), max("n_odd").as("n_odd"),
+          fold(col("ce") * col("co")).as("dot"),
+          fold(col("ce") * col("ce")).as("ee"),
+          fold(col("co") * col("co")).as("oo"))
+        .select(col("label"), col("n_even"), col("n_odd"), col("dot"),
+          when(col("ee") > 0 && col("oo") > 0,
+            col("dot") / (sqrt(col("ee")) * sqrt(col("oo")))).as("cos_drift"))
+        .orderBy("label")
+    },
+    Some(s"""WITH x AS (
+      SELECT label, vec_id,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, CAST(vec_id % 2 AS INTEGER) AS half, pos,
+        CAST(COUNT(*) AS BIGINT) AS n,
+        (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM x GROUP BY label, half, pos
+    ), e AS (
+      SELECT label, pos, n AS n_even, c AS ce FROM cent WHERE half = 0
+    ), o AS (
+      SELECT label, pos, n AS n_odd, c AS co FROM cent WHERE half = 1
+    ), f AS (
+      SELECT e.label, MAX(e.n_even) AS n_even, MAX(o.n_odd) AS n_odd,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(e.ce * o.co ORDER BY e.pos)), (a, v) -> a + v) AS dot,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(e.ce * e.ce ORDER BY e.pos)), (a, v) -> a + v) AS ee,
+        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+          list(o.co * o.co ORDER BY e.pos)), (a, v) -> a + v) AS oo
+      FROM e JOIN o ON o.label = e.label AND o.pos = e.pos
+      GROUP BY e.label
+    )
+    SELECT label, n_even, n_odd, dot,
+      CASE WHEN ee > 0 AND oo > 0
+           THEN dot / (sqrt(ee) * sqrt(oo)) END AS cos_drift
+    FROM f ORDER BY label"""))
+
   def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94)
+    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99)
 }

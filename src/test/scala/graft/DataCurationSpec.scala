@@ -529,4 +529,26 @@ class DataCurationSpec extends SparkTestBase {
     assert(out(3L) === ((1L, 1L, 0L, md5hex("hello mail <EMAIL> via <IP>"), 0)))
     assert(out(4L) === ((0L, 0L, 0L, md5hex("hello"), 1)), "PII-free doc untouched")
   }
+
+  test("q99: centroid drift sees orthogonal halves at 0 and aligned at 1") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    // label 0: even vecs on x-axis, odd vecs on y-axis → cos drift 0
+    // label 1: odd half is a scaled copy of the even half → cos drift 1
+    Seq(
+      (0L, Seq(1f, 0f), 0), (2L, Seq(3f, 0f), 0),
+      (1L, Seq(0f, 1f), 0), (3L, Seq(0f, 2f), 0),
+      (10L, Seq(1f, 1f), 1), (12L, Seq(3f, 3f), 1),
+      (11L, Seq(2f, 2f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = vec.VectorQueries.q99.run(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(4)))).toMap
+    assert(out(0)._1 === 2L && out(0)._2 === 2L)
+    assert(math.abs(out(0)._3) < 1e-15, "orthogonal half-centroids → drift cos 0")
+    assert(out(1)._1 === 2L && out(1)._2 === 1L)
+    assert(math.abs(out(1)._3 - 1.0) < 1e-12, "scaled-copy halves → drift cos ≈ 1")
+  }
 }

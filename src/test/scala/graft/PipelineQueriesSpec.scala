@@ -186,4 +186,70 @@ class PipelineQueriesSpec extends SparkTestBase {
       assert(rows(a)._3 < rows(b)._2,
         s"bucket $a's max score must sit strictly below bucket $b's min")
   }
+
+  test("q95: largest-remainder quotas hit the exact global target") {
+    // sources of size 7 and 3, global target 10 div 5 = 2:
+    // base quotas 1 and 0, remainders 4 and 6 → the one leftover seat
+    // goes to s1 (bigger remainder) → exactly one pick per source
+    val dir = docsDir(
+      (0 until 7).map(i => (i.toLong, s"doc $i", "en", "s0")) ++
+        (7 until 10).map(i => (i.toLong, s"doc $i", "en", "s1")))
+    val out = text.PipelineQueries.q95.run(spark, dir).collect()
+    assert(out.length === 2, "quotas must sum to the exact 20% target")
+    assert(out.map(_.getString(1)).sorted.toSeq === Seq("s0", "s1"),
+      "the leftover seat goes by largest remainder, one pick per source")
+    assert(out.forall(_.getLong(2) === 1L), "picks are the rank-1 docs")
+    // determinism: a second run picks the identical doc_ids
+    val again = text.PipelineQueries.q95.run(spark, dir).collect()
+    assert(out.map(_.getLong(0)).toSet === again.map(_.getLong(0)).toSet)
+  }
+
+  test("q96: diff statuses classify retired / edited / new / stable docs") {
+    def hb(id: Long) = (id * 2654435761L) % 1000
+    val ids = 0L until 4000L
+    val removedId = ids.find(hb(_) < 20).get
+    val changedId = ids.find(i => hb(i) >= 960 && hb(i) < 980).get
+    val addedId = ids.find(hb(_) >= 980).get
+    val stableId = ids.find(i => hb(i) >= 20 && hb(i) < 960).get
+    val dir = docsDir(Seq(removedId, changedId, addedId, stableId)
+      .map(i => (i, s"text body $i", "en", "s0")))
+    val out = text.PipelineQueries.q96.run(spark, dir)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map(
+      "removed" -> 1L, "changed" -> 1L, "added" -> 1L, "unchanged" -> 1L))
+  }
+
+  test("q97: adjacency-above-chance outranks raw frequency") {
+    // "zig zag" always adjacent (6 times, never apart — unique
+    // separators keep the reverse pair and separator pairs below the
+    // support floor) vs "of the": as frequent, but of/the also appear
+    // in many other contexts → bigger marginals → lower PMI
+    val glue = (1 to 6).map(i => s"of w$i the v$i of u$i the").mkString(" ")
+    val dir = docsDir(Seq(
+      (0L, (1 to 6).map(i => s"zig zag s$i").mkString(" "), "en", "s0"),
+      (1L, (1 to 6).map(i => s"of the c$i").mkString(" "), "en", "s0"),
+      (2L, glue, "en", "s0")))
+    val rows = text.PipelineQueries.q97.run(spark, dir).collect()
+    assert(rows.forall(_.getLong(2) >= 5L), "support floor c12 >= 5")
+    val top = rows.head
+    assert((top.getString(0), top.getString(1)) === (("zig", "zag")),
+      "the always-adjacent pair must outrank the frequent-but-diffuse one")
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.contains(("of", "the")), "of-the passes support but ranks below")
+  }
+
+  test("q98: truncation losses at each context length are exact") {
+    val dir = docsDir(Seq(
+      (0L, Seq.fill(100)("w").mkString(" "), "en", "s0"),
+      (1L, Seq.fill(200)("w").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(600)("w").mkString(" "), "en", "s0"),
+      (3L, "", "en", "s0")))
+    val out = text.PipelineQueries.q98.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out(128L) === ((2L, 356L, 544L, 544.0 / 900)))
+    assert(out(256L) === ((1L, 556L, 344L, 344.0 / 900)))
+    assert(out(512L) === ((1L, 812L, 88L, 88.0 / 900)))
+    assert(out(1024L) === ((0L, 900L, 0L, 0.0)))
+  }
 }
