@@ -803,12 +803,11 @@ object PipelineQueries {
       val base = docs.select(col("doc_id"),
         when(length(trim(col("text"))) === 0, array().cast("array<string>"))
           .otherwise(toks).as("tk"))
-      // ONE tokenize+explode pass feeds both the vocab build and the
-      // per-doc audit (the text is never re-tokenized); both consumers
-      // aggregate with map-side combine, so no raw-token shuffle is
-      // added by the sharing
+      // the token stream feeds two consumers; both aggregate with
+      // map-side combine, and the repeated tokenize is CHEAPER than
+      // materializing the exploded stream (measured: a persist here
+      // costs +0.45 s at sf0.1 — the scan+split recompute wins)
       val tok = base.select(col("doc_id"), explode(col("tk")).as("tok"))
-        .persist()
       val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
         .orderBy(desc("cnt"), col("tok")).limit(16)
         .select(col("tok"), lit(1).as("in_v"))
@@ -866,10 +865,10 @@ object PipelineQueries {
           i => concat_ws(" ", element_at(col("tk"), i + 1),
             element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))).as("gram"))
         .distinct()
-        // read three times (sizes + both sides of the intersection
-        // self-join): materialize the distinct (source, gram) set once
-        // instead of re-running tokenize+explode+distinct per consumer
-        .persist()
+      // NOTE: deliberately NOT persisted — the intersection self-join's
+      // two sides are identical subplans, so ReuseExchange already
+      // shares one shuffle between them; a persist here breaks that
+      // reuse and measured +0.85 s at sf0.1
       val sz = tri.groupBy("source").agg(count(lit(1)).as("n_grams"))
       val inter = tri.as("a")
         .join(tri.as("b"),

@@ -1036,8 +1036,17 @@ object VectorQueries {
       val sub0 = emb.select(col("vec_id"), slice(col("embedding"), 1, SubDim).as("embedding"))
       val sub1 = emb.select(col("vec_id"),
         slice(col("embedding"), SubDim + 1, SubDim).as("embedding"))
-      val cent0 = lloydCodebook(s, sub0, "pq0#", PqK, PqRounds)
-      val cent1 = lloydCodebook(s, sub1, "pq1#", PqK, PqRounds)
+      // the two subspace codebooks are independent iterative chains
+      // (seed collect + Lloyd rounds, each a blocking action); train
+      // them as CONCURRENT job groups so the barriers overlap — same
+      // technique a cluster driver uses for independent index builds
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fut0 = Future(lloydCodebook(s, sub0, "pq0#", PqK, PqRounds))
+      val fut1 = Future(lloydCodebook(s, sub1, "pq1#", PqK, PqRounds))
+      val cent0 = Await.result(fut0, Duration.Inf)
+      val cent1 = Await.result(fut1, Duration.Inf)
       val codes = assignCells(sub0, cent0).withColumnRenamed("cell", "code0")
         .join(assignCells(sub1, cent1).withColumnRenamed("cell", "code1"), "vec_id")
       def lut(sub: DataFrame, cent: DataFrame, m: Int): DataFrame =

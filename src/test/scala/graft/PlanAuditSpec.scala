@@ -239,6 +239,44 @@ class PlanAuditSpec extends SparkTestBase {
       "quantile cuts must come from the range-partition path, not a global window")
   }
 
+  test("q95: the quota table broadcasts; only the stratum rank window shuffles docs") {
+    val p = plan("q95_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"), "the per-source quota table is a build side")
+    assert(!p.contains("SortMergeJoin"),
+      "doc rows must never shuffle for the quota join")
+  }
+
+  test("q96: release diff is ONE doc_id-keyed join; statuses aggregate map-side") {
+    val p = plan("q96_release_diff")
+    assert(p.contains("FullOuter"), "the reconciliation join is full outer")
+    assert(p.contains("partial_count"), "(source,status) counts combine before the shuffle")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+  }
+
+  test("q97: PMI marginals derive from the aggregated model, not raw re-aggregation") {
+    val p = plan("q97_pmi_collocations")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-50 must be a take-ordered, never a full global sort")
+    assert(p.contains("InMemoryTableScan"),
+      "the bigram model must be materialized once and read by both consumers")
+    assert(!p.contains("SortMergeJoin"), "only the 1-row total crossJoin may nest")
+  }
+
+  test("q98: the truncation curve is explode + map-side-combined agg, no joins") {
+    val p = plan("q98_truncation_curve")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-ctx folds must combine before the shuffle")
+    assert(!p.contains("Join"), "no join anywhere in a pure projection+agg query")
+  }
+
+  test("q99: drift joins the two TINY centroid tables, never raw vectors") {
+    val p = plan("q99_centroid_drift")
+    assert(p.contains("InMemoryTableScan"),
+      "the centroid table must be materialized once and read by both join sides")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "component sums must combine map-side before the (label, half, pos) shuffle")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
