@@ -36,7 +36,8 @@ object Bench {
       // cache hygiene: a query may cache subplans for its own duration;
       // no executor-storage cache survives into the next measurement.
       // EXCEPTION, by design: the session-lifetime checkpointed memos
-      // (cellRanks for q44/q52, dedupGroups for q48/q51) persist, so each
+      // (cellRanks for q44/q52, dedupGroups for q48/q51, likelihood
+      // scores for q76/q83/q101) persist, so each
       // pair is measured with shared amortized work — whichever member runs
       // first pays the shared subplan build, the later one reuses it. Read
       // those per-query numbers as a pair, not as independent costs.

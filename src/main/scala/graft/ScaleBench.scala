@@ -94,7 +94,11 @@ object ScaleBench {
     "q78_vocab_oov", "q79_source_overlap", "q80_pii_redaction",
     "q81_hybrid_neardup", "q82_release_manifest", "q83_curriculum_buckets",
     "q84_kmv_distinct", "q85_contrastive_pairs", "q86_bm25_topk",
-    "q87_phrase_search")
+    "q87_phrase_search", "q88_dup_substrings", "q89_rag_chunks",
+    "q90_mixture_weights", "q91_hard_negatives", "q92_pq_adc_recall",
+    "q93_tokenizer_fertility", "q94_mmr_diverse", "q95_stratified_sample",
+    "q96_release_diff", "q97_pmi_collocations", "q98_truncation_curve",
+    "q99_centroid_drift", "q100_ann_tuning", "q101_curriculum_order")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

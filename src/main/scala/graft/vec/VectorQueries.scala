@@ -1395,6 +1395,124 @@ object VectorQueries {
            THEN dot / (sqrt(ee) * sqrt(oo)) END AS cos_drift
     FROM f ORDER BY label"""))
 
+  // --------------------------------------------------------------- q100
+  /** ANN tuning sweep — the operational table an index owner reads
+    * before picking nprobe: for probe widths 1 / 2 / 4, each query's
+    * candidate-set size and recall@10 against the exact cosine top-10.
+    * One query answers "how much recall does each extra probe buy and
+    * what does it cost in candidates scanned" — the q44/q52/q92/q68
+    * family's missing tuning curve.
+    *
+    * Shape: rides the memoized [[cellRanks]] assignment (paid once per
+    * session by the IVF family); the probe×level table is tiny and the
+    * candidate join is the same in-cell equi-join as q44 — no level
+    * re-runs the assignment. The exact side is the q36 brute-force
+    * (8 probes × corpus, broadcast the probes). Recall counts are
+    * integers; recall@10 is a single IEEE division.
+    */
+  val q100 = Q("q100_ann_tuning",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      val ranked = cellRanks(s, dir)
+      val assigned = emb
+        .join(ranked.filter(col("crn") === 1)
+          .select(col("vec_id"), col("clabel").as("cell")), "vec_id")
+        .select(col("vec_id"), col("cell"))
+      val probes = ranked.filter(col("vec_id") < 8 && col("crn") <= 4)
+        .withColumn("nprobe", explode(array(lit(1L), lit(2L), lit(4L))))
+        .filter(col("crn") <= col("nprobe"))
+        .select(col("nprobe"), col("vec_id").as("q_id"), col("clabel").as("pcell"))
+      val cand = probes
+        .join(assigned.select(col("vec_id").as("c_id"), col("cell").as("pcell")),
+          Seq("pcell"))
+        .filter(col("c_id") =!= col("q_id"))
+        .select("nprobe", "q_id", "c_id")
+      val en = emb.select(col("vec_id"), col("embedding"),
+        expr(norm2Expr("embedding")).as("n2"))
+      val qs = en.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val wE = Window.partitionBy("q_id").orderBy(desc("cos_sim"), col("c_id"))
+      val exactTop = broadcast(qs)
+        .join(en.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+        .withColumn("dot", expr(dotExpr("qe", "ce")))
+        .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
+          col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
+        .withColumn("re", row_number().over(wE))
+        .filter(col("re") <= 10)
+        .select("q_id", "c_id")
+      val stats = cand.groupBy("nprobe", "q_id").agg(count(lit(1)).as("n_cands"))
+      val hits = cand.join(exactTop, Seq("q_id", "c_id"))
+        .groupBy("nprobe", "q_id").agg(count(lit(1)).as("n_hit10"))
+      stats.join(hits, Seq("nprobe", "q_id"), "left")
+        .withColumn("n_hit10", coalesce(col("n_hit10"), lit(0L)))
+        .withColumn("recall10", col("n_hit10").cast("double") / lit(10))
+        .select("nprobe", "q_id", "n_cands", "n_hit10", "recall10")
+        .transform(graft.Q.presentSorted(_, "nprobe", "q_id"))
+    },
+    Some(s"""WITH ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), rankedA AS (
+      SELECT d.vec_id, d.label,
+        ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+      FROM dots d JOIN cn USING (label)
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM rankedA WHERE crn = 1
+    ), probes AS (
+      SELECT np.nprobe, r.vec_id AS q_id, r.label AS pcell
+      FROM rankedA r, (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS nprobe) np
+      WHERE r.vec_id < 8 AND r.crn <= np.nprobe
+    ), cand AS (
+      SELECT p.nprobe, p.q_id, a.vec_id AS c_id
+      FROM probes p JOIN assigned a ON a.cell = p.pcell AND a.vec_id != p.q_id
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2Sql("embedding")} AS n2 FROM embeddings
+    ), exp AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        CASE WHEN q.n2 > 0 AND c.n2 > 0
+             THEN ${dotSql("q.embedding", "c.embedding")} / (sqrt(q.n2) * sqrt(c.n2))
+        END AS cos_sim
+      FROM en q JOIN en c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < 8
+    ), ex AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos_sim DESC, c_id) AS re
+        FROM exp
+      ) WHERE re <= 10
+    ), st AS (
+      SELECT nprobe, q_id, CAST(COUNT(*) AS BIGINT) AS n_cands
+      FROM cand GROUP BY nprobe, q_id
+    ), h AS (
+      SELECT c.nprobe, c.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit10
+      FROM cand c JOIN ex USING (q_id, c_id) GROUP BY c.nprobe, c.q_id
+    )
+    SELECT s.nprobe, s.q_id, s.n_cands,
+      COALESCE(h.n_hit10, 0) AS n_hit10,
+      CAST(COALESCE(h.n_hit10, 0) AS DOUBLE) / 10 AS recall10
+    FROM st s LEFT JOIN h USING (nprobe, q_id)
+    ORDER BY nprobe, q_id"""))
+
   def all: Seq[Q] =
-    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99)
+    Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
+      q100)
 }

@@ -551,4 +551,29 @@ class DataCurationSpec extends SparkTestBase {
     assert(out(1)._1 === 2L && out(1)._2 === 1L)
     assert(math.abs(out(1)._3 - 1.0) < 1e-12, "scaled-copy halves → drift cos ≈ 1")
   }
+
+  test("q100: wider probes buy recall monotonically; the sweep counts are exact") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-cur").toFile.getAbsolutePath
+    // two well-separated clusters; every vector is a probe (id < 8) —
+    // nprobe=1 sees only the own cell, nprobe=2 reaches the other one
+    Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0), (2L, Seq(0.8f, 0.2f), 0),
+      (3L, Seq(0.0f, 1.0f), 1), (4L, Seq(0.1f, 0.9f), 1), (5L, Seq(0.2f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = vec.VectorQueries.q100.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(rows((1L, 0L)) === ((2L, 2L, 0.2)), "own cell: 2 candidates, both in top-10")
+    assert(rows((2L, 0L)) === ((5L, 5L, 0.5)), "second probe reaches the far cluster")
+    assert(rows((4L, 0L)) === ((5L, 5L, 0.5)), "only 2 cells exist: nprobe=4 ≡ 2")
+    for (q <- 0L to 5L) {
+      assert(rows((1L, q))._1 <= rows((2L, q))._1 && rows((2L, q))._1 <= rows((4L, q))._1,
+        s"candidate count must be monotone in nprobe for q$q")
+      assert(rows((1L, q))._3 <= rows((2L, q))._3 && rows((2L, q))._3 <= rows((4L, q))._3,
+        s"recall must be monotone in nprobe for q$q")
+    }
+  }
 }

@@ -252,4 +252,25 @@ class PipelineQueriesSpec extends SparkTestBase {
     assert(out(512L) === ((1L, 812L, 88L, 88.0 / 900)))
     assert(out(1024L) === ((0L, 900L, 0L, 0.0)))
   }
+
+  test("q101: the interleaved order is a dense per-bucket grid, one doc per slot") {
+    // q83's graded-difficulty corpus: scores rise with i
+    val docs = (0 until 12).map { i =>
+      val t = (("m x " * i) + (s"m y$i " * (12 - i))).trim
+      (i.toLong, t, "en", "s0")
+    }
+    val dir = docsDir(docs)
+    val rows = text.PipelineQueries.q101.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 12, "every scored doc gets exactly one slot")
+    assert(rows.forall { case (_, b, r, g) => g === r * 4 + b },
+      "global position is the round-robin grid formula")
+    assert(rows.map(_._4).distinct.length === 12, "no two docs share a slot")
+    for ((b, grp) <- rows.groupBy(_._2))
+      assert(grp.map(_._3).sorted.toSeq === (0L until grp.length.toLong).toSeq,
+        s"bucket $b ranks must be dense 0..n-1")
+    // within a bucket, doc order follows doc_id (the curriculum is stable)
+    for ((_, grp) <- rows.groupBy(_._2))
+      assert(grp.sortBy(_._3).map(_._1).toSeq === grp.map(_._1).sorted.toSeq)
+  }
 }

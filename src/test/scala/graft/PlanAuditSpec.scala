@@ -277,6 +277,22 @@ class PlanAuditSpec extends SparkTestBase {
       "component sums must combine map-side before the (label, half, pos) shuffle")
   }
 
+  test("q100: the sweep rides the memoized assignment; probes broadcast") {
+    val p = plan("q100_ann_tuning")
+    assert(p.contains("Scan ExistingRDD") || p.contains("InMemoryTableScan"),
+      "cell ranks must come from the checkpointed memo, not a rebuild")
+    assert(!p.contains("CartesianProduct"),
+      "only the 8-probe exact side may nest; candidate joins stay equi")
+  }
+
+  test("q101: curriculum order never plans a per-bucket ranking window") {
+    val p = plan("q101_curriculum_order")
+    assert(!p.contains("Window"),
+      "per-bucket ranks come from the two-phase offset pass, not a window")
+    assert(p.contains("Exchange rangepartitioning"),
+      "the rank pass range-partitions by (bucket, doc_id)")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout
