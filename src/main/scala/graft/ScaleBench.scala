@@ -98,7 +98,8 @@ object ScaleBench {
     "q90_mixture_weights", "q91_hard_negatives", "q92_pq_adc_recall",
     "q93_tokenizer_fertility", "q94_mmr_diverse", "q95_stratified_sample",
     "q96_release_diff", "q97_pmi_collocations", "q98_truncation_curve",
-    "q99_centroid_drift", "q100_ann_tuning", "q101_curriculum_order")
+    "q99_centroid_drift", "q100_ann_tuning", "q101_curriculum_order",
+    "q102_minhash_calibration", "q103_hrw_sharding")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

@@ -1275,7 +1275,132 @@ object TextQueries {
       CASE WHEN sum_tokens > 0 THEN CAST(sum_bytes AS DOUBLE) / sum_tokens END AS bytes_per_token
     FROM g ORDER BY lang"""))
 
+  // --------------------------------------------------------------- q102
+  /** MinHash calibration audit — "how much should we trust the sketch":
+    * for every LSH candidate pair, the 16-component signature-agreement
+    * estimate (n_agree/16, the unbiased MinHash similarity estimator)
+    * side by side with the TRUE shingle Jaccard, and the absolute
+    * error. This is the measurement that justifies (or indicts) the
+    * 0.8 verify threshold and the 4×4 band geometry — run it before
+    * trusting a dedup sweep at fleet scale.
+    *
+    * Shape: candidate pairs come from the same hot-bucket-guarded band
+    * join as q48 (never all-pairs); signatures are one O(len) kernel
+    * pass per doc; the truth side is the O(len) `shingle_overlap`
+    * kernel per pair. est/true/err are single IEEE divisions and one
+    * subtract — bit-identical across engines.
+    */
+  val q102 = Q("q102_minhash_calibration",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val docs = Tables(s, dir, "documents")
+      val (cand, bands) = dedupCandidates(docs)
+      val sig = docs
+        .withColumn("sig", expr(s"minhash_spans(text, $N, 4)"))
+        .select(col("doc_id") +: (for { k <- 0 to 3; j <- 0 to 3 }
+          yield element_at(col("sig"), 4 * k + j + 1).as(s"c${k}_$j")): _*)
+      val agree = (for { k <- 0 to 3; j <- 0 to 3 }
+        yield when(col(s"a.c${k}_$j") === col(s"b.c${k}_$j"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val txt = docs.select(col("doc_id"), col("text"))
+      val out = cand
+        .join(sig.as("a"), col("id_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("id_b") === col("b.doc_id"))
+        .withColumn("n_agree", agree)
+        .select("id_a", "id_b", "n_agree")
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
+        .filter(col("ov.n_union") > 0)
+        .select(col("id_a"), col("id_b"), col("n_agree"),
+          (col("n_agree").cast("double") / lit(16)).as("est_sim"),
+          (col("ov.n_inter").cast("double") / col("ov.n_union")).as("true_sim"))
+        .withColumn("abs_err", abs(col("est_sim") - col("true_sim")))
+      val sorted = graft.Q.presentSorted(out, "id_a", "id_b")
+      bands.unpersist()
+      sorted
+    },
+    Some(s"""WITH $candChainSql, est AS (
+      SELECT c.id_a, c.id_b,
+        CAST(${(for { k <- 0 to 3; j <- 0 to 3 }
+          yield s"CAST(a.c${k}_$j = b.c${k}_$j AS INTEGER)").mkString(" + ")}
+          AS BIGINT) AS n_agree
+      FROM cand c
+      JOIN sig a ON a.doc_id = c.id_a
+      JOIN sig b ON b.doc_id = c.id_b
+    ), shd AS (
+      SELECT doc_id, $shinglesSqlExpr AS s FROM documents
+    ), tru AS (
+      SELECT e.id_a, e.id_b, e.n_agree,
+        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+        CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS n_union
+      FROM est e
+      JOIN shd sa ON sa.doc_id = e.id_a
+      JOIN shd sb ON sb.doc_id = e.id_b
+    )
+    SELECT id_a, id_b, n_agree,
+      CAST(n_agree AS DOUBLE) / 16 AS est_sim,
+      CAST(n_inter AS DOUBLE) / n_union AS true_sim,
+      abs(CAST(n_agree AS DOUBLE) / 16 - CAST(n_inter AS DOUBLE) / n_union) AS abs_err
+    FROM tru WHERE n_union > 0
+    ORDER BY id_a, id_b"""))
+
+  // --------------------------------------------------------------- q103
+  /** Rendezvous (highest-random-weight) sharding — deterministic
+    * routing for distributed corpus writes: each doc goes to the shard
+    * maximizing md5(doc_id # shard) over 8 shards, entirely map-side
+    * (an array HOF argmax — no per-doc window, no shuffle before the
+    * 8-row rollup). The second half is HRW's selling point measured:
+    * re-derive the assignment with a 9th shard available and count the
+    * docs each shard loses — consistent hashing moves only ~1/9 of the
+    * corpus, all of it TO the new shard, while a mod-N rehash would
+    * move ~8/9. `n_moved / n_docs` per shard is the observable that
+    * makes the routing safe to scale out under load.
+    */
+  val q103 = Q("q103_hrw_sharding",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      def shardExpr(nShards: Int): String =
+        s"array_max(transform(sequence(0, ${nShards - 1}), sh -> " +
+          "struct(md5(concat(cast(doc_id as string), '#', cast(sh as string))) as h, " +
+          "cast(sh as bigint) as sh))).sh"
+      docs.select(col("doc_id"), col("n_chars"),
+          expr(shardExpr(8)).as("shard"), expr(shardExpr(9)).as("shard9"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").as("sum_chars"),
+          sum(when(col("shard9") =!= col("shard"), 1L).otherwise(0L)).as("n_moved"))
+        .withColumn("moved_frac",
+          col("n_moved").cast("double") / col("n_docs"))
+        .orderBy("shard")
+    },
+    Some("""WITH x AS (
+      SELECT doc_id, n_chars, sh,
+        md5(CAST(doc_id AS VARCHAR) || '#' || CAST(sh AS VARCHAR)) AS h
+      FROM documents, (SELECT unnest(generate_series(0, 8)) AS sh)
+    ), m8 AS (
+      SELECT doc_id, MAX(h) AS mh FROM x WHERE sh <= 7 GROUP BY doc_id
+    ), m9 AS (
+      SELECT doc_id, MAX(h) AS mh FROM x GROUP BY doc_id
+    ), a8 AS (
+      SELECT x.doc_id, x.n_chars, CAST(x.sh AS BIGINT) AS shard
+      FROM x JOIN m8 ON m8.doc_id = x.doc_id AND m8.mh = x.h
+      WHERE x.sh <= 7
+    ), a9 AS (
+      SELECT x.doc_id, CAST(x.sh AS BIGINT) AS shard9
+      FROM x JOIN m9 ON m9.doc_id = x.doc_id AND m9.mh = x.h
+    ), a AS (
+      SELECT a8.doc_id, a8.n_chars, a8.shard, a9.shard9
+      FROM a8 JOIN a9 USING (doc_id)
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(SUM(CASE WHEN shard9 != shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+      CAST(SUM(CASE WHEN shard9 != shard THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+        AS moved_frac
+    FROM a GROUP BY shard ORDER BY shard"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85, q93)
+      q71, q73, q81, q84, q85, q93, q102, q103)
 }

@@ -576,4 +576,27 @@ class DataCurationSpec extends SparkTestBase {
         s"recall must be monotone in nprobe for q$q")
     }
   }
+
+  test("q103: HRW routing matches an independent argmax; only new-shard moves") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hrw(id: Long, n: Int): Long =
+      (0 until n).map(sh => md5hex(s"$id#$sh") -> sh.toLong).max._2
+    val ids = 0L until 50L
+    val dir = docsDir(ids.map(i => (i, "x" * (i.toInt % 7 + 1))))
+    val expected = ids.groupBy(hrw(_, 8)).map { case (sh, g) =>
+      sh -> ((g.size.toLong, g.map(i => (i % 7 + 1)).sum,
+        g.count(i => hrw(i, 9) != hrw(i, 8)).toLong))
+    }
+    val out = text.TextQueries.q103.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === expected, "per-shard counts/chars/moves must match the reference argmax")
+    // HRW's contract: every reassignment lands ON the new shard (so a
+    // 9-way re-derivation would show shard 8 gaining exactly the movers)
+    assert(ids.forall(i => hrw(i, 9) == hrw(i, 8) || hrw(i, 9) == 8L))
+    val movedTotal = out.values.map(_._3).sum
+    assert(movedTotal < ids.size / 2, "consistent hashing moves a small minority")
+  }
 }

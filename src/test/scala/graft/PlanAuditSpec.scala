@@ -293,6 +293,20 @@ class PlanAuditSpec extends SparkTestBase {
       "the rank pass range-partitions by (bucket, doc_id)")
   }
 
+  test("q102: calibration pairs form only inside LSH band buckets — equi only") {
+    val p = plan("q102_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "estimate and truth join back on pair ids, never all-pairs")
+  }
+
+  test("q103: HRW routing is map-side — one exchange for the 8-row rollup") {
+    val p = plan("q103_hrw_sharding")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      "the argmax is an array HOF per row, not a window or join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "exactly the groupBy(shard) exchange")
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout

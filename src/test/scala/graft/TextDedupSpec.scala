@@ -42,4 +42,25 @@ class TextDedupSpec extends SparkTestBase {
     assert(dropped === bySize.map(t => (t._1 - 1) * t._2).sum)
     assert(dropped > 0, "fixture contains near-dups")
   }
+
+  test("q102: the sketch estimate brackets the true Jaccard on every candidate pair") {
+    val cal = TextQueries.q102.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(cal.nonEmpty, "the LSH fixture must yield candidate pairs")
+    for (((a, b), (n, est, tru, err)) <- cal) {
+      assert(n >= 4L && n <= 16L,
+        s"candidates share >= 1 band (4 components) and <= all 16: ($a,$b) has $n")
+      assert(est === n / 16.0 && err === math.abs(est - tru),
+        s"est/err must be the pinned arithmetic for ($a,$b)")
+      assert(tru >= 0.0 && tru <= 1.0)
+    }
+    // the dedup 4-chain's direct near-dups calibrate tight: high
+    // agreement AND high true Jaccard (est within 0.25 of truth)
+    val chain = cal.filter { case ((a, b), _) =>
+      Set(8L, 12L, 120L, 360L).contains(a) && Set(8L, 12L, 120L, 360L).contains(b) }
+    assert(chain.nonEmpty, "the 4-chain must appear among candidates")
+    for ((k, (_, est, tru, err)) <- chain)
+      assert(tru >= 0.8 && err <= 0.25, s"chain pair $k: est $est vs true $tru")
+  }
 }
