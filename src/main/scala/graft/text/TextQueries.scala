@@ -338,8 +338,14 @@ object TextQueries {
       (cand, bands)
   }
 
-  private def computeDedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
+  /** Steps 1–4 (candidates → Jaccard-verified near-dup EDGES), memoized
+    * per (session, dir) and checkpointed (two longs per verified pair):
+    * the component build (q48 family) and the edge-level consumers
+    * (q104 canonical ranking) share one band-join + verify pass.
+    */
+  private[text] def dedupEdges(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.util.SessionMemo.getOrCompute(s, s"dedup-edges:$dir") {
       val docs = Tables(s, dir, "documents")
       val (cand, bands) = dedupCandidates(docs)
       // 4. verify with true n-gram Jaccard (native shingle_overlap
@@ -353,7 +359,18 @@ object TextQueries {
         .filter(col("ov.n_union") > 0 &&
           col("ov.n_inter").cast("double") / col("ov.n_union") >= 0.8)
         .select("id_a", "id_b")
-        .cache()
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      val out = ver.checkpoint()
+      bands.unpersist()
+      out
+    }
+
+  private def computeDedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+      val docs = Tables(s, dir, "documents")
+      val ver = dedupEdges(s, dir)
       // 5. connected components: alternating large-star/small-star —
       // O(log n) rounds even on adversarial near-dup chains (see
       // graph.ConnectedComponents)
@@ -366,8 +383,6 @@ object TextQueries {
           new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
       val out = labels.checkpoint()
       labels.unpersist()
-      ver.unpersist()
-      bands.unpersist()
       out
   }
 
@@ -941,46 +956,7 @@ object TextQueries {
     ), langf AS (
       SELECT doc_id, CASE WHEN $langCase = lang THEN 1 ELSE 0 END AS k_lang
       FROM (SELECT doc_id, lang, $scores FROM documents) sc
-    ), qbase AS (
-      SELECT doc_id, text,
-        len(string_split(text, chr(10))) AS n_lines,
-        len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
-        $toksSqlExpr AS toks,
-        CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len($toksSqlExpr) END AS n_words
-      FROM documents
-    ), qtri AS (
-      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
-        CASE WHEN n_words >= 3
-             THEN list_transform(generate_series(1, n_words - 2),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-             ELSE [] END AS trigrams
-      FROM qbase
-    ), qtrid AS (
-      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
-        len(trigrams) AS n_tri, len(list_distinct(trigrams)) AS n_distinct_tri
-      FROM qtri
-    ), qbg AS (
-      SELECT doc_id, unnest(list_transform(generate_series(1, n_words - 1),
-               i -> toks[i] || ' ' || toks[i+1])) AS gram
-      FROM qtrid WHERE n_words >= 2
-    ), qbc AS (
-      SELECT doc_id, gram, COUNT(*) AS cnt FROM qbg GROUP BY doc_id, gram
-    ), qbs AS (
-      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
-      FROM qbc GROUP BY doc_id
-    ), qualf AS (
-      SELECT t.doc_id,
-        CASE WHEN CAST(1.0::DOUBLE - CAST(t.n_distinct_lines AS DOUBLE) / t.n_lines
-                    > 0.30::DOUBLE AS INTEGER)
-           + COALESCE(CAST(CAST(bs.top_bigram_cnt AS DOUBLE) / bs.n_bigrams
-                    > 0.20::DOUBLE AS INTEGER), 0)
-           + COALESCE(CAST(CASE WHEN t.n_tri > 0
-                    THEN 1.0::DOUBLE - CAST(t.n_distinct_tri AS DOUBLE) / t.n_tri END
-                    > 0.60::DOUBLE AS INTEGER), 0) = 0
-             THEN 1 ELSE 0 END AS k_qual
-      FROM qtrid t LEFT JOIN qbs bs ON bs.doc_id = t.doc_id
-    ), exactf AS (
+    ), $qualityCteSql, exactf AS (
       SELECT doc_id,
         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
              THEN 1 ELSE 0 END AS k_exact
@@ -1400,7 +1376,153 @@ object TextQueries {
         AS moved_frac
     FROM a GROUP BY shard ORDER BY shard"""))
 
+  /** q58's quality verdict as a reusable oracle fragment (q70, q105):
+    * CTE chain `qbase → … → qualf(doc_id, k_qual)`, the repetition
+    * rules verbatim.
+    */
+  private lazy val qualityCteSql: String = {
+    val t = "string_split_regex(trim(lower(text)), '\\s+')"
+    s"""qbase AS (
+      SELECT doc_id, text,
+        len(string_split(text, chr(10))) AS n_lines,
+        len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines,
+        $t AS toks,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len($t) END AS n_words
+      FROM documents
+    ), qtri AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
+        CASE WHEN n_words >= 3
+             THEN list_transform(generate_series(1, n_words - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+             ELSE [] END AS trigrams
+      FROM qbase
+    ), qtrid AS (
+      SELECT doc_id, n_lines, n_distinct_lines, n_words, toks,
+        len(trigrams) AS n_tri, len(list_distinct(trigrams)) AS n_distinct_tri
+      FROM qtri
+    ), qbg AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, n_words - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS gram
+      FROM qtrid WHERE n_words >= 2
+    ), qbc AS (
+      SELECT doc_id, gram, COUNT(*) AS cnt FROM qbg GROUP BY doc_id, gram
+    ), qbs AS (
+      SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams
+      FROM qbc GROUP BY doc_id
+    ), qualf AS (
+      SELECT t.doc_id,
+        CASE WHEN CAST(1.0::DOUBLE - CAST(t.n_distinct_lines AS DOUBLE) / t.n_lines
+                    > 0.30::DOUBLE AS INTEGER)
+           + COALESCE(CAST(CAST(bs.top_bigram_cnt AS DOUBLE) / bs.n_bigrams
+                    > 0.20::DOUBLE AS INTEGER), 0)
+           + COALESCE(CAST(CASE WHEN t.n_tri > 0
+                    THEN 1.0::DOUBLE - CAST(t.n_distinct_tri AS DOUBLE) / t.n_tri END
+                    > 0.60::DOUBLE AS INTEGER), 0) = 0
+             THEN 1 ELSE 0 END AS k_qual
+      FROM qtrid t LEFT JOIN qbs bs ON bs.doc_id = t.doc_id
+    )"""
+  }
+
+  // --------------------------------------------------------------- q104
+  /** Canonical-document ranking by degree centrality — the q48 keep
+    * policy (min id) and q51 (longest) are blunt; the copy most densely
+    * connected to its near-dup group is usually the cleanest exemplar
+    * (edited/truncated variants verify against IT, not each other).
+    * Ranks every member of a non-singleton dedup group by verified-edge
+    * degree (ties → smaller id) and flags groups where the centrality
+    * canonical disagrees with the min-id keeper — the audit a retention
+    * policy upgrade starts from.
+    *
+    * Shape: rides the memoized edge set AND component table (one band
+    * join + verify pass shared with the q48 family); degree is a
+    * partial-aggregable count over edge endpoints; the ranking window
+    * partitions by component — bounded by group size, never the corpus.
+    */
+  val q104 = Q("q104_canonical_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val labels = dedupGroups(s, dir)
+      val ver = dedupEdges(s, dir)
+      val deg = ver.select(col("id_a").as("doc_id"))
+        .union(ver.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+      val wC = Window.partitionBy("comp").orderBy(desc("degree"), col("doc_id"))
+      labels.join(deg, Seq("doc_id"), "left")
+        .withColumn("degree", coalesce(col("degree"), lit(0L)))
+        .withColumn("rnk", row_number().over(wC).cast("long"))
+        .withColumn("sz", count(lit(1)).over(
+          Window.partitionBy("comp")))
+        .filter(col("sz") > 1)
+        .select(col("comp").as("group_id"), col("doc_id"), col("degree"),
+          col("rnk"), (col("rnk") === 1).cast("int").as("is_canonical"),
+          (col("rnk") === 1 && col("doc_id") =!= col("comp"))
+            .cast("int").as("min_id_disagrees"))
+        .orderBy("group_id", "rnk")
+    },
+    Some(s"""$dedupCteSql, deg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT id_a AS doc_id FROM ver
+        UNION ALL SELECT id_b AS doc_id FROM ver
+      ) GROUP BY doc_id
+    ), g AS (
+      SELECT c.doc_id, c.group_id, COALESCE(d.degree, 0) AS degree,
+        ROW_NUMBER() OVER (PARTITION BY c.group_id
+          ORDER BY COALESCE(d.degree, 0) DESC, c.doc_id) AS rk,
+        COUNT(*) OVER (PARTITION BY c.group_id) AS sz
+      FROM comp c LEFT JOIN deg d USING (doc_id)
+    )
+    SELECT group_id, doc_id, CAST(degree AS BIGINT) AS degree,
+      CAST(rk AS BIGINT) AS rnk,
+      CAST(rk = 1 AS INTEGER) AS is_canonical,
+      CAST(rk = 1 AND doc_id != group_id AS INTEGER) AS min_id_disagrees
+    FROM g WHERE sz > 1 ORDER BY group_id, rnk"""))
+
+  // --------------------------------------------------------------- q105
+  /** Quality-vs-duplication lift — do the repetition-quality screens
+    * and the near-dup sweep agree about which documents are junk? Per
+    * quality verdict (q58 pass/fail), the fraction of docs that are
+    * REDUNDANT near-dup copies (non-keeper members of a q48 group).
+    * A big lift for the fail bucket means the two independent filters
+    * corroborate; none means the dedup sweep is finding something the
+    * quality rules can't see (or vice versa) — the sanity dashboard a
+    * curation pipeline checks before multiplying its filters.
+    *
+    * Shape: composes two memoized/owned operator outputs on a doc_id
+    * equi-join, then a 2-row rollup. Rates are single IEEE divisions.
+    */
+  val q105 = Q("q105_quality_dup_lift",
+    (s, dir) => {
+      val qual = PipelineQueries.q58.run(s, dir)
+        .select(col("doc_id"), col("quality_pass"))
+      val labels = dedupGroups(s, dir)
+      val sizes = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+      val dup = labels.join(sizes, "comp")
+        .select(col("doc_id"),
+          (col("sz") > 1 && col("doc_id") =!= col("comp"))
+            .cast("long").as("is_redundant"))
+      qual.join(dup, "doc_id")
+        .groupBy("quality_pass")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("is_redundant").as("n_redundant"))
+        .withColumn("redundant_rate",
+          col("n_redundant").cast("double") / col("n_docs"))
+        .orderBy("quality_pass")
+    },
+    Some(s"""$dedupCteSql, sz AS (
+      SELECT group_id, COUNT(*) AS n FROM comp GROUP BY group_id
+    ), dup AS (
+      SELECT c.doc_id,
+        CAST(s.n > 1 AND c.doc_id != c.group_id AS BIGINT) AS is_redundant
+      FROM comp c JOIN sz s USING (group_id)
+    ), $qualityCteSql
+    SELECT q.k_qual AS quality_pass, COUNT(*) AS n_docs,
+      CAST(SUM(d.is_redundant) AS BIGINT) AS n_redundant,
+      CAST(SUM(d.is_redundant) AS DOUBLE) / COUNT(*) AS redundant_rate
+    FROM qualf q JOIN dup d USING (doc_id)
+    GROUP BY q.k_qual ORDER BY quality_pass"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85, q93, q102, q103)
+      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105)
 }

@@ -25,11 +25,24 @@ object SessionMemo {
   /** Compute-once per (session, tag); recomputes after the owning
     * session stops. The map stays tiny (a handful of live entries), so
     * the purge sweep on every call is free.
+    *
+    * REENTRANT: a memoized computation may itself getOrCompute a
+    * sub-plan (dedupGroups → dedupEdges). That forbids
+    * `computeIfAbsent(tag, f)` — a recursive mutation inside an
+    * in-flight computeIfAbsent on the same HashMap throws
+    * ConcurrentModificationException — so the body is a plain get/put
+    * under the (thread-reentrant) monitor.
     */
   def getOrCompute[V <: AnyRef](s: SparkSession, tag: String)(f: => V): V =
     memo.synchronized {
       memo.entrySet().removeIf(e => stopped(e.getKey))
       val inner = memo.computeIfAbsent(s, _ => new java.util.HashMap[String, AnyRef]())
-      inner.computeIfAbsent(tag, _ => f).asInstanceOf[V]
+      val got = inner.get(tag)
+      if (got != null) got.asInstanceOf[V]
+      else {
+        val v = f
+        inner.put(tag, v)
+        v
+      }
     }
 }

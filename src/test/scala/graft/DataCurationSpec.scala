@@ -599,4 +599,21 @@ class DataCurationSpec extends SparkTestBase {
     val movedTotal = out.values.map(_._3).sum
     assert(movedTotal < ids.size / 2, "consistent hashing moves a small minority")
   }
+
+  test("q105: redundancy concentrates where the quality screens already fail") {
+    // clean docs: one duplicated pair + one unique (redundancy 1/3)
+    // spam docs (fail top2gram+dup3gram): one duplicated pair + nothing
+    // unique → redundancy 1/2 — lift visible in the 2-row table
+    val clean1 = (1 to 40).map(i => s"alpha$i beta$i gamma$i").mkString(" ")
+    val clean2 = (1 to 40).map(i => s"delta$i epsi$i zeta$i").mkString(" ")
+    val spam = "spam ham spam ham spam ham spam ham spam ham spam ham spam ham"
+    val dir = docsDir(Seq(
+      (0L, clean1), (1L, clean1), (2L, clean2),
+      (3L, spam), (4L, spam)))
+    val out = text.TextQueries.q105.run(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1) === ((3L, 1L, 1.0 / 3)), "clean bucket: dup copy of doc 0")
+    assert(out(0) === ((2L, 1L, 0.5)), "fail bucket: dup copy of doc 3")
+  }
 }

@@ -307,6 +307,15 @@ class PlanAuditSpec extends SparkTestBase {
       "exactly the groupBy(shard) exchange")
   }
 
+  test("q104/q105: dedup-derived rollups ride the memos — no candidate rebuild") {
+    for (n <- Seq("q104_canonical_rank", "q105_quality_dup_lift")) {
+      val p = plan(n)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$n must read the checkpointed edge/label memos, not rebuild the band join")
+      assert(!p.contains("CartesianProduct"), s"$n: no all-pairs anywhere")
+    }
+  }
+
   test("hive-partitioned layout prunes: date filter never touches other partitions") {
     import org.apache.spark.sql.functions._
     // The other half of the 100-TB scan story: a date-partitioned layout

@@ -63,4 +63,25 @@ class TextDedupSpec extends SparkTestBase {
     for ((k, (_, est, tru, err)) <- chain)
       assert(tru >= 0.8 && err <= 0.25, s"chain pair $k: est $est vs true $tru")
   }
+
+  test("q104: canonical ranking covers exactly the non-singleton q48 groups") {
+    val rank = TextQueries.q104.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5)))
+    val groups = out.where(col("group_size") > 1)
+      .select("group_id", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rank.map(t => (t._1, t._2)).toSet === groups,
+      "one ranked row per member of every multi-doc group, none else")
+    for ((g, grp) <- rank.groupBy(_._1)) {
+      assert(grp.map(_._4).sorted.toSeq === (1L to grp.length.toLong).toSeq,
+        s"group $g ranks must be dense 1..sz")
+      val canon = grp.filter(_._5 === 1)
+      assert(canon.length === 1, s"group $g has exactly one canonical")
+      assert(canon.head._3 === grp.map(_._3).max,
+        s"group $g canonical carries the max degree")
+      assert((canon.head._6 === 1) === (canon.head._2 !== g),
+        s"group $g disagreement flag must mean canonical != min id")
+    }
+  }
 }
