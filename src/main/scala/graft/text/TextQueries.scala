@@ -338,33 +338,48 @@ object TextQueries {
       (cand, bands)
   }
 
-  /** Steps 1–4 (candidates → Jaccard-verified near-dup EDGES), memoized
-    * per (session, dir) and checkpointed (two longs per verified pair):
-    * the component build (q48 family) and the edge-level consumers
-    * (q104 canonical ranking) share one band-join + verify pass.
+  /** Steps 1–4 of the dedup pipeline with the verify VALUES kept:
+    * every LSH candidate pair with its exact shingle-overlap counts
+    * `(id_a, id_b, n_inter, n_union)`. Memoized per (session, dir) and
+    * checkpointed (four longs per candidate pair): the verified-edge
+    * filter (q48 family), the edge-level consumers (q104) and the
+    * calibration audit (q102) all derive from this ONE band-join +
+    * verify pass.
+    */
+  private[text] def scoredPairs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame =
+    graft.util.SessionMemo.getOrCompute(s, s"dedup-scored-pairs:$dir") {
+      val docs = Tables(s, dir, "documents")
+      val (cand, bands) = dedupCandidates(docs)
+      // 4. score with true n-gram Jaccard (native shingle_overlap
+      // kernel: exact set sizes, O(len) per pair, and the join carries
+      // raw text instead of materialized shingle arrays)
+      val txt = docs.select(col("doc_id"), col("text"))
+      val scored = cand
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
+        .select(col("id_a"), col("id_b"),
+          col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      val out = scored.checkpoint()
+      bands.unpersist()
+      out
+    }
+
+  /** Jaccard ≥ 0.8 verified near-dup edges — a cheap filter over the
+    * checkpointed [[scoredPairs]], memoized so every consumer shares
+    * one plan object.
     */
   private[text] def dedupEdges(s: org.apache.spark.sql.SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame =
     graft.util.SessionMemo.getOrCompute(s, s"dedup-edges:$dir") {
-      val docs = Tables(s, dir, "documents")
-      val (cand, bands) = dedupCandidates(docs)
-      // 4. verify with true n-gram Jaccard (native shingle_overlap
-      // kernel: exact set sizes, O(len) per pair, and the join carries
-      // raw text instead of materialized shingle arrays)
-      val txt = docs.select(col("doc_id"), col("text"))
-      val ver = cand
-        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
-        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
-        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
-        .filter(col("ov.n_union") > 0 &&
-          col("ov.n_inter").cast("double") / col("ov.n_union") >= 0.8)
+      scoredPairs(s, dir)
+        .filter(col("n_union") > 0 &&
+          col("n_inter").cast("double") / col("n_union") >= 0.8)
         .select("id_a", "id_b")
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
-      val out = ver.checkpoint()
-      bands.unpersist()
-      out
     }
 
   private def computeDedupGroups(s: org.apache.spark.sql.SparkSession, dir: String)
@@ -1270,7 +1285,6 @@ object TextQueries {
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
       val docs = Tables(s, dir, "documents")
-      val (cand, bands) = dedupCandidates(docs)
       val sig = docs
         .withColumn("sig", expr(s"minhash_spans(text, $N, 4)"))
         .select(col("doc_id") +: (for { k <- 0 to 3; j <- 0 to 3 }
@@ -1278,23 +1292,16 @@ object TextQueries {
       val agree = (for { k <- 0 to 3; j <- 0 to 3 }
         yield when(col(s"a.c${k}_$j") === col(s"b.c${k}_$j"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val txt = docs.select(col("doc_id"), col("text"))
-      val out = cand
+      val out = scoredPairs(s, dir)
+        .filter(col("n_union") > 0)
         .join(sig.as("a"), col("id_a") === col("a.doc_id"))
         .join(sig.as("b"), col("id_b") === col("b.doc_id"))
         .withColumn("n_agree", agree)
-        .select("id_a", "id_b", "n_agree")
-        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
-        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
-        .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
-        .filter(col("ov.n_union") > 0)
         .select(col("id_a"), col("id_b"), col("n_agree"),
           (col("n_agree").cast("double") / lit(16)).as("est_sim"),
-          (col("ov.n_inter").cast("double") / col("ov.n_union")).as("true_sim"))
+          (col("n_inter").cast("double") / col("n_union")).as("true_sim"))
         .withColumn("abs_err", abs(col("est_sim") - col("true_sim")))
-      val sorted = graft.Q.presentSorted(out, "id_a", "id_b")
-      bands.unpersist()
-      sorted
+      graft.Q.presentSorted(out, "id_a", "id_b")
     },
     Some(s"""WITH $candChainSql, est AS (
       SELECT c.id_a, c.id_b,
