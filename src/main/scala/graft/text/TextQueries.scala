@@ -911,23 +911,32 @@ object TextQueries {
     * global partial-aggregable sum. If each stage scales, the funnel
     * scales.
     */
+  /** The funnel's per-doc filter verdicts (Spark side of
+    * [[funnelFlagsCteSql]]) — each stage's keep flag as a 0/1 long,
+    * composed from the owning operators' outputs (q28/q58/q29/q51).
+    */
+  private def funnelFlags(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val lang = q28.run(s, dir)
+      .select(col("doc_id"), col("is_match").cast("long").as("k_lang"))
+    val qual = PipelineQueries.q58.run(s, dir)
+      .select(col("doc_id"), col("quality_pass").cast("long").as("k_qual"))
+    val exact = Tables(s, dir, "documents")
+      .select(col("doc_id").as("d"), md5(col("text").cast("binary")).as("fp"))
+      .join(q29.run(s, dir).select("fp", "keep_id"), "fp")
+      .select(col("d").as("doc_id"), (col("d") === col("keep_id")).cast("long").as("k_exact"))
+    val near = q51.run(s, dir)
+      .select(col("doc_id"), col("is_kept").cast("long").as("k_near"))
+    val split = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
+    split.join(lang, "doc_id").join(qual, "doc_id")
+      .join(exact, "doc_id").join(near, "doc_id")
+  }
+
   val q70 = Q("q70_curation_funnel",
     (s, dir) => {
-      val lang = q28.run(s, dir)
-        .select(col("doc_id"), col("is_match").cast("long").as("k_lang"))
-      val qual = PipelineQueries.q58.run(s, dir)
-        .select(col("doc_id"), col("quality_pass").cast("long").as("k_qual"))
-      val exact = Tables(s, dir, "documents")
-        .select(col("doc_id").as("d"), md5(col("text").cast("binary")).as("fp"))
-        .join(q29.run(s, dir).select("fp", "keep_id"), "fp")
-        .select(col("d").as("doc_id"), (col("d") === col("keep_id")).cast("long").as("k_exact"))
-      val near = q51.run(s, dir)
-        .select(col("doc_id"), col("is_kept").cast("long").as("k_near"))
-      val split = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
-      split.join(lang, "doc_id").join(qual, "doc_id")
-        .join(exact, "doc_id").join(near, "doc_id")
+      funnelFlags(s, dir)
         .agg(count(lit(1)).as("n0"),
           sum(col("k_lang")).as("n1"),
           sum(col("k_lang") * col("k_qual")).as("n2"),
@@ -946,44 +955,7 @@ object TextQueries {
         .orderBy("stage")
     },
     Some {
-      val scores = TextMetrics.langMarkers.map { case (l, words) =>
-        words.map(occSql).mkString(" + ") + s" AS s_$l"
-      }.mkString(", ")
-      val langCase = """CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-           WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-           WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-           WHEN s_fr >= s_zh THEN 'fr'
-           ELSE 'zh' END"""
-      // q58's tokenization, verbatim — the quality CTEs must mirror it
-      val toksSqlExpr = "string_split_regex(trim(lower(text)), '\\s+')"
-      s"""$dedupCteSql, scoredq AS (
-      SELECT c.doc_id, c.group_id, d.n_chars
-      FROM comp c JOIN documents d USING (doc_id)
-    ), bestq AS (
-      SELECT group_id, max(n_chars) AS best_chars FROM scoredq GROUP BY group_id
-    ), keepq AS (
-      SELECT s.group_id, min(s.doc_id) AS keep_id
-      FROM scoredq s JOIN bestq b ON b.group_id = s.group_id AND s.n_chars = b.best_chars
-      GROUP BY s.group_id
-    ), nearf AS (
-      SELECT s.doc_id, CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS k_near
-      FROM scoredq s JOIN keepq k USING (group_id)
-    ), langf AS (
-      SELECT doc_id, CASE WHEN $langCase = lang THEN 1 ELSE 0 END AS k_lang
-      FROM (SELECT doc_id, lang, $scores FROM documents) sc
-    ), $qualityCteSql, exactf AS (
-      SELECT doc_id,
-        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
-             THEN 1 ELSE 0 END AS k_exact
-      FROM documents
-    ), flags AS (
-      SELECT d.doc_id,
-        CASE WHEN (d.doc_id * 2654435761) % 1000 < 900 THEN 1 ELSE 0 END AS k_train,
-        l.k_lang, q.k_qual, e.k_exact, n.k_near
-      FROM documents d
-      JOIN langf l USING (doc_id) JOIN qualf q USING (doc_id)
-      JOIN exactf e USING (doc_id) JOIN nearf n USING (doc_id)
-    ), tot AS (
+      s"""$funnelFlagsCteSql, tot AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n0,
         CAST(SUM(k_lang) AS BIGINT) AS n1,
         CAST(SUM(k_lang * k_qual) AS BIGINT) AS n2,
@@ -1383,6 +1355,49 @@ object TextQueries {
         AS moved_frac
     FROM a GROUP BY shard ORDER BY shard"""))
 
+  /** q70's per-document filter verdicts as a reusable oracle fragment
+    * (q70, q106): WITH chain ending in
+    * `flags(doc_id, k_train, k_lang, k_qual, k_exact, k_near)`.
+    */
+  private lazy val funnelFlagsCteSql: String = {
+    val scores = TextMetrics.langMarkers.map { case (l, words) =>
+      words.map(occSql).mkString(" + ") + s" AS s_$l"
+    }.mkString(", ")
+    val langCase = """CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+           WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+           WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+           WHEN s_fr >= s_zh THEN 'fr'
+           ELSE 'zh' END"""
+    s"""$dedupCteSql, scoredq AS (
+      SELECT c.doc_id, c.group_id, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), bestq AS (
+      SELECT group_id, max(n_chars) AS best_chars FROM scoredq GROUP BY group_id
+    ), keepq AS (
+      SELECT s.group_id, min(s.doc_id) AS keep_id
+      FROM scoredq s JOIN bestq b ON b.group_id = s.group_id AND s.n_chars = b.best_chars
+      GROUP BY s.group_id
+    ), nearf AS (
+      SELECT s.doc_id, CASE WHEN s.doc_id = k.keep_id THEN 1 ELSE 0 END AS k_near
+      FROM scoredq s JOIN keepq k USING (group_id)
+    ), langf AS (
+      SELECT doc_id, CASE WHEN $langCase = lang THEN 1 ELSE 0 END AS k_lang
+      FROM (SELECT doc_id, lang, $scores FROM documents) sc
+    ), $qualityCteSql, exactf AS (
+      SELECT doc_id,
+        CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+             THEN 1 ELSE 0 END AS k_exact
+      FROM documents
+    ), flags AS (
+      SELECT d.doc_id,
+        CASE WHEN (d.doc_id * 2654435761) % 1000 < 900 THEN 1 ELSE 0 END AS k_train,
+        l.k_lang, q.k_qual, e.k_exact, n.k_near
+      FROM documents d
+      JOIN langf l USING (doc_id) JOIN qualf q USING (doc_id)
+      JOIN exactf e USING (doc_id) JOIN nearf n USING (doc_id)
+    )"""
+  }
+
   /** q58's quality verdict as a reusable oracle fragment (q70, q105):
     * CTE chain `qbase → … → qualf(doc_id, k_qual)`, the repetition
     * rules verbatim.
@@ -1529,7 +1544,49 @@ object TextQueries {
     FROM qualf q JOIN dup d USING (doc_id)
     GROUP BY q.k_qual ORDER BY quality_pass"""))
 
+  // --------------------------------------------------------------- q106
+  /** Filter-overlap contingency — before multiplying curation filters,
+    * measure how they overlap: the 2⁴ contingency table over the four
+    * keep verdicts (lang, quality, exact-dedup, near-dedup). Cells with
+    * exactly one zero are that filter's UNIQUE catch; a filter whose
+    * only zeros co-occur with another filter's is redundant and can be
+    * dropped from the pipeline. The q70 funnel shows order-dependent
+    * attrition; this shows the order-free attribution.
+    *
+    * Shape: composes the same per-doc verdicts as q70 (each from its
+    * owning operator, dedup sides memoized) and folds them into ≤ 16
+    * rows with one partial-aggregable groupBy.
+    */
+  val q106 = Q("q106_filter_overlap",
+    (s, dir) => {
+      val flags = funnelFlags(s, dir)
+      val tot = flags.agg(count(lit(1)).cast("long").as("n_total"))
+      flags.groupBy("k_lang", "k_qual", "k_exact", "k_near")
+        .agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(tot))
+        .select(col("k_lang"), col("k_qual"), col("k_exact"), col("k_near"),
+          (lit(4L) - col("k_lang") - col("k_qual") - col("k_exact") - col("k_near"))
+            .as("n_filters_failed"),
+          col("n_docs"),
+          (col("n_docs").cast("double") / col("n_total")).as("frac"))
+        .orderBy("k_lang", "k_qual", "k_exact", "k_near")
+    },
+    Some(s"""$funnelFlagsCteSql, cells AS (
+      SELECT CAST(k_lang AS BIGINT) AS k_lang, CAST(k_qual AS BIGINT) AS k_qual,
+        CAST(k_exact AS BIGINT) AS k_exact, CAST(k_near AS BIGINT) AS k_near,
+        COUNT(*) AS n_docs
+      FROM flags GROUP BY 1, 2, 3, 4
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM cells
+    )
+    SELECT c.k_lang, c.k_qual, c.k_exact, c.k_near,
+      4 - c.k_lang - c.k_qual - c.k_exact - c.k_near AS n_filters_failed,
+      c.n_docs,
+      CAST(c.n_docs AS DOUBLE) / t.n_total AS frac
+    FROM cells c, tot t
+    ORDER BY c.k_lang, c.k_qual, c.k_exact, c.k_near"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105)
+      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106)
 }

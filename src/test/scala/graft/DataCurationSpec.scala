@@ -616,4 +616,20 @@ class DataCurationSpec extends SparkTestBase {
     assert(out(1) === ((3L, 1L, 1.0 / 3)), "clean bucket: dup copy of doc 0")
     assert(out(0) === ((2L, 1L, 0.5)), "fail bucket: dup copy of doc 3")
   }
+
+  test("q106: the contingency partitions the corpus and agrees with the q70 funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val cells = text.TextQueries.q106.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        ((r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(cells.values.map(_._2).sum === 500L, "cells partition the corpus")
+    assert(math.abs(cells.values.map(_._3).sum - 1.0) < 1e-12)
+    for (((l, q, e, n), (ff, _, _)) <- cells)
+      assert(ff === 4 - l - q - e - n, "failed-filter count derives from the flags")
+    val funnel = text.TextQueries.q70.run(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    val allPass = cells.get((1L, 1L, 1L, 1L)).map(_._2).getOrElse(0L)
+    assert(allPass === funnel(4),
+      "the all-pass cell must equal the funnel's stage-4 survivor count")
+  }
 }
