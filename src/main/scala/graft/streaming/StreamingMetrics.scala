@@ -196,6 +196,63 @@ object StreamingMetrics {
     * the streaming form of the batch cumulative-OFI windows (W4): state
     * is one tuple per key, so it scales to any number of symbols.
     */
+  case class EmbRow(label: Int, vecId: Long, emb: Seq[Double])
+  case class DriftState(n: Long, sum: Array[Double])
+  case class DriftOut(label: Int, n: Long, cosBaseline: Double, drifted: Boolean)
+
+  /** Streaming embedding-drift monitor — q99's streaming twin: per
+    * label, maintain the running component sum of arriving vectors in
+    * `mapGroupsWithState` custom state (one Array[Double] + count per
+    * label — bounded by labels × dim, NOT by stream length) and emit,
+    * every trigger, the cosine between the running centroid and a
+    * BROADCAST baseline centroid (last release's). `cos < tau` raises
+    * the drifted flag while the batch pipeline is still hours away —
+    * the alarm that stops a poisoned encoder from filling an ANN index.
+    *
+    * The group iterator folds in vecId order so a replay with different
+    * batch boundaries produces the same sums; state merges are
+    * associative component adds.
+    */
+  def streamDriftMonitor(rows: Dataset[EmbRow],
+                         baseline: Map[Int, Seq[Double]],
+                         tau: Double = 0.5): Dataset[DriftOut] = {
+    implicit val outEnc: Encoder[DriftOut] = Encoders.product[DriftOut]
+    implicit val stEnc: Encoder[DriftState] = Encoders.product[DriftState]
+    val spark = rows.sparkSession
+    val baseB = spark.sparkContext.broadcast(baseline)
+    rows.groupByKey(_.label)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (label: Int, it: Iterator[EmbRow], state: GroupState[DriftState]) =>
+          val batch = it.toSeq.sortBy(_.vecId)
+          if (batch.isEmpty) Iterator.empty
+          else {
+            val dim = batch.head.emb.length
+            var st = state.getOption.getOrElse(DriftState(0L, new Array[Double](dim)))
+            val sum = st.sum.clone()
+            batch.foreach { r =>
+              var i = 0
+              while (i < dim) { sum(i) += r.emb(i); i += 1 }
+            }
+            st = DriftState(st.n + batch.length, sum)
+            state.update(st)
+            val out = baseB.value.get(label) match {
+              case Some(b) if b.length == dim =>
+                var dot = 0.0; var n2s = 0.0; var n2b = 0.0; var i = 0
+                while (i < dim) {
+                  dot += sum(i) * b(i); n2s += sum(i) * sum(i); n2b += b(i) * b(i)
+                  i += 1
+                }
+                // centroid = sum/n scales out of the cosine
+                val cos = if (n2s > 0 && n2b > 0) dot / (math.sqrt(n2s) * math.sqrt(n2b))
+                          else Double.NaN
+                DriftOut(label, st.n, cos, !(cos >= tau))
+              case _ => DriftOut(label, st.n, Double.NaN, true)
+            }
+            Iterator.single(out)
+          }
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

@@ -49,6 +49,50 @@ class StreamingStateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: running centroid state alarms across batches") {
+    import StreamingMetrics.{DriftOut, EmbRow}
+    val dir = Files.createTempDirectory("drift")
+    def landE(name: String, rows: Seq[EmbRow]): Unit = {
+      val staging = Files.createTempDirectory("stage")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    // baseline: label 0 points along +x, label 1 along +y
+    val baseline = Map(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
+    // batch 1: label 0 healthy (all +x); label 1 healthy (+y)
+    landE("b1.parquet", Seq(
+      EmbRow(0, 1L, Seq(2.0, 0.0)), EmbRow(0, 2L, Seq(4.0, 0.0)),
+      EmbRow(1, 3L, Seq(0.0, 8.0))))
+    val stream = spark.readStream
+      .schema(Seq.empty[EmbRow].toDF().schema)
+      .parquet(dir.toString)
+      .as[EmbRow]
+    val q = StreamingMetrics.streamDriftMonitor(stream, baseline, tau = 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("drift").start()
+    try {
+      q.processAllAvailable()
+      // batch 2: label 0 swings orthogonal hard enough to cross tau —
+      // the alarm depends on batch-1 state (sum (6,0)) PLUS this batch
+      landE("b2.parquet", Seq(
+        EmbRow(0, 4L, Seq(0.0, 32.0)), EmbRow(1, 5L, Seq(0.0, 2.0))))
+      q.processAllAvailable()
+      val rows = spark.table("drift").as[DriftOut].collect()
+        .groupBy(_.label).view.mapValues(_.sortBy(_.n)).toMap
+      // after batch 1 both labels track their baseline exactly
+      assert(rows(0).head.cosBaseline === 1.0 && !rows(0).head.drifted)
+      assert(rows(1).head.cosBaseline === 1.0 && !rows(1).head.drifted)
+      // after batch 2: label 0 sum = (6, 32) → cos = 6/sqrt(1060) < 0.5
+      val d0 = rows(0).last
+      assert(d0.n === 3L)
+      assert(d0.cosBaseline === 6.0 / math.sqrt(6.0 * 6.0 + 32.0 * 32.0) +- 1e-12)
+      assert(d0.drifted, "orthogonal swing must raise the alarm")
+      assert(rows(1).last.cosBaseline === 1.0 && !rows(1).last.drifted,
+        "the healthy label stays green on the same triggers")
+    } finally q.stop()
+  }
+
   test("streaming session windows finalize when the watermark passes session end") {
     val dir = Files.createTempDirectory("sess")
     def rows(ts: Seq[Long]): Seq[(String, Long, Double)] =
