@@ -100,7 +100,7 @@ object ScaleBench {
     "q96_release_diff", "q97_pmi_collocations", "q98_truncation_curve",
     "q99_centroid_drift", "q100_ann_tuning", "q101_curriculum_order",
     "q102_minhash_calibration", "q103_hrw_sharding", "q104_canonical_rank",
-    "q105_quality_dup_lift", "q106_filter_overlap")
+    "q105_quality_dup_lift", "q106_filter_overlap", "q107_bucketed_batching")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

@@ -1902,7 +1902,71 @@ object PipelineQueries {
       bucket_rank * 4 + bucket AS global_pos
     FROM r ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q107
+  /** Length-bucketed batching planner — the inference/serving twin of
+    * q98: route each doc to the smallest context bucket that fits
+    * (64/128/256/512; longer docs truncate into 512), pack batches at a
+    * 4096-token budget (batch_size = 4096 div ctx), and measure the
+    * padding waste per bucket AGAINST the single-bucket alternative
+    * (everything padded to 512). The waste delta is the throughput a
+    * serving fleet recovers by bucketing — the number that decides
+    * whether dynamic batching is worth its complexity.
+    *
+    * Shape: one tokenize pass → closed-form bucket id per row →
+    * map-side-combined per-bucket rollup; every figure is integer math
+    * plus single IEEE divisions.
+    */
+  val q107 = Q("q107_bucketed_batching",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val nt = docs.select(
+        when(length(trim(col("text"))) === 0, lit(0L))
+          .otherwise(size(toks).cast("long")).as("n_toks"))
+      nt.withColumn("ctx",
+          when(col("n_toks") <= 64, 64L).when(col("n_toks") <= 128, 128L)
+            .when(col("n_toks") <= 256, 256L).otherwise(512L))
+        .withColumn("kept", least(col("n_toks"), lit(512L)))
+        .groupBy("ctx")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("kept").as("sum_toks"),
+          sum(lit(512L) - col("kept")).as("pad_single"))
+        .withColumn("batch_size", expr("4096 div ctx"))
+        .withColumn("n_batches",
+          expr("(n_docs + (4096 div ctx) - 1) div (4096 div ctx)"))
+        .withColumn("pad_bucketed", col("ctx") * col("n_docs") - col("sum_toks"))
+        .withColumn("waste_frac",
+          col("pad_bucketed").cast("double") / (col("ctx") * col("n_docs")))
+        .withColumn("saving_vs_single",
+          (col("pad_single") - col("pad_bucketed")).cast("double") /
+            (lit(512L) * col("n_docs")))
+        .orderBy("ctx")
+    },
+    Some(s"""WITH nt AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len($toksSql) END AS n_toks
+      FROM documents
+    ), b AS (
+      SELECT n_toks,
+        CAST(CASE WHEN n_toks <= 64 THEN 64 WHEN n_toks <= 128 THEN 128
+             WHEN n_toks <= 256 THEN 256 ELSE 512 END AS BIGINT) AS ctx,
+        least(n_toks, 512) AS kept
+      FROM nt
+    ), agg AS (
+      SELECT ctx, COUNT(*) AS n_docs,
+        CAST(SUM(kept) AS BIGINT) AS sum_toks,
+        CAST(SUM(512 - kept) AS BIGINT) AS pad_single
+      FROM b GROUP BY ctx
+    )
+    SELECT ctx, n_docs, sum_toks, pad_single,
+      4096 // ctx AS batch_size,
+      (n_docs + (4096 // ctx) - 1) // (4096 // ctx) AS n_batches,
+      ctx * n_docs - sum_toks AS pad_bucketed,
+      CAST(ctx * n_docs - sum_toks AS DOUBLE) / (ctx * n_docs) AS waste_frac,
+      CAST(pad_single - (ctx * n_docs - sum_toks) AS DOUBLE) / (512 * n_docs)
+        AS saving_vs_single
+    FROM agg ORDER BY ctx"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101)
+      q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107)
 }

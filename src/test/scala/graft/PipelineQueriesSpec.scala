@@ -273,4 +273,22 @@ class PipelineQueriesSpec extends SparkTestBase {
     for ((_, grp) <- rows.groupBy(_._2))
       assert(grp.sortBy(_._3).map(_._1).toSeq === grp.map(_._1).sorted.toSeq)
   }
+
+  test("q107: bucket routing, batch counts, and padding waste are exact") {
+    // token counts 50, 100, 300, 600 → buckets 64, 128, 512, 512
+    val dir = docsDir(Seq(
+      (0L, Seq.fill(50)("w").mkString(" "), "en", "s0"),
+      (1L, Seq.fill(100)("w").mkString(" "), "en", "s0"),
+      (2L, Seq.fill(300)("w").mkString(" "), "en", "s0"),
+      (3L, Seq.fill(600)("w").mkString(" "), "en", "s0")))
+    val out = text.PipelineQueries.q107.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // ctx 64: 1 doc, 50 kept, batch 64, 1 batch, pad 14
+    assert(out(64L) === ((1L, 50L, 64L, 1L, 14L)))
+    assert(out(128L) === ((1L, 100L, 32L, 1L, 28L)))
+    // ctx 512: docs 2 and 3; doc 3 truncates to 512 → kept 300+512
+    assert(out(512L) === ((2L, 812L, 8L, 1L, 212L)))
+    assert(!out.contains(256L), "no doc routes to an empty bucket")
+  }
 }
