@@ -1586,7 +1586,155 @@ object TextQueries {
     FROM cells c, tot t
     ORDER BY c.k_lang, c.k_qual, c.k_exact, c.k_near"""))
 
+  // --------------------------------------------------------------- q108
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm; reference scope: "document fingerprinting" as in q53,
+    * upgraded to the guaranteed-detection selection): over each doc's
+    * per-position Rabin window-8 hashes (the q53 `rolling_hash` kernel),
+    * slide a window of 4 consecutive hashes and keep each window's
+    * minimum — any shared substring of ≥ 11 chars is guaranteed to
+    * contribute a shared fingerprint, while only ~2/(4+1) of positions
+    * are retained. The fingerprint SET is tie-break-independent (the
+    * position tie-break affects selection multiplicity, never which hash
+    * values survive), so both engines compute `distinct(window minima)`.
+    *
+    * The overlap report then inverts fingerprint → docs and counts
+    * shared fingerprints per pair. Scale shape: everything up to the
+    * inversion is map-side per-doc array HOFs; the pair blowup is
+    * bounded by dropping "stop fingerprints" shared by > 50 docs
+    * (MOSS's boilerplate guard) before the self-join, so a fingerprint
+    * group contributes at most 50²/2 pairs regardless of corpus size.
+    */
+  val q108 = Q("q108_winnowing_overlap",
+    (s, dir) => {
+      graft.functions.RollingHash.ensureRegistered(s)
+      val fps = Tables(s, dir, "documents")
+        .withColumn("wins", expr("rolling_hash(text, 8, 131, 1000000007).wins"))
+        .select(col("doc_id"),
+          expr("""array_distinct(transform(
+                    sequence(1, greatest(size(wins) - 3, 1)),
+                    j -> array_min(slice(wins, j, 4))))""").as("fps"))
+        .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"), col("fps"))
+      val exploded = fps.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("fp"))
+      val kept = exploded
+        .withColumn("df", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("fp")))
+        .filter(col("df") <= 50)
+        .select("doc_id", "n_fp", "fp")
+      val a = kept.select(col("doc_id").as("doc_a"), col("n_fp").as("fp_a"), col("fp"))
+      val b = kept.select(col("doc_id").as("doc_b"), col("n_fp").as("fp_b"), col("fp"))
+      a.join(b, Seq("fp")).filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b", "fp_a", "fp_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .select(col("doc_a"), col("doc_b"), col("n_shared"), col("fp_a"), col("fp_b"),
+          expr("n_shared * 1000 div least(fp_a, fp_b)").as("containment_permille"))
+        // expensive upstream (fp self-join + pair agg): cache before the
+        // presentation sort so the orderBy's range-sampling pass doesn't
+        // re-execute the join (see Q.presentSorted)
+        .cache()
+        .orderBy(desc("n_shared"), col("doc_a"), col("doc_b"))
+    },
+    Some("""WITH c AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, length(text)), i ->
+          CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes,
+        length(text) AS n
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+        list_transform(generate_series(1, greatest(n - 7, 1)), i ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT), codes[i:i+7]),
+            (acc, x) -> (acc * 131 + x) % 1000000007)) AS wins
+      FROM c
+    ), f AS (
+      SELECT doc_id,
+        list_distinct(list_transform(generate_series(1, greatest(len(wins) - 3, 1)),
+          j -> list_min(wins[j:j+3]))) AS fps
+      FROM r
+    ), e AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS fp FROM f
+    ), kept AS (
+      SELECT doc_id, n_fp, fp FROM (
+        SELECT doc_id, n_fp, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM e
+      ) WHERE df <= 50
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared,
+      a.n_fp AS fp_a, b.n_fp AS fp_b,
+      COUNT(*) * 1000 // least(a.n_fp, b.n_fp) AS containment_permille
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+    HAVING COUNT(*) >= 5
+    ORDER BY n_shared DESC, doc_a, doc_b"""))
+
+  // --------------------------------------------------------------- q109
+  /** Count–min sketch frequency audit — the heavy-hitter sketch a
+    * streaming ingest tier would use, built EXACTLY so its error is
+    * measurable: 4 hash rows × 256 buckets over the whitespace-token
+    * stream, with every increment derived from the exact token-count
+    * table (CMS is linear, so feeding it compressed (token, count)
+    * pairs is identical to feeding the raw stream — one tokenize pass,
+    * and the 4 bucket aggregations reduce 256-row frames, not the token
+    * stream). The audit joins the top-50 exact counts against their
+    * min-over-rows estimates: CMS never undercounts, so
+    * `overest = est − exact ≥ 0` and `err_permille` quantifies the
+    * collision noise this (d=4, w=256) geometry buys at corpus scale.
+    * Hashing is the 48-bit md5-prefix integer both engines share.
+    */
+  val q109 = Q("q109_cms_heavy_hitters",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val counts = docs.filter(length(trim(col("text"))) > 0)
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n_exact"))
+      def bucket(r: Int): org.apache.spark.sql.Column =
+        expr(s"CAST(conv(substr(md5(CAST(concat('$r#', token) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 256")
+      val withB = counts.select(col("token"), col("n_exact"),
+        bucket(0).as("b0"), bucket(1).as("b1"), bucket(2).as("b2"), bucket(3).as("b3"))
+      val sums = (0 to 3).map { r =>
+        withB.groupBy(col(s"b$r").as("bkt")).agg(sum("n_exact").as(s"s$r"))
+      }
+      val top = withB.orderBy(desc("n_exact"), col("token")).limit(50)
+      val est = (0 to 3).foldLeft(top) { (df, r) =>
+        df.join(broadcast(sums(r)), df(s"b$r") === sums(r)("bkt")).drop("bkt")
+      }
+      est.select(col("token"), col("n_exact"),
+          least(col("s0"), col("s1"), col("s2"), col("s3")).as("cms_est"))
+        .withColumn("overest", col("cms_est") - col("n_exact"))
+        .withColumn("err_permille", expr("overest * 1000 div n_exact"))
+        .transform(graft.Q.presentSorted(_, "token"))
+        .orderBy(desc("n_exact"), col("token"))
+    },
+    Some("""WITH counts AS (
+      SELECT token, COUNT(*) AS n_exact FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY token
+    ), wb AS (
+      SELECT token, n_exact,
+        list_transform(generate_series(0, 3), r ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, 12), i ->
+              CAST(strpos('0123456789abcdef',
+                substr(md5(CAST(r AS VARCHAR) || '#' || token), i, 1)) - 1 AS BIGINT))),
+            (acc, x) -> acc * 16 + x) % 256) AS bs
+      FROM counts
+    ), cells AS (
+      SELECT r, bs[r + 1] AS bkt, CAST(SUM(n_exact) AS BIGINT) AS s
+      FROM wb, (SELECT unnest(generate_series(0, 3)) AS r)
+      GROUP BY r, bs[r + 1]
+    ), top AS (
+      SELECT token, n_exact, bs FROM wb ORDER BY n_exact DESC, token LIMIT 50
+    ), est AS (
+      SELECT t.token, t.n_exact, MIN(c.s) AS cms_est
+      FROM top t JOIN cells c ON c.bkt = t.bs[c.r + 1]
+      GROUP BY t.token, t.n_exact
+    )
+    SELECT token, n_exact, cms_est, cms_est - n_exact AS overest,
+      (cms_est - n_exact) * 1000 // n_exact AS err_permille
+    FROM est ORDER BY n_exact DESC, token"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106)
+      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109)
 }
