@@ -495,7 +495,56 @@ object RelationalQueries {
       COUNT(*) AS n
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""))
 
+  // --------------------------------------------------------------- q111
+  /** Shuffle-skew planner — the diagnostic an engine operator runs
+    * BEFORE a big join/agg to decide its skew mitigation (the q41
+    * salted-agg pattern and AQE's skewedJoin both need a salt factor /
+    * threshold from somewhere): per-key row counts for a join key,
+    * folded into log2-sized buckets. Per bucket: how many keys, how
+    * many rows they carry (share_permille of the table), the largest
+    * key, and the salt factor that would cap a task at ~1000 rows of
+    * that key — `(max_cnt + 999) div 1000`, i.e. what you'd pass to the
+    * q41 salting or compare against
+    * `spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes`.
+    *
+    * Scale shape: two partial-aggregable groupBys (key → count, then
+    * bucket → stats); the second input is one row per DISTINCT key, so
+    * the planner costs one pass over the fact table regardless of skew.
+    */
+  val q111 = Q("q111_skew_planner",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val perKey = li.groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+      val tot = perKey.agg(sum("cnt").as("n_total"))
+      perKey
+        .groupBy(length(bin(col("cnt"))).cast("long").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum("cnt").as("n_rows"),
+          max("cnt").as("max_cnt"))
+        .crossJoin(broadcast(tot))
+        .select(col("log2_bucket"), col("n_keys"), col("n_rows"),
+          expr("n_rows * 1000 div n_total").as("share_permille"),
+          col("max_cnt"),
+          expr("(max_cnt + 999) div 1000").as("salt_factor"))
+        .orderBy("log2_bucket")
+    },
+    Some("""WITH pk AS (
+      SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+    ), t AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM pk
+    ), b AS (
+      SELECT CAST(length(bin(cnt)) AS BIGINT) AS log2_bucket,
+        COUNT(*) AS n_keys,
+        CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM pk GROUP BY 1
+    )
+    SELECT b.log2_bucket, b.n_keys, b.n_rows,
+      b.n_rows * 1000 // t.n_total AS share_permille,
+      b.max_cnt, (b.max_cnt + 999) // 1000 AS salt_factor
+    FROM b, t ORDER BY b.log2_bucket"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65)
+      q46, q55, q56, q65, q111)
 }

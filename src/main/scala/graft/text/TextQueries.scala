@@ -1734,7 +1734,188 @@ object TextQueries {
       (cms_est - n_exact) * 1000 // n_exact AS err_permille
     FROM est ORDER BY n_exact DESC, token"""))
 
+  // --------------------------------------------------------------- q110
+  /** HyperLogLog register audit — q84's KMV companion from the other
+    * classic cardinality family, built bit-exactly so the estimate is
+    * cross-engine-reproducible: each distinct shingle's 48-bit hash
+    * (the `shingle_hash48` kernel / md5-prefix fold) splits into a
+    * 6-bit register index and a 42-bit suffix whose leading-zero count
+    * (+1) is the register observable; registers take the MAX — a
+    * partial-aggregable integer agg, so the shuffle carries ≤ 64 rows
+    * per source no matter the corpus size (THE reason HLL is the
+    * distributed default over KMV's top-k heap).
+    *
+    * The harmonic mean is kept exact by scaling: Σ 2^(−M_j) over 64
+    * registers (empty ⇒ M=0) is S/2⁴³ with integer
+    * S = Σ 2^(43−M_j), so raw_est = α₆₄·m²/Z =
+    * (363008·2⁴³) div (125·S) — one integer division, identical in
+    * both engines (α₆₄ = 0.709 as the rational 363008/512000).
+    * No small-range correction (needs ln): registers are saturated at
+    * every gate scale, and `n_empty_regs` makes that visible.
+    */
+  val q110 = Q("q110_hll_distinct_audit",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val sh = Tables(s, dir, "documents")
+        .select(col("source"), explode(expr(s"shingle_hash48(text, $N)")).as("v"))
+      // rho: leading zeros of the 42-bit suffix + 1 (suffix 0 => 43)
+      val regs = sh
+        .select(col("source"), (col("v") % 64).as("idx"),
+          expr("CASE WHEN v div 64 = 0 THEN 43 ELSE 43 - length(bin(v div 64)) END").as("rho"))
+        .groupBy("source", "idx").agg(max("rho").as("m"))
+      val hll = regs.groupBy("source").agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 43 - m)")).as("s_present"))
+      val exact = sh.distinct().groupBy("source")
+        .agg(count(lit(1)).as("n_exact"))
+      hll.join(exact, "source")
+        .select(col("source"), col("n_exact"),
+          (lit(64L) - col("n_regs")).as("n_empty_regs"),
+          expr("s_present + (64 - n_regs) * 8796093022208").as("s_scaled"))
+        .withColumn("hll_est", expr("3193052135805681664 div (125 * s_scaled)"))
+        .withColumn("err_permille", expr("abs(hll_est - n_exact) * 1000 div n_exact"))
+        .orderBy("source")
+    },
+    Some(s"""WITH hv AS (
+      SELECT DISTINCT source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS v
+      FROM (SELECT source, unnest($shinglesSqlExpr) AS sh FROM documents)
+    ), rr AS (
+      SELECT source, v % 64 AS idx,
+        MAX(CASE WHEN v // 64 = 0 THEN 43
+                 ELSE 43 - length(bin(v // 64)) END) AS m
+      FROM hv GROUP BY source, v % 64
+    ), h AS (
+      SELECT source, COUNT(*) AS n_regs,
+        CAST(SUM(CAST(1 AS BIGINT) << (43 - m)) AS BIGINT) AS s_present
+      FROM rr GROUP BY source
+    ), ex AS (
+      SELECT source, COUNT(*) AS n_exact FROM hv GROUP BY source
+    )
+    SELECT h.source, ex.n_exact,
+      64 - h.n_regs AS n_empty_regs,
+      h.s_present + (64 - h.n_regs) * 8796093022208 AS s_scaled,
+      3193052135805681664 // (125 * (h.s_present + (64 - h.n_regs) * 8796093022208))
+        AS hll_est,
+      abs(3193052135805681664 // (125 * (h.s_present + (64 - h.n_regs) * 8796093022208))
+        - ex.n_exact) * 1000 // ex.n_exact AS err_permille
+    FROM h JOIN ex USING (source)
+    ORDER BY h.source"""))
+
+  // --------------------------------------------------------------- q112
+  /** Bloom-filter decontamination screen with an exact false-positive
+    * audit — the cheap FIRST pass of the q66 benchmark-decontam family
+    * at 100 TB: build a Bloom filter (k=4 hashes, m=2²⁴ bits) over the
+    * train split's distinct shingle hashes, probe every eval-split
+    * shingle, and measure what the filter's false positives would cost
+    * against the exact semi-join truth. In production the bit array is
+    * ONE broadcast bitmap (Spark's own `bloom_filter_agg` / DataSketches)
+    * and the probe is map-side; here the set-bit table + position join
+    * keeps the filter exactly auditable by DuckDB while exercising the
+    * same plan shape (distinct-position build ≡ bitmap OR-fold, 4-way
+    * position probe ≡ the k hash lookups).
+    *
+    * Output per source: eval shingle volume, bloom hits, exact hits,
+    * false positives, and the realized FPR over true negatives —
+    * `fp_permille` is THE number that says whether (k, m) is sized
+    * right for the corpus (the 48-bit shingle hash is the element key,
+    * so hash collisions are shared with q84/q110 by construction).
+    */
+  val q112 = Q("q112_bloom_decontam",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val docs = Tables(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), col("source"),
+          (expr("doc_id * 2654435761") % 1000 < 900).as("is_train"),
+          explode(expr(s"shingle_hash48(text, $N)")).as("v"))
+      val trainV = sh.filter(col("is_train")).select("v").distinct()
+      def posCol(r: Int) =
+        expr(s"CAST(conv(substr(md5(CAST(concat('$r#', CAST(v AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 16777216")
+      val bits = trainV
+        .select(explode(array((0 to 3).map(posCol): _*)).as("pos"))
+        .distinct()
+      val evalSh = sh.filter(!col("is_train")).select("doc_id", "source", "v").distinct()
+      val probes = evalSh
+        .select(col("doc_id"), col("source"), col("v"),
+          explode(array((0 to 3).map(posCol): _*)).as("pos"))
+      val nMatched = probes.join(bits, "pos")
+        .groupBy("doc_id", "source", "v")
+        .agg(count(lit(1)).as("n_pos"))
+        .filter(col("n_pos") === 4)
+        .select(col("doc_id"), col("source"), col("v"), lit(1L).as("bloom_hit"))
+      val truth = evalSh.join(trainV.select(col("v"), lit(1L).as("true_hit")), Seq("v"), "left")
+      truth.join(nMatched.select("doc_id", "v", "bloom_hit"), Seq("doc_id", "v"), "left")
+        .groupBy("source")
+        .agg(countDistinct("doc_id").as("n_eval_docs"),
+          count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("bloom_hit"), lit(0L))).as("n_bloom_hits"),
+          sum(coalesce(col("true_hit"), lit(0L))).as("n_true_hits"))
+        .select(col("source"), col("n_eval_docs"), col("n_shingles"),
+          col("n_bloom_hits"), col("n_true_hits"),
+          (col("n_bloom_hits") - col("n_true_hits")).as("n_false_pos"),
+          expr("""CASE WHEN n_shingles > n_true_hits
+                  THEN (n_bloom_hits - n_true_hits) * 1000 div (n_shingles - n_true_hits)
+                  END""").as("fp_permille"))
+        .orderBy("source")
+    },
+    Some(s"""WITH hv AS (
+      SELECT DISTINCT doc_id, source,
+        (doc_id * 2654435761) % 1000 < 900 AS is_train,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef', substr(md5(sh), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS v
+      FROM (SELECT doc_id, source, unnest($shinglesSqlExpr) AS sh FROM documents)
+    ), trainv AS (
+      SELECT DISTINCT v FROM hv WHERE is_train
+    ), bits AS (
+      SELECT DISTINCT
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(r AS VARCHAR) || '#' || CAST(v AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) % 16777216 AS pos
+      FROM trainv, (SELECT unnest(generate_series(0, 3)) AS r)
+    ), ev AS (
+      SELECT DISTINCT doc_id, source, v FROM hv WHERE NOT is_train
+    ), probes AS (
+      SELECT doc_id, source, v,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef',
+              substr(md5(CAST(r AS VARCHAR) || '#' || CAST(v AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) % 16777216 AS pos
+      FROM ev, (SELECT unnest(generate_series(0, 3)) AS r)
+    ), bh AS (
+      SELECT doc_id, source, v, 1 AS bloom_hit
+      FROM probes JOIN bits USING (pos)
+      GROUP BY doc_id, source, v HAVING COUNT(*) = 4
+    ), j AS (
+      SELECT e.source, e.doc_id, e.v,
+        CASE WHEN t.v IS NOT NULL THEN 1 ELSE 0 END AS true_hit,
+        COALESCE(b.bloom_hit, 0) AS bloom_hit
+      FROM ev e
+      LEFT JOIN trainv t ON t.v = e.v
+      LEFT JOIN bh b ON b.doc_id = e.doc_id AND b.v = e.v
+    )
+    SELECT source,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs,
+      COUNT(*) AS n_shingles,
+      CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+      CAST(SUM(true_hit) AS BIGINT) AS n_true_hits,
+      CAST(SUM(bloom_hit) - SUM(true_hit) AS BIGINT) AS n_false_pos,
+      CASE WHEN COUNT(*) > SUM(true_hit)
+           THEN CAST((SUM(bloom_hit) - SUM(true_hit)) * 1000 AS BIGINT)
+                  // (COUNT(*) - CAST(SUM(true_hit) AS BIGINT))
+           END AS fp_permille
+    FROM j GROUP BY source ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
-      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109)
+      q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
+      q110, q112)
 }
