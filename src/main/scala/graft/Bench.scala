@@ -46,7 +46,11 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Stop Spark BEFORE printing so no shutdown log lines follow the JSON,
+    // and order the headline fields (metric/value/unit/sf) AFTER the long
+    // per-query map: a harness that keeps only the final ~2k chars of
+    // output still sees the totals. Duplicate-free, valid JSON either way.
     spark.stop()
+    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
   }
 }
