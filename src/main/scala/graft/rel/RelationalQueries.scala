@@ -544,7 +544,57 @@ object RelationalQueries {
       b.max_cnt, (b.max_cnt + 999) // 1000 AS salt_factor
     FROM b, t ORDER BY b.log2_bucket"""))
 
+  // --------------------------------------------------------------- q116
+  /** Hybrid hot/cold skew join — the production answer when one join
+    * key carries a disproportionate share of a 100 TB fact table and
+    * AQE's byte-threshold skew split isn't enough: split the FACT side
+    * by per-key row count (the q111 planner's output), route hot keys
+    * through a broadcast join against the (tiny, because few hot keys)
+    * matching dim slice, route the cold long tail through the normal
+    * shuffle join, and union. No shuffle partition ever holds more than
+    * `threshold` rows of any single hot key, and the cold-path shuffle
+    * is the balanced one Spark would have wanted all along.
+    *
+    * The final aggregate proves the split is lossless: per-priority
+    * revenue over hot+cold equals the plain single-join oracle exactly
+    * ([[Exact]] decimal sums are partitioning-independent, so the
+    * two-path union cannot perturb the fold).
+    */
+  val q116 = Q("q116_hybrid_skew_join",
+    (s, dir) => {
+      graft.functions.DecSum.ensureRegistered(s)
+      val li = Tables(s, dir, "lineitem")
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      // planner pass: per-key counts; "hot" = above-threshold keys.
+      // The hot set is small by construction (skew means FEW heavy
+      // keys), so both the semi/anti routing and the hot dim slice
+      // broadcast.
+      val hot = li.groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 6).select("l_orderkey")
+      val liHot = li.join(broadcast(hot), Seq("l_orderkey"), "left_semi")
+      val liCold = li.join(broadcast(hot), Seq("l_orderkey"), "left_anti")
+      val ordHot = ord.join(
+        broadcast(hot.select(col("l_orderkey").as("o_orderkey"))),
+        Seq("o_orderkey"), "left_semi")
+      val hotPath = liHot.join(broadcast(ordHot), col("l_orderkey") === col("o_orderkey"))
+      val coldPath = liCold.join(ord, col("l_orderkey") === col("o_orderkey"))
+      hotPath.select(col("o_orderpriority"), col("l_quantity"), disc.as("rev"))
+        .union(coldPath.select(col("o_orderpriority"), col("l_quantity"), disc.as("rev")))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          Exact.sumExactFast(col("l_quantity"), 2).as("sum_qty"),
+          Exact.sumExactRFast(col("rev"), 4, 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(s"""SELECT o.o_orderpriority,
+      COUNT(*) AS n_items,
+      ${Exact.sumExactSql("l.l_quantity", 2)} AS sum_qty,
+      ${Exact.sumExactRSql("l.l_extendedprice * (1 - l.l_discount)", 4, 2)} AS revenue
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111)
+      q46, q55, q56, q65, q111, q116)
 }

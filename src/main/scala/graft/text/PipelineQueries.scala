@@ -1966,7 +1966,184 @@ object PipelineQueries {
         AS saving_vs_single
     FROM agg ORDER BY ctx"""))
 
+  // --------------------------------------------------------------- q113
+  /** Contamination SPAN excision map — q66 tells you WHICH train docs
+    * contain benchmark n-grams; this tells you WHERE, so the pipeline
+    * can cut the spans instead of dropping whole documents (the decontam
+    * policy modern corpus releases actually use). Every char-8-gram of
+    * a train doc that appears in the test split becomes interval
+    * [pos, pos+8); overlapping intervals merge by island detection —
+    * a per-doc window: `new span ⇔ pos > max(end) over preceding rows`,
+    * then a running sum numbers the islands. Output per contaminated
+    * doc: hit count, merged span count, covered chars, and coverage
+    * permille of the doc.
+    *
+    * Scale shape: the window partitions by doc_id (never global), the
+    * test-gram probe set is ~5 % of the corpus' distinct 8-grams and
+    * broadcasts; the 1-row-per-position explode never shuffles — it
+    * flows map-side into the hash-join probe. All integer math.
+    */
+  val q113 = Q("q113_contamination_spans",
+    (s, dir) => {
+      val h = expr("(doc_id * 2654435761) % 1000")
+      val base = Tables(s, dir, "documents")
+        .withColumn("split",
+          when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test")))
+        .filter(length(col("text")) >= 8)
+        .select(col("doc_id"), col("split"), col("n_chars"),
+          explode(expr(
+            "transform(sequence(1, length(text) - 7), i -> struct(CAST(i AS BIGINT) AS pos, substring(text, i, 8) AS g))")).as("w"))
+        .select(col("doc_id"), col("split"), col("n_chars"),
+          col("w.pos").as("pos"), col("w.g").as("g"))
+      val bench = base.filter(col("split") === "test").select("g").distinct()
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      base.filter(col("split") === "train")
+        .join(broadcast(bench), Seq("g"), "left_semi")
+        .withColumn("prev_end",
+          max(col("pos") + 8).over(win.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_span",
+          (col("prev_end").isNull || col("pos") > col("prev_end")).cast("long"))
+        .withColumn("span_id", sum("new_span").over(win))
+        .groupBy("doc_id", "n_chars", "span_id")
+        .agg(min("pos").as("sp_start"), max(col("pos") + 8).as("sp_end"),
+          count(lit(1)).as("hits"))
+        .groupBy("doc_id", "n_chars")
+        .agg(sum("hits").as("n_hits"), count(lit(1)).as("n_spans"),
+          sum(col("sp_end") - col("sp_start")).as("covered_chars"))
+        .select(col("doc_id"), col("n_hits"), col("n_spans"), col("covered_chars"),
+          expr("covered_chars * 1000 div n_chars").as("coverage_permille"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (
+      SELECT doc_id,
+        CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+             WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+             ELSE 'test' END AS split,
+        n_chars, pos, substr(text, CAST(pos AS INTEGER), 8) AS g
+      FROM documents, LATERAL (SELECT unnest(generate_series(1, length(text) - 7)) AS pos)
+      WHERE length(text) >= 8
+    ), bench AS (
+      SELECT DISTINCT g FROM base WHERE split = 'test'
+    ), hits AS (
+      SELECT b.doc_id, b.n_chars, b.pos
+      FROM base b WHERE b.split = 'train' AND EXISTS (SELECT 1 FROM bench t WHERE t.g = b.g)
+    ), isl AS (
+      SELECT doc_id, n_chars, pos,
+        CASE WHEN max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+             OR pos > max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        THEN 1 ELSE 0 END AS new_span
+      FROM hits
+    ), sp AS (
+      SELECT doc_id, n_chars, pos,
+        SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      FROM isl
+    ), agg1 AS (
+      SELECT doc_id, n_chars, span_id,
+        MIN(pos) AS sp_start, MAX(pos + 8) AS sp_end, COUNT(*) AS hits
+      FROM sp GROUP BY doc_id, n_chars, span_id
+    )
+    SELECT doc_id,
+      CAST(SUM(hits) AS BIGINT) AS n_hits,
+      COUNT(*) AS n_spans,
+      CAST(SUM(sp_end - sp_start) AS BIGINT) AS covered_chars,
+      CAST(SUM(sp_end - sp_start) AS BIGINT) * 1000 // n_chars AS coverage_permille
+    FROM agg1 GROUP BY doc_id, n_chars ORDER BY doc_id"""))
+
+  // --------------------------------------------------------------- q115
+  /** Zone-map layout planner — "which key should 100 TB be clustered
+    * by": for each candidate physical sort order, bucket the rank-
+    * ordered rows into fixed 32-row blocks, keep per-block (min, max)
+    * of the two predicate columns — exactly the parquet row-group
+    * statistics a scan sees — and count the blocks each benchmark
+    * predicate could skip. `scan_permille` is the fraction of ROWS a
+    * zone-map-aware scan still reads: the layout decision in one
+    * number per (layout, predicate).
+    *
+    * At fleet scale the physical rewrite behind a layout is
+    * `repartitionByRange(keys).sortWithinPartitions(keys)` and the
+    * block stats fall out of the parquet footers; this audit runs the
+    * same arithmetic on a uniform sample (the sf tables stand in for
+    * the sample), which is why a driver-side rank window over the
+    * sample is acceptable here and only here.
+    */
+  val q115 = Q("q115_zonemap_pruning",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val layouts = Seq(
+        "natural" -> Seq(col("doc_id")),
+        "by_lang" -> Seq(col("lang"), col("doc_id")),
+        "by_length" -> Seq(col("n_chars"), col("doc_id")),
+        "by_source" -> Seq(col("source"), col("doc_id")))
+      val blocks = layouts.map { case (name, keys) =>
+        docs.withColumn("rn", row_number().over(Window.orderBy(keys: _*)) - 1)
+          .groupBy((col("rn") / 32).cast("long").as("block_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("lang").as("lo_lang"), max("lang").as("hi_lang"),
+            min("n_chars").as("lo_nc"), max("n_chars").as("hi_nc"))
+          .withColumn("layout", lit(name))
+      }.reduce(_ unionByName _)
+      val preds = Seq(
+        ("p_lang_eq", "NOT (lo_lang > 'de' OR hi_lang < 'de')"),
+        ("p_len_range", "NOT (lo_nc > 1000 OR hi_nc < 500)"),
+        ("p_lang_and_len", "NOT (lo_lang > 'de' OR hi_lang < 'de' OR hi_nc < 800)"))
+      preds.map { case (pname, mustScan) =>
+        blocks.withColumn("predicate", lit(pname))
+          .withColumn("scanned", expr(s"CASE WHEN $mustScan THEN n_rows ELSE 0 END"))
+          .withColumn("skipped_block", expr(s"CASE WHEN $mustScan THEN 0 ELSE 1 END"))
+      }.reduce(_ unionByName _)
+        .groupBy("layout", "predicate")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("skipped_block").as("n_skip_blocks"),
+          sum("n_rows").as("n_rows_total"),
+          sum("scanned").as("n_rows_scanned"))
+        .select(col("layout"), col("predicate"), col("n_blocks"), col("n_skip_blocks"),
+          expr("n_rows_scanned * 1000 div n_rows_total").as("scan_permille"))
+        .orderBy("layout", "predicate")
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, lang, source, n_chars FROM documents
+    ), ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn_nat,
+        ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS rn_lang,
+        ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn_len,
+        ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS rn_src
+      FROM d
+    ), lay AS (
+      SELECT 'natural' AS layout, rn_nat // 32 AS block_id, lang, n_chars FROM ranked
+      UNION ALL
+      SELECT 'by_lang', rn_lang // 32, lang, n_chars FROM ranked
+      UNION ALL
+      SELECT 'by_length', rn_len // 32, lang, n_chars FROM ranked
+      UNION ALL
+      SELECT 'by_source', rn_src // 32, lang, n_chars FROM ranked
+    ), blocks AS (
+      SELECT layout, block_id, COUNT(*) AS n_rows,
+        MIN(lang) AS lo_lang, MAX(lang) AS hi_lang,
+        MIN(n_chars) AS lo_nc, MAX(n_chars) AS hi_nc
+      FROM lay GROUP BY layout, block_id
+    ), pb AS (
+      SELECT *, 'p_lang_eq' AS predicate,
+        NOT (lo_lang > 'de' OR hi_lang < 'de') AS must_scan FROM blocks
+      UNION ALL
+      SELECT *, 'p_len_range',
+        NOT (lo_nc > 1000 OR hi_nc < 500) FROM blocks
+      UNION ALL
+      SELECT *, 'p_lang_and_len',
+        NOT (lo_lang > 'de' OR hi_lang < 'de' OR hi_nc < 800) FROM blocks
+    )
+    SELECT layout, predicate, COUNT(*) AS n_blocks,
+      CAST(SUM(CASE WHEN must_scan THEN 0 ELSE 1 END) AS BIGINT) AS n_skip_blocks,
+      CAST(SUM(CASE WHEN must_scan THEN n_rows ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(n_rows) AS BIGINT) AS scan_permille
+    FROM pb GROUP BY layout, predicate ORDER BY layout, predicate"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
-      q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107)
+      q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
+      q113, q115)
 }

@@ -1914,8 +1914,73 @@ object TextQueries {
            END AS fp_permille
     FROM j GROUP BY source ORDER BY source"""))
 
+  // --------------------------------------------------------------- q114
+  /** Dedup-graph PageRank — canonical-document authority by ITERATIVE
+    * computation over the verified near-dup edge set (the q104 degree
+    * heuristic's principled big sibling): 3 damped power-iteration
+    * rounds, d = 0.85, over the symmetric edge list. A high-rank doc
+    * sits at the center of a duplication family — the natural canonical
+    * pick and crawl-frontier seed.
+    *
+    * Each round is one shuffle: edges join ranks on `src` (both sides
+    * hash-partitioned by src; at cluster scale pre-partition the edge
+    * list once and every iteration reuses that exchange), then a
+    * partial-aggregable sum over `dst`. Lineage stays 3 joins deep —
+    * for unbounded iteration counts checkpoint every ~5 rounds.
+    *
+    * Rank math is pure integer so both engines agree bit-for-bit:
+    * ranks scale by 10⁶, per-edge contribution is `rank div outdeg`,
+    * update is `150000 + (850·Σcontrib) div 1000`. The symmetric edge
+    * list guarantees outdeg ≥ 1 — no dangling-mass term.
+    */
+  val q114 = Q("q114_dedup_pagerank",
+    (s, dir) => {
+      val ver = dedupEdges(s, dir)
+      val esym = ver.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(ver.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = esym.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      var ranks = deg.select(col("src").as("id"), lit(1000000L).as("rank"))
+      for (_ <- 1 to 3) {
+        ranks = esym.join(deg, "src")
+          .join(ranks.withColumnRenamed("id", "src"), "src")
+          .select(col("dst"), expr("rank div outdeg").as("c"))
+          .groupBy("dst")
+          .agg(expr("150000 + (850 * sum(c)) div 1000").as("rank"))
+          .select(col("dst").as("id"), col("rank"))
+      }
+      val labels = dedupGroups(s, dir)
+      ranks.join(deg, col("id") === col("src"))
+        .join(labels, col("id") === col("doc_id"))
+        .select(col("doc_id"), col("comp").as("group_id"),
+          col("outdeg"), col("rank").as("rank_e6"))
+        .transform(graft.Q.presentSorted(_, "doc_id"))
+    },
+    Some(s"""$dedupCteSql, deg AS (
+      SELECT src, COUNT(*) AS outdeg FROM esym GROUP BY src
+    ), r0 AS (
+      SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg
+    ), r1 AS (
+      SELECT e.dst AS id,
+        150000 + (850 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 1000 AS rank
+      FROM esym e JOIN deg d ON d.src = e.src JOIN r0 r ON r.id = e.src
+      GROUP BY e.dst
+    ), r2 AS (
+      SELECT e.dst AS id,
+        150000 + (850 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 1000 AS rank
+      FROM esym e JOIN deg d ON d.src = e.src JOIN r1 r ON r.id = e.src
+      GROUP BY e.dst
+    ), r3 AS (
+      SELECT e.dst AS id,
+        150000 + (850 * CAST(SUM(r.rank // d.outdeg) AS BIGINT)) // 1000 AS rank
+      FROM esym e JOIN deg d ON d.src = e.src JOIN r2 r ON r.id = e.src
+      GROUP BY e.dst
+    )
+    SELECT r3.id AS doc_id, c.group_id, d.outdeg, r3.rank AS rank_e6
+    FROM r3 JOIN deg d ON d.src = r3.id JOIN comp c ON c.doc_id = r3.id
+    ORDER BY doc_id"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112)
+      q110, q112, q114)
 }
