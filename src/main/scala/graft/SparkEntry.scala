@@ -17,7 +17,9 @@ object SparkEntry {
       impact.ImpactQueries.all ++
       text.TextQueries.all ++
       text.PipelineQueries.all ++
-      vec.VectorQueries.all
+      text.IndexQueries.all ++
+      vec.VectorQueries.all ++
+      multimodal.MultimodalQueries.all
 
   /** Flagship: full metrics-enrichment pipeline (mmt-metrics analog) on
     * the synthetic book — row metrics bundle + strict OFI + reset-on-gap

@@ -1,0 +1,192 @@
+package graft.text
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Search-infrastructure + corpus-serving queries over `documents`:
+  * inverted-index compression planning, per-source quota capping, and
+  * RAG chunk planning — the layers between a curated corpus and the
+  * systems that serve it (retrieval indexes, balanced mixtures,
+  * chunked context windows).
+  */
+object IndexQueries {
+
+  // --------------------------------------------------------------- q118
+  /** Inverted-index postings + Elias-γ compression audit: build the
+    * (term → sorted posting list) index from one tokenize pass, then
+    * cost each list under delta-gap Elias-γ coding (γ(g) = 2·⌊log₂ g⌋+1
+    * bits; the first posting encodes doc_id+1 so every coded value is
+    * ≥ 1) against raw 64-bit postings. ⌊log₂ g⌋+1 is `length(bin(g))`
+    * in BOTH engines — bit-exact integer arithmetic, no float log.
+    *
+    * Scale: tokenize → distinct(term, doc) → one shuffle on term; the
+    * per-term gap walk is a lag window over the SAME partitioning (no
+    * second shuffle — the window reuses the groupBy exchange). The
+    * final top-k orders a vocabulary-sized aggregate, not the postings
+    * stream. Document-frequency skew ("the" appears everywhere) is
+    * bounded: a term's row count is ≤ corpus doc count, and the heavy
+    * terms are exactly the ones the audit is FOR.
+    */
+  val q118 = Q("q118_postings_gamma_audit",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .distinct()
+      val w = Window.partitionBy("term").orderBy("doc_id")
+      val gaps = toks
+        .withColumn("gap", coalesce(col("doc_id") - lag("doc_id", 1).over(w),
+          col("doc_id") + 1))
+      gaps.groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          sum(lit(2) * length(bin(col("gap"))) - 1).as("gamma_bits"))
+        .withColumn("raw_bits", col("df") * 64)
+        .withColumn("ratio_permille",
+          expr("gamma_bits * 1000 div raw_bits"))
+        .select("term", "df", "gamma_bits", "raw_bits", "ratio_permille")
+        .orderBy(col("df").desc, col("term")).limit(20)
+    },
+    Some("""WITH toks AS (
+      SELECT DISTINCT doc_id, tok AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), gaps AS (
+      SELECT term, doc_id,
+        COALESCE(doc_id - lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+          doc_id + 1) AS gap
+      FROM toks
+    ), costed AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS df,
+        CAST(SUM(2 * length(bin(gap)) - 1) AS BIGINT) AS gamma_bits
+      FROM gaps GROUP BY term
+    )
+    SELECT term, df, gamma_bits, df * 64 AS raw_bits,
+      gamma_bits * 1000 // (df * 64) AS ratio_permille
+    FROM costed
+    ORDER BY df DESC, term LIMIT 20"""))
+
+  // --------------------------------------------------------------- q119
+  /** Per-source quota capping (the Common-Crawl-style per-domain cap):
+    * rank documents inside each source by (n_chars DESC, doc_id), then
+    * for each cap in {5, 10, 20} report what survives — docs kept,
+    * chars kept, docs dropped, and the kept-share of the source's char
+    * mass (permille, integer division). A cap sweep in ONE window pass:
+    * ranks are computed once and every cap is a conditional aggregate
+    * over them, not a re-rank.
+    *
+    * Scale: one shuffle on source for the rank window, one more for the
+    * rollup (same key — Catalyst reuses the partitioning). Source skew
+    * is the classic hot-domain problem; ranks within a source are a
+    * sequential dependency, so a genuinely monster domain would take
+    * the q111 two-phase (sample-bound + salted) treatment — here the
+    * cap itself bounds what anyone keeps.
+    */
+  val q119 = Q("q119_source_cap_sweep",
+    (s, dir) => {
+      val ranked = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("n_chars").desc, col("doc_id"))))
+      val caps = s.range(0, 3).select(
+        element_at(array(lit(5), lit(10), lit(20)), col("id").cast("int") + 1)
+          .cast("long").as("cap"))
+      ranked.crossJoin(broadcast(caps))
+        .groupBy("source", "cap")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rk") <= col("cap"), 1L).otherwise(0L)).as("kept_docs"),
+          sum(when(col("rk") <= col("cap"), col("n_chars")).otherwise(0L)).as("kept_chars"),
+          sum("n_chars").as("total_chars"))
+        .withColumn("dropped_docs", col("n_docs") - col("kept_docs"))
+        .withColumn("share_permille", expr("kept_chars * 1000 div total_chars"))
+        .select("source", "cap", "kept_docs", "kept_chars", "dropped_docs", "share_permille")
+        .transform(graft.Q.presentSorted(_, "source", "cap"))
+    },
+    Some("""WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+        row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      FROM documents
+    ), caps AS (SELECT CAST(unnest([5, 10, 20]) AS BIGINT) AS cap)
+    SELECT source, cap,
+      CAST(SUM(CASE WHEN rk <= cap THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      CAST(SUM(CASE WHEN rk <= cap THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars,
+      CAST(SUM(CASE WHEN rk <= cap THEN 0 ELSE 1 END) AS BIGINT) AS dropped_docs,
+      CAST(SUM(CASE WHEN rk <= cap THEN n_chars ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(n_chars) AS BIGINT) AS share_permille
+    FROM ranked, caps
+    GROUP BY source, cap
+    ORDER BY source, cap"""))
+
+  // --------------------------------------------------------------- q120
+  /** Chunk-overlap waste audit: sliding CHAR-window chunking (window
+    * 256, stride 192 → 64-char overlap) — the serving-side complement
+    * of q89's token-window chunk EXTRACTION: this one prices the plan
+    * (how much char mass the overlap duplicates, per language) and
+    * proves the chunking reversible with an order-sensitive
+    * md5-of-md5s over every chunk's text — the digest only matches
+    * across engines if every chunk boundary and every chunk's content
+    * match exactly. Each doc yields ⌈(n−256)/192⌉+1 chunks (one if it
+    * fits a window); overlap waste is permille of original char mass,
+    * integer division.
+    *
+    * Scale: chunking is a generator explode — no shuffle until the
+    * per-doc digest groupBy (keyed on doc_id, combinable), then a
+    * per-lang rollup of 5 rows. Chunk text never leaves the map side:
+    * md5 reduces each chunk to 32 bytes before the exchange.
+    */
+  val q120 = Q("q120_chunk_overlap_audit",
+    (s, dir) => {
+      val win = 256
+      val stride = 192
+      val nChunks = expr(
+        s"CASE WHEN n_chars <= $win THEN 0 ELSE (n_chars - $win + ${stride - 1}) div $stride END")
+      val chunks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"),
+          explode(sequence(lit(0), nChunks.cast("int"))).as("k"))
+        .withColumn("chunk", expr(s"substring(text, k * $stride + 1, $win)"))
+        .drop("text")
+      val perDoc = chunks.groupBy("doc_id", "lang", "n_chars")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(length(col("chunk"))).as("cchars"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("k"), md5(col("chunk").cast("binary")).as("h")))),
+              x => x.getField("h"))).cast("binary")).as("doc_chunks_md5"))
+      perDoc.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chunks").as("n_chunks"),
+          sum("cchars").as("chunk_chars"),
+          sum(col("cchars") - col("n_chars")).as("overlap_chars"),
+          expr("sum(cchars - n_chars) * 1000 div sum(n_chars)").as("overlap_permille"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("doc_id"), col("doc_chunks_md5").as("h")))),
+              x => x.getField("h"))).cast("binary")).as("lang_md5"))
+        .select("lang", "n_docs", "n_chunks", "chunk_chars", "overlap_chars",
+          "overlap_permille", "lang_md5")
+        .orderBy("lang")
+    },
+    Some("""WITH ks AS (
+      SELECT doc_id, lang, n_chars, text,
+        unnest(generate_series(0,
+          CASE WHEN n_chars <= 256 THEN 0 ELSE (n_chars - 256 + 191) // 192 END)) AS k
+      FROM documents
+    ), chunks AS (
+      SELECT doc_id, lang, n_chars, k, substr(text, k * 192 + 1, 256) AS chunk
+      FROM ks
+    ), perdoc AS (
+      SELECT doc_id, lang, n_chars,
+        CAST(count(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(length(chunk)) AS BIGINT) AS cchars,
+        md5(string_agg(md5(chunk), '' ORDER BY k)) AS doc_chunks_md5
+      FROM chunks GROUP BY 1, 2, 3
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+      CAST(SUM(cchars) AS BIGINT) AS chunk_chars,
+      CAST(SUM(cchars - n_chars) AS BIGINT) AS overlap_chars,
+      CAST(SUM(cchars - n_chars) AS BIGINT) * 1000
+        // CAST(SUM(n_chars) AS BIGINT) AS overlap_permille,
+      md5(string_agg(doc_chunks_md5, '' ORDER BY doc_id)) AS lang_md5
+    FROM perdoc GROUP BY lang ORDER BY lang"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120)
+}
