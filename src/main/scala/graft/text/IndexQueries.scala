@@ -188,5 +188,82 @@ object IndexQueries {
       md5(string_agg(doc_chunks_md5, '' ORDER BY doc_id)) AS lang_md5
     FROM perdoc GROUP BY lang ORDER BY lang"""))
 
-  def all: Seq[Q] = Seq(q118, q119, q120)
+  // --------------------------------------------------------------- q121
+  /** DSIR-style importance scoring (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * score every document by how target-like its hashed-unigram
+    * profile is. Target model = token counts from the `src0` slice,
+    * raw model = everything else, both over 1024 feature-hash buckets
+    * (the q82 polynomial char hash mod 1024 — cross-engine exact).
+    * Per-token importance weight is the LINEARIZED likelihood ratio
+    * `(t_b+1)·2²⁰ / (r_b+1)` in integer fixed-point (add-one
+    * smoothing; the paper's log-ratio needs a transcendental, so the
+    * stated deviation is summing ratios instead of log-ratios — same
+    * ranking intent, bit-exact in both engines). A doc's score is its
+    * mean per-token weight; the rollup reports each source's doc
+    * count, mean score, and how many of its docs make the global
+    * top-100 — the selection a DSIR resampler would feed on.
+    *
+    * Scale: tokenize → one groupBy(bucket) for a 1024-row model that
+    * BROADCASTS to the scoring join (no shuffle of the token stream);
+    * per-doc reduce is map-side combinable; top-100 is a sort of the
+    * per-doc aggregate, not the token stream.
+    */
+  val q121 = Q("q121_dsir_importance",
+    (s, dir) => {
+      graft.functions.RollingHash.ensureRegistered(s)
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .withColumn("bucket", expr("rolling_hash(term, 1, 131, 1000000007).doc_fp % 1024"))
+      val model = toks.groupBy("bucket")
+        .agg(sum(when(col("source") === "src0", 1L).otherwise(0L)).as("t_cnt"),
+          sum(when(col("source") === "src0", 0L).otherwise(1L)).as("r_cnt"))
+        .withColumn("w", expr("(t_cnt + 1) * 1048576 div (r_cnt + 1)"))
+      val perDoc = toks.join(broadcast(model.select("bucket", "w")), "bucket")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tok"), sum("w").as("score"))
+        .withColumn("spt", expr("score div n_tok"))
+      val top = perDoc.select(col("doc_id").as("top_id"), col("spt").as("top_spt"))
+        .orderBy(col("top_spt").desc, col("top_id")).limit(100)
+      perDoc.join(broadcast(top), col("doc_id") === col("top_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(spt) div count(1)").as("mean_spt"),
+          sum(when(col("top_id").isNotNull, 1L).otherwise(0L)).as("n_top100"))
+        .select("source", "n_docs", "mean_spt", "n_top100")
+        .transform(graft.Q.presentSorted(_, "source"))
+    },
+    Some("""WITH toks AS (
+      SELECT doc_id, source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, length(tok)), i ->
+            CAST(ascii(substr(tok, i, 1)) AS BIGINT))),
+          (a, c) -> (a * 131 + c) % 1000000007) % 1024 AS bucket
+      FROM (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), model AS (
+      SELECT bucket,
+        (CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) + 1)
+          * 1048576
+          // (CAST(SUM(CASE WHEN source = 'src0' THEN 0 ELSE 1 END) AS BIGINT) + 1)
+          AS w
+      FROM toks GROUP BY bucket
+    ), perdoc AS (
+      SELECT t.doc_id, t.source,
+        CAST(SUM(m.w) AS BIGINT) // CAST(count(*) AS BIGINT) AS spt
+      FROM toks t JOIN model m ON m.bucket = t.bucket
+      GROUP BY t.doc_id, t.source
+    ), top AS (
+      SELECT doc_id FROM perdoc ORDER BY spt DESC, doc_id LIMIT 100
+    )
+    SELECT p.source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(p.spt) AS BIGINT) // count(*) AS mean_spt,
+      CAST(SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top100
+    FROM perdoc p LEFT JOIN top t ON t.doc_id = p.doc_id
+    GROUP BY p.source ORDER BY p.source"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120, q121)
 }

@@ -1979,8 +1979,81 @@ object TextQueries {
     FROM r3 JOIN deg d ON d.src = r3.id JOIN comp c ON c.doc_id = r3.id
     ORDER BY doc_id"""))
 
+  // --------------------------------------------------------------- q122
+  /** Edit-distance corroboration of the shingle-Jaccard dedup verdict:
+    * every LSH candidate pair (the shared [[scoredPairs]] memo — no new
+    * candidate generation) is re-judged by an INDEPENDENT character
+    * model, byte-level Levenshtein similarity
+    * `1000 − lev·1000/max_bytes` ([[graft.functions.LevBytes]]; DuckDB's
+    * built-in `levenshtein` counts byte edits, so the oracle mirrors it
+    * directly). The 2×2 contingency over (jaccard ≥ 0.8, edit-sim ≥
+    * 900‰) shows where the two families disagree — shingle Jaccard is
+    * blind to REORDERED blocks (high edit distance, high Jaccard),
+    * edit similarity is blind to small-but-dense scatter edits.
+    *
+    * All integer: the Jaccard verdict is the cross-multiplied
+    * `10·n_inter ≥ 8·n_union`, means are integer-divided permille sums.
+    * Scale: the quadratic DP runs ONLY on candidate pairs the LSH
+    * already bounded, joined to raw text by id — the same join shape
+    * (and cost envelope) as the q48 verify stage.
+    */
+  val q122 = Q("q122_edit_verified_dedup",
+    (s, dir) => {
+      graft.functions.LevBytes.ensureRegistered(s)
+      val txt = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val cells = scoredPairs(s, dir)
+        .filter(col("n_union") > 0)
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("ta")), "id_a")
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("tb")), "id_b")
+        .withColumn("lev", expr("CAST(lev_bytes(ta, tb) AS BIGINT)"))
+        .withColumn("mb", greatest(length(col("ta").cast("binary")),
+          length(col("tb").cast("binary"))).cast("long"))
+        .withColumn("edit_sim", expr("1000 - lev * 1000 div mb"))
+        .withColumn("jacc_dup",
+          when(col("n_inter") * 10 >= col("n_union") * 8, 1).otherwise(0))
+        .withColumn("edit_dup", when(col("edit_sim") >= 900, 1).otherwise(0))
+      cells.groupBy("jacc_dup", "edit_dup")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("sum(n_inter * 1000 div n_union) div count(1)").as("mean_jacc_permille"),
+          expr("sum(edit_sim) div count(1)").as("mean_edit_permille"),
+          min("edit_sim").as("min_edit_permille"),
+          max("edit_sim").as("max_edit_permille"))
+        .select("jacc_dup", "edit_dup", "n_pairs", "mean_jacc_permille",
+          "mean_edit_permille", "min_edit_permille", "max_edit_permille")
+        .orderBy("jacc_dup", "edit_dup")
+    },
+    Some(s"""WITH $candChainSql, shd AS (
+      SELECT doc_id, $shinglesSqlExpr AS s FROM documents
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+        CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS n_inter,
+        CAST(len(list_distinct(list_concat(sa.s, sb.s))) AS BIGINT) AS n_union,
+        CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+        CAST(greatest(octet_length(encode(da.text)),
+          octet_length(encode(db.text))) AS BIGINT) AS mb
+      FROM cand c
+      JOIN shd sa ON sa.doc_id = c.id_a
+      JOIN shd sb ON sb.doc_id = c.id_b
+      JOIN documents da ON da.doc_id = c.id_a
+      JOIN documents db ON db.doc_id = c.id_b
+      WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0
+    ), cells AS (
+      SELECT id_a, id_b, n_inter, n_union,
+        1000 - lev * 1000 // mb AS edit_sim,
+        CASE WHEN n_inter * 10 >= n_union * 8 THEN 1 ELSE 0 END AS jacc_dup,
+        CASE WHEN 1000 - lev * 1000 // mb >= 900 THEN 1 ELSE 0 END AS edit_dup
+      FROM scored
+    )
+    SELECT jacc_dup, edit_dup, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(SUM(n_inter * 1000 // n_union) AS BIGINT) // count(*) AS mean_jacc_permille,
+      CAST(SUM(edit_sim) AS BIGINT) // count(*) AS mean_edit_permille,
+      CAST(MIN(edit_sim) AS BIGINT) AS min_edit_permille,
+      CAST(MAX(edit_sim) AS BIGINT) AS max_edit_permille
+    FROM cells GROUP BY jacc_dup, edit_dup
+    ORDER BY jacc_dup, edit_dup"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114)
+      q110, q112, q114, q122)
 }
