@@ -358,6 +358,46 @@ object TextKernels {
   }
 
   // ------------------------------------------------------------------
+  /** `char_grams(text, width)` → `ARRAY<STRING>`: ALL width-code-point
+    * grams at positions 1..max(n−width+1, 1) (tail truncated only for
+    * degenerate sub-width text), order preserved, duplicates KEPT —
+    * the positional gram stream `transform(sequence(1, n−w+1), i ->
+    * substring(text, i, w))` yields, built in one loop instead of one
+    * interpreted lambda + UTF8String allocation per position (measured
+    * ~4 s → sub-second for the 2.5M-gram q113 build at sf0.1).
+    * Positions come from `posexplode` downstream (idx + 1).
+    */
+  case class CharGrams(left: Expression, right: Expression) extends BinaryExpression {
+    override def prettyName: String = "char_grams"
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == StringType &&
+        (right.dataType == IntegerType || right.dataType == LongType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"char_grams expects (string, int), got (${left.dataType.sql}, ${right.dataType.sql})")
+    override protected def nullSafeEval(t: Any, w: Any): Any =
+      TextKernels.charGramsCompute(t.asInstanceOf[UTF8String], w.asInstanceOf[Number].intValue())
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (t, w) =>
+        s"graft.functions.TextKernels.charGramsCompute($t, (int)($w))")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def charGramsCompute(str: UTF8String, width: Int): GenericArrayData = {
+    val nCp = str.numChars()
+    val nPos = math.max(nCp - width + 1, 1)
+    val out = new Array[Any](nPos)
+    var i = 0
+    while (i < nPos) {
+      out(i) = str.substringSQL(i + 1, width)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ------------------------------------------------------------------
   /** Idempotent session registration of the kernels. */
   def ensureRegistered(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
@@ -370,6 +410,8 @@ object TextKernels {
       exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2)), "built-in")
     reg.createOrReplaceTempFunction("shingle_hash48",
       exprs => ShingleHash48(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("char_grams",
+      exprs => CharGrams(exprs(0), exprs(1)), "built-in")
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

@@ -265,5 +265,145 @@ object IndexQueries {
     FROM perdoc p LEFT JOIN top t ON t.doc_id = p.doc_id
     GROUP BY p.source ORDER BY p.source"""))
 
-  def all: Seq[Q] = Seq(q118, q119, q120, q121)
+  // --------------------------------------------------------------- q123
+  /** Vocabulary-size sweep — the tokenizer-sizing curve q78's
+    * fixed-vocab audit samples one point of: for V ∈ {256, 1024, 4096}
+    * top-frequency vocabularies, the per-language OOV token share. One
+    * tokenize + one word-count + ONE scoring pass: the ranked vocab
+    * (count DESC, term ASC — deterministic) is driver-bounded at 4096
+    * rows and broadcast; each language aggregates its three OOV
+    * counters in a single groupBy, then unpivots to (lang, v) rows —
+    * no per-V re-scan of the token stream.
+    *
+    * Scale: word-count is the canonical partial-agg shape; the sweep
+    * adds one broadcast-hash probe per token. OOV share falls as V
+    * grows by construction — what the curve buys is WHERE it flattens
+    * per language (zh keeps paying at V=4096 long after en flattens —
+    * the under-served-script signal, fertility's (q93) vocabulary-side
+    * twin).
+    */
+  val q123 = Q("q123_vocab_size_sweep",
+    (s, dir) => {
+      val tok = Tables(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(4096)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("cnt").desc, col("term"))))
+        .select("term", "rk")
+      val scored = tok.join(broadcast(vocab), Seq("term"), "left")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("rk").isNull || col("rk") > 256, 1L).otherwise(0L)).as("oov256"),
+          sum(when(col("rk").isNull || col("rk") > 1024, 1L).otherwise(0L)).as("oov1024"),
+          sum(when(col("rk").isNull, 1L).otherwise(0L)).as("oov4096"))
+      scored.select(col("lang"), col("n_tokens"),
+          expr("stack(3, 256L, oov256, 1024L, oov1024, 4096L, oov4096) AS (v, n_oov)"))
+        .withColumn("oov_permille", expr("n_oov * 1000 div n_tokens"))
+        .select("lang", "v", "n_tokens", "n_oov", "oov_permille")
+        .transform(graft.Q.presentSorted(_, "lang", "v"))
+    },
+    Some("""WITH tok AS (
+      SELECT lang, tok AS term FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), vocab AS (
+      SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rk
+      FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+      ORDER BY cnt DESC, term LIMIT 4096
+    ), scored AS (
+      SELECT t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN v.rk IS NULL OR v.rk > 256 THEN 1 ELSE 0 END) AS BIGINT) AS oov256,
+        CAST(SUM(CASE WHEN v.rk IS NULL OR v.rk > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS oov1024,
+        CAST(SUM(CASE WHEN v.rk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov4096
+      FROM tok t LEFT JOIN vocab v ON v.term = t.term
+      GROUP BY t.lang
+    )
+    SELECT lang, CAST(v AS BIGINT) AS v, n_tokens, n_oov,
+      n_oov * 1000 // n_tokens AS oov_permille
+    FROM (
+      SELECT lang, 256 AS v, n_tokens, oov256 AS n_oov FROM scored
+      UNION ALL
+      SELECT lang, 1024, n_tokens, oov1024 FROM scored
+      UNION ALL
+      SELECT lang, 4096, n_tokens, oov4096 FROM scored
+    ) ORDER BY lang, v"""))
+
+  // --------------------------------------------------------------- q124
+  /** Heaps-law vocabulary-growth curve: distinct-vocabulary size and
+    * token mass after 25 / 50 / 75 / 100 % of the corpus (doc_id
+    * order) — the saturation curve that says whether more data still
+    * buys new vocabulary (Heaps' V ∝ n^β flattening, reported as the
+    * exact type-token permille at each cut, integer division — no
+    * float exponent fit).
+    *
+    * The cut doc_ids are found WITHOUT a global rank window: each is a
+    * distributed TakeOrdered (`ORDER BY doc_id LIMIT k` → max), a
+    * driver-sized scalar per cut — the same bounded-collect contract
+    * as q83's quantile cuts. A term's first appearance is
+    * `min(doc_id)` (partial-aggregable); vocabulary at a cut is a
+    * conditional count over first appearances, token mass a
+    * conditional sum over per-doc token counts — one groupBy(term) +
+    * one groupBy(doc) feed all four cuts.
+    */
+  val q124 = Q("q124_vocab_growth",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val cuts: Seq[(Long, Long)] = Seq(25L, 50L, 75L, 100L).map { pct =>
+        val k = (n * pct / 100L).max(1L)
+        val cutId = docs.select(col("doc_id")).orderBy("doc_id")
+          .limit(k.toInt).agg(max("doc_id")).head().getLong(0)
+        (pct, cutId)
+      }
+      val tok = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .filter(col("term") =!= "")
+      val firsts = tok.groupBy("term").agg(min("doc_id").as("first_doc"))
+      val perDoc = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+      // ONE pass over each aggregate feeds all four cuts (conditional
+      // sums against literal cut ids), then stack unpivots to rows
+      val vocabAggs = cuts.map { case (pct, cutId) =>
+        sum(when(col("first_doc") <= cutId, 1L).otherwise(0L)).as(s"v$pct")
+      }
+      val vocabRow = firsts.agg(vocabAggs.head, vocabAggs.tail: _*)
+      val tokAggs = cuts.flatMap { case (pct, cutId) => Seq(
+        sum(when(col("doc_id") <= cutId, 1L).otherwise(0L)).as(s"d$pct"),
+        sum(when(col("doc_id") <= cutId, col("n_tok")).otherwise(0L)).as(s"t$pct"))
+      }
+      val tokRow = perDoc.agg(tokAggs.head, tokAggs.tail: _*)
+      val stackArgs = cuts.map { case (pct, _) =>
+        s"${pct}L, d$pct, t$pct, v$pct" }.mkString(", ")
+      vocabRow.crossJoin(tokRow)
+        .select(expr(s"stack(${cuts.length}, $stackArgs) AS (pct, n_docs, n_tokens, vocab_size)"))
+        .withColumn("type_token_permille", expr("vocab_size * 1000 div n_tokens"))
+        .orderBy("pct")
+    },
+    Some("""WITH ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk,
+        COUNT(*) OVER () AS n FROM documents
+    ), cuts AS (
+      SELECT pct, max(doc_id) AS cut_id FROM ranked,
+        (SELECT unnest([25, 50, 75, 100]) AS pct)
+      WHERE rk <= greatest(n * pct // 100, 1)
+      GROUP BY pct
+    ), tok AS (
+      SELECT doc_id, tok AS term FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok <> ''
+    ), firsts AS (
+      SELECT term, min(doc_id) AS first_doc FROM tok GROUP BY term
+    ), perdoc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id
+    )
+    SELECT CAST(c.pct AS BIGINT) AS pct,
+      (SELECT CAST(count(*) AS BIGINT) FROM documents d WHERE d.doc_id <= c.cut_id) AS n_docs,
+      (SELECT CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM perdoc p WHERE p.doc_id <= c.cut_id) AS n_tokens,
+      (SELECT CAST(count(*) AS BIGINT) FROM firsts f WHERE f.first_doc <= c.cut_id) AS vocab_size,
+      (SELECT CAST(count(*) AS BIGINT) FROM firsts f WHERE f.first_doc <= c.cut_id) * 1000
+        // (SELECT CAST(SUM(n_tok) AS BIGINT) FROM perdoc p WHERE p.doc_id <= c.cut_id) AS type_token_permille
+    FROM cuts c ORDER BY pct"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124)
 }

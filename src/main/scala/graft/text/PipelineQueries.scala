@@ -1986,15 +1986,25 @@ object PipelineQueries {
   val q113 = Q("q113_contamination_spans",
     (s, dir) => {
       val h = expr("(doc_id * 2654435761) % 1000")
-      val base = Tables(s, dir, "documents")
+      // materialize the per-doc gram array BEFORE exploding (the
+      // explode-of-computed-array pathology, see q108: the Generate
+      // re-evaluates the O(n) array build per output row), via the
+      // one-loop char_grams kernel (the interpreted
+      // transform+substring lambda alone cost ~4 s at sf0.1); the
+      // exploded stream feeds TWO consumers (bench set + train scan)
+      graft.functions.TextKernels.ensureRegistered(s)
+      val grams = Tables(s, dir, "documents")
         .withColumn("split",
           when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test")))
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), col("split"), col("n_chars"),
-          explode(expr(
-            "transform(sequence(1, length(text) - 7), i -> struct(CAST(i AS BIGINT) AS pos, substring(text, i, 8) AS g))")).as("w"))
+          expr("char_grams(text, 8)").as("ws"))
+        .cache()
+      val base = grams
         .select(col("doc_id"), col("split"), col("n_chars"),
-          col("w.pos").as("pos"), col("w.g").as("g"))
+          posexplode(col("ws")).as(Seq("idx", "g")))
+        .select(col("doc_id"), col("split"), col("n_chars"),
+          (col("idx") + 1).cast("long").as("pos"), col("g"))
       val bench = base.filter(col("split") === "test").select("g").distinct()
       val win = Window.partitionBy("doc_id").orderBy("pos")
       base.filter(col("split") === "train")

@@ -1608,6 +1608,14 @@ object TextQueries {
   val q108 = Q("q108_winnowing_overlap",
     (s, dir) => {
       graft.functions.RollingHash.ensureRegistered(s)
+      // MATERIALIZE the per-doc fingerprint arrays before exploding:
+      // explode(computed_array) lets CollapseProject inline the whole
+      // HOF chain into the Generate, which re-evaluates it per OUTPUT
+      // row — measured 15 s for this ~200-wide explode at sf0.1 vs
+      // 1.3 s to build + 0.3 s to explode from storage. The cache holds
+      // ~5000 rows × ~200 longs and is dropped by the harness after the
+      // query; at cluster scale the same barrier is a checkpoint or an
+      // exchange, never a re-derivation per generated row.
       val fps = Tables(s, dir, "documents")
         .withColumn("wins", expr("rolling_hash(text, 8, 131, 1000000007).wins"))
         .select(col("doc_id"),
@@ -1615,6 +1623,7 @@ object TextQueries {
                     sequence(1, greatest(size(wins) - 3, 1)),
                     j -> array_min(slice(wins, j, 4))))""").as("fps"))
         .select(col("doc_id"), size(col("fps")).cast("long").as("n_fp"), col("fps"))
+        .cache()
       val exploded = fps.select(col("doc_id"), col("n_fp"), explode(col("fps")).as("fp"))
       val kept = exploded
         .withColumn("df", count(lit(1)).over(

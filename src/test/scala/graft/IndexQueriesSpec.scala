@@ -82,6 +82,35 @@ class IndexQueriesSpec extends SparkTestBase {
     assert(rows(20L) === ((6L, 450L, 0L, 1000L)))
   }
 
+  test("q123: OOV share is monotone in V and exact on a tiny vocab") {
+    // 3 terms: "a"×4, "b"×2, "c"×1 — every V cutoff ≥ 3 covers all
+    val dir = docsDir(Seq(
+      (0L, "a a b c", "en", "s0"),
+      (1L, "a a b", "fr", "s0")))
+    val rows = text.IndexQueries.q123.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(("en", 256L)) === ((4L, 0L, 0L)))
+    assert(rows(("fr", 4096L)) === ((3L, 0L, 0L)))
+    assert(rows.size === 6)
+  }
+
+  test("q124: growth curve counts firsts at each cut") {
+    // docs 0..3; 25% cut → doc 0 only; new terms per doc: 2,1,1,0
+    val dir = docsDir(Seq(
+      (0L, "a b", "en", "s0"),
+      (1L, "a c", "en", "s0"),
+      (2L, "d", "en", "s0"),
+      (3L, "a b c d", "en", "s0")))
+    val rows = text.IndexQueries.q124.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows(25L) === ((1L, 2L, 2L, 1000L)))
+    assert(rows(50L) === ((2L, 4L, 3L, 750L)))
+    assert(rows(75L) === ((3L, 5L, 4L, 800L)))
+    assert(rows(100L) === ((4L, 9L, 4L, 444L)))
+  }
+
   test("q120: chunk counts and overlap on exact boundary cases") {
     val dir = docsDir(Seq(
       (0L, "a" * 256, "en", "s0"),            // exactly one window: 1 chunk, no overlap

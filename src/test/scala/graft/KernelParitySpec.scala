@@ -142,4 +142,15 @@ class KernelParitySpec extends SparkTestBase {
         !(col("fp") <=> col("kfp")) || !(col("wins") <=> col("kwins"))),
       "rolling_hash")
   }
+
+  test("char_grams ≡ transform/substring formulation on unicode + degenerate text") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val hofExpr = expr(
+      s"transform(sequence(1, greatest(length(text) - ${N - 1}, 1)), i -> substring(text, i, $N))")
+    assertNoDiff(
+      docs.select(col("doc_id"), hofExpr.as("h"),
+          expr(s"char_grams(text, $N)").as("k"))
+        .filter(!(col("h") <=> col("k"))),
+      "char_grams")
+  }
 }
