@@ -100,7 +100,12 @@ object ScaleBench {
     "q96_release_diff", "q97_pmi_collocations", "q98_truncation_curve",
     "q99_centroid_drift", "q100_ann_tuning", "q101_curriculum_order",
     "q102_minhash_calibration", "q103_hrw_sharding", "q104_canonical_rank",
-    "q105_quality_dup_lift", "q106_filter_overlap", "q107_bucketed_batching")
+    "q105_quality_dup_lift", "q106_filter_overlap", "q107_bucketed_batching",
+    "q108_winnowing_overlap", "q109_cms_heavy_hitters", "q110_hll_distinct_audit",
+    "q112_bloom_decontam", "q113_contamination_spans", "q114_dedup_pagerank",
+    "q117_binary_ahash_neardup", "q118_postings_gamma_audit", "q119_source_cap_sweep",
+    "q120_chunk_overlap_audit", "q121_dsir_importance", "q122_edit_verified_dedup",
+    "q123_vocab_size_sweep", "q124_vocab_growth")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

@@ -594,7 +594,97 @@ object RelationalQueries {
     FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""))
 
+  // --------------------------------------------------------------- q125
+  /** Two-pass histogram-pruned exact quantiles + sketch-error audit:
+    * pass 1 builds a 256-bin equi-width histogram over integer price
+    * cents (mergeable, partial-aggregable — the sketch a streaming
+    * ingest tier keeps); the DRIVER walks the 256 cumulative counts to
+    * (a) interpolate the sketch's quantile ESTIMATE and (b) locate the
+    * one bin holding each exact target rank; pass 2 ranks ONLY the
+    * ≤ 7 target bins (≈ targets/256 of the data) with a per-bin window
+    * and reads the exact rank statistic. Reported error is the audit:
+    * how far the uniform-within-bin assumption drifts at each tail.
+    *
+    * Scale: no global sort anywhere — pass 1 is a 256-row aggregate,
+    * pass 2 sorts only the pruned bins (recurse the same pruning for a
+    * 100 TB column where a single bin is still huge). All integer
+    * arithmetic: ranks are 0-based lower ranks, the estimate is
+    * `lo + width·off/count` in integer division, mirrored exactly.
+    */
+  val q125 = Q("q125_histogram_quantile_audit",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val v = Tables(s, dir, "lineitem")
+        .select(expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      val head = v.agg(min("v"), max("v"), count(lit(1))).head()
+      val (mn, mx, n) = (head.getLong(0), head.getLong(1), head.getLong(2))
+      val span = mx - mn + 1
+      val binExpr = s"(v - ${mn}L) * 256 div ${span}L"
+      val hist = v.groupBy(expr(binExpr).as("bin")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      var cum = 0L
+      val cums = (0L until 256L).map { b =>
+        val c = hist.getOrElse(b, 0L); val lo = cum; cum += c; b -> ((lo, c))
+      }.toMap
+      val plans = Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L).map { pct =>
+        val r = (n - 1) * pct / 100L
+        val b = (0L until 256L)
+          .find { b => val (lo, c) = cums(b); r >= lo && r < lo + c }.get
+        val (cumLo, c) = cums(b)
+        val off = r - cumLo
+        val blo = mn + b * span / 256L
+        val bhi = mn + (b + 1) * span / 256L
+        (pct, r, b, off, blo + (bhi - blo) * off / c)
+      }
+      val targetBins = plans.map(_._3).distinct
+      val ranked = v.withColumn("bin", expr(binExpr))
+        .filter(col("bin").isin(targetBins: _*))
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("bin").orderBy("v")))
+      val wanted = plans.map { case (pct, r, b, off, est) => (pct, r, b, off + 1, est) }
+        .toDF("pct", "rank_0b", "bin", "rk", "est_cents")
+      ranked.join(broadcast(wanted), Seq("bin", "rk"))
+        .select(col("pct"), col("rank_0b"), col("est_cents"),
+          col("v").as("exact_cents"),
+          expr(s"abs(est_cents - v) * 1000 div ${span}L").as("err_permille_of_span"))
+        .orderBy("pct")
+    },
+    Some("""WITH vv AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ), mm AS (
+      SELECT min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n,
+        max(v) - min(v) + 1 AS span FROM vv
+    ), binned AS (
+      SELECT v, (v - mm.mn) * 256 // mm.span AS bin FROM vv, mm
+    ), hist AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
+    ), cums AS (
+      SELECT bin, c, SUM(c) OVER (ORDER BY bin) - c AS cumlo FROM hist
+    ), pcts AS (
+      SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS pct
+    ), plans AS (
+      SELECT p.pct, (mm.n - 1) * p.pct // 100 AS rank_0b, cu.bin, cu.c,
+        (mm.n - 1) * p.pct // 100 - cu.cumlo AS off,
+        mm.mn + cu.bin * mm.span // 256 AS blo,
+        mm.mn + (cu.bin + 1) * mm.span // 256 AS bhi
+      FROM pcts p, mm, cums cu
+      WHERE (mm.n - 1) * p.pct // 100 >= cu.cumlo
+        AND (mm.n - 1) * p.pct // 100 < cu.cumlo + cu.c
+    ), ranked AS (
+      SELECT bin, v, row_number() OVER (PARTITION BY bin ORDER BY v) AS rk
+      FROM binned WHERE bin IN (SELECT bin FROM plans)
+    )
+    SELECT pl.pct, pl.rank_0b,
+      pl.blo + (pl.bhi - pl.blo) * pl.off // pl.c AS est_cents,
+      rk.v AS exact_cents,
+      abs(pl.blo + (pl.bhi - pl.blo) * pl.off // pl.c - rk.v) * 1000
+        // mm.span AS err_permille_of_span
+    FROM plans pl
+    JOIN ranked rk ON rk.bin = pl.bin AND rk.rk = pl.off + 1, mm
+    ORDER BY pl.pct"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116)
+      q46, q55, q56, q65, q111, q116, q125)
 }

@@ -2061,8 +2061,78 @@ object TextQueries {
     FROM cells GROUP BY jacc_dup, edit_dup
     ORDER BY jacc_dup, edit_dup"""))
 
+  // --------------------------------------------------------------- q126
+  /** Dedup-component topology audit: for every near-dup group (≥ 2
+    * docs), its node count, verified-edge count, edge density, and the
+    * canonical's 3-hop eccentricity — the shape report that separates
+    * CLIQUES (every member verifiably duplicates every other: safe to
+    * keep one) from CHAINS (transitive drift through pairwise-similar
+    * links: the "A~B~C but A≁C" risk every connected-components dedup
+    * carries). `ecc3` is BFS depth from the component minimum capped
+    * at 3 (4 = a member further than 3 hops — pure drift).
+    *
+    * Rides the shared [[dedupEdges]]/[[dedupGroups]] memos (no new
+    * candidate generation); BFS is 3 UNROLLED frontier joins over the
+    * symmetrized edge list — the O(diameter) iterate-on-small-state
+    * pattern (same shape as [[graft.graph.ConnectedComponents]]), all
+    * state bounded by the edge list, never the corpus.
+    */
+  val q126 = Q("q126_dedup_topology",
+    (s, dir) => {
+      val edges = dedupEdges(s, dir)
+      val labels = dedupGroups(s, dir)
+      val esym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val nodes = labels.groupBy("comp").agg(count(lit(1)).as("n_nodes"))
+        .filter(col("n_nodes") >= 2)
+      val edgeCnt = edges
+        .join(labels.select(col("doc_id").as("id_a"), col("comp").as("g")), "id_a")
+        .groupBy("g").agg(count(lit(1)).as("n_edges"))
+      var reach = labels.filter(col("doc_id") === col("comp"))
+        .select(col("comp").as("g"), col("doc_id").as("id"), lit(0).as("dist"))
+      for (d <- 1 to 3) {
+        val next = reach.filter(col("dist") === d - 1)
+          .join(esym, col("id") === col("src"))
+          .select(col("g"), col("dst").as("id"), lit(d).as("dist"))
+        reach = reach.union(next)
+      }
+      val minDist = reach.groupBy("g", "id").agg(min("dist").as("dist"))
+      val ecc = labels.select(col("comp").as("g"), col("doc_id").as("id"))
+        .join(minDist, Seq("g", "id"), "left")
+        .groupBy("g").agg(max(coalesce(col("dist"), lit(4))).cast("long").as("ecc3"))
+      nodes.withColumnRenamed("comp", "g")
+        .join(edgeCnt, "g").join(ecc, "g")
+        .select(col("g").as("group_id"), col("n_nodes"), col("n_edges"),
+          expr("n_edges * 2000 div (n_nodes * (n_nodes - 1))").as("density_permille"),
+          col("ecc3"))
+        .orderBy("group_id")
+    },
+    Some(s"""$dedupCteSql, bfs(gid, id, dist) AS (
+      SELECT group_id, group_id, 0 FROM (SELECT DISTINCT group_id FROM comp)
+      UNION
+      SELECT b.gid, e.dst, b.dist + 1
+      FROM bfs b JOIN esym e ON e.src = b.id WHERE b.dist < 3
+    ), md AS (
+      SELECT gid, id, min(dist) AS dist FROM bfs GROUP BY gid, id
+    ), nodes AS (
+      SELECT group_id AS g, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM comp GROUP BY group_id HAVING count(*) >= 2
+    ), ec AS (
+      SELECT c.group_id AS g, CAST(count(*) AS BIGINT) AS n_edges
+      FROM ver v JOIN comp c ON c.doc_id = v.id_a GROUP BY c.group_id
+    ), ecc AS (
+      SELECT c.group_id AS g, CAST(max(COALESCE(m.dist, 4)) AS BIGINT) AS ecc3
+      FROM comp c LEFT JOIN md m ON m.gid = c.group_id AND m.id = c.doc_id
+      GROUP BY c.group_id
+    )
+    SELECT n.g AS group_id, n.n_nodes, e.n_edges,
+      e.n_edges * 2000 // (n.n_nodes * (n.n_nodes - 1)) AS density_permille,
+      x.ecc3
+    FROM nodes n JOIN ec e ON e.g = n.g JOIN ecc x ON x.g = n.g
+    ORDER BY group_id"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122)
+      q110, q112, q114, q122, q126)
 }
