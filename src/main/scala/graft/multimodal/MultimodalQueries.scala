@@ -101,5 +101,54 @@ object MultimodalQueries {
     FROM scored WHERE hamming <= 2
     ORDER BY id_a, id_b"""))
 
-  def all: Seq[Q] = Seq(q117)
+  // --------------------------------------------------------------- q129
+  /** Asset feature rollup through the REAL decode path: the
+    * [[Multimodal.extractFeatures]] `mapPartitions` batch boundary
+    * (where a vectorized codec lives) feeds a per-kind rollup — asset
+    * count, byte mass, header checksum mass, distinct content
+    * fingerprints (exact-dup count across modality). This routes the
+    * partition-local decode plumbing through the ORACLED catalog: the
+    * oracle recomputes every feature from the payload bytes
+    * (octet_length / first-16-byte sum via hex nibbles / md5), so a
+    * drift in the decode stub's byte handling fails the gate.
+    *
+    * Scale: decode is embarrassingly parallel map-side work; the
+    * rollup shuffles 4 longs per asset — payloads never cross the
+    * exchange. `n_distinct_fp` is the one distinct-agg (fingerprints
+    * are 32-byte strings, the shuffle the dedup layer already pays).
+    */
+  val q129 = Q("q129_asset_feature_rollup",
+    (s, dir) => {
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticAssets(s, dir)).toDF()
+      feats.groupBy("kind")
+        .agg(count(lit(1)).as("n_assets"),
+          sum("n_bytes").as("sum_bytes"),
+          sum("header_sum").as("sum_header"),
+          countDistinct("fingerprint").as("n_distinct_fp"))
+        .select("kind", "n_assets", "sum_bytes", "sum_header", "n_distinct_fp")
+        .orderBy("kind")
+    },
+    Some("""WITH assets AS (
+      SELECT doc_id AS asset_id,
+        ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+        encode(text) AS payload, hex(encode(text)) AS hx,
+        octet_length(encode(text)) AS n
+      FROM documents
+    ), feats AS (
+      SELECT asset_id, kind, CAST(n AS BIGINT) AS n_bytes,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, least(n, 16)), k ->
+            CAST((strpos('0123456789ABCDEF', substr(hx, 2*k-1, 1)) - 1) * 16 +
+                 (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1) AS BIGINT))),
+          (a, x) -> a + x) AS BIGINT) AS header_sum,
+        md5(text) AS fingerprint
+      FROM assets JOIN documents ON documents.doc_id = assets.asset_id
+    )
+    SELECT kind, CAST(count(*) AS BIGINT) AS n_assets,
+      CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes,
+      CAST(SUM(header_sum) AS BIGINT) AS sum_header,
+      CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fp
+    FROM feats GROUP BY kind ORDER BY kind"""))
+
+  def all: Seq[Q] = Seq(q117, q129)
 }

@@ -405,5 +405,88 @@ object IndexQueries {
         // (SELECT CAST(SUM(n_tok) AS BIGINT) FROM perdoc p WHERE p.doc_id <= c.cut_id) AS type_token_permille
     FROM cuts c ORDER BY pct"""))
 
-  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124)
+  // --------------------------------------------------------------- q127
+  /** Bigram-LM next-token accuracy — the LM-eval-harness shape run on
+    * the exact n-gram model: train a bigram argmax predictor on the
+    * 90 % doc_id-hash train split (the q113/q60 split function),
+    * evaluate top-1 next-token accuracy on the held-out 10 %, per
+    * language. Counts are LINEAR, so evaluation never re-scans the
+    * token stream: both the train model and the eval set are
+    * aggregated (context, next) count tables from ONE conditional
+    * groupBy, and accuracy is a join of the two aggregates — `hits =
+    * Σ cnt·[next = argmax(context)]`. The argmax tie-break is
+    * deterministic (count DESC, token ASC); unseen eval contexts
+    * score as misses and are reported (`oov_ctx_permille`).
+    *
+    * Scale: one shuffle on (split-flag, lang, w1, w2) partial
+    * aggregates; the per-context argmax is a rank window over the
+    * MODEL table (vocabulary², not the corpus); the final join keys on
+    * context — vocabulary-sized both sides.
+    */
+  val q127 = Q("q127_next_token_accuracy",
+    (s, dir) => {
+      val tk = split(trim(col("text")), "\\s+")
+      val base = Tables(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("lang"),
+          (expr("doc_id * 2654435761") % 1000 < 900).as("is_train"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("lang"), col("is_train"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("lang"), col("is_train"), col("b.w1"), col("b.w2"))
+      val counts = base.groupBy("lang", "w1", "w2")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_train"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("c_eval"))
+      val model = counts.groupBy("w1", "w2")
+        .agg(sum("c_train").as("c"))
+        .filter(col("c") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))))
+        .filter(col("rk") === 1)
+        .select(col("w1"), col("w2").as("pred"))
+      counts.filter(col("c_eval") > 0)
+        .join(broadcast(model), Seq("w1"), "left")
+        .groupBy("lang")
+        .agg(sum("c_eval").as("n_eval"),
+          sum(when(col("w2") === col("pred"), col("c_eval")).otherwise(0L)).as("n_hits"),
+          sum(when(col("pred").isNull, col("c_eval")).otherwise(0L)).as("n_oov_ctx"))
+        .select(col("lang"), col("n_eval"), col("n_hits"),
+          expr("n_hits * 1000 div n_eval").as("acc_permille"),
+          expr("n_oov_ctx * 1000 div n_eval").as("oov_ctx_permille"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (
+      SELECT lang, (doc_id * 2654435761) % 1000 < 900 AS is_train,
+        string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT lang, is_train, tk,
+        unnest(generate_series(1, len(tk) - 1)) AS i
+      FROM base WHERE len(tk) >= 2
+    ), bi AS (
+      SELECT lang, is_train, tk[i] AS w1, tk[i + 1] AS w2 FROM pos
+    ), counts AS (
+      SELECT lang, w1, w2,
+        CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+        CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS c_eval
+      FROM bi GROUP BY lang, w1, w2
+    ), model AS (
+      SELECT w1, w2 AS pred FROM (
+        SELECT w1, w2, row_number() OVER (PARTITION BY w1
+          ORDER BY SUM(c_train) DESC, w2) AS rk
+        FROM counts GROUP BY w1, w2 HAVING SUM(c_train) > 0
+      ) WHERE rk = 1
+    )
+    SELECT c.lang, CAST(SUM(c.c_eval) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(c.c_eval) AS BIGINT) AS acc_permille,
+      CAST(SUM(CASE WHEN m.pred IS NULL THEN c.c_eval ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(c.c_eval) AS BIGINT) AS oov_ctx_permille
+    FROM counts c LEFT JOIN model m ON m.w1 = c.w1
+    WHERE c.c_eval > 0
+    GROUP BY c.lang ORDER BY c.lang"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124, q127)
 }

@@ -2131,8 +2131,80 @@ object TextQueries {
     FROM nodes n JOIN ec e ON e.g = n.g JOIN ecc x ON x.g = n.g
     ORDER BY group_id"""))
 
+  // --------------------------------------------------------------- q128
+  /** Dedup threshold-sensitivity sweep: the q48 pipeline's one free
+    * parameter (the Jaccard verify threshold) swept over τ ∈ {0.70,
+    * 0.80, 0.90} WITHOUT re-running candidates or verification — every
+    * τ is a different integer filter (`1000·n_inter ≥ τ‰·n_union`)
+    * over the same [[scoredPairs]] memo, then its own
+    * connected-components pass. Reports, per τ: verified edges,
+    * non-singleton groups, docs inside groups, and the largest group —
+    * the stability curve that says whether the production τ = 0.8 sits
+    * on a plateau (robust) or a cliff (one more relaxation step and
+    * components chain together).
+    *
+    * Scale: the CC runs iterate on the EDGE lists (tiny — near-dup
+    * pairs), never the corpus; three sweeps = three bounded
+    * large-star/small-star chains over shrinking label sets.
+    */
+  val q128 = Q("q128_dedup_threshold_sweep",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val scored = scoredPairs(s, dir).filter(col("n_union") > 0)
+      val rows = Seq(700L, 800L, 900L).map { tau =>
+        val edges = scored
+          .filter(col("n_inter") * 1000 >= col("n_union") * tau)
+          .select("id_a", "id_b")
+        val nEdges = edges.count()
+        val (labels, _) = graft.graph.ConnectedComponents.label(edges, docs)
+        val groups = labels.groupBy("comp").agg(count(lit(1)).as("sz"))
+          .filter(col("sz") >= 2)
+        val st = groups.agg(
+          coalesce(count(lit(1)), lit(0L)).as("n_groups"),
+          coalesce(sum("sz"), lit(0L)).as("n_docs_grouped"),
+          coalesce(max("sz"), lit(0L)).as("max_group")).head()
+        (tau, nEdges, st.getLong(0), st.getLong(1), st.getLong(2))
+      }
+      rows.toDF("tau_permille", "n_edges", "n_groups", "n_docs_grouped", "max_group")
+        .orderBy("tau_permille")
+    },
+    Some {
+      def per(t: Int) = s"""ver$t AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c JOIN shd a ON a.doc_id = c.id_a JOIN shd b ON b.doc_id = c.id_b
+      WHERE len(list_distinct(list_concat(a.s, b.s))) > 0
+        AND len(list_intersect(a.s, b.s)) * 1000
+            >= len(list_distinct(list_concat(a.s, b.s))) * $t
+    ), esym$t AS (
+      SELECT id_a AS src, id_b AS dst FROM ver$t
+      UNION ALL SELECT id_b, id_a FROM ver$t
+    ), reach$t(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, re.r FROM reach$t re JOIN esym$t e ON e.src = re.id
+    ), comp$t AS (
+      SELECT id AS doc_id, min(r) AS group_id FROM reach$t GROUP BY id
+    ), grp$t AS (
+      SELECT group_id, count(*) AS sz FROM comp$t GROUP BY group_id HAVING count(*) >= 2
+    ), st$t AS (
+      SELECT CAST($t AS BIGINT) AS tau_permille,
+        (SELECT CAST(count(*) AS BIGINT) FROM ver$t) AS n_edges,
+        CAST(COALESCE(count(*), 0) AS BIGINT) AS n_groups,
+        CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_docs_grouped,
+        CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_group
+      FROM grp$t
+    )"""
+      s"""WITH RECURSIVE $candChainSql, shd AS (
+      SELECT doc_id, $shinglesSqlExpr AS s FROM documents
+    ), ${per(700)}, ${per(800)}, ${per(900)}
+    SELECT * FROM st700 UNION ALL SELECT * FROM st800 UNION ALL SELECT * FROM st900
+    ORDER BY tau_permille"""
+    })
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126)
+      q110, q112, q114, q122, q126, q128)
 }

@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+/** Fixtures for q127 (bigram next-token accuracy), q128 (threshold
+  * sweep) and q129 (asset feature rollup).
+  */
+class WaveESpec extends SparkTestBase {
+
+  private def docsDir(rows: Seq[(Long, String, String, String)]): String = {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-we").toFile.getAbsolutePath
+    rows.map { case (id, text, lang, source) => (id, text, lang, source, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q127: argmax model scores the held-out bigrams") {
+    // ids 0..16 hash to train, 17 and 21 to eval ((id·2654435761) % 1000)
+    val dir = docsDir(Seq(
+      (0L, "a b a b a b", "en", "s0"),       // train: a→b (×3), b→a (×2)
+      (1L, "a c", "en", "s0"),               // train: a→c (×1) — argmax(a)=b
+      (17L, "a b a c z q", "en", "s0"),      // eval: hit, miss, oov-context
+      (21L, "b a", "fr", "s0")))             // eval fr: b→a hit
+    val out = text.IndexQueries.q127.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // en eval bigrams: (a,b) hit, (b,a) hit, (a,c) miss, (c,z) oov, (z,q) oov
+    assert(out("en") === ((5L, 2L, 400L, 400L)))
+    assert(out("fr") === ((1L, 1L, 1000L, 0L)))
+  }
+
+  test("q128: the relaxation step picks up the weaker pair") {
+    val strong = Seq.tabulate(90)(i => s"str$i").mkString(" ")
+    val weakBase = Seq.tabulate(60)(i => s"wk$i").mkString(" ")
+    val weakTail = Seq.tabulate(16)(i => s"tail$i").mkString(" ") // ~20% extra
+    val dir = docsDir(Seq(
+      (0L, strong, "en", "s0"), (1L, strong, "en", "s0"),  // jaccard 1.0
+      (2L, weakBase, "en", "s0"),
+      (3L, weakBase + " " + weakTail, "en", "s0"),          // jaccard ~0.75
+      (4L, Seq.fill(50)("unrelated other words").mkString(" "), "en", "s1")))
+    val out = text.TextQueries.q128.run(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(700L) === ((2L, 2L, 4L, 2L)), s"tau .70 keeps both pairs: ${out(700L)}")
+    assert(out(800L) === ((1L, 1L, 2L, 2L)), "tau .80 keeps only the exact dup")
+    assert(out(900L) === ((1L, 1L, 2L, 2L)))
+  }
+
+  test("q129: per-kind rollup equals hand-computed byte features") {
+    val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
+    val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
+    val out = multimodal.MultimodalQueries.q129.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    def hdr(s: String) = s.getBytes("UTF-8").take(16).map(_.toLong & 0xffL).sum
+    assert(out("image") === ((1L, 12L, hdr("imagepayload"), 1L)))
+    assert(out("audio") === ((1L, 13L, hdr("audiopayload!"), 1L)))
+    assert(out("video") === ((1L, 14L, hdr("videopayload!!"), 1L)))
+  }
+}
