@@ -20,20 +20,26 @@ object IndexQueries {
     * ≥ 1) against raw 64-bit postings. ⌊log₂ g⌋+1 is `length(bin(g))`
     * in BOTH engines — bit-exact integer arithmetic, no float log.
     *
-    * Scale: tokenize → distinct(term, doc) → one shuffle on term; the
-    * per-term gap walk is a lag window over the SAME partitioning (no
-    * second shuffle — the window reuses the groupBy exchange). The
-    * final top-k orders a vocabulary-sized aggregate, not the postings
-    * stream. Document-frequency skew ("the" appears everywhere) is
-    * bounded: a term's row count is ≤ corpus doc count, and the heavy
-    * terms are exactly the ones the audit is FOR.
+    * Scale: tokenize → ONE term-keyed exchange that serves the whole
+    * query: `hashpartitioning(term)` satisfies the (term, doc_id)
+    * distinct's clustering requirement AND the gap window's, so the
+    * dedup aggregate, the lag walk, and the per-term rollup all run on
+    * that single shuffle (pinned by PlanAuditSpec). A naive
+    * `.distinct()` first plans a second exchange on (doc_id, term) —
+    * and since per-doc term repetition is low, map-side pre-dedup
+    * saves little while the extra shuffle ships the postings twice.
+    * The final top-k orders a vocabulary-sized aggregate, not the
+    * postings stream. Document-frequency skew ("the" appears
+    * everywhere) is bounded: a term's row count is ≤ corpus doc count,
+    * and the heavy terms are exactly the ones the audit is FOR.
     */
   val q118 = Q("q118_postings_gamma_audit",
     (s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
         .filter(col("term") =!= "")
-        .distinct()
+        .repartition(col("term"))
+        .dropDuplicates("term", "doc_id")
       val w = Window.partitionBy("term").orderBy("doc_id")
       val gaps = toks
         .withColumn("gap", coalesce(col("doc_id") - lag("doc_id", 1).over(w),

@@ -368,4 +368,35 @@ class PlanAuditSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS lineitem_bk")
     }
   }
+
+  test("q118: the whole postings walk rides ONE term-keyed exchange") {
+    val p = plan("q118_postings_gamma_audit")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      "distinct, gap window and rollup must all reuse the term partitioning")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must be a TakeOrdered, not a global sort")
+  }
+
+  test("q121/q123/q127: model/vocab tables broadcast to the scoring joins") {
+    for (n <- Seq("q121_dsir_importance", "q123_vocab_size_sweep",
+      "q127_next_token_accuracy")) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"), s"$n: model probe must broadcast")
+      assert(!p.contains("SortMergeJoin"), s"$n: no sort-merge anywhere")
+    }
+  }
+
+  test("q117: Hamming-LSH candidates form only inside (band_idx, band_code) buckets") {
+    val p = plan("q117_binary_ahash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the band self-join must stay an equi join")
+  }
+
+  test("q125: quantile audit never plans a global sort of the column") {
+    val p = plan("q125_histogram_quantile_audit")
+    assert(!p.contains("rangepartitioning(v"),
+      "pass 2 sorts only within pruned bins — no range exchange of the column " +
+        "(the 7-row presentation sort on pct is the only range partitioning allowed)")
+    assert(p.contains("BroadcastHashJoin"), "the 7-row rank table must broadcast")
+  }
 }
