@@ -684,7 +684,51 @@ object RelationalQueries {
     JOIN ranked rk ON rk.bin = pl.bin AND rk.rk = pl.off + 1, mm
     ORDER BY pl.pct"""))
 
+  // --------------------------------------------------------------- q132
+  /** Event-type transition matrix — the behavioral Markov summary a
+    * sequence-modeling pipeline starts from: per-user event streams
+    * (ts, event_id order — fully deterministic) yield (from → to)
+    * transition counts, each row's share of its FROM-state marginal in
+    * integer permille, plus the self-loop flag analytics dashboards
+    * filter on. One series window per user (the q13 one-shuffle shape)
+    * and a 25-row aggregate — the corpus-sized stream crosses the wire
+    * once, partitioned by user.
+    */
+  val q132 = Q("q132_event_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val trans = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("to_type", lead("event_type", 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val marg = trans.groupBy("from_type").agg(sum("n").as("n_from"))
+      trans.join(broadcast(marg), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000 div n_from").as("share_permille"),
+          when(col("from_type") === col("to_type"), 1L).otherwise(0L).as("self_loop"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (
+      SELECT user_id, event_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY epoch_us(ts), event_id) AS to_type
+      FROM events
+    ), trans AS (
+      SELECT event_type AS from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY event_type, to_type
+    ), marg AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM trans GROUP BY from_type
+    )
+    SELECT t.from_type, t.to_type, t.n,
+      t.n * 1000 // m.n_from AS share_permille,
+      CAST(CASE WHEN t.from_type = t.to_type THEN 1 ELSE 0 END AS BIGINT) AS self_loop
+    FROM trans t JOIN marg m USING (from_type)
+    ORDER BY from_type, to_type"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116, q125)
+      q46, q55, q56, q65, q111, q116, q125, q132)
 }

@@ -1512,7 +1512,149 @@ object VectorQueries {
     FROM st s LEFT JOIN h USING (nprobe, q_id)
     ORDER BY nprobe, q_id"""))
 
+  // --------------------------------------------------------------- q130
+  /** IVF index-balance audit — the health check an ANN index needs
+    * before anyone trusts its latency: per-cell posting sizes from the
+    * memoized assignment ([[cellRanks]], crn = 1), each cell's load
+    * factor vs the perfectly-balanced ideal (1000 = ideal, 2000 = the
+    * cell carries 2× its share), and the corpus-wide expected scan
+    * fraction at nprobe = 1 (Σ szᵢ²/N² — queries distributed like the
+    * data hit big cells more often, so imbalance hurts TWICE). All
+    * integer; the rollup reduces a cells-count-sized frame.
+    */
+  val q130 = Q("q130_ivf_balance_audit",
+    (s, dir) => {
+      val sz = cellRanks(s, dir).filter(col("crn") === 1)
+        .groupBy(col("clabel").as("cell"))
+        .agg(count(lit(1)).as("n_vecs"))
+      val tot = sz.agg(sum("n_vecs").as("n_total"),
+        count(lit(1)).as("n_cells"),
+        sum(col("n_vecs") * col("n_vecs")).as("sum_sq"))
+      sz.crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_vecs"),
+          expr("n_vecs * 1000 div n_total").as("share_permille"),
+          expr("n_vecs * n_cells * 1000 div n_total").as("load_permille"),
+          expr("sum_sq * 1000 div (n_total * n_total)").as("scan_frac_permille"))
+        .orderBy("cell")
+    },
+    Some(s"""WITH ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM (
+        SELECT d.vec_id, d.label,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+        FROM dots d JOIN cn USING (label))
+      WHERE crn = 1
+    ), sz AS (
+      SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs FROM assigned GROUP BY cell
+    ), tot AS (
+      SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+        CAST(count(*) AS BIGINT) AS n_cells,
+        CAST(SUM(n_vecs * n_vecs) AS BIGINT) AS sum_sq
+      FROM sz
+    )
+    SELECT s.cell, s.n_vecs,
+      s.n_vecs * 1000 // t.n_total AS share_permille,
+      s.n_vecs * t.n_cells * 1000 // t.n_total AS load_permille,
+      t.sum_sq * 1000 // (t.n_total * t.n_total) AS scan_frac_permille
+    FROM sz s, tot t ORDER BY s.cell"""))
+
+  // --------------------------------------------------------------- q131
+  /** Johnson–Lindenstrauss distance-preservation audit: project the
+    * 64-dim embeddings to 16 dims through a DETERMINISTIC ±1 sign
+    * matrix (integer hash of (dim, out-dim) — no RNG), then measure
+    * pairwise L2 distortion `(d²₁₆/16)/d²₆₄` (the ±1 matrix scales
+    * expected squared norms by k, so /16 renormalizes) on the deterministic
+    * stride-97 pair set. The distortion histogram (permille deciles)
+    * is the evidence for how hard the 4× compression bends distances —
+    * the measurement behind every "project then index" shortcut.
+    *
+    * Exactness: projections and distances are ORDERED double folds
+    * (same adds, same order in both engines — the q39 recipe); the
+    * distortion ratio is two single IEEE divisions and the decile
+    * bucket an integer truncation of ratio·10.
+    */
+  val q131 = Q("q131_jl_distortion_audit",
+    (s, dir) => {
+      // sign(d, j) = +1/−1 from an integer hash — mirrored verbatim
+      def sgn(j: Int) =
+        s"transform(sequence(1, size(embedding)), d -> " +
+          s"CAST(CASE WHEN (d * 31 + $j * 131) % 97 % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE))"
+      val projCols = (1 to 16).map(j =>
+        expr(s"aggregate(zip_with(embedding, ${sgn(j)}, (x, g) -> CAST(x AS DOUBLE) * g), " +
+          s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as(s"y$j"))
+      val proj = Tables(s, dir, "embeddings")
+        .select(col("vec_id") +: col("embedding") +: projCols: _*)
+      val a = proj.select(col("vec_id").as("id_a") +: col("embedding").as("ea") +:
+        (1 to 16).map(j => col(s"y$j").as(s"ya$j")): _*)
+      val b = proj.select(col("vec_id").as("id_b") +: col("embedding").as("eb") +:
+        (1 to 16).map(j => col(s"y$j").as(s"yb$j")): _*)
+      val d16 = (1 to 16).map(j =>
+        expr(s"(ya$j - yb$j) * (ya$j - yb$j)")).reduce(_ + _)
+      val pairs = a.join(b, col("id_b") === col("id_a") + 97)
+        .withColumn("d64", expr(
+          "aggregate(zip_with(ea, eb, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * " +
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"))
+        .withColumn("d16", d16)
+        .filter(col("d64") > 0)
+        .withColumn("ratio", (col("d16") / 16.0) / col("d64"))
+        // floor, not a bare cast: DuckDB CAST(double AS BIGINT) ROUNDS
+        // while Spark truncates — floor() first is exact in both
+        .withColumn("decile", expr("least(CAST(floor(ratio * 10) AS BIGINT), 30L)"))
+      pairs.groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select("decile", "n_pairs")
+        .orderBy("decile")
+    },
+    Some("""WITH proj AS (
+      SELECT vec_id, embedding,
+        list_transform(generate_series(1, 16), j ->
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(generate_series(1, len(embedding)), d ->
+              CAST(embedding[d] AS DOUBLE) *
+              (CASE WHEN (d * 31 + j * 131) % 97 % 2 = 0 THEN 1.0 ELSE -1.0 END))),
+            (acc, v) -> acc + v)) AS y
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(a.embedding, b.embedding), p ->
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) *
+            (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+          (acc, v) -> acc + v) AS d64,
+        ((a.y[1]-b.y[1])*(a.y[1]-b.y[1]) + (a.y[2]-b.y[2])*(a.y[2]-b.y[2]) +
+         (a.y[3]-b.y[3])*(a.y[3]-b.y[3]) + (a.y[4]-b.y[4])*(a.y[4]-b.y[4]) +
+         (a.y[5]-b.y[5])*(a.y[5]-b.y[5]) + (a.y[6]-b.y[6])*(a.y[6]-b.y[6]) +
+         (a.y[7]-b.y[7])*(a.y[7]-b.y[7]) + (a.y[8]-b.y[8])*(a.y[8]-b.y[8]) +
+         (a.y[9]-b.y[9])*(a.y[9]-b.y[9]) + (a.y[10]-b.y[10])*(a.y[10]-b.y[10]) +
+         (a.y[11]-b.y[11])*(a.y[11]-b.y[11]) + (a.y[12]-b.y[12])*(a.y[12]-b.y[12]) +
+         (a.y[13]-b.y[13])*(a.y[13]-b.y[13]) + (a.y[14]-b.y[14])*(a.y[14]-b.y[14]) +
+         (a.y[15]-b.y[15])*(a.y[15]-b.y[15]) + (a.y[16]-b.y[16])*(a.y[16]-b.y[16])) AS d16
+      FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 97
+    )
+    SELECT least(CAST(floor((d16 / 16) / d64 * 10) AS BIGINT), 30) AS decile,
+      CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE d64 > 0
+    GROUP BY 1 ORDER BY decile"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100)
+      q100, q130, q131)
 }

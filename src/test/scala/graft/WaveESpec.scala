@@ -49,6 +49,52 @@ class WaveESpec extends SparkTestBase {
     assert(out(900L) === ((1L, 1L, 2L, 2L)))
   }
 
+  test("q130: balance audit prices the skewed cell") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-ivf").toFile.getAbsolutePath
+    // 3 vectors hug axis-0 (label 0), 1 hugs axis-1 (label 1)
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.1f), 0), (2L, Array(0.8f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f), 1))
+    e.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = vec.VectorQueries.q130.run(spark, dir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // shares 750/250; loads 1500/500; scan fraction (9+1)/16 = 625‰
+    assert(out(0) === ((3L, 750L, 1500L, 625L)))
+    assert(out(1) === ((1L, 250L, 500L, 625L)))
+  }
+
+  test("q131: every stride pair lands in a capped decile") {
+    val out = vec.VectorQueries.q131.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // ids 0..499, stride 97 → 403 pairs (no identical-embedding pairs)
+    assert(out.map(_._2).sum === 403L)
+    assert(out.forall { case (d, _) => d >= 0L && d <= 30L })
+  }
+
+  test("q132: transition matrix on a hand-built stream") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-ev").toFile.getAbsolutePath
+    // user 1: A,B,A → A→B, B→A; user 2: B,B → B→B
+    Seq((10L, 1000000000L, 1L, "A", 1.0, "{}"),
+        (11L, 2000000000L, 1L, "B", 1.0, "{}"),
+        (12L, 3000000000L, 1L, "A", 1.0, "{}"),
+        (13L, 1000000000L, 2L, "B", 1.0, "{}"),
+        (14L, 2000000000L, 2L, "B", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q132.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("A", "B")) === ((1L, 1000L, 0L)))
+    assert(out(("B", "A")) === ((1L, 500L, 0L)))
+    assert(out(("B", "B")) === ((1L, 500L, 1L)))
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
