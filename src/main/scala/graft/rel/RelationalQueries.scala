@@ -728,7 +728,131 @@ object RelationalQueries {
     FROM trans t JOIN marg m USING (from_type)
     ORDER BY from_type, to_type"""))
 
+  // --------------------------------------------------------------- q133
+  /** Columnar-encoding advisor: for four representative lineitem
+    * columns, the statistics a parquet/ORC writer consults — global
+    * cardinality, dictionary code width (`length(bin(distinct−1))`
+    * bits), and RLE run structure WITHIN each order's row cluster (the
+    * row-group stand-in: real writers encode per row group, so run
+    * counting never needs a global order — each order's runs count in
+    * parallel and sum). The verdict column applies the standard rule:
+    * RLE when the mean run ≥ 2 values, else dictionary when codes fit
+    * a byte, else plain.
+    *
+    * Scale: four column-pruned scans (each branch reads ONE value
+    * column + the two cluster keys), per-order windows (the natural
+    * clustering key — no global window anywhere), 4-row output.
+    */
+  val q133 = Q("q133_encoding_advisor",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      def forCol(name: String): org.apache.spark.sql.DataFrame = {
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data;
+        // appending the value itself makes the order total UP TO ties of
+        // equal values, under which the run structure is invariant
+        val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "v")
+        val runs = li.select(col("l_orderkey"), col("l_linenumber"), col(name).as("v"))
+          // exactly IS DISTINCT FROM: <=> treats NULL-vs-NULL as equal
+          // (a run of NULLs is ONE run, matching the oracle; an extra
+          // isNull clause here double-counted null rows as new runs)
+          .withColumn("is_new",
+            when(!(col("v") <=> lag("v", 1).over(w)), 1L).otherwise(0L))
+          .agg(count(lit(1)).as("n_rows"), sum("is_new").as("n_runs"))
+        val card = li.select(countDistinct(col(name)).as("n_distinct"))
+        runs.crossJoin(card).select(
+          lit(name).as("col_name"), col("n_rows"), col("n_distinct"),
+          length(bin(greatest(col("n_distinct") - 1, lit(1)))).cast("long").as("dict_bits"),
+          col("n_runs"),
+          expr("n_rows * 1000 div n_runs").as("avg_run_permille"))
+      }
+      Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .map(forCol).reduce(_.unionAll(_))
+        .withColumn("advice",
+          when(col("avg_run_permille") >= 2000, lit("rle"))
+            .when(col("dict_bits") <= 8, lit("dict"))
+            .otherwise(lit("plain")))
+        .orderBy("col_name")
+    },
+    Some {
+      def per(c: String) = s"""(
+      SELECT '$c' AS col_name,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        (SELECT CAST(count(DISTINCT $c) AS BIGINT) FROM lineitem) AS n_distinct,
+        CAST(length(bin(greatest((SELECT count(DISTINCT $c) FROM lineitem) - 1, 1))) AS BIGINT) AS dict_bits,
+        CAST(SUM(is_new) AS BIGINT) AS n_runs
+      FROM (
+        SELECT CASE WHEN lag($c) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, $c)
+                         IS DISTINCT FROM $c THEN 1 ELSE 0 END AS is_new
+        FROM lineitem))"""
+      s"""WITH stats AS (
+      ${Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .map(per).mkString("\n      UNION ALL\n      ")}
+    )
+    SELECT col_name, n_rows, n_distinct, dict_bits, n_runs,
+      n_rows * 1000 // n_runs AS avg_run_permille,
+      CASE WHEN n_rows * 1000 // n_runs >= 2000 THEN 'rle'
+           WHEN dict_bits <= 8 THEN 'dict' ELSE 'plain' END AS advice
+    FROM stats ORDER BY col_name"""
+    })
+
+  // --------------------------------------------------------------- q134
+  /** Join-cardinality estimator audit — the CBO sanity check: for the
+    * three FK joins of the schema, compare the textbook independence
+    * estimate `|A|·|B| / max(d_A, d_B)` (the formula every
+    * System-R-descended optimizer uses) against the TRUE join
+    * cardinality, in integer permille error. The inputs (row counts,
+    * per-side key cardinalities) are exactly the statistics ANALYZE
+    * would collect; the audit shows where FK uniformity holds (orders →
+    * lineitem) and where skew breaks the formula.
+    */
+  val q134 = Q("q134_join_card_audit",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      def audit(nameA: String, keyA: String, nameB: String, keyB: String)
+          : (String, Long, Long, Long, Long, Long, Long) = {
+        val a = Tables(s, dir, nameA).select(col(keyA).as("k"))
+        val b = Tables(s, dir, nameB).select(col(keyB).as("k"))
+        val sa = a.agg(count(lit(1)), countDistinct(col("k"))).head()
+        val sb = b.agg(count(lit(1)), countDistinct(col("k"))).head()
+        val actual = a.join(b, "k").count()
+        val est = sa.getLong(0) * sb.getLong(0) / math.max(sa.getLong(1), sb.getLong(1))
+        (s"$nameA-$nameB", sa.getLong(0), sb.getLong(0), sa.getLong(1), sb.getLong(1),
+          est, actual)
+      }
+      Seq(audit("customer", "c_custkey", "orders", "o_custkey"),
+        audit("orders", "o_orderkey", "lineitem", "l_orderkey"),
+        audit("nation", "n_nationkey", "supplier", "s_nationkey"))
+        .toDF("join_name", "n_left", "n_right", "d_left", "d_right", "est_rows", "actual_rows")
+        .withColumn("err_permille",
+          expr("abs(est_rows - actual_rows) * 1000 div actual_rows"))
+        .orderBy("join_name")
+    },
+    Some {
+      def per(a: String, ka: String, b: String, kb: String) = s"""(
+      SELECT '$a-$b' AS join_name,
+        (SELECT CAST(count(*) AS BIGINT) FROM $a) AS n_left,
+        (SELECT CAST(count(*) AS BIGINT) FROM $b) AS n_right,
+        (SELECT CAST(count(DISTINCT $ka) AS BIGINT) FROM $a) AS d_left,
+        (SELECT CAST(count(DISTINCT $kb) AS BIGINT) FROM $b) AS d_right,
+        (SELECT count(*) FROM $a) * (SELECT count(*) FROM $b)
+          // greatest((SELECT count(DISTINCT $ka) FROM $a),
+                      (SELECT count(DISTINCT $kb) FROM $b)) AS est_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM $a JOIN $b ON $a.$ka = $b.$kb) AS actual_rows)"""
+      s"""WITH stats AS (
+      ${per("customer", "c_custkey", "orders", "o_custkey")}
+      UNION ALL
+      ${per("orders", "o_orderkey", "lineitem", "l_orderkey")}
+      UNION ALL
+      ${per("nation", "n_nationkey", "supplier", "s_nationkey")}
+    )
+    SELECT join_name, n_left, n_right, d_left, d_right,
+      CAST(est_rows AS BIGINT) AS est_rows, actual_rows,
+      abs(CAST(est_rows AS BIGINT) - actual_rows) * 1000 // actual_rows AS err_permille
+    FROM stats ORDER BY join_name"""
+    })
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116, q125, q132)
+      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134)
 }

@@ -95,6 +95,38 @@ class WaveESpec extends SparkTestBase {
     assert(out(("B", "B")) === ((1L, 500L, 1L)))
   }
 
+  test("q133: run structure and advice on a hand-built cluster") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-enc").toFile.getAbsolutePath
+    // one order, 6 lines: returnflag runs A A B B B A → 3 runs
+    val rows = Seq(
+      (1L, 1, "A", "O", 1.0, 10.0), (1L, 2, "A", "O", 1.0, 20.0),
+      (1L, 3, "B", "O", 2.0, 30.0), (1L, 4, "B", "O", 2.0, 40.0),
+      (1L, 5, "B", "F", 2.0, 50.0), (1L, 6, "A", "F", 3.0, 60.0))
+    rows.toDF("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val out = rel.RelationalQueries.q133.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6)))).toMap
+    assert(out("l_returnflag") === ((6L, 2L, 1L, 3L, "rle")))       // avg run 2.0
+    assert(out("l_linestatus") === ((6L, 2L, 1L, 2L, "rle")))       // runs O,F
+    assert(out("l_quantity") === ((6L, 3L, 2L, 3L, "rle")))
+    assert(out("l_extendedprice") === ((6L, 6L, 3L, 6L, "dict")))   // all runs of 1
+  }
+
+  test("q134: independence estimate is exact on uniform FK joins") {
+    val out = rel.RelationalQueries.q134.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // orders→lineitem: every lineitem has a parent; d = orderkeys of orders
+    val (estOL, actOL, errOL) = out("orders-lineitem")
+    assert(actOL > 0 && estOL === actOL && errOL === 0L,
+      s"uniform FK join must estimate exactly: ${out("orders-lineitem")}")
+    assert(out.size === 3)
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
