@@ -852,7 +852,113 @@ object RelationalQueries {
     FROM stats ORDER BY join_name"""
     })
 
+  // --------------------------------------------------------------- q136
+  /** Ordered funnel conversion (view → click → purchase): the
+    * product-analytics sequence-match operator — a user converts at
+    * step k only with a step-k event STRICTLY AFTER their step-(k−1)
+    * conversion time. Three per-user min-aggregates chained by
+    * broadcast joins (each stage's output is one row per surviving
+    * user, shrinking monotonically); no window, no self-join of the
+    * event stream, the stream is scanned once per step with the
+    * event-type filter pushed to the scan.
+    */
+  val q136 = Q("q136_funnel_conversion",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(broadcast(s1), "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id").filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
+      Seq(
+        (1L, "view", n1, 1000L),
+        (2L, "click", n2, if (n1 > 0) n2 * 1000 / n1 else 0L),
+        (3L, "purchase", n3, if (n2 > 0) n3 * 1000 / n2 else 0L))
+        .toDF("step", "event_type", "n_users", "conv_permille")
+        .orderBy("step")
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts_us) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts_us) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type,
+        (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users,
+        CAST(1000 AS BIGINT) AS conv_permille
+      UNION ALL
+      SELECT 2, 'click', (SELECT count(*) FROM s2),
+        CASE WHEN (SELECT count(*) FROM s1) > 0
+          THEN (SELECT count(*) FROM s2) * 1000 // (SELECT count(*) FROM s1)
+          ELSE 0 END
+      UNION ALL
+      SELECT 3, 'purchase', (SELECT count(*) FROM s3),
+        CASE WHEN (SELECT count(*) FROM s2) > 0
+          THEN (SELECT count(*) FROM s3) * 1000 // (SELECT count(*) FROM s2)
+          ELSE 0 END
+    ) ORDER BY step"""))
+
+  // --------------------------------------------------------------- q137
+  /** Weekly retention cohort matrix: users grouped by first-seen week
+    * (relative to the corpus's first event), each cohort's share still
+    * active k weeks later. The classic growth-analytics triangle, all
+    * integer: days are `ts_us div 86400e6`, weeks `div 7` from the
+    * broadcast global minimum. One distinct (user, week) reduction,
+    * one first-seen aggregate, one join between the two per-user
+    * frames — the event stream crosses the wire once.
+    */
+  val q137 = Q("q137_retention_cohorts",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("(ts div 1000) div 86400000000").as("day"))
+      val base = ev.agg(min("day").as("day0"))
+      val uw = ev.crossJoin(broadcast(base))
+        .select(col("user_id"), expr("(day - day0) div 7").as("week"))
+        .distinct()
+      val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      val cSize = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
+      uw.join(broadcast(cohort), "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cSize), "cohort_week")
+        .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
+          expr("n_active * 1000 div n_cohort").as("retention_permille"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+    ), base AS (SELECT min(day) AS day0 FROM ev
+    ), uw AS (
+      SELECT DISTINCT user_id, (day - base.day0) // 7 AS week FROM ev, base
+    ), cohort AS (
+      SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id
+    ), csize AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort FROM cohort GROUP BY cohort_week
+    )
+    SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+      CAST(count(*) AS BIGINT) AS n_active, s.n_cohort,
+      CAST(count(*) AS BIGINT) * 1000 // s.n_cohort AS retention_permille
+    FROM uw u JOIN cohort c ON c.user_id = u.user_id
+    JOIN csize s ON s.cohort_week = c.cohort_week
+    GROUP BY c.cohort_week, u.week - c.cohort_week, s.n_cohort
+    ORDER BY c.cohort_week, week_offset"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134)
+      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137)
 }

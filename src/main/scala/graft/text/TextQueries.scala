@@ -2203,8 +2203,56 @@ object TextQueries {
     ORDER BY tau_permille"""
     })
 
+  // --------------------------------------------------------------- q135
+  /** Skyline (Pareto-front) selection over (length, information
+    * density): the documents no other document dominates on BOTH
+    * n_chars and distinct-8-gram count — the multi-criteria "best
+    * docs" operator (Börzsönyi et al., ICDE 2001) relational engines
+    * ship as SKYLINE OF. Strict-dominance semantics: equal points
+    * survive together.
+    *
+    * Plan shape: per-doc metrics are one kernel pass; the skyline
+    * itself runs on the DISTINCT (x, y) point set — for points sorted
+    * by (x DESC, y DESC), a point survives iff the running max of y
+    * over strictly-preceding points is < its own y (any preceding
+    * distinct point with y ≥ mine dominates me: its x is ≥ mine by
+    * sort order, and equality on both coords is impossible among
+    * distinct points). The window runs over the DISTINCT-point frame —
+    * bounded by value diversity, not corpus size; at 100 TB the
+    * partition-local-skyline-then-merge refinement bounds it further
+    * (each partition's skyline is tiny; the merge reruns the same
+    * window on the union of local skylines).
+    */
+  val q135 = Q("q135_skyline_docs",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val pts = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars").as("x"),
+          expr(s"shingle_agg(text, $N).n_distinct").as("y"))
+      val distinctPts = pts.select("x", "y").distinct()
+        .withColumn("rmax", max("y").over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("x").desc, col("y").desc)
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      val sky = distinctPts.filter(col("rmax").isNull || col("rmax") < col("y"))
+        .select("x", "y")
+      pts.join(broadcast(sky), Seq("x", "y"))
+        .select("doc_id", "x", "y")
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH pts AS (
+      SELECT doc_id, n_chars AS x,
+        CAST(len($shinglesSqlExpr) AS BIGINT) AS y
+      FROM documents
+    )
+    SELECT p.doc_id, p.x, p.y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
+    ORDER BY p.doc_id"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128)
+      q110, q112, q114, q122, q126, q128, q135)
 }

@@ -127,6 +127,63 @@ class WaveESpec extends SparkTestBase {
     assert(out.size === 3)
   }
 
+  test("q135: only non-dominated points survive; ties both survive") {
+    val sess = spark
+    import sess.implicits._
+    // x = n_chars; y = distinct 8-gram count ≈ len - 7 for all-distinct text
+    def uniq(n: Int) = Seq.tabulate(n / 8 + 1)(i => f"w$i%06d").mkString(" ").take(n)
+    val rep = "abcdefgh" * 10 // 80 chars but only 8 distinct grams
+    val dir = docsDir(Seq(
+      (0L, uniq(200), "en", "s0"),   // long + dense: dominates everything shorter
+      (1L, uniq(100), "en", "s0"),   // dominated by 0
+      (2L, rep + rep, "en", "s0"),   // 160 chars, low density: dominated by 0
+      (3L, uniq(200), "en", "s0")))  // same point as 0: both survive
+    val ids = text.TextQueries.q135.run(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(ids === Set(0L, 3L), s"skyline ids: $ids")
+  }
+
+  test("q136: strict-order funnel drops out-of-order conversions") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-fun").toFile.getAbsolutePath
+    // u1 completes in order; u2 purchases BEFORE clicking (no step 3);
+    // u3 only views
+    Seq((1L, 1000000000L, 1L, "view"), (2L, 2000000000L, 1L, "click"),
+        (3L, 3000000000L, 1L, "purchase"),
+        (4L, 1000000000L, 2L, "view"), (5L, 3000000000L, 2L, "click"),
+        (6L, 2000000000L, 2L, "purchase"),
+        (7L, 1000000000L, 3L, "view"))
+      .map { case (e, t, u, k) => (e, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q136.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 1000L)))
+    assert(out(2L) === ((2L, 666L)))
+    assert(out(3L) === ((1L, 500L)))
+  }
+
+  test("q137: cohort triangle on a two-week stream") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-ret").toFile.getAbsolutePath
+    val day = 86400000000000L // ns
+    // u1 active week0+week1; u2 active week0 only; u3 first seen week1
+    Seq((1L, 0L * day, 1L), (2L, 8L * day, 1L),
+        (3L, 1L * day, 2L),
+        (4L, 9L * day, 3L))
+      .map { case (e, t, u) => (e, t, u, "view", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q137.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out((0L, 0L)) === ((2L, 2L, 1000L)))
+    assert(out((0L, 1L)) === ((1L, 2L, 500L)))
+    assert(out((1L, 0L)) === ((1L, 1L, 1000L)))
+    assert(out.size === 3)
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
