@@ -958,7 +958,52 @@ object RelationalQueries {
     GROUP BY c.cohort_week, u.week - c.cohort_week, s.n_cohort
     ORDER BY c.cohort_week, week_offset"""))
 
+  // --------------------------------------------------------------- q139
+  /** Last-touch attribution: each purchase credits the LATEST
+    * non-purchase event strictly before it in the user's stream
+    * (ts, event_id order) — the marketing-attribution operator q136's
+    * funnel doesn't answer (funnels count sequences; attribution
+    * assigns credit). One series window per user with an
+    * ignore-nulls running last over the non-purchase projection;
+    * purchases with no prior touch credit 'none'. Rollup is 5 rows.
+    */
+  val q139 = Q("q139_last_touch_attribution",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts div 1000").as("ts_us"))
+        .withColumn("touch",
+          last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+            .over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+        .agg(count(lit(1)).as("n_purchases"))
+        .withColumn("share_permille", expr(
+          "n_purchases * 1000 div sum(n_purchases) OVER ()"))
+        .select("touch_type", "n_purchases", "share_permille")
+        .orderBy("touch_type")
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), attributed AS (
+      SELECT event_type,
+        last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      FROM ev
+    ), rolled AS (
+      SELECT COALESCE(touch, 'none') AS touch_type,
+        CAST(count(*) AS BIGINT) AS n_purchases
+      FROM attributed WHERE event_type = 'purchase'
+      GROUP BY COALESCE(touch, 'none')
+    )
+    SELECT touch_type, n_purchases,
+      n_purchases * 1000 // CAST((SELECT SUM(n_purchases) FROM rolled) AS BIGINT) AS share_permille
+    FROM rolled ORDER BY touch_type"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137)
+      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139)
 }

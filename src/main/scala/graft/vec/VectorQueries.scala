@@ -1654,7 +1654,74 @@ object VectorQueries {
     FROM pairs WHERE d64 > 0
     GROUP BY 1 ORDER BY decile"""))
 
+  // --------------------------------------------------------------- q138
+  /** Dimension-truncation recall sweep — q131's operational twin: keep
+    * only the FIRST k dims (the Matryoshka-style prefix truncation
+    * serving stacks use) for k ∈ {8, 16, 32} and measure recall@10 of
+    * truncated cosine against the exact 64-dim top-10 for the 8
+    * benchmark queries. Decimal-exact dots on the sliced arrays, rank
+    * tie-break (sim DESC, id ASC) — the candidate sets are
+    * engine-identical, so recall is an exact integer.
+    */
+  val q138 = Q("q138_dim_truncation_recall",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      def topk(kDims: Int): org.apache.spark.sql.DataFrame = {
+        val sliceA = if (kDims == 64) "qe" else s"slice(qe, 1, $kDims)"
+        val sliceB = if (kDims == 64) "ce" else s"slice(ce, 1, $kDims)"
+        val qs = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        val cs = emb.select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("c_id"))
+        broadcast(qs).join(cs, col("c_id") =!= col("q_id"))
+          .withColumn("dot", expr(dotExpr(sliceA, sliceB)))
+          .withColumn("na", expr(norm2Expr(sliceA)))
+          .withColumn("nb", expr(norm2Expr(sliceB)))
+          .withColumn("sim", when(col("na") > 0 && col("nb") > 0,
+            col("dot") / (sqrt(col("na")) * sqrt(col("nb")))).otherwise(lit(-2.0)))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(lit(kDims.toLong).as("k"), col("q_id"), col("c_id"))
+      }
+      val truth = topk(64).select(col("q_id").as("tq"), col("c_id").as("tc"))
+      Seq(8, 16, 32).map(topk).reduce(_.unionAll(_))
+        .join(broadcast(truth), col("q_id") === col("tq") && col("c_id") === col("tc"),
+          "left_semi")
+        .groupBy("k", "q_id")
+        .agg(count(lit(1)).as("n_hit10"))
+        .withColumn("recall10", col("n_hit10").cast("double") / 10)
+        .select("k", "q_id", "n_hit10", "recall10")
+        .transform(graft.Q.presentSorted(_, "k", "q_id"))
+    },
+    Some {
+      def cte(k: Int, nm: String) = {
+        val ea = if (k == 64) "q.embedding" else s"q.embedding[1:$k]"
+        val eb = if (k == 64) "c.embedding" else s"c.embedding[1:$k]"
+        s"""$nm AS (
+      SELECT $k AS k, q_id, c_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            (CASE WHEN ${norm2Sql(ea)} > 0 AND ${norm2Sql(eb)} > 0
+              THEN ${dotSql(ea, eb)} / (sqrt(${norm2Sql(ea)}) * sqrt(${norm2Sql(eb)}))
+              ELSE -2.0 END) DESC, c.vec_id ASC) AS rnk
+        FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8)
+      WHERE rnk <= 10)"""
+      }
+      s"""WITH ${cte(64, "truth")}, ${cte(8, "t8")}, ${cte(16, "t16")}, ${cte(32, "t32")},
+    allk AS (
+      SELECT * FROM t8 UNION ALL SELECT * FROM t16 UNION ALL SELECT * FROM t32
+    )
+    SELECT CAST(a.k AS BIGINT) AS k, a.q_id, CAST(count(*) AS BIGINT) AS n_hit10,
+      CAST(count(*) AS DOUBLE) / 10 AS recall10
+    FROM allk a
+    WHERE EXISTS (SELECT 1 FROM truth t WHERE t.q_id = a.q_id AND t.c_id = a.c_id)
+    GROUP BY a.k, a.q_id
+    ORDER BY k, q_id"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131)
+      q100, q130, q131, q138)
 }

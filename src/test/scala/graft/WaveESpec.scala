@@ -184,6 +184,39 @@ class WaveESpec extends SparkTestBase {
     assert(out.size === 3)
   }
 
+  test("q138: truncation is lossless when all mass sits in the first 8 dims") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-dim").toFile.getAbsolutePath
+    val rnd = new scala.util.Random(11)
+    (0L until 12L).map { i =>
+      val v = Array.fill(64)(0.0f)
+      for (d <- 0 until 8) v(d) = (rnd.nextInt(100) + 1) / 100.0f
+      (i, v, (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = vec.VectorQueries.q138.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length === 24, "8 queries x 3 k-values, all with full hits")
+    assert(rows.forall(_._3 === 10L), "every truncated top-10 equals the exact top-10")
+  }
+
+  test("q139: credit flows to the latest prior non-purchase touch") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-att").toFile.getAbsolutePath
+    Seq((1L, 1L, 1L, "view"), (2L, 2L, 1L, "click"), (3L, 3L, 1L, "purchase"),
+        (4L, 1L, 2L, "purchase"), (5L, 2L, 2L, "view"), (6L, 3L, 2L, "purchase"))
+      .map { case (e, t, u, k) => (e, t * 1000000000L, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q139.run(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("click") === ((1L, 333L)))
+    assert(out("view") === ((1L, 333L)))
+    assert(out("none") === ((1L, 333L)))
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
