@@ -1003,7 +1003,87 @@ object RelationalQueries {
       n_purchases * 1000 // CAST((SELECT SUM(n_purchases) FROM rolled) AS BIGINT) AS share_permille
     FROM rolled ORDER BY touch_type"""))
 
+  // --------------------------------------------------------------- q141
+  /** Latency-style percentile rollup (p50/p95/p99 of `value` per event
+    * type) through the DISTRIBUTED exact-quantile operator
+    * ([[graft.rel.ExactQuantile]] — the q65 machinery: range-partition,
+    * count grid, endpoint pick; never the group-buffering built-in) —
+    * the SLO dashboard query. The quantile frame is (types ×
+    * quantiles)-sized; the pivot to one row per type is a 5-row
+    * reshape.
+    */
+  val q141 = Q("q141_event_value_percentiles",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      ExactQuantile.perGroup(ev, "event_type", "value", Seq(0.5, 0.95, 0.99))
+        .groupBy(col("g").as("event_type"))
+        .pivot("p", Seq(0.5, 0.95, 0.99))
+        .agg(first("q"))
+        .withColumnRenamed("0.5", "p50")
+        .withColumnRenamed("0.95", "p95")
+        .withColumnRenamed("0.99", "p99")
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.95) AS p95,
+      quantile_cont(value, 0.99) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  // --------------------------------------------------------------- q142
+  /** Robust anomaly screen — median/MAD z-scores, the outlier rule that
+    * survives the outliers it hunts (mean/stddev don't): per event
+    * type, median and MAD from TWO [[ExactQuantile]] passes (the second
+    * over |value − median|, medians embedded as broadcast-join values),
+    * flag rows where |value − med| > 3 · 1.4826 · MAD. Reports per-type
+    * counts and the flagged share in integer permille; the thresholds
+    * are single IEEE multiplications of exact quantile values, so the
+    * flag set is engine-identical.
+    */
+  val q142 = Q("q142_robust_anomaly_screen",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events").select(col("event_type"), col("value"))
+      val med = ExactQuantile.perGroup(ev, "event_type", "value", Seq(0.5))
+        .select(col("g").as("event_type"), col("q").as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = ExactQuantile.perGroup(
+          dev.select(col("event_type"), col("adev")), "event_type", "adev", Seq(0.5))
+        .select(col("g").as("event_type"), col("q").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .withColumn("is_anom",
+          when(abs(col("value") - col("med")) > lit(3.0) * lit(1.4826) * col("mad"), 1L)
+            .otherwise(0L))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), sum("is_anom").as("n_anomalies"),
+          max("med").as("med"), max("mad").as("mad"))
+        .withColumn("anom_permille", expr("n_anomalies * 1000 div n_events"))
+        .select("event_type", "n_events", "n_anomalies", "anom_permille", "med", "mad")
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * a.mad
+        THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+      CAST(SUM(CASE WHEN abs(d.value - d.med) > 3.0 * 1.4826 * a.mad
+        THEN 1 ELSE 0 END) AS BIGINT) * 1000 // CAST(count(*) AS BIGINT) AS anom_permille,
+      MAX(d.med) AS med, MAX(a.mad) AS mad
+    FROM dev d JOIN mad a USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
-      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139)
+      q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
+      q141, q142)
 }

@@ -494,5 +494,89 @@ object IndexQueries {
     WHERE c.c_eval > 0
     GROUP BY c.lang ORDER BY c.lang"""))
 
-  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124, q127)
+  // --------------------------------------------------------------- q140
+  /** RAKE keyword extraction (Rose et al. 2010, the stopword-delimited
+    * co-occurrence method): candidate phrases are maximal runs of
+    * non-stopword tokens (q27's stopword set the/and/of), word scores
+    * are degree/frequency over the phrase corpus in integer permille
+    * (deg = Σ phrase length over a word's occurrences), a phrase
+    * scores the sum of its words' scores, top-20 by (score, phrase).
+    *
+    * Plan: ONE tokenize+posexplode pass; phrase ids are a running sum
+    * of stopword boundaries per doc (series window); word stats and
+    * phrase reassembly both derive from that stream — word scores are
+    * a vocabulary-sized broadcast back onto phrase words.
+    */
+  val q140 = Q("q140_rake_keywords",
+    (s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(trim(lower(col("text"))), "\\s+"))
+          .as(Seq("pos", "tok")))
+        .filter(col("tok") =!= "")
+        .withColumn("is_stop", col("tok").isin("the", "and", "of"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val words = toks
+        .withColumn("phrase_id",
+          sum(when(col("is_stop"), 1).otherwise(0)).over(w))
+        .filter(!col("is_stop"))
+      val phrases = words.groupBy("doc_id", "phrase_id")
+        .agg(concat_ws(" ",
+            transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+              x => x.getField("tok"))).as("phrase"),
+          count(lit(1)).as("plen"))
+      val wordStats = words
+        .join(phrases.select(col("doc_id"), col("phrase_id"), col("plen")),
+          Seq("doc_id", "phrase_id"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+        .withColumn("wscore", expr("deg * 1000 div freq"))
+      words.join(broadcast(wordStats.select("tok", "wscore")), "tok")
+        .groupBy("doc_id", "phrase_id")
+        .agg(sum("wscore").as("pscore"))
+        .join(phrases, Seq("doc_id", "phrase_id"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occ"), max("pscore").as("score"))
+        .select("phrase", "n_occ", "score")
+        .orderBy(col("score").desc, col("phrase")).limit(20)
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS tk
+      FROM documents
+    ), posu AS (
+      SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i FROM base
+    ), toks AS (
+      SELECT doc_id, i AS pos, tk[i] AS tok,
+        tk[i] IN ('the', 'and', 'of') AS is_stop
+      FROM posu WHERE tk[i] <> ''
+    ), words AS (
+      SELECT doc_id, pos, tok,
+        SUM(CASE WHEN is_stop THEN 1 ELSE 0 END)
+          OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id,
+        is_stop
+      FROM toks
+    ), nws AS (
+      SELECT doc_id, pos, tok, phrase_id FROM words WHERE NOT is_stop
+    ), phrases AS (
+      SELECT doc_id, phrase_id,
+        string_agg(tok, ' ' ORDER BY pos) AS phrase,
+        CAST(count(*) AS BIGINT) AS plen
+      FROM nws GROUP BY doc_id, phrase_id
+    ), wordstats AS (
+      SELECT n.tok, CAST(count(*) AS BIGINT) AS freq,
+        CAST(SUM(p.plen) AS BIGINT) AS deg
+      FROM nws n JOIN phrases p USING (doc_id, phrase_id)
+      GROUP BY n.tok
+    ), pscore AS (
+      SELECT n.doc_id, n.phrase_id,
+        CAST(SUM(ws.deg * 1000 // ws.freq) AS BIGINT) AS pscore
+      FROM nws n JOIN wordstats ws ON ws.tok = n.tok
+      GROUP BY n.doc_id, n.phrase_id
+    )
+    SELECT p.phrase, CAST(count(*) AS BIGINT) AS n_occ,
+      CAST(MAX(s.pscore) AS BIGINT) AS score
+    FROM phrases p JOIN pscore s USING (doc_id, phrase_id)
+    GROUP BY p.phrase
+    ORDER BY score DESC, phrase LIMIT 20"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124, q127, q140)
 }

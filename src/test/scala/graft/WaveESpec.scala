@@ -217,6 +217,41 @@ class WaveESpec extends SparkTestBase {
     assert(out("none") === ((1L, 333L)))
   }
 
+  test("q140: RAKE degree/frequency scores on a two-phrase doc") {
+    // "alpha beta of alpha beta": two "alpha beta" phrases
+    // freq(alpha)=freq(beta)=2, deg=4 each → wscore 2000, pscore 4000
+    val dir = docsDir(Seq((0L, "alpha beta of alpha beta", "en", "s0")))
+    val rows = text.IndexQueries.q140.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === Seq(("alpha beta", 2L, 4000L)))
+  }
+
+  test("q141: percentiles of 0..100 land on exact ranks") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-pct").toFile.getAbsolutePath
+    (0 to 100).map(i => (i.toLong, i.toLong * 1000000000L, 1L, "click", i.toDouble, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = rel.RelationalQueries.q141.run(spark, dir).collect()(0)
+    assert(r.getString(0) === "click")
+    assert(r.getDouble(1) === 50.0 && r.getDouble(2) === 95.0 && r.getDouble(3) === 99.0)
+  }
+
+  test("q142: MAD of a constant bulk flags the single outlier") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-mad").toFile.getAbsolutePath
+    val vals = Seq.fill(9)(10.0) :+ 1000.0
+    vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, i.toLong * 1000000000L, 1L, "error", v, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = rel.RelationalQueries.q142.run(spark, dir).collect()(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)) ===
+      ((10L, 1L, 100L, 10.0, 0.0)))
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
