@@ -105,7 +105,10 @@ object ScaleBench {
     "q112_bloom_decontam", "q113_contamination_spans", "q114_dedup_pagerank",
     "q117_binary_ahash_neardup", "q118_postings_gamma_audit", "q119_source_cap_sweep",
     "q120_chunk_overlap_audit", "q121_dsir_importance", "q122_edit_verified_dedup",
-    "q123_vocab_size_sweep", "q124_vocab_growth")
+    "q123_vocab_size_sweep", "q124_vocab_growth", "q126_dedup_topology",
+    "q127_next_token_accuracy", "q128_dedup_threshold_sweep",
+    "q129_asset_feature_rollup", "q135_skyline_docs", "q138_dim_truncation_recall",
+    "q140_rake_keywords")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

@@ -14,7 +14,10 @@ class CatalogSpec extends SparkTestBase {
 
   test("every oracle references only shared tables or its own CTEs") {
     val known = Tables.names.toSet
-    val fromRe = "(?i)(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
+    // \b so identifiers ENDING in from/join (e.g. an `n_from` alias)
+    // don't false-positive as clause keywords, and a lookbehind so the
+    // `IS DISTINCT FROM` operator isn't read as a FROM clause
+    val fromRe = "(?i)(?<!DISTINCT )\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
       // allow recursive-CTE column lists: `reach(id, r) AS (`
       val ctes = "([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
