@@ -1082,8 +1082,45 @@ object RelationalQueries {
     FROM dev d JOIN mad a USING (event_type)
     GROUP BY d.event_type ORDER BY d.event_type"""))
 
+  // --------------------------------------------------------------- q143
+  /** Recency-weighted engagement — time-decay scoring WITHOUT a
+    * transcendental: the decay is a half-life shift, `w = 1024 >>
+    * (age_days div 7)` (weekly half-life, ×1024 fixed point), so the
+    * weighted sum is pure integer arithmetic and bit-exact in both
+    * engines (exp() would differ in the last ulp). Age is measured
+    * from the corpus max event day (broadcast scalar). Per-user score
+    * = Σ value_cents · w; output is the top-15 leaderboard
+    * (score DESC, user) — the "who is engaged NOW" view a growth team
+    * reads, with the undecayed cent total alongside for contrast.
+    */
+  val q143 = Q("q143_recency_engagement",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val mx = ev.agg(max("day").as("day_max"))
+      ev.crossJoin(broadcast(mx))
+        .withColumn("w", expr("shiftright(1024, CAST((day_max - day) div 7 AS INT))"))
+        .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("vc * w")).as("score_fp"),
+          sum("vc").as("raw_cents"))
+        .orderBy(col("score_fp").desc, col("user_id")).limit(15)
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, value, epoch_us(ts) // 86400000000 AS day FROM events
+    ), mx AS (SELECT max(day) AS day_max FROM ev)
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)
+        * (1024 >> CAST((mx.day_max - day) // 7 AS INTEGER))) AS BIGINT) AS score_fp,
+      CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS raw_cents
+    FROM ev, mx
+    GROUP BY user_id
+    ORDER BY score_fp DESC, user_id LIMIT 15"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142)
+      q141, q142, q143)
 }

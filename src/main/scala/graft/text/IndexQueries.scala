@@ -578,5 +578,127 @@ object IndexQueries {
     GROUP BY p.phrase
     ORDER BY score DESC, phrase LIMIT 20"""))
 
-  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124, q127, q140)
+  // --------------------------------------------------------------- q144
+  /** Model calibration curve for the q127 bigram predictor: bucket
+    * eval contexts by the TRAIN count of their argmax continuation
+    * (the model's confidence proxy, HALF-octave integer buckets —
+    * 2·⌊log₂⌋ plus the next bit),
+    * and report per-bucket top-1 accuracy — does more evidence
+    * actually buy more accuracy, and where does the curve flatten.
+    * The whole audit runs on the aggregated (context, next) count
+    * table (q127's linearity argument): no second pass over tokens.
+    */
+  val q144 = Q("q144_model_calibration",
+    (s, dir) => {
+      val tk = split(trim(col("text")), "\\s+")
+      val base = Tables(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          (expr("doc_id * 2654435761") % 1000 < 900).as("is_train"), tk.as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("is_train"),
+          explode(expr(
+            "transform(sequence(1, size(tk) - 1), i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+        .select(col("is_train"), col("b.w1"), col("b.w2"))
+      val counts = base.groupBy("w1", "w2")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("c_train"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("c_eval"))
+      val model = counts.filter(col("c_train") > 0)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c_train").desc, col("w2"))))
+        .filter(col("rk") === 1)
+        .select(col("w1"), col("w2").as("pred"), col("c_train").as("conf"))
+      counts.filter(col("c_eval") > 0)
+        .join(broadcast(model), Seq("w1"))
+        .groupBy(expr(
+          "CAST(2 * (length(bin(conf)) - 1) + " +
+            "(CASE WHEN conf * 2 >= 3 * shiftleft(1, length(bin(conf)) - 1) THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("conf_bucket"))
+        .agg(sum("c_eval").as("n_eval"),
+          sum(when(col("w2") === col("pred"), col("c_eval")).otherwise(0L)).as("n_hits"))
+        .withColumn("acc_permille", expr("n_hits * 1000 div n_eval"))
+        .select("conf_bucket", "n_eval", "n_hits", "acc_permille")
+        .orderBy("conf_bucket")
+    },
+    Some("""WITH base AS (
+      SELECT (doc_id * 2654435761) % 1000 < 900 AS is_train,
+        string_split_regex(trim(text), '\s+') AS tk
+      FROM documents WHERE length(trim(text)) > 0
+    ), pos AS (
+      SELECT is_train, tk, unnest(generate_series(1, len(tk) - 1)) AS i
+      FROM base WHERE len(tk) >= 2
+    ), counts AS (
+      SELECT tk[i] AS w1, tk[i + 1] AS w2,
+        CAST(SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS c_train,
+        CAST(SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT) AS c_eval
+      FROM pos GROUP BY tk[i], tk[i + 1]
+    ), model AS (
+      SELECT w1, w2 AS pred, c_train AS conf FROM (
+        SELECT w1, w2, c_train,
+          row_number() OVER (PARTITION BY w1 ORDER BY c_train DESC, w2) AS rk
+        FROM counts WHERE c_train > 0
+      ) WHERE rk = 1
+    )
+    SELECT CAST(2 * (length(bin(m.conf)) - 1) +
+        (CASE WHEN m.conf * 2 >= 3 * (1 << (length(bin(m.conf)) - 1))
+         THEN 1 ELSE 0 END) AS BIGINT) AS conf_bucket,
+      CAST(SUM(c.c_eval) AS BIGINT) AS n_eval,
+      CAST(SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0 END) AS BIGINT) AS n_hits,
+      CAST(SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(c.c_eval) AS BIGINT) AS acc_permille
+    FROM counts c JOIN model m ON m.w1 = c.w1
+    WHERE c.c_eval > 0
+    GROUP BY 2 * (length(bin(m.conf)) - 1) +
+      (CASE WHEN m.conf * 2 >= 3 * (1 << (length(bin(m.conf)) - 1))
+       THEN 1 ELSE 0 END)
+    ORDER BY conf_bucket"""))
+
+  // --------------------------------------------------------------- q145
+  /** K-fold assignment + balance audit: deterministic 5-fold split by
+    * the doc_id multiplicative hash (prime-folded — a bare mod 5 of
+    * the product degenerates to doc_id mod 5 since the constant is
+    * 1 mod 5), audited the way a leakage-aware
+    * pipeline must — per (fold, lang) doc/char counts and each fold's
+    * max deviation from its ideal 20 % share in permille. One pass,
+    * two small rollups; the audit is the artifact reviewers check
+    * before trusting any cross-validation number.
+    */
+  val q145 = Q("q145_kfold_balance",
+    (s, dir) => {
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("(doc_id * 2654435761) % 1009 % 5").as("fold"))
+      val tot = base.agg(count(lit(1)).as("n_total"), sum("n_chars").as("chars_total"))
+      base.groupBy("fold", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+        .groupBy("fold")
+        .agg(sum("n_docs").as("n_docs"), sum("n_chars").as("sum_chars"),
+          count(lit(1)).as("n_langs"))
+        .crossJoin(broadcast(tot))
+        .select(col("fold"), col("n_docs"), col("sum_chars"), col("n_langs"),
+          expr("abs(n_docs * 5000 div n_total - 1000)").as("doc_skew_permille"),
+          expr("abs(sum_chars * 5000 div chars_total - 1000)").as("char_skew_permille"))
+        .orderBy("fold")
+    },
+    Some("""WITH base AS (
+      SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1009 % 5 AS fold
+      FROM documents
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_total,
+        CAST(SUM(n_chars) AS BIGINT) AS chars_total FROM base
+    ), fl AS (
+      SELECT fold, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM base GROUP BY fold, lang
+    )
+    SELECT fold, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(count(*) AS BIGINT) AS n_langs,
+      abs(CAST(SUM(n_docs) AS BIGINT) * 5000 // t.n_total - 1000) AS doc_skew_permille,
+      abs(CAST(SUM(n_chars) AS BIGINT) * 5000 // t.chars_total - 1000) AS char_skew_permille
+    FROM fl, tot t
+    GROUP BY fold, t.n_total, t.chars_total
+    ORDER BY fold"""))
+
+  def all: Seq[Q] = Seq(q118, q119, q120, q121, q123, q124, q127, q140, q144, q145)
 }

@@ -252,6 +252,41 @@ class WaveESpec extends SparkTestBase {
       ((10L, 1L, 100L, 10.0, 0.0)))
   }
 
+  test("q143: weekly half-life outranks raw totals for recent activity") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-dec").toFile.getAbsolutePath
+    val day = 86400000000000L
+    // u1: 10.00 on the last day (w=1024); u2: 20.00 four weeks earlier (w=64)
+    Seq((1L, 30L * day, 1L, "view", 10.0, "{}"),
+        (2L, 2L * day, 2L, "view", 20.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = rel.RelationalQueries.q143.run(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq === Seq((1L, 1024000L, 1000L), (2L, 128000L, 2000L)),
+      "the smaller-but-recent user leads the decayed board")
+  }
+
+  test("q144: calibration buckets separate confident from thin contexts") {
+    val dir = docsDir(Seq(
+      (0L, Seq.fill(20)("a b").mkString(" "), "en", "s0"),  // conf(a)=20 → bucket 8
+      (1L, "z y", "en", "s0"),                              // conf(z)=1 → bucket 0
+      (17L, "a b z q", "en", "s0")))                        // eval: hit, miss, miss
+    val out = text.IndexQueries.q144.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(8L) === ((2L, 1L, 500L)), s"confident bucket: ${out.get(8L)}")
+    assert(out(0L) === ((1L, 0L, 0L)), "thin bucket misses")
+  }
+
+  test("q145: folds partition the corpus with bounded skew") {
+    val rows = text.IndexQueries.q145.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    assert(rows.length === 5)
+    assert(rows.map(_._2).sum === 500L, "folds partition all 500 docs")
+    assert(rows.forall(_._2 > 0L), "no empty fold")
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
