@@ -1119,8 +1119,133 @@ object RelationalQueries {
     GROUP BY user_id
     ORDER BY score_fp DESC, user_id LIMIT 15"""))
 
+  // --------------------------------------------------------------- q146
+  /** Hourly burst detection — the monitoring rule that pages someone:
+    * an (event_type, hour) cell bursts when its count exceeds 3× the
+    * trailing-24h hourly mean with at least 12 baseline hours, tested
+    * CROSS-MULTIPLIED (`cnt · n_prev > 3 · sum_prev`) so no division
+    * ever happens. The baseline is a RANGE window over hour VALUES
+    * (not rows — missing hours genuinely shrink the baseline), one
+    * shuffle on event_type.
+    */
+  val q146 = Q("q146_hourly_burst_detection",
+    (s, dir) => {
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("(ts div 1000) div 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rangeBetween(-24, -1)
+      hourly
+        .withColumn("sum_prev", coalesce(sum("cnt").over(w), lit(0L)))
+        .withColumn("n_prev", count(lit(1)).over(w))
+        .filter(col("n_prev") >= 12 &&
+          col("cnt") * col("n_prev") > lit(3) * col("sum_prev"))
+        .select("event_type", "hour", "cnt", "sum_prev", "n_prev")
+        .orderBy("event_type", "hour")
+    },
+    Some("""WITH hourly AS (
+      SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+        CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, epoch_us(ts) // 3600000000
+    ), base AS (
+      SELECT event_type, hour, cnt,
+        CAST(COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour
+          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sum_prev,
+        CAST(COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+          RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_prev
+      FROM hourly
+    )
+    SELECT event_type, hour, cnt, sum_prev, n_prev
+    FROM base
+    WHERE n_prev >= 12 AND cnt * n_prev > 3 * sum_prev
+    ORDER BY event_type, hour"""))
+
+  // --------------------------------------------------------------- q149
+  /** Session-basket association rules — support / confidence / lift
+    * over co-occurring event types within q09's 30-minute-gap
+    * sessions: the market-basket classic, all integer permille (lift
+    * cross-multiplied into `n_ab·n_sessions·1000 / (n_a·n_b)`).
+    * Sessionize once; per-session item sets are distinct types;
+    * pair counts join the item stream to itself per session (≤ C(5,2)
+    * pairs per session — bounded by the type alphabet, never the
+    * event count).
+    */
+  val q149 = Q("q149_session_basket_lift",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val gap = col("ts_us") - lag("ts_us", 1).over(w)
+      val items = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("is_new", when(gap.isNull || gap > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+      val nSessions = items.select("user_id", "session_id").distinct().count()
+      val singles = items.groupBy(col("event_type").as("t"))
+        .agg(count(lit(1)).as("n_t"))
+      val pairs = items.as("a")
+        .join(items.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.event_type") =!= col("b.event_type"))
+        .groupBy(col("a.event_type").as("antecedent"),
+          col("b.event_type").as("consequent"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(singles.withColumnRenamed("t", "antecedent")
+          .withColumnRenamed("n_t", "n_a")), "antecedent")
+        .join(broadcast(singles.withColumnRenamed("t", "consequent")
+          .withColumnRenamed("n_t", "n_b")), "consequent")
+        .filter(col("n_ab") >= 5)
+        .select(col("antecedent"), col("consequent"), col("n_ab"),
+          expr(s"n_ab * 1000 div ${nSessions}L").as("support_permille"),
+          expr("n_ab * 1000 div n_a").as("conf_permille"),
+          expr(s"n_ab * ${nSessions}L * 1000 div (n_a * n_b)").as("lift_permille"))
+        .orderBy("antecedent", "consequent")
+    },
+    Some("""WITH seq AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        CASE WHEN lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+          OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+            (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) > 1800000000
+        THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_type,
+        SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM seq
+    ), items AS (
+      SELECT DISTINCT user_id, session_id, event_type FROM sess
+    ), ns AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_sessions
+      FROM (SELECT DISTINCT user_id, session_id FROM items)
+    ), singles AS (
+      SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n_t
+      FROM items GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS antecedent, b.event_type AS consequent,
+        CAST(count(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.user_id = b.user_id AND a.session_id = b.session_id
+        AND a.event_type != b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.antecedent, p.consequent, p.n_ab,
+      p.n_ab * 1000 // ns.n_sessions AS support_permille,
+      p.n_ab * 1000 // sa.n_t AS conf_permille,
+      p.n_ab * ns.n_sessions * 1000 // (sa.n_t * sb.n_t) AS lift_permille
+    FROM pairs p
+    JOIN singles sa ON sa.t = p.antecedent
+    JOIN singles sb ON sb.t = p.consequent, ns
+    WHERE p.n_ab >= 5
+    ORDER BY p.antecedent, p.consequent"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143)
+      q141, q142, q143, q146, q149)
 }

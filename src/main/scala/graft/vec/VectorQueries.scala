@@ -1721,7 +1721,41 @@ object VectorQueries {
     ORDER BY k, q_id"""
     })
 
+
+  // --------------------------------------------------------------- q148
+  /** Modality-coverage audit — the join-health check the 5000-doc /
+    * 2000-embedding corpus makes mandatory: per (source, lang), how
+    * many documents actually HAVE an embedding row (doc_id = vec_id),
+    * coverage in integer permille, and the distinct label spread of
+    * the covered slice. Every id join against `embeddings` in this
+    * engine must be NULL-safe; this query measures the hole instead of
+    * falling into it. One broadcast of the (vec_id, label) projection.
+    */
+  val q148 = Q("q148_embedding_coverage",
+    (s, dir) => {
+      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+        .join(broadcast(emb), col("doc_id") === col("vec_id"), "left")
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+          countDistinct(col("label")).as("n_labels"))
+        .withColumn("coverage_permille", expr("n_covered * 1000 div n_docs"))
+        .select("source", "lang", "n_docs", "n_covered", "coverage_permille", "n_labels")
+        .transform(graft.Q.presentSorted(_, "source", "lang"))
+    },
+    Some("""SELECT d.source, d.lang,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+      CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000
+        // CAST(count(*) AS BIGINT) AS coverage_permille,
+      CAST(count(DISTINCT e.label) AS BIGINT) AS n_labels
+    FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+    GROUP BY d.source, d.lang
+    ORDER BY d.source, d.lang"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138)
+      q100, q130, q131, q138, q148)
 }

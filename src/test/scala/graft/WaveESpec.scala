@@ -287,6 +287,61 @@ class WaveESpec extends SparkTestBase {
     assert(rows.forall(_._2 > 0L), "no empty fold")
   }
 
+  test("q146: a 4x hour fires only after 12 baseline hours exist") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-burst").toFile.getAbsolutePath
+    val hour = 3600000000000L // ns
+    // hours 0..23: 10 events each; hour 24: 40 events (40·24 > 3·240)
+    val rows = (for { h <- 0 until 24; i <- 0 until 10 }
+      yield (h * 10L + i, h * hour + i * 1000000L, 1L)) ++
+      (0 until 40).map(i => (9000L + i, 24 * hour + i * 1000000L, 1L))
+    rows.map { case (e, t, u) => (e, t, u, "click", 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q146.run(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq === Seq((24L, 40L, 240L, 24L)), s"got ${out.toSeq}")
+  }
+
+  test("q148: coverage counts the embedding holes per slice") {
+    val sess = spark
+    import sess.implicits._
+    val dir = docsDir(Seq(
+      (0L, "a", "en", "s0"), (1L, "b", "en", "s0"),
+      (2L, "c", "en", "s0"), (3L, "d", "fr", "s0")))
+    Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 1.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = vec.VectorQueries.q148.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(("s0", "en")) === ((3L, 2L, 666L, 2L)))
+    assert(out(("s0", "fr")) === ((1L, 0L, 0L, 0L)))
+  }
+
+  test("q149: support/confidence/lift on a hand-built basket") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-bask").toFile.getAbsolutePath
+    val day = 86400000000000L
+    // 10 users = 10 sessions: 6 with view+click, 2 view only, 2 click only
+    val rows =
+      (1 to 6).flatMap(u => Seq((u * 10L, u * day, u.toLong, "view"),
+        (u * 10L + 1, u * day + 1000000000L, u.toLong, "click"))) ++
+      (7 to 8).map(u => (u * 10L, u * day, u.toLong, "view")) ++
+      (9 to 10).map(u => (u * 10L, u * day, u.toLong, "click"))
+    rows.map { case (e, t, u, k) => (e, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q149.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // n_ab=6, N=10, n_view=8, n_click=8 → support 600, conf 750, lift 937
+    assert(out(("view", "click")) === ((6L, 600L, 750L, 937L)))
+    assert(out(("click", "view")) === ((6L, 600L, 750L, 937L)))
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
