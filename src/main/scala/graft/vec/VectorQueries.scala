@@ -1755,7 +1755,89 @@ object VectorQueries {
     GROUP BY d.source, d.lang
     ORDER BY d.source, d.lang"""))
 
+
+  // --------------------------------------------------------------- q147
+  /** Cell-assignment ambiguity audit (silhouette-lite): for every
+    * vector, the relative margin between its best and second-best
+    * centroid distance, histogrammed — the clustering-quality signal
+    * that predicts IVF recall BEFORE anyone runs queries (ambiguous
+    * assignments are exactly the vectors multiprobe exists for).
+    * Distances are full squared L2 (`‖x‖² + ‖c‖² − 2·x·c`,
+    * decimal-exact dots, so the best/second ordering is
+    * engine-identical); the margin ratio `(d₂−d₁)/d₂` uses
+    * correctly-rounded sqrt and one division, bucketed with an
+    * explicit floor (DuckDB CAST rounds). Buckets ≥ 5 collapse into
+    * the "clear margin" overflow cell.
+    */
+  val q147 = Q("q147_assignment_margin_audit",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val emb = Tables(s, dir, "embeddings")
+      val perDim = emb
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
+        .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
+      val cent = perDim.groupBy(col("label").as("clabel"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+          t => t.getField("c")).as("cvec"))
+        .withColumn("cnorm2", expr(cnorm2Expr))
+      val wCell = Window.partitionBy("vec_id")
+        .orderBy(col("d2").asc, col("clabel").asc)
+      val ranked = emb.join(broadcast(cent))
+        .withColumn("d2",
+          expr(norm2Expr("embedding")) + col("cnorm2") - lit(2.0) * expr(xcDotExpr))
+        .withColumn("crn", row_number().over(wCell))
+        .filter(col("crn") <= 2)
+      val margins = ranked.groupBy("vec_id")
+        .agg(min(when(col("crn") === 1, col("d2"))).as("d1"),
+          min(when(col("crn") === 2, col("d2"))).as("dd2"))
+        .filter(col("dd2") > 0)
+        .withColumn("bucket",
+          least(expr("CAST(floor((sqrt(dd2) - sqrt(d1)) / sqrt(dd2) * 10) AS BIGINT)"),
+            lit(5L)))
+      margins.groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .select("bucket", "n_vecs")
+        .orderBy("bucket")
+    },
+    Some(s"""WITH ux AS (
+      SELECT vec_id, label,
+        unnest(generate_series(1, len(embedding))) AS pos,
+        CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos, (${Exact.sumExactSql("x", 8)} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings) u
+      JOIN cent ct USING (pos)
+      GROUP BY u.vec_id, ct.label
+    ), n2 AS (
+      SELECT vec_id, ${norm2Sql("embedding")} AS n2 FROM embeddings
+    ), ranked AS (
+      SELECT d.vec_id,
+        n2.n2 + cn.cnorm2 - 2.0::DOUBLE * d.dot AS d2,
+        ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY n2.n2 + cn.cnorm2 - 2.0::DOUBLE * d.dot ASC, d.label ASC) AS crn
+      FROM dots d JOIN cn USING (label) JOIN n2 ON n2.vec_id = d.vec_id
+    ), margins AS (
+      SELECT vec_id,
+        MIN(CASE WHEN crn = 1 THEN d2 END) AS d1,
+        MIN(CASE WHEN crn = 2 THEN d2 END) AS dd2
+      FROM ranked WHERE crn <= 2 GROUP BY vec_id
+    )
+    SELECT least(CAST(floor((sqrt(dd2) - sqrt(d1)) / sqrt(dd2) * 10) AS BIGINT), 5)
+        AS bucket,
+      CAST(count(*) AS BIGINT) AS n_vecs
+    FROM margins WHERE dd2 > 0
+    GROUP BY 1 ORDER BY bucket"""))
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q148)
+      q100, q130, q131, q138, q147, q148)
 }

@@ -342,6 +342,26 @@ class WaveESpec extends SparkTestBase {
     assert(out(("click", "view")) === ((6L, 600L, 750L, 937L)))
   }
 
+  test("q147: clear clusters land in the overflow margin bucket, a midpoint in 0") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-marg").toFile.getAbsolutePath
+    // tight clusters at e1 and e2; one vector near the midpoint
+    val e = Seq(
+      (0L, Array(1.0f, 0.0f), 0), (1L, Array(0.9f, 0.0f), 0),
+      (2L, Array(0.0f, 1.0f), 1), (3L, Array(0.0f, 0.9f), 1),
+      (4L, Array(0.5f, 0.45f), 0))
+    e.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = vec.VectorQueries.q147.run(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the four cluster members margin at ≥ 0.8 (overflow bucket 5); the
+    // midpoint vector (pulled into centroid 0) sits ON the 0.4 boundary —
+    // float32 storage (0.45f ≈ 0.44999998) lands it just above → bucket 4
+    // (a decimal hand-calc says 3; the float32 value is what both engines see)
+    assert(out === Map(5L -> 4L, 4L -> 1L), s"buckets: $out")
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
