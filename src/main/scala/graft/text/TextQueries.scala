@@ -2255,8 +2255,70 @@ object TextQueries {
       WHERE q.x >= p.x AND q.y >= p.y AND (q.x > p.x OR q.y > p.y))
     ORDER BY p.doc_id"""))
 
+  // --------------------------------------------------------------- q150
+  /** CORPUS RELEASE GATE — the capstone composite: q70's funnel
+    * verdicts (lang → quality → exact dedup → near dedup) select the
+    * survivors, q119's per-source cap (top-20 by n_chars, doc_id
+    * tie-break) bounds any hot domain, and the released slice ships as
+    * a per-source manifest row — released/candidate/capped counts,
+    * char mass, and the q82-style order-sensitive md5-of-md5s content
+    * digest that makes the release REPRODUCIBLE: two engines (or two
+    * cluster runs) agree on the digest only if they released exactly
+    * the same bytes in exactly the same id order.
+    *
+    * Scale: the gate adds one rank window on source and a 20-row
+    * digest aggregate on top of its constituent operators — the flags
+    * join is the q70 shape, the cap the q119 shape; if each scales,
+    * the gate scales.
+    */
+  val q150 = Q("q150_release_gate",
+    (s, dir) => {
+      val flags = funnelFlags(s, dir)
+        .filter(col("k_lang") * col("k_qual") * col("k_exact") * col("k_near") === 1)
+        .select("doc_id")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("h"))
+      val ranked = flags.join(docs, "doc_id")
+        .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source")
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+      ranked.groupBy("source")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when(col("rk") <= 20, 1L).otherwise(0L)).as("n_released"),
+          sum(when(col("rk") <= 20, col("n_chars")).otherwise(0L)).as("released_chars"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(
+              struct(col("doc_id"), when(col("rk") <= 20, col("h")).as("hh")))),
+              x => coalesce(x.getField("hh"), lit("")))).cast("binary")).as("release_md5"))
+        .withColumn("n_capped", col("n_candidates") - col("n_released"))
+        .select("source", "n_candidates", "n_released", "n_capped",
+          "released_chars", "release_md5")
+        .transform(graft.Q.presentSorted(_, "source"))
+    },
+    Some {
+      s"""$funnelFlagsCteSql, surv AS (
+      SELECT f.doc_id FROM flags f
+      WHERE f.k_lang * f.k_qual * f.k_exact * f.k_near = 1
+    ), ranked AS (
+      SELECT d.doc_id, d.source, d.n_chars, md5(d.text) AS h,
+        row_number() OVER (PARTITION BY d.source
+          ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_candidates,
+      CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_released,
+      CAST(count(*) AS BIGINT)
+        - CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+      CAST(SUM(CASE WHEN rk <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS released_chars,
+      md5(string_agg(CASE WHEN rk <= 20 THEN h ELSE '' END, '' ORDER BY doc_id))
+        AS release_md5
+    FROM ranked GROUP BY source ORDER BY source"""
+    })
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135)
+      q110, q112, q114, q122, q126, q128, q135, q150)
 }

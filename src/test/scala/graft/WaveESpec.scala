@@ -362,6 +362,19 @@ class WaveESpec extends SparkTestBase {
     assert(out === Map(5L -> 4L, 4L -> 1L), s"buckets: $out")
   }
 
+  test("q150: release gate candidates equal q70's near-dedup survivors") {
+    val dir = "/root/testdata/sf0.001"
+    val gate = text.TextQueries.q150.run(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(gate.length === 20, "one manifest row per source")
+    assert(gate.forall { case (_, cand, rel, capped) =>
+      rel <= 20 && cand === rel + capped })
+    val funnelN4 = text.TextQueries.q70.run(spark, dir)
+      .collect().find(_.getInt(0) === 4).get.getLong(2)
+    assert(gate.map(_._2).sum === funnelN4,
+      "the gate consumes exactly the funnel's survivor set")
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
