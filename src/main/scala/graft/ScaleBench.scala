@@ -108,7 +108,7 @@ object ScaleBench {
     "q123_vocab_size_sweep", "q124_vocab_growth", "q126_dedup_topology",
     "q127_next_token_accuracy", "q128_dedup_threshold_sweep",
     "q129_asset_feature_rollup", "q135_skyline_docs", "q138_dim_truncation_recall",
-    "q140_rake_keywords")
+    "q140_rake_keywords", "q150_release_gate")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band

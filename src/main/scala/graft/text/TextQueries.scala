@@ -916,23 +916,31 @@ object TextQueries {
     * composed from the owning operators' outputs (q28/q58/q29/q51).
     */
   private def funnelFlags(s: org.apache.spark.sql.SparkSession, dir: String)
-      : org.apache.spark.sql.DataFrame = {
-    val lang = q28.run(s, dir)
-      .select(col("doc_id"), col("is_match").cast("long").as("k_lang"))
-    val qual = PipelineQueries.q58.run(s, dir)
-      .select(col("doc_id"), col("quality_pass").cast("long").as("k_qual"))
-    val exact = Tables(s, dir, "documents")
-      .select(col("doc_id").as("d"), md5(col("text").cast("binary")).as("fp"))
-      .join(q29.run(s, dir).select("fp", "keep_id"), "fp")
-      .select(col("d").as("doc_id"), (col("d") === col("keep_id")).cast("long").as("k_exact"))
-    val near = q51.run(s, dir)
-      .select(col("doc_id"), col("is_kept").cast("long").as("k_near"))
-    val split = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
-    split.join(lang, "doc_id").join(qual, "doc_id")
-      .join(exact, "doc_id").join(near, "doc_id")
-  }
+      : org.apache.spark.sql.DataFrame =
+    // memoized: q70 (funnel), q106 (filter overlap) and q150 (release
+    // gate) all consume the same five-flag frame — six longs per doc,
+    // checkpointed once per (session, dir) like the dedup memos
+    graft.util.SessionMemo.getOrCompute(s, s"funnel-flags:$dir") {
+      val lang = q28.run(s, dir)
+        .select(col("doc_id"), col("is_match").cast("long").as("k_lang"))
+      val qual = PipelineQueries.q58.run(s, dir)
+        .select(col("doc_id"), col("quality_pass").cast("long").as("k_qual"))
+      val exact = Tables(s, dir, "documents")
+        .select(col("doc_id").as("d"), md5(col("text").cast("binary")).as("fp"))
+        .join(q29.run(s, dir).select("fp", "keep_id"), "fp")
+        .select(col("d").as("doc_id"), (col("d") === col("keep_id")).cast("long").as("k_exact"))
+      val near = q51.run(s, dir)
+        .select(col("doc_id"), col("is_kept").cast("long").as("k_near"))
+      val split = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
+      val flags = split.join(lang, "doc_id").join(qual, "doc_id")
+        .join(exact, "doc_id").join(near, "doc_id")
+      if (s.sparkContext.getCheckpointDir.isEmpty)
+        s.sparkContext.setCheckpointDir(
+          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      flags.checkpoint()
+    }
 
   val q70 = Q("q70_curation_funnel",
     (s, dir) => {
