@@ -1244,8 +1244,129 @@ object RelationalQueries {
     WHERE p.n_ab >= 5
     ORDER BY p.antecedent, p.consequent"""))
 
+  // --------------------------------------------------------------- q151
+  /** A/B exposure health (sample-ratio-mismatch) audit: users hash
+    * into variants A/B (prime-folded multiplicative hash, the q145
+    * recipe), and the first thing any experiment reader must check is
+    * whether the split itself is broken — the SRM test. Chi-square
+    * needs no floats at p = ½: flag iff `(n_A − n_B)² > 9·(n_A + n_B)`
+    * (the 3σ binomial bound, cross-multiplied). Alongside: per-variant
+    * event mass and value cents, the balance evidence. One pass over
+    * events, one over the distinct user set.
+    */
+  val q151 = Q("q151_ab_srm_audit",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val ev = Tables(s, dir, "events")
+        .withColumn("variant",
+          when(expr("(user_id * 2654435761) % 1009 % 2") === 0, "A").otherwise("B"))
+      val users = ev.select("variant", "user_id").distinct()
+        .groupBy("variant").agg(count(lit(1)).as("n_users"))
+      val mass = ev.groupBy("variant")
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("value_cents"))
+      val joined = users.join(mass, "variant")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // a variant can be EMPTY (degenerate split) — treat as 0, not a crash
+      val ua = joined.get("A").map(_._1).getOrElse(0L)
+      val ub = joined.get("B").map(_._1).getOrElse(0L)
+      val srm = if ((ua - ub) * (ua - ub) > 9 * (ua + ub)) 1L else 0L
+      joined.toSeq.sortBy(_._1).map { case (v, (nu, ne, vc)) => (v, nu, ne, vc, srm) }
+        .toDF("variant", "n_users", "n_events", "value_cents", "srm_flag")
+        .orderBy("variant")
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, value,
+        CASE WHEN (user_id * 2654435761) % 1009 % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+      FROM events
+    ), users AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+      FROM (SELECT DISTINCT variant, user_id FROM ev) GROUP BY variant
+    ), mass AS (
+      SELECT variant, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+      FROM ev GROUP BY variant
+    ), srm AS (
+      SELECT CASE WHEN
+          (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0)
+            - COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0))
+          * (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0)
+            - COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0))
+          > 9 * (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0)
+            + COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0))
+        THEN 1 ELSE 0 END AS srm_flag
+    )
+    SELECT u.variant, u.n_users, m.n_events, m.value_cents,
+      CAST(s.srm_flag AS BIGINT) AS srm_flag
+    FROM users u JOIN mass m USING (variant), srm s
+    ORDER BY u.variant"""))
+
+  // --------------------------------------------------------------- q152
+  /** Funnel latency percentiles — q136 answers WHO converts; this
+    * answers HOW FAST: p50/p90 of view→click and view→purchase
+    * conversion times (µs) over the strict-order funnel's per-user
+    * timestamps, through the distributed [[ExactQuantile]] machinery.
+    * Timestamps are integer µs, so the interpolated percentiles are
+    * exact in both engines (q65's quantile_cont contract).
+    */
+  val q152 = Q("q152_funnel_latency",
+    (s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(broadcast(s1), "user_id").filter(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min("ts_us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2.join(s1, "user_id")), "user_id")
+        .filter(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min("ts_us").as("t3"))
+      val lat = s1.join(s2, "user_id").join(s3, Seq("user_id"), "left")
+        .select(
+          (col("t2") - col("t1")).cast("double").as("to_click"),
+          (col("t3") - col("t1")).cast("double").as("to_purchase"))
+      val both = lat.select(lit("to_click_us").as("m"), col("to_click").as("v"))
+        .unionAll(lat.filter(col("to_purchase").isNotNull)
+          .select(lit("to_purchase_us").as("m"), col("to_purchase").as("v")))
+      ExactQuantile.perGroup(both, "m", "v", Seq(0.5, 0.9))
+        .groupBy(col("g").as("metric"))
+        .pivot("p", Seq(0.5, 0.9)).agg(first("q"))
+        .withColumnRenamed("0.5", "p50_us")
+        .withColumnRenamed("0.9", "p90_us")
+        .orderBy("metric")
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+    ), s1 AS (
+      SELECT user_id, min(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts_us) AS t2
+      FROM ev e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, min(e.ts_us) AS t3
+      FROM ev e JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id
+    ), lat AS (
+      SELECT s1.user_id, s2.t2 - s1.t1 AS to_click, s3.t3 - s1.t1 AS to_purchase
+      FROM s1 JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    )
+    SELECT 'to_click_us' AS metric,
+      quantile_cont(CAST(to_click AS DOUBLE), 0.5) AS p50_us,
+      quantile_cont(CAST(to_click AS DOUBLE), 0.9) AS p90_us
+    FROM lat
+    UNION ALL
+    SELECT 'to_purchase_us',
+      quantile_cont(CAST(to_purchase AS DOUBLE), 0.5),
+      quantile_cont(CAST(to_purchase AS DOUBLE), 0.9)
+    FROM lat WHERE to_purchase IS NOT NULL
+    ORDER BY metric"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149)
+      q141, q142, q143, q146, q149, q151, q152)
 }

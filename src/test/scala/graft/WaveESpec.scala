@@ -375,6 +375,38 @@ class WaveESpec extends SparkTestBase {
       "the gate consumes exactly the funnel's survivor set")
   }
 
+  test("q151: a 10-vs-0 user split trips the 3-sigma SRM flag") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-srm").toFile.getAbsolutePath
+    // ids 15..24 hash to variant A under (u·2654435761) % 1009 % 2
+    (15L to 24L).zipWithIndex.map { case (u, i) =>
+      (i.toLong, i.toLong * 1000000000L, u, "view", 2.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q151.run(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("A") === ((10L, 10L, 2000L, 1L)), s"got ${out.get("A")}")
+    assert(!out.contains("B"), "no B exposures in this fixture")
+  }
+
+  test("q152: conversion-time percentiles on hand-built latencies") {
+    val sess = spark
+    import sess.implicits._
+    val dir = Files.createTempDirectory("graft-flat").toFile.getAbsolutePath
+    val sec = 1000000000L
+    Seq((1L, 0L, 1L, "view"), (2L, 10L * sec, 1L, "click"), (3L, 30L * sec, 1L, "purchase"),
+        (4L, 0L, 2L, "view"), (5L, 20L * sec, 2L, "click"))
+      .map { case (e, t, u, k) => (e, t, u, k, 1.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = rel.RelationalQueries.q152.run(spark, dir)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out("to_click_us") === ((15000000.0, 19000000.0)))
+    assert(out("to_purchase_us") === ((30000000.0, 30000000.0)))
+  }
+
   test("q129: per-kind rollup equals hand-computed byte features") {
     val texts = Seq((0L, "imagepayload"), (1L, "audiopayload!"), (2L, "videopayload!!"))
     val dir = docsDir(texts.map { case (id, t) => (id, t, "en", "s0") })
