@@ -392,6 +392,20 @@ class PlanAuditSpec extends SparkTestBase {
       "the band self-join must stay an equi join")
   }
 
+  test("q149: basket pairs join only inside (user, session) — equi only") {
+    val p = plan("q149_session_basket_lift")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "the item self-join must stay keyed on (user_id, session_id)")
+  }
+
+  test("q150: the release gate adds no unbounded window beyond the source rank") {
+    val p = plan("q150_release_gate")
+    assert(!p.contains("Window [") ||
+      !p.contains("windowspecdefinition()"),
+      "every window must be partitioned (no empty partition spec)")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q125: quantile audit never plans a global sort of the column") {
     val p = plan("q125_histogram_quantile_audit")
     assert(!p.contains("rangepartitioning(v"),
