@@ -660,7 +660,8 @@ object RelationalQueries {
     ), hist AS (
       SELECT bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY bin
     ), cums AS (
-      SELECT bin, c, SUM(c) OVER (ORDER BY bin) - c AS cumlo FROM hist
+      SELECT bin, c,
+        CAST(SUM(c) OVER (ORDER BY bin) - c AS BIGINT) AS cumlo FROM hist
     ), pcts AS (
       SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99]) AS BIGINT) AS pct
     ), plans AS (
@@ -856,11 +857,14 @@ object RelationalQueries {
   /** Ordered funnel conversion (view → click → purchase): the
     * product-analytics sequence-match operator — a user converts at
     * step k only with a step-k event STRICTLY AFTER their step-(k−1)
-    * conversion time. Three per-user min-aggregates chained by
-    * broadcast joins (each stage's output is one row per surviving
-    * user, shrinking monotonically); no window, no self-join of the
-    * event stream, the stream is scanned once per step with the
-    * event-type filter pushed to the scan.
+    * conversion time. Three per-user min-aggregates chained by joins
+    * (each stage's output is one row per surviving user, shrinking
+    * monotonically); no window, no self-join of the event stream, the
+    * stream is scanned once per step with the event-type filter pushed
+    * to the scan. The stage joins carry NO broadcast hint on purpose:
+    * a per-user frame is corpus-sized, so at fleet scale these are
+    * shuffle joins (AQE may still locally broadcast a shrunken late
+    * stage); the strictly-after semantics don't depend on strategy.
     */
   val q136 = Q("q136_funnel_conversion",
     (s, dir) => {
@@ -871,10 +875,10 @@ object RelationalQueries {
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t1"))
       val s2 = ev.filter(col("event_type") === "click")
-        .join(broadcast(s1), "user_id").filter(col("ts_us") > col("t1"))
+        .join(s1, "user_id").filter(col("ts_us") > col("t1"))
         .groupBy("user_id").agg(min("ts_us").as("t2"))
       val s3 = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(s2), "user_id").filter(col("ts_us") > col("t2"))
+        .join(s2, "user_id").filter(col("ts_us") > col("t2"))
         .groupBy("user_id").agg(min("ts_us").as("t3"))
       val (n1, n2, n3) = (s1.count(), s2.count(), s3.count())
       Seq(
@@ -932,7 +936,9 @@ object RelationalQueries {
         .distinct()
       val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
       val cSize = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_cohort"))
-      uw.join(broadcast(cohort), "user_id")
+      // cohort is a per-user frame (corpus-sized) — no broadcast hint;
+      // cSize/base are per-week/scalar and stay broadcast.
+      uw.join(cohort, "user_id")
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .join(broadcast(cSize), "cohort_week")
@@ -1092,6 +1098,14 @@ object RelationalQueries {
     * = Σ value_cents · w; output is the top-15 leaderboard
     * (score DESC, user) — the "who is engaged NOW" view a growth team
     * reads, with the undecayed cent total alongside for contrast.
+    *
+    * The shift is clamped: ages ≥ 11 weeks emit weight 0 explicitly
+    * (1024 >> 11 is already 0), because Spark's shiftright follows
+    * Java `>>` semantics and masks the shift amount mod 32 — an
+    * unclamped shift of 32+ (events ~224 days stale) would revive the
+    * full 1024 weight and break decay monotonicity; DuckDB returns 0
+    * there, so the clamp also keeps the two engines bit-identical on
+    * corpora spanning years.
     */
   val q143 = Q("q143_recency_engagement",
     (s, dir) => {
@@ -1100,7 +1114,9 @@ object RelationalQueries {
           expr("(ts div 1000) div 86400000000").as("day"))
       val mx = ev.agg(max("day").as("day_max"))
       ev.crossJoin(broadcast(mx))
-        .withColumn("w", expr("shiftright(1024, CAST((day_max - day) div 7 AS INT))"))
+        .withColumn("w", expr(
+          """CASE WHEN (day_max - day) div 7 >= 11 THEN 0L
+             ELSE shiftright(1024, CAST((day_max - day) div 7 AS INT)) END"""))
         .withColumn("vc", expr("CAST(round(value * 100) AS BIGINT)"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
@@ -1113,7 +1129,9 @@ object RelationalQueries {
     ), mx AS (SELECT max(day) AS day_max FROM ev)
     SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
       CAST(SUM(CAST(round(value * 100) AS BIGINT)
-        * (1024 >> CAST((mx.day_max - day) // 7 AS INTEGER))) AS BIGINT) AS score_fp,
+        * (CASE WHEN (mx.day_max - day) // 7 >= 11 THEN 0
+           ELSE 1024 >> CAST((mx.day_max - day) // 7 AS INTEGER) END))
+        AS BIGINT) AS score_fp,
       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS raw_cents
     FROM ev, mx
     GROUP BY user_id
@@ -1317,11 +1335,13 @@ object RelationalQueries {
         .select(col("user_id"), col("event_type"), expr("ts div 1000").as("ts_us"))
       val s1 = ev.filter(col("event_type") === "view")
         .groupBy("user_id").agg(min("ts_us").as("t1"))
+      // per-user stage frames are corpus-sized — no broadcast hints
+      // (q136's scaladoc has the rationale); AQE picks the strategy.
       val s2 = ev.filter(col("event_type") === "click")
-        .join(broadcast(s1), "user_id").filter(col("ts_us") > col("t1"))
+        .join(s1, "user_id").filter(col("ts_us") > col("t1"))
         .groupBy("user_id").agg(min("ts_us").as("t2"))
       val s3 = ev.filter(col("event_type") === "purchase")
-        .join(broadcast(s2.join(s1, "user_id")), "user_id")
+        .join(s2.join(s1, "user_id"), "user_id")
         .filter(col("ts_us") > col("t2"))
         .groupBy("user_id").agg(min("ts_us").as("t3"))
       val lat = s1.join(s2, "user_id").join(s3, Seq("user_id"), "left")

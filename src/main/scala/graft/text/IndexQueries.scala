@@ -359,6 +359,14 @@ object IndexQueries {
       val n = docs.count()
       val cuts: Seq[(Long, Long)] = Seq(25L, 50L, 75L, 100L).map { pct =>
         val k = (n * pct / 100L).max(1L)
+        // limit() takes an Int: guard the narrowing so a >2.1B-doc
+        // corpus fails loudly instead of silently truncating the cut
+        // (the TakeOrdered itself never materializes k rows anywhere —
+        // it's a per-partition top-k merge — so the Int bound, not
+        // memory, is the first wall; past it, recurse this same
+        // pruning on doc_id ranges like q125 does on histogram bins).
+        require(k <= Int.MaxValue,
+          s"q124 cut rank $k exceeds Int.MaxValue; range-partition the cut search")
         val cutId = docs.select(col("doc_id")).orderBy("doc_id")
           .limit(k.toInt).agg(max("doc_id")).head().getLong(0)
         (pct, cutId)

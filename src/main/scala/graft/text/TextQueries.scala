@@ -2277,7 +2277,10 @@ object TextQueries {
     * Scale: the gate adds one rank window on source and a 20-row
     * digest aggregate on top of its constituent operators — the flags
     * join is the q70 shape, the cap the q119 shape; if each scales,
-    * the gate scales.
+    * the gate scales. The digest's collect_list is wrapped in
+    * when(rk <= 20, ...) so NULL (dropped) entries keep the per-source
+    * group buffer bounded at 20 structs regardless of how many
+    * candidates a hot source has — no whole-group buffering anywhere.
     */
   val q150 = Q("q150_release_gate",
     (s, dir) => {
@@ -2295,10 +2298,14 @@ object TextQueries {
         .agg(count(lit(1)).as("n_candidates"),
           sum(when(col("rk") <= 20, 1L).otherwise(0L)).as("n_released"),
           sum(when(col("rk") <= 20, col("n_chars")).otherwise(0L)).as("released_chars"),
+          // collect_list drops NULL entries, so the when() bounds the
+          // group buffer at <= 20 structs per source; the md5 is
+          // bit-identical to the unfiltered form because capped rows
+          // contributed '' (the concat identity) there.
           md5(concat_ws("",
             transform(array_sort(collect_list(
-              struct(col("doc_id"), when(col("rk") <= 20, col("h")).as("hh")))),
-              x => coalesce(x.getField("hh"), lit("")))).cast("binary")).as("release_md5"))
+              when(col("rk") <= 20, struct(col("doc_id"), col("h"))))),
+              x => x.getField("h"))).cast("binary")).as("release_md5"))
         .withColumn("n_capped", col("n_candidates") - col("n_released"))
         .select("source", "n_candidates", "n_released", "n_capped",
           "released_chars", "release_md5")
@@ -2320,7 +2327,7 @@ object TextQueries {
       CAST(count(*) AS BIGINT)
         - CAST(SUM(CASE WHEN rk <= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
       CAST(SUM(CASE WHEN rk <= 20 THEN n_chars ELSE 0 END) AS BIGINT) AS released_chars,
-      md5(string_agg(CASE WHEN rk <= 20 THEN h ELSE '' END, '' ORDER BY doc_id))
+      md5(string_agg(h, '' ORDER BY doc_id) FILTER (WHERE rk <= 20))
         AS release_md5
     FROM ranked GROUP BY source ORDER BY source"""
     })

@@ -1228,9 +1228,14 @@ object VectorQueries {
         .select("a_id", "b_id", "sim")
         .cache()
       val picked = scala.collection.mutable.ArrayBuffer[Long]()
-      picked += cand.orderBy(desc("rel"), col("c_id")).limit(1)
-        .select("c_id").head().getLong(0)
-      for (_ <- 2 to MmrK) {
+      // headOption like the greedy steps below: an EMPTY pool (no
+      // embeddings, missing query vector, all-zero norms) yields an
+      // empty pick list and an empty result frame — the oracle's
+      // empty-stage behavior — instead of a NoSuchElementException.
+      cand.orderBy(desc("rel"), col("c_id")).limit(1)
+        .select("c_id").collect().headOption
+        .foreach(r => picked += r.getLong(0))
+      if (picked.nonEmpty) for (_ <- 2 to MmrK) {
         val ms = sims.filter(col("b_id").isInCollection(picked))
           .groupBy("a_id").agg(max("sim").as("ms"))
         // headOption: a pool smaller than k runs dry gracefully (the

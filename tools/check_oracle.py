@@ -34,6 +34,15 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}"); n_bad += 1; continue
         if got.shape != exp.shape:
             print(f"FAIL {name}: shape {got.shape} != {exp.shape}"); n_bad += 1; continue
+        # dtype compare: the driver's hash is TYPE-aware, so a DuckDB
+        # HUGEINT (object/float64 in pandas) vs Spark int64 fails there
+        # even when every value matches (the round-5 q125 lesson).
+        dt_bad = [(c, str(got[c].dtype), str(exp[c].dtype)) for c in got.columns
+                  if str(got[c].dtype) != str(exp[c].dtype)]
+        if dt_bad:
+            print(f"FAIL {name}: dtypes differ: "
+                  + "; ".join(f"{c}: spark={a} duck={b}" for c, a, b in dt_bad[:4]))
+            n_bad += 1; continue
         # exact value compare, in emitted row order
         diffs = []
         for c in got.columns:
