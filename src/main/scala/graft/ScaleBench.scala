@@ -3,10 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Scale-up linearity probe for the dedup/ANN layer (the newest, least
-  * scale-proven queries): synthesizes a 10× documents + embeddings
-  * corpus from sf0.1 and times the text/vector catalog queries at 1×
-  * vs 10×, printing per-query step ratios.
+/** Scale-up linearity probe for the dedup/ANN layer and the
+  * behavioral-analytics family: synthesizes a 10× documents +
+  * embeddings + events corpus from sf0.1 and times the catalog
+  * queries at 1× vs 10×, printing per-query step ratios.
   *
   * The copies are CONTENT-DECORRELATED so density stays realistic
   * rather than exploding: each document copy rewrites ten frequent
@@ -36,9 +36,10 @@ object ScaleBench {
     a.drop(k % a.length) + a.take(k % a.length)
 
   private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    def missing(t: String) = !new java.io.File(s"$outDir/$t.parquet").exists()
     val docs = spark.read.parquet(s"$baseDir/documents.parquet")
     val nD = docs.count()
-    (0 until Copies).map { k =>
+    if (missing("documents")) (0 until Copies).map { k =>
       val t1 = if (k % 10 == 0) col("text")
         else translate(col("text"), alphabet, rotated(alphabet, k % 10))
       val t2 = if (k / 10 == 0) t1
@@ -53,7 +54,7 @@ object ScaleBench {
     val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
     val nE = emb.count()
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    (0 until Copies).map { k =>
+    if (missing("embeddings")) (0 until Copies).map { k =>
       val rot = k % dim
       val rotatedC =
         if (rot == 0) col("embedding")
@@ -72,6 +73,30 @@ object ScaleBench {
         col("label"))
     }.reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    // events: the realistic growth mode for a behavioral stream is MORE
+    // USERS over the SAME wall-clock span (densities grow ~Copies×, the
+    // session/retention/burst windows keep their extent). Each copy gets
+    // fresh user_ids (user_id + k·stride) and a distinct sub-second
+    // timestamp jitter (k·1009 µs — prime, so no two copies collide on
+    // an exact microsecond grid), preserving per-user event ORDER and
+    // the hourly/daily bucketing while decorrelating exact-ts joins.
+    // The event_type alphabet is untouched: q149's bounded-pairs claim
+    // and q132's transition matrix depend on it staying fixed.
+    // `ts` arrives as epoch-nano LONG (Tables' nanosAsLong contract) and
+    // is written back as plain INT64 nanos — byte-compatible with every
+    // query's `ts div 1000` arithmetic.
+    val ev = Tables(spark, baseDir, "events")
+    val nEv = ev.count()
+    val userStride = ev.agg(max("user_id")).first().getLong(0) + 1
+    (0 until Copies).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * nEv)).as("event_id"),
+        (col("ts") + lit(k * 1009L * 1000L)).as("ts"),
+        (col("user_id") + lit(k * userStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
   }
 
   private val queryNames = Seq(
@@ -108,7 +133,15 @@ object ScaleBench {
     "q123_vocab_size_sweep", "q124_vocab_growth", "q126_dedup_topology",
     "q127_next_token_accuracy", "q128_dedup_threshold_sweep",
     "q129_asset_feature_rollup", "q135_skyline_docs", "q138_dim_truncation_recall",
-    "q140_rake_keywords", "q150_release_gate")
+    "q140_rake_keywords", "q150_release_gate",
+    // behavioral-analytics family over the synthesized events stream
+    // (round-6 addition: these were the only catalog queries with no
+    // linearity datapoint)
+    "q132_event_transitions", "q136_funnel_conversion",
+    "q137_retention_cohorts", "q139_last_touch_attribution",
+    "q141_event_value_percentiles", "q142_robust_anomaly_screen",
+    "q143_recency_engagement", "q146_hourly_burst_detection",
+    "q149_session_basket_lift", "q151_ab_srm_audit", "q152_funnel_latency")
 
   /** Optional comma-separated subset (SPARK_GRAFT_SCALE_ONLY) — the
     * 100× probe runs the width-scaled pairs only; fixed-8-bit band
@@ -133,7 +166,9 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = new java.io.File(s"target/scale$Copies").getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    if (!new java.io.File(s"$out/documents.parquet").exists()) gen(spark, base, out)
+    // events.parquet is the newest artifact — keying the guard on it
+    // upgrades a pre-round-6 scale dir (docs+embeddings only) in place
+    if (!new java.io.File(s"$out/events.parquet").exists()) gen(spark, base, out)
 
     // JIT/codegen warmup at the small scale so both measured scales are
     // equally warm

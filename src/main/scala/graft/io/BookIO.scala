@@ -34,6 +34,32 @@ object BookIO {
   def writeGoldenCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").option("emptyValue", "").csv(path)
 
+  /** Parquet-with-CSV-fallback sink (`record.py:126-138`): the reference
+    * tries pyarrow, then fastparquet, and finally warns + writes golden
+    * CSV at the `.csv`-renamed path. Spark has one parquet writer, so
+    * the chain collapses to try-parquet-else-CSV; returns the path
+    * actually written so callers can dispatch reads via [[readAny]].
+    * The CSV leg renders through [[writeGoldenCsv]] after [[fmt10]]
+    * formatting of double columns — byte-identical to the S6 sink.
+    */
+  def writeAnyWithFallback(df: DataFrame, path: String): String =
+    try {
+      df.write.mode("overwrite").parquet(path)
+      path
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"parquet write failed (${e.getMessage}); falling back to CSV")
+        val csvPath = path.replaceAll("\\.(parquet|pq)$", "") + ".csv"
+        val stringified = df.schema.fields.foldLeft(df) { (acc, f) =>
+          if (f.dataType == org.apache.spark.sql.types.DoubleType)
+            acc.withColumn(f.name, fmt10(col(f.name)))
+          else acc
+        }
+        writeGoldenCsv(stringified, csvPath)
+        csvPath
+    }
+
   /** S11 accumulating summary sink (`impact_twap_cli.py:51-57`): append
     * the frame's rows to ONE growing CSV, writing the header only when
     * the file does not exist yet. Driver-side by design — run summaries

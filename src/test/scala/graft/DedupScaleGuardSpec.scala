@@ -85,4 +85,37 @@ class DedupScaleGuardSpec extends SparkTestBase {
     assert(rows.forall(_.getLong(3) == 1000L), "group size is the full corpus")
     assert(rows.count(_.getInt(2) == 1) === 1, "exactly one kept copy")
   }
+
+  test("q149 adversarial: one user, 2000 sessions, full alphabet per session") {
+    // The bounded-pairs claim in q149's scaladoc: the per-session self-join
+    // emits ≤ T·(T−1) pairs per session (T = event-type alphabet), NEVER
+    // O(events²) — a single hyperactive user with thousands of sessions is
+    // exactly the skew shape that would break a per-user join. 2000
+    // sessions × 5 types = 10 000 events, one user_id.
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bask-adv").toString
+    val types = Seq("view", "click", "cart", "purchase", "error")
+    val hour = 3600000000000L // ns — consecutive sessions 1 h apart (> 30 min gap)
+    val rows = for {
+      s <- 0 until 2000
+      (t, i) <- types.zipWithIndex
+    } yield (s * 5L + i, s * hour + i * 1000000000L, 1L, t, 1.0, "{}")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val q = rel.RelationalQueries.q149.run(spark, dir)
+    // equi-keyed only: the (user, session) join must never degrade to a
+    // cartesian/BNL even when one user owns every session
+    val p = q.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "basket pair join must stay equi-keyed under single-user skew")
+    val out = q.collect()
+    // every ordered pair of distinct types co-occurs in all 2000 sessions:
+    // support = conf = lift = 1000 permille exactly
+    assert(out.length === types.size * (types.size - 1))
+    assert(out.forall(r => r.getLong(2) == 2000L && r.getLong(3) == 1000L &&
+      r.getLong(4) == 1000L && r.getLong(5) == 1000L),
+      s"unexpected basket stats: ${out.take(3).toSeq}")
+  }
 }

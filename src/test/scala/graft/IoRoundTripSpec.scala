@@ -60,4 +60,27 @@ class IoRoundTripSpec extends SparkTestBase {
       BookIO.readAny(spark, "/tmp/whatever.json")
     }
   }
+
+  test("writeAnyWithFallback: parquet when possible, golden CSV when not") {
+    import spark.implicits._
+    val df = Seq((1L, 2.5), (2L, -0.125)).toDF("k", "v")
+      .withColumn("v", when(col("k") === 2, lit(null)).otherwise(col("v")))
+    // happy path: parquet lands at the requested path
+    val okDir = Files.createTempDirectory("fallback-ok").toString + "/out.parquet"
+    val wrote = BookIO.writeAnyWithFallback(df, okDir)
+    assert(wrote === okDir && BookIO.readAny(spark, wrote).count() === 2)
+    // failure path (record.py:126-138): the engine-limitation analog —
+    // parquet rejects column names containing spaces, CSV headers allow
+    // them — lands at the .csv-renamed path with golden 10-dp doubles
+    // and "" NULLs
+    val dir = Files.createTempDirectory("fallback-csv").toString
+    val fell = BookIO.writeAnyWithFallback(
+      df.withColumnRenamed("v", "best bid").coalesce(1), s"$dir/out.parquet")
+    assert(fell === s"$dir/out.csv")
+    val back = BookIO.readAny(spark, fell)
+    assert(back.columns.toSeq === Seq("k", "best bid"))
+    val rows = back.orderBy("k").collect()
+    assert(rows(0).getString(1) === "2.5000000000", "fmt10 golden formatting")
+    assert(rows(1).isNullAt(1), "NULL renders as blank -> NULL on read-back")
+  }
 }
