@@ -35,44 +35,72 @@ object ScaleBench {
   private def rotated(a: String, k: Int): String =
     a.drop(k % a.length) + a.take(k % a.length)
 
-  private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    def missing(t: String) = !new java.io.File(s"$outDir/$t.parquet").exists()
-    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
-    val nD = docs.count()
-    if (missing("documents")) (0 until Copies).map { k =>
-      val t1 = if (k % 10 == 0) col("text")
-        else translate(col("text"), alphabet, rotated(alphabet, k % 10))
-      val t2 = if (k / 10 == 0) t1
-        else translate(t1, alphabet2, rotated(alphabet2, k / 10))
-      docs.select(
-        (col("doc_id") + lit(k * nD)).as("doc_id"),
-        t2.as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  private def delRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
+    f.delete(); ()
+  }
 
-    val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
-    val nE = emb.count()
-    val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    if (missing("embeddings")) (0 until Copies).map { k =>
-      val rot = k % dim
-      val rotatedC =
-        if (rot == 0) col("embedding")
-        else concat(slice(col("embedding"), rot + 1, dim - rot),
-          slice(col("embedding"), 1, rot))
-      // beyond one full rotation cycle, flip the signs of the component
-      // half selected by bit (k / dim): distinct transform per copy
-      val j = k / dim
-      val flipped =
-        if (j == 0) rotatedC
-        else transform(rotatedC, (x, i) =>
-          when(shiftright(i, (j - 1) % 6).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
-      emb.select(
-        (col("vec_id") + lit(k * nE)).as("vec_id"),
-        flipped.as("embedding"),
-        col("label"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  /** Crash-safe materialization: write to `<dest>.tmp`, then rename into
+    * place. A run killed mid-write leaves only the tmp dir, so the
+    * presence check ([[present]]) never sees a partial artifact; the
+    * `_SUCCESS` marker additionally invalidates partials left by
+    * pre-fix rounds that wrote to `dest` directly.
+    */
+  private def writeCommitted(df: DataFrame, dest: String): Unit = {
+    val tmp = new java.io.File(dest + ".tmp")
+    if (tmp.exists()) delRec(tmp)
+    df.write.mode("overwrite").parquet(tmp.getPath)
+    val d = new java.io.File(dest)
+    if (d.exists()) delRec(d)
+    require(tmp.renameTo(d), s"rename ${tmp.getPath} -> $dest failed")
+  }
+
+  private def present(outDir: String, t: String): Boolean =
+    new java.io.File(s"$outDir/$t.parquet/_SUCCESS").exists()
+
+  /** Each table is guarded independently — a failure in one leg (or a
+    * pre-existing artifact from an earlier run) never forces or blocks
+    * regeneration of the others.
+    */
+  private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
+    if (!present(outDir, "documents")) {
+      val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+      val nD = docs.count()
+      writeCommitted((0 until Copies).map { k =>
+        val t1 = if (k % 10 == 0) col("text")
+          else translate(col("text"), alphabet, rotated(alphabet, k % 10))
+        val t2 = if (k / 10 == 0) t1
+          else translate(t1, alphabet2, rotated(alphabet2, k / 10))
+        docs.select(
+          (col("doc_id") + lit(k * nD)).as("doc_id"),
+          t2.as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _), s"$outDir/documents.parquet")
+    }
+
+    if (!present(outDir, "embeddings")) {
+      val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
+      val nE = emb.count()
+      val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      writeCommitted((0 until Copies).map { k =>
+        val rot = k % dim
+        val rotatedC =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dim - rot),
+            slice(col("embedding"), 1, rot))
+        // beyond one full rotation cycle, flip the signs of the component
+        // half selected by bit (k / dim): distinct transform per copy
+        val j = k / dim
+        val flipped =
+          if (j == 0) rotatedC
+          else transform(rotatedC, (x, i) =>
+            when(shiftright(i, (j - 1) % 6).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
+        emb.select(
+          (col("vec_id") + lit(k * nE)).as("vec_id"),
+          flipped.as("embedding"),
+          col("label"))
+      }.reduce(_ unionByName _), s"$outDir/embeddings.parquet")
+    }
 
     // events: the realistic growth mode for a behavioral stream is MORE
     // USERS over the SAME wall-clock span (densities grow ~Copies×, the
@@ -83,20 +111,23 @@ object ScaleBench {
     // the hourly/daily bucketing while decorrelating exact-ts joins.
     // The event_type alphabet is untouched: q149's bounded-pairs claim
     // and q132's transition matrix depend on it staying fixed.
-    // `ts` arrives as epoch-nano LONG (Tables' nanosAsLong contract) and
-    // is written back as plain INT64 nanos — byte-compatible with every
-    // query's `ts div 1000` arithmetic.
-    val ev = Tables(spark, baseDir, "events")
-    val nEv = ev.count()
-    val userStride = ev.agg(max("user_id")).first().getLong(0) + 1
-    (0 until Copies).map { k =>
-      ev.select(
-        (col("event_id") + lit(k * nEv)).as("event_id"),
-        (col("ts") + lit(k * 1009L * 1000L)).as("ts"),
-        (col("user_id") + lit(k * userStride)).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    }.reduce(_ unionByName _)
-      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // Tables() normalizes `ts` to epoch-nano LONG whatever the parquet's
+    // physical encoding, and the copy is written back as plain INT64
+    // nanos — byte-compatible with every query's `ts div 1000`
+    // arithmetic (Tables' normalization is a type-conditional no-op on
+    // the round-trip read).
+    if (!present(outDir, "events")) {
+      val ev = Tables(spark, baseDir, "events")
+      val nEv = ev.count()
+      val userStride = ev.agg(max("user_id")).first().getLong(0) + 1
+      writeCommitted((0 until Copies).map { k =>
+        ev.select(
+          (col("event_id") + lit(k * nEv)).as("event_id"),
+          (col("ts") + lit(k * 1009L * 1000L)).as("ts"),
+          (col("user_id") + lit(k * userStride)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _), s"$outDir/events.parquet")
+    }
   }
 
   private val queryNames = Seq(
@@ -166,9 +197,10 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = new java.io.File(s"target/scale$Copies").getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    // events.parquet is the newest artifact — keying the guard on it
-    // upgrades a pre-round-6 scale dir (docs+embeddings only) in place
-    if (!new java.io.File(s"$out/events.parquet").exists()) gen(spark, base, out)
+    // gen() self-guards per table (committed `_SUCCESS` markers), so an
+    // existing scale dir is upgraded in place and a crashed leg is
+    // retried without regenerating the healthy artifacts
+    gen(spark, base, out)
 
     // JIT/codegen warmup at the small scale so both measured scales are
     // equally warm

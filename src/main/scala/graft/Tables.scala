@@ -1,14 +1,18 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS) which Spark cannot represent
-  * natively; we read it as a LONG of epoch-nanoseconds via
-  * `spark.sql.legacy.parquet.nanosAsLong` and expose `epochUs` helpers so
-  * results line up with DuckDB's microsecond-truncated TIMESTAMP view of
-  * the same file.
+  * Engine-wide contract: `events.ts` is a LONG of epoch-nanoseconds.
+  * The driver's parquet has carried two physical encodings across rounds —
+  * TIMESTAMP(NANOS) (readable as LONG via
+  * `spark.sql.legacy.parquet.nanosAsLong`) and TIMESTAMP(micros) (read as
+  * timestamp/timestamp_ntz) — so [[apply]] normalizes any timestamp-typed
+  * `ts` to epoch-nanos at load. DuckDB oracles keep using `epoch_us(ts)`
+  * on the raw file, which agrees with `ts div 1000` here in both cases.
   */
 object Tables {
   val names: Seq[String] = Seq(
@@ -20,8 +24,23 @@ object Tables {
     // every query path may use the Exact fast-sum kernels; registration is
     // an idempotent registry put, so doing it here keeps call sites clean
     graft.functions.DecSum.ensureRegistered(spark)
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
+
+  /** Engine contract: `ts` is epoch-nano LONG. Converts a timestamp-typed
+    * `ts` (micros-annotated parquet) to that contract; a no-op when the
+    * column is already LONG (nanosAsLong path or our own writes) or
+    * absent. timestamp_ntz carries no zone; the session runs UTC, so the
+    * cast-to-timestamp reinterprets the same wall-clock micros. Works on
+    * batch and streaming frames alike (pure projection).
+    */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == TimestampType || f.dataType == TimestampNTZType =>
+        df.withColumn(
+          "ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case _ => df
+    }
 
   /** Local session for tests/benchmarks: tuned for local[N] (shuffle
     * partitions = cores, AQE on, UTC). On a real cluster the same code

@@ -50,15 +50,27 @@ object BookIO {
       case scala.util.control.NonFatal(e) =>
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"parquet write failed (${e.getMessage}); falling back to CSV")
+        // an overwrite-mode failure can leave a deleted/partial dir at
+        // `path`; remove it so a later readAny of a stale parquet path
+        // can't see a corrupt artifact
+        deleteRecursively(new java.io.File(path))
         val csvPath = path.replaceAll("\\.(parquet|pq)$", "") + ".csv"
         val stringified = df.schema.fields.foldLeft(df) { (acc, f) =>
-          if (f.dataType == org.apache.spark.sql.types.DoubleType)
-            acc.withColumn(f.name, fmt10(col(f.name)))
-          else acc
+          f.dataType match {
+            case org.apache.spark.sql.types.DoubleType |
+                 org.apache.spark.sql.types.FloatType =>
+              acc.withColumn(f.name, fmt10(col(f.name).cast("double")))
+            case _ => acc
+          }
         }
         writeGoldenCsv(stringified, csvPath)
         csvPath
     }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
 
   /** S11 accumulating summary sink (`impact_twap_cli.py:51-57`): append
     * the frame's rows to ONE growing CSV, writing the header only when

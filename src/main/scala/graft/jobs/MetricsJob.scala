@@ -91,4 +91,16 @@ object MetricsJob {
                  else out.orderBy(keys.map(col) ++ ord: _*)
     sorted.select((baseCols ++ addCols).map(col): _*)
   }
+
+  /** CLI-shaped entry point mirroring the reference's metrics writer
+    * (`metrics_cli.py:60-66`): compute, then persist parquet with the
+    * reference's CSV fallback chain. Returns the path actually written
+    * (callers dispatch later reads via [[BookIO.readAny]]).
+    */
+  def runAndSave(spark: SparkSession, inPath: String, outPath: String,
+                 depth: Int, rvWindow: Int,
+                 partitionKeys: Seq[String] = Seq("exchange_id", "symbol"),
+                 golden: Boolean = false): String =
+    BookIO.writeAnyWithFallback(
+      run(spark, inPath, depth, rvWindow, partitionKeys, golden), outPath)
 }

@@ -101,7 +101,13 @@ class DedupScaleGuardSpec extends SparkTestBase {
       s <- 0 until 2000
       (t, i) <- types.zipWithIndex
     } yield (s * 5L + i, s * hour + i * 1000000000L, 1L, t, 1.0, "{}")
-    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // write ts with the REAL events.parquet logical type — TIMESTAMP
+    // (micros), not raw INT64 — so this fixture exercises the same
+    // Tables-level ts normalization the production read path takes
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    rows.toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))).drop("ts_ns")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
 
     val q = rel.RelationalQueries.q149.run(spark, dir)

@@ -69,16 +69,24 @@ class IoRoundTripSpec extends SparkTestBase {
     val okDir = Files.createTempDirectory("fallback-ok").toString + "/out.parquet"
     val wrote = BookIO.writeAnyWithFallback(df, okDir)
     assert(wrote === okDir && BookIO.readAny(spark, wrote).count() === 2)
-    // failure path (record.py:126-138): the engine-limitation analog —
-    // parquet rejects column names containing spaces, CSV headers allow
-    // them — lands at the .csv-renamed path with golden 10-dp doubles
-    // and "" NULLs
+    // failure path (record.py:126-138): inject a deterministic parquet
+    // writer failure — the brotli codec is valid config but its jar is
+    // not on the classpath, the exact Spark analog of the reference's
+    // "pyarrow unavailable" — and assert the chain lands at the
+    // .csv-renamed path with golden 10-dp doubles, "" NULLs, and no
+    // partial parquet dir
     val dir = Files.createTempDirectory("fallback-csv").toString
-    val fell = BookIO.writeAnyWithFallback(
-      df.withColumnRenamed("v", "best bid").coalesce(1), s"$dir/out.parquet")
+    val codecKey = "spark.sql.parquet.compression.codec"
+    val prevCodec = spark.conf.get(codecKey)
+    spark.conf.set(codecKey, "brotli")
+    val fell =
+      try BookIO.writeAnyWithFallback(df.coalesce(1), s"$dir/out.parquet")
+      finally spark.conf.set(codecKey, prevCodec)
     assert(fell === s"$dir/out.csv")
+    assert(!new java.io.File(s"$dir/out.parquet").exists(),
+      "failed parquet attempt must not leave a partial dir behind")
     val back = BookIO.readAny(spark, fell)
-    assert(back.columns.toSeq === Seq("k", "best bid"))
+    assert(back.columns.toSeq === Seq("k", "v"))
     val rows = back.orderBy("k").collect()
     assert(rows(0).getString(1) === "2.5000000000", "fmt10 golden formatting")
     assert(rows(1).isNullAt(1), "NULL renders as blank -> NULL on read-back")

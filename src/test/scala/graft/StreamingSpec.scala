@@ -40,8 +40,8 @@ class StreamingSpec extends SparkTestBase {
     Files.copy(java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       streamDir.resolve("events.parquet"))
     val schema = spark.read.parquet("/root/testdata/sf0.001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
+    val stream = Tables.normalizeTs(spark.readStream.schema(schema)
+      .parquet(streamDir.toString))
       .select(expr("ts div 1000").as("ts_us"),
         concat(lit("S"), pmod(col("user_id"), lit(4)).cast("string")).as("sym"),
         col("value").as("px"))
