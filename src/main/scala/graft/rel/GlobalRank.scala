@@ -1,0 +1,49 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global row-numbering.
+  *
+  * `row_number().over(Window.orderBy(keys))` funnels the whole input
+  * through ONE partition — the classic scale cliff. This helper computes
+  * the identical rank with no global shuffle point:
+  *
+  *   1. `repartitionByRange(keys)` — each partition holds a contiguous
+  *      key range, and partition ids are ordered by range;
+  *   2. per-partition row counts → cumulative offsets (a frame of
+  *      `numPartitions` rows — the only single-partition window, over
+  *      ~32 rows);
+  *   3. `row_number` PARTITIONED by partition id (parallel) + offset.
+  *
+  * The result equals the single-partition global rank whenever `keys`
+  * form a total order (include a unique tiebreak column — every caller
+  * here ends keys with `doc_id`/primary key). This is the same
+  * physical strategy a 100 TB zone-map rewrite uses
+  * (`repartitionByRange(...).sortWithinPartitions(...)`), so the audit
+  * measures the layout it would actually produce.
+  */
+object GlobalRank {
+
+  /** Append 0-based global rank of `keys`-order as column `outCol`. */
+  def withGlobalRank(df: DataFrame, keys: Seq[Column], outCol: String,
+                     numPartitions: Int = 0): DataFrame = {
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df.repartitionByRange(parts, keys: _*)
+      .withColumn("_gr_pid", spark_partition_id())
+    val offsets = ranged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_n"))
+      .withColumn("_gr_off", coalesce(
+        sum("_gr_n").over(Window.orderBy("_gr_pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_gr_pid", "_gr_off")
+    ranged.join(broadcast(offsets), "_gr_pid")
+      .withColumn(outCol,
+        row_number().over(
+          Window.partitionBy("_gr_pid").orderBy(keys: _*)).cast("long")
+          - lit(1L) + col("_gr_off"))
+      .drop("_gr_pid", "_gr_off")
+  }
+}

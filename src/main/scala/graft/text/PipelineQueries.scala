@@ -2074,10 +2074,11 @@ object PipelineQueries {
     *
     * At fleet scale the physical rewrite behind a layout is
     * `repartitionByRange(keys).sortWithinPartitions(keys)` and the
-    * block stats fall out of the parquet footers; this audit runs the
-    * same arithmetic on a uniform sample (the sf tables stand in for
-    * the sample), which is why a driver-side rank window over the
-    * sample is acceptable here and only here.
+    * block stats fall out of the parquet footers; the rank here is
+    * computed by the SAME range-partitioned strategy
+    * ([[graft.rel.GlobalRank]]: range shuffle + per-partition offsets),
+    * so the audit runs distributed on the full table — no global
+    * single-partition window.
     */
   val q115 = Q("q115_zonemap_pruning",
     (s, dir) => {
@@ -2089,7 +2090,7 @@ object PipelineQueries {
         "by_length" -> Seq(col("n_chars"), col("doc_id")),
         "by_source" -> Seq(col("source"), col("doc_id")))
       val blocks = layouts.map { case (name, keys) =>
-        docs.withColumn("rn", row_number().over(Window.orderBy(keys: _*)) - 1)
+        graft.rel.GlobalRank.withGlobalRank(docs, keys, "rn")
           .groupBy((col("rn") / 32).cast("long").as("block_id"))
           .agg(count(lit(1)).as("n_rows"),
             min("lang").as("lo_lang"), max("lang").as("hi_lang"),
