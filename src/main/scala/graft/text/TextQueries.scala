@@ -2332,8 +2332,73 @@ object TextQueries {
     FROM ranked GROUP BY source ORDER BY source"""
     })
 
+  // --------------------------------------------------------------- q153
+  private val SnmW = 8 // sorted-neighborhood window (rank distance < W)
+
+  /** Sorted-neighborhood (SNM) near-dup detection — the third classic
+    * dedup blocking family next to LSH banding (q48/q67) and winnowing
+    * (q108): sort the corpus by a cheap blocking key, compare each doc
+    * only with its W−1 successors in sort order. Near-identical docs
+    * have near-identical (lang, n_chars), so they land adjacent; the
+    * candidate count is ≤ N·(W−1), linear by construction.
+    *
+    * Scale shape: the global sort-order rank comes from
+    * [[graft.rel.GlobalRank]] (range shuffle + per-partition offsets —
+    * no single-partition window), and the "rank distance < W" pairing
+    * is NOT a range join: ranks are bucketed by `rn div W` and the
+    * right side is replicated to its own and the previous bucket, so
+    * the pairing is one equi-join on the bucket id (bounded 2×
+    * replication), then the exact distance filter. Verification is the
+    * O(len) `shingle_overlap` kernel; integer permille keeps the
+    * cross-engine compare exact.
+    */
+  val q153 = Q("q153_sorted_neighborhood",
+    (s, dir) => {
+      graft.functions.TextKernels.ensureRegistered(s)
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val ranked = graft.rel.GlobalRank
+        .withGlobalRank(d, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
+        .select(col("doc_id"), col("text"), col("rn"))
+      val a = ranked
+        .withColumn("bucket", expr(s"rn div $SnmW"))
+        .select(col("bucket"), col("doc_id").as("id_a"),
+          col("text").as("text_a"), col("rn").as("rn_a"))
+      val b = ranked
+        .select(explode(array(expr(s"rn div $SnmW"), expr(s"rn div $SnmW - 1")))
+            .as("bucket"),
+          col("doc_id").as("id_b"), col("text").as("text_b"), col("rn").as("rn_b"))
+      a.join(b, Seq("bucket"))
+        .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") < SnmW)
+        .withColumn("ov", expr(s"shingle_overlap(text_a, text_b, $N)"))
+        .select(col("id_a"), col("id_b"),
+          (col("rn_b") - col("rn_a")).as("rank_dist"),
+          col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
+        .filter(col("n_union") > 0)
+        .withColumn("jac_permille", expr("n_inter * 1000 div n_union"))
+        .filter(col("jac_permille") >= 500)
+        .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
+    },
+    Some(s"""WITH ranked AS (
+      SELECT doc_id, text,
+        ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rn
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, rn, $shinglesSqlExpr AS sh FROM ranked
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        b.rn - a.rn AS rank_dist,
+        CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+      FROM sh a JOIN sh b ON b.rn - a.rn BETWEEN 1 AND ${SnmW - 1}
+    )
+    SELECT id_a, id_b, rank_dist, n_inter, n_union,
+      n_inter * 1000 // n_union AS jac_permille
+    FROM p WHERE n_union > 0 AND n_inter * 1000 // n_union >= 500
+    ORDER BY id_a, id_b"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150)
+      q110, q112, q114, q122, q126, q128, q135, q150, q153)
 }

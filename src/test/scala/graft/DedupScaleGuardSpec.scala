@@ -124,4 +124,34 @@ class DedupScaleGuardSpec extends SparkTestBase {
       r.getLong(4) == 1000L && r.getLong(5) == 1000L),
       s"unexpected basket stats: ${out.take(3).toSeq}")
   }
+
+  test("q153 sorted-neighborhood: bucketed pairing stays equi-keyed and catches planted dups") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-snm").toString
+    // 300 distinct docs + 5 planted near-identical pairs: the pair
+    // members share lang and have n_chars within the window's reach
+    val base = (0 until 300).map { i =>
+      (i.toLong, s"unique document number $i with filler text ${"x" * (i % 40)}",
+        s"l${i % 3}", "web", (40 + i % 40).toLong)
+    }
+    val dups = (0 until 5).flatMap { j =>
+      val t = s"planted duplicate body $j ${"y" * 30}"
+      Seq((1000L + 2 * j, t, "ld", "web", t.length.toLong),
+        (1001L + 2 * j, t + "!", "ld", "web", t.length + 1L))
+    }
+    (base ++ dups).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val q = TextQueries.q153.run(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "rank-distance pairing must be the bucketed equi-join, not a range/BNL join")
+    val out = q.collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { j =>
+      assert(pairs.contains((1000L + 2 * j, 1001L + 2 * j)),
+        s"planted near-dup pair $j must be found")
+    }
+  }
 }
