@@ -413,4 +413,17 @@ class PlanAuditSpec extends SparkTestBase {
         "(the 7-row presentation sort on pct is the only range partitioning allowed)")
     assert(p.contains("BroadcastHashJoin"), "the 7-row rank table must broadcast")
   }
+
+  test("q115/q153: global ranks are range-partitioned — every rank window keys on the range pid") {
+    for (name <- Seq("q115_zonemap_pruning", "q153_sorted_neighborhood")) {
+      val p = plan(name)
+      // GlobalRank's row_number partitions by _gr_pid; the only other
+      // windows allowed are the ≤ numPartitions-row offset frames
+      assert(p.contains("_gr_pid"), s"$name must rank via GlobalRank")
+      assert(!p.contains("windowspecdefinition(doc_id"),
+        s"$name must not fall back to a doc-keyed global window")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name pairing/blocks must stay equi-keyed")
+    }
+  }
 }
