@@ -709,7 +709,7 @@ object RelationalQueries {
         .select(col("from_type"), col("to_type"), col("n"),
           expr("n * 1000 div n_from").as("share_permille"),
           when(col("from_type") === col("to_type"), 1L).otherwise(0L).as("self_loop"))
-        .orderBy("from_type", "to_type")
+        .transform(graft.Q.presentSorted(_, "from_type", "to_type"))
     },
     Some("""WITH seq AS (
       SELECT user_id, event_type,
@@ -772,7 +772,7 @@ object RelationalQueries {
           when(col("avg_run_permille") >= 2000, lit("rle"))
             .when(col("dict_bits") <= 8, lit("dict"))
             .otherwise(lit("plain")))
-        .orderBy("col_name")
+        .transform(graft.Q.presentSorted(_, "col_name"))
     },
     Some {
       def per(c: String) = s"""(
@@ -827,7 +827,7 @@ object RelationalQueries {
         .toDF("join_name", "n_left", "n_right", "d_left", "d_right", "est_rows", "actual_rows")
         .withColumn("err_permille",
           expr("abs(est_rows - actual_rows) * 1000 div actual_rows"))
-        .orderBy("join_name")
+        .transform(graft.Q.presentSorted(_, "join_name"))
     },
     Some {
       def per(a: String, ka: String, b: String, kb: String) = s"""(
@@ -886,7 +886,7 @@ object RelationalQueries {
         (2L, "click", n2, if (n1 > 0) n2 * 1000 / n1 else 0L),
         (3L, "purchase", n3, if (n2 > 0) n3 * 1000 / n2 else 0L))
         .toDF("step", "event_type", "n_users", "conv_permille")
-        .orderBy("step")
+        .transform(graft.Q.presentSorted(_, "step"))
     },
     Some("""WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
@@ -944,7 +944,7 @@ object RelationalQueries {
         .join(broadcast(cSize), "cohort_week")
         .select(col("cohort_week"), col("week_offset"), col("n_active"), col("n_cohort"),
           expr("n_active * 1000 div n_cohort").as("retention_permille"))
-        .orderBy("cohort_week", "week_offset")
+        .transform(graft.Q.presentSorted(_, "cohort_week", "week_offset"))
     },
     Some("""WITH ev AS (
       SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
@@ -989,7 +989,7 @@ object RelationalQueries {
         .withColumn("share_permille", expr(
           "n_purchases * 1000 div sum(n_purchases) OVER ()"))
         .select("touch_type", "n_purchases", "share_permille")
-        .orderBy("touch_type")
+        .transform(graft.Q.presentSorted(_, "touch_type"))
     },
     Some("""WITH ev AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events
@@ -1029,7 +1029,7 @@ object RelationalQueries {
         .withColumnRenamed("0.5", "p50")
         .withColumnRenamed("0.95", "p95")
         .withColumnRenamed("0.99", "p99")
-        .orderBy("event_type")
+        .transform(graft.Q.presentSorted(_, "event_type"))
     },
     Some("""SELECT event_type,
       quantile_cont(value, 0.5) AS p50,
@@ -1066,7 +1066,7 @@ object RelationalQueries {
           max("med").as("med"), max("mad").as("mad"))
         .withColumn("anom_permille", expr("n_anomalies * 1000 div n_events"))
         .select("event_type", "n_events", "n_anomalies", "anom_permille", "med", "mad")
-        .orderBy("event_type")
+        .transform(graft.Q.presentSorted(_, "event_type"))
     },
     Some("""WITH med AS (
       SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -1160,7 +1160,7 @@ object RelationalQueries {
         .filter(col("n_prev") >= 12 &&
           col("cnt") * col("n_prev") > lit(3) * col("sum_prev"))
         .select("event_type", "hour", "cnt", "sum_prev", "n_prev")
-        .orderBy("event_type", "hour")
+        .transform(graft.Q.presentSorted(_, "event_type", "hour"))
     },
     Some("""WITH hourly AS (
       SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
@@ -1221,7 +1221,7 @@ object RelationalQueries {
           expr(s"n_ab * 1000 div ${nSessions}L").as("support_permille"),
           expr("n_ab * 1000 div n_a").as("conf_permille"),
           expr(s"n_ab * ${nSessions}L * 1000 div (n_a * n_b)").as("lift_permille"))
-        .orderBy("antecedent", "consequent")
+        .transform(graft.Q.presentSorted(_, "antecedent", "consequent"))
     },
     Some("""WITH seq AS (
       SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
@@ -1293,7 +1293,7 @@ object RelationalQueries {
       val srm = if ((ua - ub) * (ua - ub) > 9 * (ua + ub)) 1L else 0L
       joined.toSeq.sortBy(_._1).map { case (v, (nu, ne, vc)) => (v, nu, ne, vc, srm) }
         .toDF("variant", "n_users", "n_events", "value_cents", "srm_flag")
-        .orderBy("variant")
+        .transform(graft.Q.presentSorted(_, "variant"))
     },
     Some("""WITH ev AS (
       SELECT user_id, value,
@@ -1356,7 +1356,7 @@ object RelationalQueries {
         .pivot("p", Seq(0.5, 0.9)).agg(first("q"))
         .withColumnRenamed("0.5", "p50_us")
         .withColumnRenamed("0.9", "p90_us")
-        .orderBy("metric")
+        .transform(graft.Q.presentSorted(_, "metric"))
     },
     Some("""WITH ev AS (
       SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
