@@ -26,7 +26,19 @@ import org.apache.spark.sql.functions._
   */
 object GlobalRank {
 
-  /** Append 0-based global rank of `keys`-order as column `outCol`. */
+  /** Append 0-based global rank of `keys`-order as column `outCol`.
+    *
+    * The ranged frame is persisted (memory-and-disk) before both
+    * consumers: the offsets branch and the rank branch must see the
+    * IDENTICAL partitioning, and without the persist each branch
+    * re-executes the range exchange independently — AQE is then free to
+    * coalesce the two executions differently, `spark_partition_id`
+    * diverges between them, and the offset join mis-assigns ranks
+    * (observed at sf0.1: one phantom extra block in q115). At fleet
+    * scale this materialization is not overhead — a layout job writes
+    * the range-sorted table anyway. The harness clears the cache per
+    * query; long-lived callers own the unpersist.
+    */
   def withGlobalRank(df: DataFrame, keys: Seq[Column], outCol: String,
                      numPartitions: Int = 0): DataFrame = {
     val parts =
@@ -34,6 +46,7 @@ object GlobalRank {
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.repartitionByRange(parts, keys: _*)
       .withColumn("_gr_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val offsets = ranged.groupBy("_gr_pid").agg(count(lit(1)).as("_gr_n"))
       .withColumn("_gr_off", coalesce(
         sum("_gr_n").over(Window.orderBy("_gr_pid")
