@@ -2390,7 +2390,7 @@ object TextQueries {
         b.rn - a.rn AS rank_dist,
         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
         CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
-      FROM sh a JOIN sh b ON b.rn - a.rn BETWEEN 1 AND ${SnmW - 1}
+      FROM sh a JOIN sh b ON b.rn > a.rn AND b.rn <= a.rn + ${SnmW - 1}
     )
     SELECT id_a, id_b, rank_dist, n_inter, n_union,
       n_inter * 1000 // n_union AS jac_permille
