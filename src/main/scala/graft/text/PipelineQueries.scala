@@ -2153,8 +2153,89 @@ object PipelineQueries {
         // CAST(SUM(n_rows) AS BIGINT) AS scan_permille
     FROM pb GROUP BY layout, predicate ORDER BY layout, predicate"""))
 
+  // --------------------------------------------------------------- q154
+  private val PsK = 32 // priority-sample size per source
+
+  /** Weighted priority sampling + estimator audit (Duffield–Lund–Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums"): draw
+    * K docs per source with probability ∝ weight (w = n_chars), then
+    * estimate each source's TOTAL character mass from the K samples
+    * alone via ŵᵢ = max(wᵢ, τ) with τ the (K+1)-th priority — the
+    * curation move that prices a source's contribution from a fixed-size
+    * sample instead of a full scan. Complements q95 (uniform stratified
+    * quota sampling): same shuffle shape, weighted semantics.
+    *
+    * Cross-engine determinism: priority = w · 2⁴⁸ / u′ where
+    * u′ ∈ [1, 2⁴⁸] is a 12-hex-digit md5 integer — every input converts
+    * to double exactly, and IEEE multiply/divide are correctly rounded,
+    * so both engines compute bit-identical priorities and τ; the
+    * estimator sum uses the [[graft.Exact]] decimal recipe. Per-source
+    * ranking is one window over the source shuffle (q95's scale shape;
+    * an ExactTopK(K+1) aggregator is the no-sort variant at fleet
+    * scale).
+    */
+  val q154 = Q("q154_priority_sample_audit",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("u", expr(
+          "CAST(conv(substr(md5(CAST(concat('ps#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) + 1"))
+        .withColumn("p",
+          col("n_chars").cast("double") * lit(281474976710656.0) / col("u").cast("double"))
+      val wS = Window.partitionBy("source").orderBy(col("p").desc, col("doc_id"))
+      val ranked = docs.withColumn("rnk", row_number().over(wS).cast("long"))
+      val tau = ranked.filter(col("rnk") === PsK + 1)
+        .select(col("source"), col("p").as("tau"))
+      ranked.filter(col("rnk") <= PsK)
+        .join(broadcast(tau), Seq("source"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("k_eff"),
+          max(col("tau")).as("tau_p"),
+          graft.Exact.sumExactR(
+            greatest(col("n_chars").cast("double"), coalesce(col("tau"), lit(0.0))), 6, 6)
+            .as("est_mass"))
+        .join(broadcast(docs.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("true_mass"))),
+          Seq("source"))
+        .withColumn("err_permille", expr(
+          "CAST(ROUND((est_mass - CAST(true_mass AS DOUBLE)) * 1000.0 / CAST(true_mass AS DOUBLE), 0) AS BIGINT)"))
+        .select("source", "n_docs", "k_eff", "tau_p", "est_mass", "true_mass", "err_permille")
+        .transform(graft.Q.presentSorted(_, "source"))
+    },
+    Some(s"""WITH d AS (
+      SELECT doc_id, source, n_chars,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef',
+              substr(md5('ps#' || CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) + 1 AS u
+      FROM documents
+    ), pr AS (
+      SELECT doc_id, source, n_chars,
+        CAST(n_chars AS DOUBLE) * 281474976710656.0 / CAST(u AS DOUBLE) AS p
+      FROM d
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rnk
+      FROM pr
+    ), tau AS (
+      SELECT source, p AS tau FROM ranked WHERE rnk = ${PsK + 1}
+    ), est AS (
+      SELECT r.source, CAST(COUNT(*) AS BIGINT) AS k_eff,
+        MAX(t.tau) AS tau_p,
+        ${graft.Exact.sumExactRSql("greatest(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0))", 6, 6)} AS est_mass
+      FROM ranked r LEFT JOIN tau t ON r.source = t.source
+      WHERE r.rnk <= $PsK GROUP BY r.source
+    ), tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS true_mass
+      FROM documents GROUP BY source
+    )
+    SELECT e.source, n_docs, k_eff, tau_p, est_mass, true_mass,
+      CAST(ROUND((est_mass - CAST(true_mass AS DOUBLE)) * 1000.0 / CAST(true_mass AS DOUBLE), 0) AS BIGINT) AS err_permille
+    FROM est e JOIN tot USING (source) ORDER BY source"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
       q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
-      q113, q115)
+      q113, q115, q154)
 }

@@ -632,4 +632,29 @@ class DataCurationSpec extends SparkTestBase {
     assert(allPass === funnel(4),
       "the all-pass cell must equal the funnel's stage-4 survivor count")
   }
+
+  test("q154: priority-sample estimates track true mass; tiny groups are exact") {
+    val sess = spark
+    import sess.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ps").toString
+    // heavy-tailed weights in a big source (estimator band) and one
+    // group smaller than K (τ undefined → estimator must be EXACT)
+    val big = (0 until 800).map(i =>
+      (i.toLong, "t", "en", "big", (10L + (i % 97) * (i % 89))))
+    val tiny = (0 until 5).map(i =>
+      (10000L + i, "t", "en", "tiny", 100L + i))
+    (big ++ tiny).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = text.PipelineQueries.q154.run(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val b = out("big")
+    assert(b.getLong(2) === 32L, "k_eff = K for the big source")
+    val est = b.getDouble(4); val truth = b.getLong(5).toDouble
+    assert(math.abs(est - truth) / truth < 0.5,
+      s"DLT estimate from 32 samples should land near truth: est=$est true=$truth")
+    val t = out("tiny")
+    assert(t.getLong(2) === 5L, "k_eff = group size when n < K")
+    assert(t.getDouble(4) === t.getLong(5).toDouble,
+      "without a (K+1)-th priority the estimator degenerates to the exact sum")
+  }
 }
