@@ -35,7 +35,9 @@ object Multimodal {
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
           (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("kind"),
-        col("text").cast("binary").as("payload"),
+        // null text → empty payload: a 100 TB corpus has null rows, and the
+        // decode path must treat them as zero-byte assets, not NPE
+        coalesce(col("text"), lit("")).cast("binary").as("payload"),
         (lit(64) + pmod(col("doc_id"), lit(8)) * 16).cast("int").as("width"),
         (lit(64) + pmod(col("doc_id"), lit(4)) * 16).cast("int").as("height"),
         when(pmod(col("doc_id"), lit(3)) === 1, lit(16000)).otherwise(lit(0)).as("sample_rate"))

@@ -145,7 +145,8 @@ object PipelineQueries {
         .rowsBetween(Window.unboundedPreceding, -1)
       Tables(s, dir, "documents")
         .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")))
         .withColumn("tok_start", coalesce(sum("n_tokens").over(w), lit(0L)))
         .withColumn("pack_first", expr(s"tok_start div $B"))
         .withColumn("pack_last",
@@ -194,7 +195,8 @@ object PipelineQueries {
       val docs = Tables(s, dir, "documents")
         .withColumn("split", split)
         .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")))
       docs.groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_chars").as("total_chars"),
@@ -283,7 +285,8 @@ object PipelineQueries {
       val B = 512L
       val ins = Tables(s, dir, "documents")
         .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")))
         .select(col("doc_id"), col("source"), col("n_tokens"))
         .as[(Long, String, Long)]
       ins.groupByKey(_._2).flatMapGroups { (src, it) =>
@@ -339,7 +342,8 @@ object PipelineQueries {
         .otherwise(lit(100L))
       Tables(s, dir, "documents")
         .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")))
         .withColumn("rate_permille", rate)
         .withColumn("kept", (h < rate).cast("int"))
         .groupBy("lang")
@@ -552,7 +556,7 @@ object PipelineQueries {
       val base = Tables(s, dir, "documents")
         .select(col("doc_id"),
           expr("(doc_id * 2654435761) % 1000000007").as("p"),
-          when(length(trim(col("text"))) === 0, lit(0L))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
             .otherwise(size(toks).cast("long")).as("n_tokens"))
         .as[(Long, Long, Long)]
       val parted = base.repartitionByRange(nPart, col("p"), col("doc_id"))
@@ -615,7 +619,8 @@ object PipelineQueries {
       val firstOfFp = Window.partitionBy("fp").orderBy("doc_id")
       val base = docs
         .withColumn("n_tokens",
-          when(length(trim(col("text"))) === 0, lit(0L)).otherwise(size(toks).cast("long")))
+          when(length(trim(coalesce(col("text"), lit("")))) === 0, lit(0L))
+            .otherwise(size(toks).cast("long")))
         .withColumn("fp", md5(col("text").cast("binary")))
         .withColumn("is_first", (row_number().over(firstOfFp) === 1).cast("long"))
         .join(qual, "doc_id")

@@ -2025,7 +2025,7 @@ object TextQueries {
         .withColumn("lev", expr("CAST(lev_bytes(ta, tb) AS BIGINT)"))
         .withColumn("mb", greatest(length(col("ta").cast("binary")),
           length(col("tb").cast("binary"))).cast("long"))
-        .withColumn("edit_sim", expr("1000 - lev * 1000 div mb"))
+        .withColumn("edit_sim", expr("1000 - lev * 1000 div greatest(mb, 1)"))
         .withColumn("jacc_dup",
           when(col("n_inter") * 10 >= col("n_union") * 8, 1).otherwise(0))
         .withColumn("edit_dup", when(col("edit_sim") >= 900, 1).otherwise(0))
@@ -2056,9 +2056,9 @@ object TextQueries {
       WHERE len(list_distinct(list_concat(sa.s, sb.s))) > 0
     ), cells AS (
       SELECT id_a, id_b, n_inter, n_union,
-        1000 - lev * 1000 // mb AS edit_sim,
+        1000 - lev * 1000 // greatest(mb, 1) AS edit_sim,
         CASE WHEN n_inter * 10 >= n_union * 8 THEN 1 ELSE 0 END AS jacc_dup,
-        CASE WHEN 1000 - lev * 1000 // mb >= 900 THEN 1 ELSE 0 END AS edit_dup
+        CASE WHEN 1000 - lev * 1000 // greatest(mb, 1) >= 900 THEN 1 ELSE 0 END AS edit_dup
       FROM scored
     )
     SELECT jacc_dup, edit_dup, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Null-robustness sweep: a 100 TB corpus HAS null/empty rows, but the
+  * driver testdata has none, so the oracle gate can never catch a crash
+  * on them. This spec replays the catalog's text/multimodal/behavioral
+  * entry points over a null-injected copy of the sf0.001 tables — the
+  * sweep that originally caught four crashes (q62/q74 non-nullable
+  * encoder, q122 ANSI divide-by-zero on empty-vs-empty pairs, q129 NPE
+  * on a null payload).
+  */
+class NullRobustnessSpec extends SparkTestBase {
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-nulls").toString
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 3, lit(null: String))
+          .when(pmod(col("doc_id"), lit(11)) === 5, lit(""))
+          .otherwise(col("text")))
+      .withColumn("lang",
+        when(pmod(col("doc_id"), lit(13)) === 4, lit(null: String)).otherwise(col("lang")))
+    docs.write.mode("overwrite").parquet(s"$d/documents.parquet")
+    Tables(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("value",
+        when(pmod(col("event_id"), lit(17)) === 2, lit(null: java.lang.Double))
+          .otherwise(col("value")))
+      .withColumn("props",
+        when(pmod(col("event_id"), lit(19)) === 3, lit(null: String)).otherwise(col("props")))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private val names = Seq(
+    // the four originally-crashing queries
+    "q62_greedy_packing", "q74_token_budget",
+    "q122_edit_verified_dedup", "q129_asset_feature_rollup",
+    // representative kernels / families over the same nullable columns
+    "q27_text_stats", "q28_lang_id", "q29_exact_dedup", "q48_minhash_lsh_dedup",
+    "q57_bpe_tokens", "q80_pii_redaction", "q153_sorted_neighborhood",
+    "q154_priority_sample_audit", "q132_event_transitions", "q152_funnel_latency")
+
+  for (name <- names)
+    test(s"$name survives null/empty text, lang, value, and props rows") {
+      val out = SparkEntry.queries(name)(spark, dir)
+      // materialize fully — crashes here are the regression being pinned
+      assert(out.collect().length >= 0)
+    }
+}
