@@ -34,4 +34,18 @@ class GlobalRankSpec extends SparkTestBase {
     val got = ranked.orderBy("rn").select("rn").as[Long].collect().toSeq
     assert(got === expected)
   }
+
+  test("edge cases: empty frame and more partitions than rows") {
+    val sess = spark
+    import sess.implicits._
+    val empty = GlobalRank.withGlobalRank(
+      Seq.empty[Long].toDF("id"), Seq(col("id")), "rn")
+    assert(empty.count() === 0 && empty.columns.contains("rn"))
+    // 3 rows across 16 range partitions: most partitions are empty and
+    // must not perturb the offsets
+    val tiny = GlobalRank.withGlobalRank(
+      Seq(30L, 10L, 20L).toDF("id"), Seq(col("id")), "rn", numPartitions = 16)
+    assert(tiny.orderBy("rn").select("id").as[Long].collect().toSeq
+      === Seq(10L, 20L, 30L))
+  }
 }
