@@ -46,11 +46,21 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
+    val json =
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus"}"""
+    // Durable artifact: the driver's log capture may truncate stdout, so
+    // the full per-query timing map also lands on disk where the round
+    // artifacts can pick it up regardless of log length.
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get("target"))
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("target/bench_timings.json"), json)
+    } catch { case e: Throwable => System.err.println(s"[bench] timings write: ${e.getMessage}") }
     // Stop Spark BEFORE printing so no shutdown log lines follow the JSON,
     // and order the headline fields (metric/value/unit/sf) AFTER the long
     // per-query map: a harness that keeps only the final ~2k chars of
     // output still sees the totals. Duplicate-free, valid JSON either way.
     spark.stop()
-    println(s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(json)
   }
 }

@@ -40,7 +40,19 @@ object GlobalRank {
     * query; long-lived callers own the unpersist.
     */
   def withGlobalRank(df: DataFrame, keys: Seq[Column], outCol: String,
-                     numPartitions: Int = 0): DataFrame = {
+                     numPartitions: Int = 0): DataFrame =
+    withGlobalRankHooked(df, keys, outCol, numPartitions)._1
+
+  /** As [[withGlobalRank]], but also hands back the unpersist hook for
+    * the internal ranged frame. The Verify/Bench harness clears the
+    * whole cache per query, so the plain variant is fine there; a
+    * long-lived caller (library use, a multi-query session) calls the
+    * hook once the result — and anything derived from it — has been
+    * materialized, or it accumulates one cached copy of the input per
+    * rank call.
+    */
+  def withGlobalRankHooked(df: DataFrame, keys: Seq[Column], outCol: String,
+                           numPartitions: Int = 0): (DataFrame, () => Unit) = {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -52,11 +64,12 @@ object GlobalRank {
         sum("_gr_n").over(Window.orderBy("_gr_pid")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select("_gr_pid", "_gr_off")
-    ranged.join(broadcast(offsets), "_gr_pid")
+    val out = ranged.join(broadcast(offsets), "_gr_pid")
       .withColumn(outCol,
         row_number().over(
           Window.partitionBy("_gr_pid").orderBy(keys: _*)).cast("long")
           - lit(1L) + col("_gr_off"))
       .drop("_gr_pid", "_gr_off")
+    (out, () => { ranged.unpersist(); () })
   }
 }

@@ -1,6 +1,7 @@
 package graft.rel
 
 import graft.{Exact, Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -367,22 +368,179 @@ object RelationalQueries {
       ${Exact.sumExactSql("value", 2)} AS sum_value
     FROM events GROUP BY user_id ORDER BY user_id"""))
 
-  /** Sketch aggregates (HLL cardinality, approximate percentiles) — no
-    * ANSI-SQL-portable oracle (algorithm-specific); the driver records a
-    * rows-only check. The exact companions are oracle-checked in q01/q41.
+  /** Sketch aggregates, audited-exact restatement (closes the catalog's
+    * one `no_oracle` carve-out): the original surface — approximate
+    * distinct orders/parts and approximate p50/p95 price per return
+    * flag — re-expressed with DETERMINISTIC sketches both engines can
+    * compute bit-identically, each beside its exact companion:
+    *
+    *   - distinct counts: per-group KMV (k=64) over 48-bit md5 key
+    *     hashes via the [[graft.functions.ExactTopK]] aggregator (the
+    *     q84 recipe, grouped) — O(k) state per group, map-side
+    *     combinable — plus the exact `count(distinct)` and the sketch's
+    *     real per-mille error;
+    *   - quantiles: the q125 histogram-pruned two-pass — a 256-bin
+    *     equi-width histogram per group (bounded driver walk: returnflag
+    *     has 3 values → ≤ 768 rows collected), integer-interpolated
+    *     estimate, then EXACT rank statistic read from only the target
+    *     bins (no per-group sort — ranks are windowed per (group, bin)).
+    *
+    * Replaces `approx_count_distinct`/`percentile_approx`, whose
+    * internals aren't portable to an oracle; the audited twins measure
+    * the same thing with a cross-engine-exact contract.
     */
   val q42 = Q("q42_sketch_aggregates",
     (s, dir) => {
-      Tables(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("p50_price"),
-          percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("p95_price"))
+      graft.functions.ExactTopK.ensureRegistered(s)
+      val sess = s
+      import sess.implicits._
+      val li = Tables(s, dir, "lineitem")
+
+      def kmv(key: String, tag: String, pfx: String): DataFrame = {
+        val hv = li.select(col("l_returnflag").as("g"),
+          expr(s"CAST(conv(substr(md5(CAST(concat('$tag', CAST($key AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+            .as("v")).distinct()
+        hv.groupBy("g")
+          .agg(count(lit(1)).as(s"n_exact_$pfx"),
+            expr("exact_topk(CAST(-v AS DOUBLE), 64)").as("tn"))
+          .withColumn("v_k", when(size(col("tn")) >= 64,
+            (-element_at(col("tn"), 64)).cast("long")))
+          .withColumn(s"kmv_$pfx",
+            expr("CAST((63 * 281474976710656) div v_k AS BIGINT)"))
+          .withColumn(s"err_${pfx}_permille",
+            expr(s"abs(kmv_$pfx - n_exact_$pfx) * 1000 div n_exact_$pfx"))
+          .select("g", s"n_exact_$pfx", s"kmv_$pfx", s"err_${pfx}_permille")
+      }
+      val orders = kmv("l_orderkey", "ok#", "orders")
+      val parts = kmv("l_partkey", "pk#", "parts")
+
+      val vv = li.select(col("l_returnflag").as("g"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+      val statRows = vv.groupBy("g")
+        .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2) - r.getLong(1) + 1, r.getLong(3)))
+      val statsDf = statRows.map { case (g, mn, span, _) => (g, mn, span) }
+        .toSeq.toDF("g", "mn", "span")
+      val binned = vv.join(broadcast(statsDf), Seq("g"))
+        .withColumn("bin", expr("(v - mn) * 256 div span"))
+      val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val plans = for {
+        (g, mn, span, n) <- statRows.toSeq
+        pct <- Seq(50L, 95L)
+      } yield {
+        val r = (n - 1) * pct / 100L
+        var cum = 0L; var hit: (Long, Long, Long) = null
+        var b = 0L
+        while (b < 256L && hit == null) {
+          val c = hist.getOrElse((g, b), 0L)
+          if (r >= cum && r < cum + c) hit = (b, r - cum, c)
+          cum += c; b += 1
+        }
+        val (bin, off, c) = hit
+        val blo = mn + bin * span / 256L
+        val bhi = mn + (bin + 1) * span / 256L
+        (g, pct, bin, off + 1, blo + (bhi - blo) * off / c)
+      }
+      val wanted = plans.toDF("g", "pct", "bin", "rk", "est_cents")
+      val rankedq = binned
+        .join(broadcast(wanted.select("g", "bin").distinct()), Seq("g", "bin"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("g", "bin").orderBy("v")).cast("long"))
+      val quant = rankedq.join(broadcast(wanted), Seq("g", "bin", "rk"))
+        .select(col("g"), col("pct"), col("est_cents"), col("v").as("exact_cents"))
+      val p50 = quant.filter(col("pct") === 50L).select(col("g"),
+        col("est_cents").as("p50_est_cents"), col("exact_cents").as("p50_exact_cents"))
+      val p95 = quant.filter(col("pct") === 95L).select(col("g"),
+        col("est_cents").as("p95_est_cents"), col("exact_cents").as("p95_exact_cents"))
+
+      orders.join(parts, Seq("g")).join(p50, Seq("g")).join(p95, Seq("g"))
+        .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")
     },
-    None)
+    Some("""WITH ho AS (
+      SELECT DISTINCT l_returnflag AS g,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef',
+              substr(md5('ok#' || CAST(l_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS v
+      FROM lineitem
+    ), rko AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM ho
+    ), kmo AS (
+      SELECT e.g, e.n_exact_orders, kv.kmv_orders,
+        abs(kv.kmv_orders - e.n_exact_orders) * 1000 // e.n_exact_orders
+          AS err_orders_permille
+      FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact_orders FROM ho GROUP BY g) e
+      LEFT JOIN (SELECT g, CAST((63 * 281474976710656) // v AS BIGINT) AS kmv_orders
+                 FROM rko WHERE rn = 64) kv ON kv.g = e.g
+    ), hp AS (
+      SELECT DISTINCT l_returnflag AS g,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef',
+              substr(md5('pk#' || CAST(l_partkey AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS v
+      FROM lineitem
+    ), rkp AS (
+      SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM hp
+    ), kmp AS (
+      SELECT e.g, e.n_exact_parts, kv.kmv_parts,
+        abs(kv.kmv_parts - e.n_exact_parts) * 1000 // e.n_exact_parts
+          AS err_parts_permille
+      FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact_parts FROM hp GROUP BY g) e
+      LEFT JOIN (SELECT g, CAST((63 * 281474976710656) // v AS BIGINT) AS kmv_parts
+                 FROM rkp WHERE rn = 64) kv ON kv.g = e.g
+    ), vv AS (
+      SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ), mm AS (
+      SELECT g, min(v) AS mn, max(v) AS mx, CAST(count(*) AS BIGINT) AS n,
+        max(v) - min(v) + 1 AS span FROM vv GROUP BY g
+    ), binned AS (
+      SELECT vv.g, v, (v - mm.mn) * 256 // mm.span AS bin
+      FROM vv JOIN mm ON vv.g = mm.g
+    ), hist AS (
+      SELECT g, bin, CAST(count(*) AS BIGINT) AS c FROM binned GROUP BY g, bin
+    ), cums AS (
+      SELECT g, bin, c,
+        CAST(SUM(c) OVER (PARTITION BY g ORDER BY bin) - c AS BIGINT) AS cumlo
+      FROM hist
+    ), pcts AS (
+      SELECT CAST(unnest([50, 95]) AS BIGINT) AS pct
+    ), plans AS (
+      SELECT mm.g, p.pct, cu.bin, cu.c,
+        (mm.n - 1) * p.pct // 100 - cu.cumlo AS off,
+        mm.mn + cu.bin * mm.span // 256 AS blo,
+        mm.mn + (cu.bin + 1) * mm.span // 256 AS bhi
+      FROM pcts p, mm, cums cu
+      WHERE cu.g = mm.g
+        AND (mm.n - 1) * p.pct // 100 >= cu.cumlo
+        AND (mm.n - 1) * p.pct // 100 < cu.cumlo + cu.c
+    ), rankedq AS (
+      SELECT b.g, b.bin, b.v,
+        row_number() OVER (PARTITION BY b.g, b.bin ORDER BY b.v) AS rk
+      FROM binned b
+      WHERE EXISTS (SELECT 1 FROM plans pl WHERE pl.g = b.g AND pl.bin = b.bin)
+    ), qq AS (
+      SELECT pl.g, pl.pct,
+        pl.blo + (pl.bhi - pl.blo) * pl.off // pl.c AS est_cents,
+        rk.v AS exact_cents
+      FROM plans pl
+      JOIN rankedq rk ON rk.g = pl.g AND rk.bin = pl.bin AND rk.rk = pl.off + 1
+    )
+    SELECT kmo.g AS l_returnflag,
+      kmo.n_exact_orders, kmo.kmv_orders, kmo.err_orders_permille,
+      kmp.n_exact_parts, kmp.kmv_parts, kmp.err_parts_permille,
+      q50.est_cents AS p50_est_cents, q50.exact_cents AS p50_exact_cents,
+      q95.est_cents AS p95_est_cents, q95.exact_cents AS p95_exact_cents
+    FROM kmo
+    JOIN kmp ON kmp.g = kmo.g
+    JOIN (SELECT * FROM qq WHERE pct = 50) q50 ON q50.g = kmo.g
+    JOIN (SELECT * FROM qq WHERE pct = 95) q95 ON q95.g = kmo.g
+    ORDER BY l_returnflag"""))
 
   val q43 = Q("q43_cube_lineitem",
     (s, dir) => {

@@ -2125,9 +2125,9 @@ object PipelineQueries {
     ), ranked AS (
       SELECT *,
         ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn_nat,
-        ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS rn_lang,
-        ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn_len,
-        ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS rn_src
+        ROW_NUMBER() OVER (ORDER BY lang NULLS FIRST, doc_id) - 1 AS rn_lang,
+        ROW_NUMBER() OVER (ORDER BY n_chars NULLS FIRST, doc_id) - 1 AS rn_len,
+        ROW_NUMBER() OVER (ORDER BY source NULLS FIRST, doc_id) - 1 AS rn_src
       FROM d
     ), lay AS (
       SELECT 'natural' AS layout, rn_nat // 32 AS block_id, lang, n_chars FROM ranked
@@ -2174,25 +2174,32 @@ object PipelineQueries {
     * u′ ∈ [1, 2⁴⁸] is a 12-hex-digit md5 integer — every input converts
     * to double exactly, and IEEE multiply/divide are correctly rounded,
     * so both engines compute bit-identical priorities and τ; the
-    * estimator sum uses the [[graft.Exact]] decimal recipe. Per-source
-    * ranking is one window over the source shuffle (q95's scale shape;
-    * an ExactTopK(K+1) aggregator is the no-sort variant at fleet
-    * scale).
+    * estimator sum uses the [[graft.Exact]] decimal recipe.
+    *
+    * No-sort τ: the (K+1)-th priority per source comes from the
+    * [[graft.functions.ExactTopK]] aggregator — O(K+1) heap state per
+    * group, map-side combinable, each partition ships ≤ K+1 doubles per
+    * source — instead of a per-source full-sort window (a billion-doc
+    * source would pay a full sort for 33 rows). Sample membership is
+    * the strict compare `p > τ` in BOTH engines, so the contract stays
+    * exact without a rank tiebreak (priority ties are measure-zero and
+    * resolve identically on each side).
     */
   val q154 = Q("q154_priority_sample_audit",
     (s, dir) => {
+      graft.functions.ExactTopK.ensureRegistered(s)
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("u", expr(
           "CAST(conv(substr(md5(CAST(concat('ps#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) + 1"))
         .withColumn("p",
           col("n_chars").cast("double") * lit(281474976710656.0) / col("u").cast("double"))
-      val wS = Window.partitionBy("source").orderBy(col("p").desc, col("doc_id"))
-      val ranked = docs.withColumn("rnk", row_number().over(wS).cast("long"))
-      val tau = ranked.filter(col("rnk") === PsK + 1)
-        .select(col("source"), col("p").as("tau"))
-      ranked.filter(col("rnk") <= PsK)
-        .join(broadcast(tau), Seq("source"), "left")
+      val tau = docs.groupBy("source")
+        .agg(expr(s"exact_topk(p, ${PsK + 1})").as("tp"))
+        .select(col("source"),
+          when(size(col("tp")) >= PsK + 1, element_at(col("tp"), PsK + 1)).as("tau"))
+      docs.join(broadcast(tau), Seq("source"))
+        .filter(col("tau").isNull || col("p") > col("tau"))
         .groupBy("source")
         .agg(count(lit(1)).as("k_eff"),
           max(col("tau")).as("tau_p"),
@@ -2228,8 +2235,8 @@ object PipelineQueries {
       SELECT r.source, CAST(COUNT(*) AS BIGINT) AS k_eff,
         MAX(t.tau) AS tau_p,
         ${graft.Exact.sumExactRSql("greatest(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, 0.0))", 6, 6)} AS est_mass
-      FROM ranked r LEFT JOIN tau t ON r.source = t.source
-      WHERE r.rnk <= $PsK GROUP BY r.source
+      FROM pr r LEFT JOIN tau t ON r.source = t.source
+      WHERE t.tau IS NULL OR r.p > t.tau GROUP BY r.source
     ), tot AS (
       SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         CAST(SUM(n_chars) AS BIGINT) AS true_mass

@@ -2348,48 +2348,70 @@ object TextQueries {
     * is NOT a range join: ranks are bucketed by `rn div W` and the
     * right side is replicated to its own and the previous bucket, so
     * the pairing is one equi-join on the bucket id (bounded 2×
-    * replication), then the exact distance filter. Verification is the
-    * O(len) `shingle_overlap` kernel; integer permille keeps the
-    * cross-engine compare exact.
+    * replication), then the exact distance filter.
+    *
+    * Shingle-once verification: each document's distinct-shingle set is
+    * materialized ONCE as a 48-bit-hash array (`shingle_hash48` kernel)
+    * BEFORE the range shuffle — raw text never ships, and no candidate
+    * pair re-shingles anything; the verify stage is a pure
+    * `array_intersect` over pre-computed long arrays. The oracle folds
+    * the identical md5-prefix hash per shingle (the q84 pattern), so
+    * both engines intersect the same 48-bit values by construction and
+    * integer permille keeps the compare exact.
     */
   val q153 = Q("q153_sorted_neighborhood",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
+      // shingle ONCE per doc, before the rank: the hash array (not the
+      // text) rides the range shuffle, the GlobalRank persist, and the
+      // 2×-replicated bucket join.
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr(s"shingle_hash48(text, $N)").as("sh"))
       val ranked = graft.rel.GlobalRank
         .withGlobalRank(d, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
-        .select(col("doc_id"), col("text"), col("rn"))
+        .select(col("doc_id"), col("sh"), col("rn"))
       val a = ranked
         .withColumn("bucket", expr(s"rn div $SnmW"))
         .select(col("bucket"), col("doc_id").as("id_a"),
-          col("text").as("text_a"), col("rn").as("rn_a"))
+          col("sh").as("sh_a"), col("rn").as("rn_a"))
       val b = ranked
         .select(explode(array(expr(s"rn div $SnmW"), expr(s"rn div $SnmW - 1")))
             .as("bucket"),
-          col("doc_id").as("id_b"), col("text").as("text_b"), col("rn").as("rn_b"))
+          col("doc_id").as("id_b"), col("sh").as("sh_b"), col("rn").as("rn_b"))
       a.join(b, Seq("bucket"))
         .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") < SnmW)
-        .withColumn("ov", expr(s"shingle_overlap(text_a, text_b, $N)"))
+        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        .withColumn("n_union",
+          size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_inter"))
         .select(col("id_a"), col("id_b"),
           (col("rn_b") - col("rn_a")).as("rank_dist"),
-          col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
+          col("n_inter"), col("n_union"))
         .filter(col("n_union") > 0)
         .withColumn("jac_permille", expr("n_inter * 1000 div n_union"))
         .filter(col("jac_permille") >= 500)
         .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
     },
+    // NULLS FIRST pins the rank order to Spark's ascending-nulls-first
+    // default should the corpus ever gain null blocking keys.
     Some(s"""WITH ranked AS (
       SELECT doc_id, text,
-        ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS rn
+        ROW_NUMBER() OVER (ORDER BY lang NULLS FIRST, n_chars NULLS FIRST,
+          doc_id NULLS FIRST) - 1 AS rn
       FROM documents
     ), sh AS (
-      SELECT doc_id, rn, $shinglesSqlExpr AS sh FROM ranked
+      SELECT doc_id, rn,
+        list_transform($shinglesSqlExpr, g ->
+          list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, 12), i ->
+              CAST(strpos('0123456789abcdef', substr(md5(g), i, 1)) - 1 AS BIGINT))),
+            (acc, x) -> acc * 16 + x)) AS sh
+      FROM ranked
     ), p AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         b.rn - a.rn AS rank_dist,
         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) AS n_union
+        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
       FROM sh a JOIN sh b ON b.rn > a.rn AND b.rn <= a.rn + ${SnmW - 1}
     )
     SELECT id_a, id_b, rank_dist, n_inter, n_union,

@@ -103,12 +103,21 @@ class DedupScaleGuardSpec extends SparkTestBase {
     } yield (s * 5L + i, s * hour + i * 1000000000L, 1L, t, 1.0, "{}")
     // write ts with the REAL events.parquet logical type — TIMESTAMP
     // (micros), not raw INT64 — so this fixture exercises the same
-    // Tables-level ts normalization the production read path takes
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    rows.toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))).drop("ts_ns")
-      .select("event_id", "ts", "user_id", "event_type", "value", "props")
-      .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // Tables-level ts normalization the production read path takes;
+    // restore the shared session's conf afterwards (other suites in
+    // this JVM write timestamp columns too)
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val savedTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try {
+      rows.toDF("event_id", "ts_ns", "user_id", "event_type", "value", "props")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000"))).drop("ts_ns")
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+        .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    } finally savedTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
 
     val q = rel.RelationalQueries.q149.run(spark, dir)
     // equi-keyed only: the (user, session) join must never degrade to a

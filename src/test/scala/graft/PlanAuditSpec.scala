@@ -426,4 +426,26 @@ class PlanAuditSpec extends SparkTestBase {
         s"$name pairing/blocks must stay equi-keyed")
     }
   }
+
+  test("q153: verify stage ships shingle-hash arrays, never raw text") {
+    val p = plan("q153_sorted_neighborhood")
+    assert(p.contains("shingle_hash48"),
+      "per-doc shingle sets must materialize once via the hash48 kernel")
+    assert(!p.contains("shingle_overlap"),
+      "no per-candidate-pair re-shingling in the verify stage")
+    // text is consumed by shingle_hash48 at the scan projection and must
+    // not survive into the join: the only array columns shipped are sh_a/sh_b
+    assert(!p.contains("text_a") && !p.contains("text_b"),
+      "raw text must not ship through the bucketed candidate join")
+  }
+
+  test("q154: τ comes from exact_topk — no per-source full-sort window") {
+    val p = plan("q154_priority_sample_audit")
+    assert(p.contains("exact_topk"),
+      "the (K+1)-th priority must come from the bounded-heap aggregator")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      "no ranking window anywhere: a billion-doc source must not sort for 33 rows")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-source τ table (|sources| rows) must broadcast back")
+  }
 }

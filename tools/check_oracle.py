@@ -23,6 +23,12 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
+    if only is not None:
+        unknown = sorted(only - set(oracle))
+        if unknown:
+            # a typo'd retry list must not read as "0 ok, 0 fail" success
+            print(f"FAIL: unknown query names in filter: {', '.join(unknown)}")
+            return 1
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):
         if only is not None and name not in only:
