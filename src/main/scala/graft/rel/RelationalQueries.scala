@@ -396,23 +396,40 @@ object RelationalQueries {
       import sess.implicits._
       val li = Tables(s, dir, "lineitem")
 
-      def kmv(key: String, tag: String, pfx: String): DataFrame = {
-        val hv = li.select(col("l_returnflag").as("g"),
-          expr(s"CAST(conv(substr(md5(CAST(concat('$tag', CAST($key AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
-            .as("v")).distinct()
-        hv.groupBy("g")
-          .agg(count(lit(1)).as(s"n_exact_$pfx"),
-            expr("exact_topk(CAST(-v AS DOUBLE), 64)").as("tn"))
-          .withColumn("v_k", when(size(col("tn")) >= 64,
-            (-element_at(col("tn"), 64)).cast("long")))
-          .withColumn(s"kmv_$pfx",
-            expr("CAST((63 * 281474976710656) div v_k AS BIGINT)"))
-          .withColumn(s"err_${pfx}_permille",
-            expr(s"abs(kmv_$pfx - n_exact_$pfx) * 1000 div n_exact_$pfx"))
-          .select("g", s"n_exact_$pfx", s"kmv_$pfx", s"err_${pfx}_permille")
-      }
-      val orders = kmv("l_orderkey", "ok#", "orders")
-      val parts = kmv("l_partkey", "pk#", "parts")
+      // Both KMV sketches in ONE distinct + ONE aggregation: explode each
+      // row into its two tagged integer keys, distinct the (flag, tag,
+      // key) triples BEFORE hashing (the distinct is a cheap long
+      // shuffle; the md5 fold — the dominant per-row cost — runs only on
+      // survivors, ~4× fewer for orders, ~10× for parts), then one
+      // grouped agg with tag-conditional exact_topk (null inputs skip the
+      // heap). n_exact is the true distinct-key count; the k-th minimum
+      // keeps any hash-collision duplicates, identically in both engines
+      // (the oracle hashes after the same pre-hash DISTINCT).
+      // k2 packs (key, tag) into one long — the distinct shuffle carries
+      // (3-byte flag, long) rows, no strings, no structs
+      val hv = li.select(col("l_returnflag").as("g"),
+          explode(array(col("l_orderkey") * 2, col("l_partkey") * 2 + 1)).as("k2"))
+        .distinct()
+        .select(col("g"), col("k2"),
+          expr("CAST(conv(substr(md5(CAST(concat(CASE WHEN k2 % 2 = 0 THEN 'o#' ELSE 'p#' END, CAST(k2 div 2 AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+            .as("v"))
+      val km = hv.groupBy("g").agg(
+          count(when(col("k2") % 2 === 0, 1)).as("n_exact_orders"),
+          expr("exact_topk(CASE WHEN k2 % 2 = 0 THEN CAST(-v AS DOUBLE) END, 64)").as("tn_o"),
+          count(when(col("k2") % 2 === 1, 1)).as("n_exact_parts"),
+          expr("exact_topk(CASE WHEN k2 % 2 = 1 THEN CAST(-v AS DOUBLE) END, 64)").as("tn_p"))
+        .withColumn("v_k_o", when(size(col("tn_o")) >= 64,
+          (-element_at(col("tn_o"), 64)).cast("long")))
+        .withColumn("kmv_orders", expr("CAST((63 * 281474976710656) div v_k_o AS BIGINT)"))
+        .withColumn("err_orders_permille",
+          expr("abs(kmv_orders - n_exact_orders) * 1000 div n_exact_orders"))
+        .withColumn("v_k_p", when(size(col("tn_p")) >= 64,
+          (-element_at(col("tn_p"), 64)).cast("long")))
+        .withColumn("kmv_parts", expr("CAST((63 * 281474976710656) div v_k_p AS BIGINT)"))
+        .withColumn("err_parts_permille",
+          expr("abs(kmv_parts - n_exact_parts) * 1000 div n_exact_parts"))
+        .select("g", "n_exact_orders", "kmv_orders", "err_orders_permille",
+          "n_exact_parts", "kmv_parts", "err_parts_permille")
 
       val vv = li.select(col("l_returnflag").as("g"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
@@ -455,18 +472,20 @@ object RelationalQueries {
       val p95 = quant.filter(col("pct") === 95L).select(col("g"),
         col("est_cents").as("p95_est_cents"), col("exact_cents").as("p95_exact_cents"))
 
-      orders.join(parts, Seq("g")).join(p50, Seq("g")).join(p95, Seq("g"))
+      km.join(p50, Seq("g")).join(p95, Seq("g"))
         .withColumnRenamed("g", "l_returnflag")
         .orderBy("l_returnflag")
     },
-    Some("""WITH ho AS (
-      SELECT DISTINCT l_returnflag AS g,
+    Some("""WITH hok AS (
+      SELECT DISTINCT l_returnflag AS g, l_orderkey AS k FROM lineitem
+    ), ho AS (
+      SELECT g,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(generate_series(1, 12), i ->
             CAST(strpos('0123456789abcdef',
-              substr(md5('ok#' || CAST(l_orderkey AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+              substr(md5('o#' || CAST(k AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
           (acc, x) -> acc * 16 + x) AS v
-      FROM lineitem
+      FROM hok
     ), rko AS (
       SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM ho
     ), kmo AS (
@@ -476,14 +495,16 @@ object RelationalQueries {
       FROM (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_exact_orders FROM ho GROUP BY g) e
       LEFT JOIN (SELECT g, CAST((63 * 281474976710656) // v AS BIGINT) AS kmv_orders
                  FROM rko WHERE rn = 64) kv ON kv.g = e.g
+    ), hpk AS (
+      SELECT DISTINCT l_returnflag AS g, l_partkey AS k FROM lineitem
     ), hp AS (
-      SELECT DISTINCT l_returnflag AS g,
+      SELECT g,
         list_reduce(list_prepend(CAST(0 AS BIGINT),
           list_transform(generate_series(1, 12), i ->
             CAST(strpos('0123456789abcdef',
-              substr(md5('pk#' || CAST(l_partkey AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+              substr(md5('p#' || CAST(k AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
           (acc, x) -> acc * 16 + x) AS v
-      FROM lineitem
+      FROM hpk
     ), rkp AS (
       SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v) AS rn FROM hp
     ), kmp AS (
