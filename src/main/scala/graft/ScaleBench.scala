@@ -128,6 +128,24 @@ object ScaleBench {
           col("event_type"), col("value"), col("props"))
       }.reduce(_ unionByName _), s"$outDir/events.parquet")
     }
+
+    // lineitem: feeds the distributed-exact-quantile probe (q65) and the
+    // relational aggregate family at scale. Copies get fresh order keys
+    // (join-key uniqueness) and a per-copy +k-cent price shift so the
+    // 100× distribution is NOT just the 1× histogram with 100× counts —
+    // every copy contributes distinct values, so the rank-pick
+    // interpolation at 100× exercises ranks no smaller scale saw.
+    // Flags/status/dates stay fixed: group cardinality is part of the
+    // operator contract (3 return flags at any scale).
+    if (!present(outDir, "lineitem")) {
+      val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
+      val okStride = li.agg(max("l_orderkey")).first().getLong(0) + 1
+      writeCommitted((0 until Copies).map { k =>
+        li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
+          .withColumn("l_extendedprice",
+            round(col("l_extendedprice") + lit(k * 0.01), 2))
+      }.reduce(_ unionByName _), s"$outDir/lineitem.parquet")
+    }
   }
 
   private val queryNames = Seq(
@@ -159,6 +177,7 @@ object ScaleBench {
     "q105_quality_dup_lift", "q106_filter_overlap", "q107_bucketed_batching",
     "q108_winnowing_overlap", "q109_cms_heavy_hitters", "q110_hll_distinct_audit",
     "q153_sorted_neighborhood", "q154_priority_sample_audit",
+    "q155_shard_manifest",
     "q112_bloom_decontam", "q113_contamination_spans", "q114_dedup_pagerank", "q115_zonemap_pruning",
     "q117_binary_ahash_neardup", "q118_postings_gamma_audit", "q119_source_cap_sweep",
     "q120_chunk_overlap_audit", "q121_dsir_importance", "q122_edit_verified_dedup",

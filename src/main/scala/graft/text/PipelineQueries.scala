@@ -2246,8 +2246,66 @@ object PipelineQueries {
       CAST(ROUND((est_mass - CAST(true_mass AS DOUBLE)) * 1000.0 / CAST(true_mass AS DOUBLE), 0) AS BIGINT) AS err_permille
     FROM est e JOIN tot USING (source) ORDER BY source"""))
 
+  // --------------------------------------------------------------- q155
+  private val ShardDocs = 64 // documents per output shard
+
+  /** Deterministic global shuffle → fixed-size shard manifest — the
+    * release-time layout step of a training-data pipeline: order the
+    * corpus by a seeded hash (so "shuffled" is a REPRODUCIBLE total
+    * order, not an RNG side effect), cut it into fixed-size shards, and
+    * emit one manifest row per shard (counts, char mass, language
+    * spread, rank span, and an order-sensitive md5 fingerprint) — the
+    * artifact a trainer uses to verify it read exactly the bytes the
+    * curation run released, shard by shard.
+    *
+    * Scale shape: the hash order comes from [[graft.rel.GlobalRank]]
+    * (range shuffle + per-partition offsets — no single-partition
+    * window), which at fleet scale IS the shard write: range-partition
+    * by hash, write each partition, manifest per shard. The fingerprint
+    * buffer is bounded at ShardDocs structs per group (collect_list of
+    * 12-hex prefixes, array_sorted by rank), and the language spread is
+    * a plain distinct count — everything map-side combinable except the
+    * bounded fingerprint list. The hash-order shuffle also de-clusters
+    * source/time locality (each shard's n_langs shows the mix), which
+    * is exactly why trainers shuffle at the corpus level rather than in
+    * the data loader.
+    */
+  val q155 = Q("q155_shard_manifest",
+    (s, dir) => {
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("substr(md5(CAST(concat('shard#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12)")
+            .as("hh"))
+      graft.rel.GlobalRank.withGlobalRank(d, Seq(col("hh"), col("doc_id")), "rn")
+        .withColumn("shard", expr(s"rn div $ShardDocs"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          countDistinct("lang").as("n_langs"),
+          min("rn").as("first_rn"), max("rn").as("last_rn"),
+          md5(concat_ws("",
+            transform(array_sort(collect_list(struct(col("rn"), col("hh")))),
+              x => x.getField("hh"))).cast("binary")).as("shard_md5"))
+        .transform(graft.Q.presentSorted(_, "shard"))
+    },
+    Some(s"""WITH h AS (
+      SELECT doc_id, lang, n_chars,
+        substr(md5('shard#' || CAST(doc_id AS VARCHAR)), 1, 12) AS hh
+      FROM documents
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY hh NULLS FIRST, doc_id NULLS FIRST)
+        - 1 AS rn FROM h
+    )
+    SELECT rn // $ShardDocs AS shard,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+      MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+      md5(string_agg(hh, '' ORDER BY rn)) AS shard_md5
+    FROM r GROUP BY 1 ORDER BY 1"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
       q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
-      q113, q115, q154)
+      q113, q115, q154, q155)
 }

@@ -414,8 +414,9 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"), "the 7-row rank table must broadcast")
   }
 
-  test("q115/q153: global ranks are range-partitioned — every rank window keys on the range pid") {
-    for (name <- Seq("q115_zonemap_pruning", "q153_sorted_neighborhood")) {
+  test("q115/q153/q155: global ranks are range-partitioned — every rank window keys on the range pid") {
+    for (name <- Seq("q115_zonemap_pruning", "q153_sorted_neighborhood",
+        "q155_shard_manifest")) {
       val p = plan(name)
       // GlobalRank's row_number partitions by _gr_pid; the only other
       // windows allowed are the ≤ numPartitions-row offset frames
