@@ -2419,8 +2419,72 @@ object TextQueries {
     FROM p WHERE n_union > 0 AND n_inter * 1000 // n_union >= 500
     ORDER BY id_a, id_b"""))
 
+  // --------------------------------------------------------------- q156
+  /** Group-aware split ASSIGNMENT — the constructive fix for what q73
+    * merely measures: assign train/val/test by hashing the near-dup
+    * GROUP id (the q48 connected component), so every member of a group
+    * lands in the same split and paraphrase leakage across splits is
+    * impossible BY CONSTRUCTION. The query both assigns and proves it:
+    * per-split group/doc/char-mass shares plus a leakage audit
+    * (groups straddling >1 split, docs inside them) that must read 0 —
+    * the same audit q73 runs against the per-DOC hash split, where it
+    * reads nonzero. Same 90/5/5-style hash convention as q73
+    * (multiplicative mod-1000 bucket), applied one level up.
+    *
+    * Shape: one equi-join of the memoized group table against documents,
+    * two partial-aggregable groupBys (per split, per group), and a
+    * broadcast of the 1-row audit frame — nothing beyond what q48
+    * already paid, which is why a pipeline runs this assignment "for
+    * free" right after dedup.
+    */
+  val q156 = Q("q156_group_split_assign",
+    (s, dir) => {
+      val labels = dedupGroups(s, dir).withColumnRenamed("comp", "group_id")
+      val h = expr("(group_id * 2654435761) % 1000")
+      val split = when(h < 800, lit("train")).when(h < 900, lit("val"))
+        .otherwise(lit("test"))
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val assigned = labels.withColumn("split", split).join(docs, "doc_id")
+      val per = assigned.groupBy("split").agg(
+        countDistinct("group_id").as("n_groups"),
+        count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("sum_chars"))
+      val audit = assigned.groupBy("group_id")
+        .agg(countDistinct("split").as("nsp"), count(lit(1)).as("nm"))
+        .agg(sum(when(col("nsp") > 1, 1L).otherwise(0L)).as("n_leaked_groups"),
+          sum(when(col("nsp") > 1, col("nm")).otherwise(0L)).as("n_leaked_docs"),
+          sum("nm").as("total_docs"))
+      per.crossJoin(broadcast(audit))
+        .withColumn("docs_permille", expr("n_docs * 1000 div total_docs"))
+        .select("split", "n_groups", "n_docs", "sum_chars", "docs_permille",
+          "n_leaked_groups", "n_leaked_docs")
+        .transform(graft.Q.presentSorted(_, "split"))
+    },
+    Some(s"""$dedupCteSql, asg AS (
+      SELECT c.doc_id, c.group_id,
+        CASE WHEN (c.group_id * 2654435761) % 1000 < 800 THEN 'train'
+             WHEN (c.group_id * 2654435761) % 1000 < 900 THEN 'val'
+             ELSE 'test' END AS split,
+        d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), aud AS (
+      SELECT CAST(SUM(CASE WHEN nsp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_groups,
+        CAST(SUM(CASE WHEN nsp > 1 THEN nm ELSE 0 END) AS BIGINT) AS n_leaked_docs,
+        CAST(SUM(nm) AS BIGINT) AS total_docs
+      FROM (SELECT group_id, COUNT(DISTINCT split) AS nsp, COUNT(*) AS nm
+            FROM asg GROUP BY group_id)
+    )
+    SELECT split, CAST(COUNT(DISTINCT group_id) AS BIGINT) AS n_groups,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      CAST(COUNT(*) AS BIGINT) * 1000 // a.total_docs AS docs_permille,
+      a.n_leaked_groups, a.n_leaked_docs
+    FROM asg, aud a
+    GROUP BY split, a.n_leaked_groups, a.n_leaked_docs, a.total_docs
+    ORDER BY split"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150, q153)
+      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156)
 }

@@ -41,7 +41,8 @@ class NullRobustnessSpec extends SparkTestBase {
     // representative kernels / families over the same nullable columns
     "q27_text_stats", "q28_lang_id", "q29_exact_dedup", "q48_minhash_lsh_dedup",
     "q57_bpe_tokens", "q80_pii_redaction", "q153_sorted_neighborhood",
-    "q154_priority_sample_audit", "q132_event_transitions", "q152_funnel_latency")
+    "q154_priority_sample_audit", "q155_shard_manifest",
+    "q156_group_split_assign", "q132_event_transitions", "q152_funnel_latency")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {
