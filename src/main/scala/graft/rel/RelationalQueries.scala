@@ -439,8 +439,14 @@ object RelationalQueries {
         .map(r => (r.getString(0), r.getLong(1), r.getLong(2) - r.getLong(1) + 1, r.getLong(3)))
       val statsDf = statRows.map { case (g, mn, span, _) => (g, mn, span) }
         .toSeq.toDF("g", "mn", "span")
+      // Two consumers read the binned projection (the histogram pass and
+      // the pruned-bin rank pass) — persist it so the scan + broadcast
+      // join run once, not once per pass. At fleet scale this is the
+      // temp materialization any two-pass quantile job writes; the
+      // harness clears the cache per query (GlobalRank contract).
       val binned = vv.join(broadcast(statsDf), Seq("g"))
         .withColumn("bin", expr("(v - mn) * 256 div span"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hist = binned.groupBy("g", "bin").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
       val plans = for {
