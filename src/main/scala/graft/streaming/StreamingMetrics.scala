@@ -253,6 +253,52 @@ object StreamingMetrics {
       }
   }
 
+  case class PsRow(source: String, docId: Long, w: Double, p: Double)
+  case class PsItem(p: Double, w: Double, docId: Long)
+  case class PsState(nSeen: Long, items: Seq[PsItem])
+  case class PsOut(source: String, nSeen: Long, tau: Double, kEff: Int,
+                   estMass: Double)
+
+  /** Streaming weighted priority sampler — q154's streaming twin
+    * (Duffield–Lund–Thorup over an unbounded stream): per source,
+    * maintain the top-(K+1) priorities as `flatMapGroupsWithState`
+    * state (O(K) per key, NOT stream-length) and emit, every trigger,
+    * the current τ (the (K+1)-th priority), the live sample size, and
+    * the subset-sum estimate ŵ = Σ max(wᵢ, τ) of the source's TOTAL
+    * mass seen so far — a fixed-memory running price of each source's
+    * contribution, available while the corpus is still arriving.
+    *
+    * Batch-boundary invariance: the state is the top-(K+1) set under
+    * the total order (p desc, docId asc), and top-K-set merge is
+    * associative and commutative, so any replay with different batch
+    * cuts converges to the same sample, τ, and estimate — the same
+    * property the batch q154 proves against DuckDB. Callers compute p
+    * with q154's hash (w·2⁴⁸/u, 12-hex md5 u) upstream as a column;
+    * the stateful operator is agnostic to how priorities were drawn.
+    * At fleet scale, pre-aggregate per partition with the exact_topk
+    * kernel before the shuffle so each partition ships ≤ K+1 rows per
+    * source into the stateful stage.
+    */
+  def streamPrioritySample(rows: Dataset[PsRow], k: Int = 32): Dataset[PsOut] = {
+    implicit val outEnc: Encoder[PsOut] = Encoders.product[PsOut]
+    implicit val stEnc: Encoder[PsState] = Encoders.product[PsState]
+    rows.groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[PsRow], state: GroupState[PsState]) =>
+          val st = state.getOption.getOrElse(PsState(0L, Seq.empty))
+          var n = st.nSeen
+          val merged = scala.collection.mutable.ArrayBuffer.from(st.items)
+          it.foreach { r => n += 1; merged += PsItem(r.p, r.w, r.docId) }
+          val top = merged.sortBy(x => (-x.p, x.docId)).take(k + 1).toSeq
+          state.update(PsState(n, top))
+          val full = top.size >= k + 1
+          val tau = if (full) top.last.p else 0.0
+          val sample = if (full) top.dropRight(1) else top
+          val est = sample.foldLeft(0.0)((a, x) => a + math.max(x.w, tau))
+          Iterator.single(PsOut(source, n, tau, sample.size, est))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

@@ -128,4 +128,72 @@ class StreamingStateSpec extends SparkTestBase {
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.copy(part, dir.resolve(name))
   }
+
+  test("streaming priority sampler: bounded heap state converges to the batch answer") {
+    import StreamingMetrics.{PsItem, PsOut, PsRow}
+    val K = 3
+    // deterministic "priorities": p = w * 1000 / (docId % 7 + 1) —
+    // arbitrary but fixed, so the batch reference is exact arithmetic
+    def mk(source: String, ids: Seq[Long]): Seq[PsRow] =
+      ids.map(i => PsRow(source, i, (i % 13 + 1).toDouble,
+        (i % 13 + 1).toDouble * 1000.0 / (i % 7 + 1).toDouble))
+    val batch1 = mk("A", 1L to 20L) ++ mk("B", 101L to 102L)
+    val batch2 = mk("A", 21L to 40L) ++ mk("B", Seq(104L))
+
+    /** Batch reference — the same fold the operator documents: top-(K+1)
+      * under (p desc, docId asc), τ = (K+1)-th, ŵ = Σ max(w, τ).
+      */
+    def ref(rows: Seq[PsRow]): (Double, Int, Double) = {
+      val top = rows.map(r => PsItem(r.p, r.w, r.docId))
+        .sortBy(x => (-x.p, x.docId)).take(K + 1)
+      val full = top.size >= K + 1
+      val tau = if (full) top.last.p else 0.0
+      val sample = if (full) top.dropRight(1) else top
+      (tau, sample.size, sample.foldLeft(0.0)((a, x) => a + math.max(x.w, tau)))
+    }
+
+    val dir = Files.createTempDirectory("ps")
+    def landP(name: String, rows: Seq[PsRow]): Unit = {
+      val staging = Files.createTempDirectory("stage")
+      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val part = Files.list(staging).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(name))
+    }
+    landP("b1.parquet", batch1)
+    val stream = spark.readStream
+      .schema(Seq.empty[PsRow].toDF().schema)
+      .parquet(dir.toString)
+      .as[PsRow]
+    val q = StreamingMetrics.streamPrioritySample(stream, K)
+      .writeStream.outputMode("append").format("memory").queryName("ps").start()
+    try {
+      q.processAllAvailable()
+      landP("b2.parquet", batch2)
+      q.processAllAvailable()
+      val out = spark.table("ps").as[PsOut].collect()
+        .groupBy(_.source).view.mapValues(_.sortBy(_.nSeen)).toMap
+      // mid-stream emission = batch answer over batch 1 alone
+      val (tauA1, kA1, estA1) = ref(batch1.filter(_.source == "A"))
+      assert(out("A").head.nSeen === 20L)
+      assert(out("A").head.tau === tauA1)
+      assert(out("A").head.kEff === kA1)
+      assert(out("A").head.estMass === estA1)
+      // final emission = batch answer over BOTH batches: the bounded
+      // heap carried exactly the state the merged top-K needed
+      val allA = batch1.filter(_.source == "A") ++ batch2.filter(_.source == "A")
+      val (tauA, kA, estA) = ref(allA)
+      assert(out("A").last.nSeen === 40L)
+      assert(out("A").last.tau === tauA)
+      assert(out("A").last.kEff === kA)
+      assert(out("A").last.estMass === estA)
+      // B has only K=3 docs total: under-filled heap → τ = 0 and the
+      // estimate degrades gracefully to the EXACT mass Σw
+      val allB = batch1.filter(_.source == "B") ++ batch2.filter(_.source == "B")
+      assert(out("B").last.nSeen === 3L)
+      assert(out("B").last.tau === 0.0)
+      assert(out("B").last.kEff === 3)
+      assert(out("B").last.estMass === allB.map(_.w).sum)
+    } finally q.stop()
+  }
 }
