@@ -28,11 +28,17 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     // Best-of-N per query (default 2): the box shows sustained EXTERNAL
     // load that swings individual queries up to 10× between runs (PERF.md
-    // rounds 7–8); min-of-reps is the standard noise floor. Side effect,
-    // by design: rep 2 runs after the session memos exist, so the min
-    // measures steady-state execution, not memo builds — the total still
-    // includes each memo once (its first-consumer rep 1).
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // rounds 7–8); min-of-reps is the standard noise floor. Caveat the
+    // min inherits: the session-lifetime checkpointed memos (cellRanks
+    // for q44/q52, dedupGroups for q48/q51, likelihood scores for
+    // q76/q83/q101) survive the per-rep clearCache, so rep 2 of a memo
+    // first-consumer is memo-free and the per-query mins measure
+    // STEADY-STATE execution only. The headline `value` therefore stays
+    // the sum of FIRST-rep times — same semantics as the single-rep
+    // rounds (each memo paid once by its first consumer), comparable
+    // across rounds — while `value_min` reports the sum-of-mins floor.
+    val reps = scala.util.Try(sys.env("SPARK_GRAFT_BENCH_REPS").trim.toInt)
+      .getOrElse(2).max(1)
     val results = SparkEntry.catalog
       .filter(q => only.forall(_.contains(q.name)))
       .map { q =>
@@ -42,22 +48,18 @@ object Bench {
         catch { case e: Throwable => System.err.println(s"[bench] ${q.name}: ${e.getMessage}") }
         val dt = (System.nanoTime() - t0) / 1e9
         // cache hygiene: a query may cache subplans for its own duration;
-        // no executor-storage cache survives into the next measurement.
-        // EXCEPTION, by design: the session-lifetime checkpointed memos
-        // (cellRanks for q44/q52, dedupGroups for q48/q51, likelihood
-        // scores for q76/q83/q101) persist, so each
-        // pair is measured with shared amortized work — whichever member runs
-        // first pays the shared subplan build, the later one reuses it. Read
-        // those per-query numbers as a pair, not as independent costs.
+        // no executor-storage cache survives into the next measurement
+        // (checkpointed memos do, by design — see above).
         spark.catalog.clearCache()
         dt
       }
-      q.name -> dts.min
+      (q.name, dts.head, dts.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, _, mn) => "\"" + k + "\":" + f"$mn%.3f" }.mkString("{", ",", "}")
     val total = f"${results.map(_._2).sum}%.3f"
+    val totalMin = f"${results.map(_._3).sum}%.3f"
     val json =
-      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps}"""
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin}"""
     // Durable artifact: the driver's log capture may truncate stdout, so
     // the full per-query timing map also lands on disk where the round
     // artifacts can pick it up regardless of log length.

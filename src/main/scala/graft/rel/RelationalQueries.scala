@@ -431,8 +431,13 @@ object RelationalQueries {
         .select("g", "n_exact_orders", "kmv_orders", "err_orders_permille",
           "n_exact_parts", "kmv_parts", "err_parts_permille")
 
+      // null prices drop BEFORE the stats pass: aggregates skip NULLs in
+      // both engines, but the driver-side bin walk below needs n to count
+      // binnable rows only (a null-heavy group would otherwise plan a
+      // rank beyond the histogram mass and MatchError on the walk)
       val vv = li.select(col("l_returnflag").as("g"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"))
+        .filter(col("v").isNotNull)
       val statRows = vv.groupBy("g")
         .agg(min("v").as("mn"), max("v").as("mx"), count(lit(1)).as("n"))
         .collect()

@@ -2188,12 +2188,17 @@ object PipelineQueries {
   val q154 = Q("q154_priority_sample_audit",
     (s, dir) => {
       graft.functions.ExactTopK.ensureRegistered(s)
+      // three consumers read the priority projection (τ aggregation, the
+      // membership join, the true-mass audit) — persist it so the md5
+      // fold, the dominant per-row cost, runs once per doc, not thrice
+      // (the q42 binned-projection pattern; harness clears per query)
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("u", expr(
           "CAST(conv(substr(md5(CAST(concat('ps#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) + 1"))
         .withColumn("p",
           col("n_chars").cast("double") * lit(281474976710656.0) / col("u").cast("double"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val tau = docs.groupBy("source")
         .agg(expr(s"exact_topk(p, ${PsK + 1})").as("tp"))
         .select(col("source"),

@@ -31,11 +31,24 @@ class NullRobustnessSpec extends SparkTestBase {
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     Tables(spark, "/root/testdata/sf0.001", "embeddings")
       .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    // lineitem: null prices/quantities exercise the relational
+    // aggregate/quantile paths (q42's driver-side bin walk ranks only
+    // binnable rows — a null-heavy flag group must not MatchError)
+    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .withColumn("l_extendedprice",
+        when(pmod(col("l_orderkey"), lit(23)) === 7, lit(null: java.lang.Double))
+          .otherwise(col("l_extendedprice")))
+      .withColumn("l_quantity",
+        when(pmod(col("l_orderkey"), lit(29)) === 11, lit(null: java.lang.Double))
+          .otherwise(col("l_quantity")))
+      .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
     d
   }
 
   private val names = Seq(
-    // the four originally-crashing queries
+    // the four originally-crashing queries (q42's driver bin walk joined
+    // the class in round 8 — null prices made the rank plan MatchError)
+    "q42_sketch_aggregates", "q65_exact_quantiles",
     "q62_greedy_packing", "q74_token_budget",
     "q122_edit_verified_dedup", "q129_asset_feature_rollup",
     // representative kernels / families over the same nullable columns

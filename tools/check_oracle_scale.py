@@ -30,14 +30,22 @@ def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     scale_dir, base_dir, out_dir, only_csv = args[:4]
     timeout = 1800.0
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    for i, a in enumerate(argv):
         if a.startswith("--timeout"):
-            timeout = float(a.split("=", 1)[1]) if "=" in a else timeout
+            if "=" in a:
+                timeout = float(a.split("=", 1)[1])
+            elif i + 1 < len(argv):
+                timeout = float(argv[i + 1])
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(scale_dir, base_dir, t)}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = [n for n in only_csv.split(",") if n]
+    if not only:
+        # an empty filter (unset shell variable) must not read as a pass
+        print("FAIL: empty query filter — nothing would be compared")
+        return 1
     unknown = sorted(set(only) - set(oracle))
     if unknown:
         print(f"FAIL: unknown query names in filter: {', '.join(unknown)}")

@@ -12,12 +12,17 @@ import duckdb
 
 def main(a_dir, b_dir):
     con = duckdb.connect()
-    names = sorted(d for d in os.listdir(a_dir)
-                   if os.path.isdir(os.path.join(a_dir, d)))
-    missing = [d for d in names if not os.path.isdir(os.path.join(b_dir, d))]
-    if missing:
-        print(f"FAIL: {len(missing)} queries missing from {b_dir}: {missing[:5]}")
+    def dump_names(d):
+        return set(x for x in os.listdir(d) if os.path.isdir(os.path.join(d, x)))
+    na, nb = dump_names(a_dir), dump_names(b_dir)
+    if na != nb:
+        # symmetric: a half-written dump on EITHER side must fail loudly,
+        # not shrink the comparison to the intersection
+        only_a, only_b = sorted(na - nb), sorted(nb - na)
+        print(f"FAIL: dump sets differ — only in {a_dir}: {only_a[:5]}; "
+              f"only in {b_dir}: {only_b[:5]}")
         return 1
+    names = sorted(na)
     n_ok = n_bad = 0
     for name in names:
         ga = glob.glob(os.path.join(a_dir, name, "*.parquet"))
@@ -39,11 +44,17 @@ def main(a_dir, b_dir):
         for c in va.columns:
             x, y = va[c], vb[c]
             try:
-                neq = ~((x == y) | (x.isna() & y.isna()))
+                neq_n = int((~((x == y) | (x.isna() & y.isna()))).sum())
             except Exception:
-                neq = x.astype(str) != y.astype(str)  # array/object columns
-            if neq.any():
-                bad.append((c, int(neq.sum())))
+                # array/object columns: element-exact compare (str() would
+                # truncate long arrays and could false-pass)
+                import numpy as np
+                neq_n = sum(
+                    0 if (xi is None and yi is None) else
+                    (0 if np.array_equal(xi, yi) else 1)
+                    for xi, yi in zip(x, y))
+            if neq_n:
+                bad.append((c, neq_n))
         if bad:
             print(f"FAIL {name}: cols differ: {bad[:4]}")
             n_bad += 1
