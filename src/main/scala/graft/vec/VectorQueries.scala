@@ -1033,9 +1033,17 @@ object VectorQueries {
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
       val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // every Lloyd round re-reads its subspace frame twice (assignment +
+      // the per-dim mean join), plus the seed scan, the encode pass, and
+      // the LUT build — persist each slice so the scan + slice projection
+      // run once per subspace, not ~2·rounds+3 times (at fleet scale this
+      // is the training-matrix materialization every k-means job does;
+      // the harness clears caches per query)
       val sub0 = emb.select(col("vec_id"), slice(col("embedding"), 1, SubDim).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sub1 = emb.select(col("vec_id"),
         slice(col("embedding"), SubDim + 1, SubDim).as("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // the two subspace codebooks are independent iterative chains
       // (seed collect + Lloyd rounds, each a blocking action); train
       // them as CONCURRENT job groups so the barriers overlap — same

@@ -16,14 +16,19 @@ class StreamingStateSpec extends SparkTestBase {
 
   /** Write one flat parquet file into the watched dir (the file stream
     * source does not recurse into the subdirectories write.parquet makes).
+    * One helper for every row type: callers pass the already-typed frame.
     */
-  private def land(dir: java.nio.file.Path, name: String, ticks: Seq[Tick]): Unit = {
+  private def landDf(dir: java.nio.file.Path, name: String,
+                     df: org.apache.spark.sql.DataFrame): Unit = {
     val staging = Files.createTempDirectory("stage")
-    ticks.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
+    df.coalesce(1).write.mode("overwrite").parquet(staging.toString)
     val part = Files.list(staging).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.copy(part, dir.resolve(name))
   }
+
+  private def land(dir: java.nio.file.Path, name: String, ticks: Seq[Tick]): Unit =
+    landDf(dir, name, ticks.toDF())
 
   test("flatMapGroupsWithState carries per-symbol state across two micro-batches") {
     val dir = Files.createTempDirectory("ticks")
@@ -52,13 +57,8 @@ class StreamingStateSpec extends SparkTestBase {
   test("streaming drift monitor: running centroid state alarms across batches") {
     import StreamingMetrics.{DriftOut, EmbRow}
     val dir = Files.createTempDirectory("drift")
-    def landE(name: String, rows: Seq[EmbRow]): Unit = {
-      val staging = Files.createTempDirectory("stage")
-      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-    }
+    def landE(name: String, rows: Seq[EmbRow]): Unit =
+      landDf(dir, name, rows.toDF())
     // baseline: label 0 points along +x, label 1 along +y
     val baseline = Map(0 -> Seq(1.0, 0.0), 1 -> Seq(0.0, 1.0))
     // batch 1: label 0 healthy (all +x); label 1 healthy (+y)
@@ -120,14 +120,8 @@ class StreamingStateSpec extends SparkTestBase {
   }
 
   private def land2(dir: java.nio.file.Path, name: String,
-                    rows: Seq[(String, Long, Double)]): Unit = {
-    val staging = Files.createTempDirectory("stage")
-    rows.toDF("sym", "ts_us", "px").coalesce(1)
-      .write.mode("overwrite").parquet(staging.toString)
-    val part = Files.list(staging).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet")).get
-    Files.copy(part, dir.resolve(name))
-  }
+                    rows: Seq[(String, Long, Double)]): Unit =
+    landDf(dir, name, rows.toDF("sym", "ts_us", "px"))
 
   test("streaming priority sampler: bounded heap state converges to the batch answer") {
     import StreamingMetrics.{PsItem, PsOut, PsRow}
@@ -153,13 +147,8 @@ class StreamingStateSpec extends SparkTestBase {
     }
 
     val dir = Files.createTempDirectory("ps")
-    def landP(name: String, rows: Seq[PsRow]): Unit = {
-      val staging = Files.createTempDirectory("stage")
-      rows.toDF().coalesce(1).write.mode("overwrite").parquet(staging.toString)
-      val part = Files.list(staging).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.copy(part, dir.resolve(name))
-    }
+    def landP(name: String, rows: Seq[PsRow]): Unit =
+      landDf(dir, name, rows.toDF())
     landP("b1.parquet", batch1)
     val stream = spark.readStream
       .schema(Seq.empty[PsRow].toDF().schema)
