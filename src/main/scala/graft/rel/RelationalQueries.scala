@@ -1575,8 +1575,198 @@ object RelationalQueries {
     FROM lat WHERE to_purchase IS NOT NULL
     ORDER BY metric"""))
 
+  /** Changelog → snapshot compaction (lakehouse MERGE semantics): read
+    * the events stream as a CDC log keyed by (user_id, props.k) — every
+    * `error` event a DELETE tombstone, everything else an UPSERT carrying
+    * `value`, versioned by (ts, event_id) — and compact it to the
+    * last-writer-wins live snapshot plus per-key op lineage counts. This
+    * is the maintenance op a 100 TB lakehouse table runs continuously
+    * (Delta/Iceberg MERGE INTO, Hudi compaction, Paimon changelog
+    * producers all reduce to it).
+    *
+    * Shape: ONE partial-aggregable groupBy — the winner per key is
+    * `max(struct(ts_us, event_id, is_del, value))` (struct ordering =
+    * version order because (ts_us, event_id) leads and event_id is
+    * unique), so every map task ships exactly one candidate struct +
+    * two counters per key it sees, never the log itself. That is the
+    * compaction shape that survives a billion-row changelog: no window,
+    * no sort, no per-key state beyond one struct. Tombstoned keys are
+    * dropped AFTER the merge so their lineage still participates
+    * upstream (a real MERGE writes them as deletes; the snapshot reader
+    * just doesn't see them).
+    */
+  val q158 = Q("q158_changelog_snapshot",
+    (s, dir) => {
+      val kVal = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("k", when(kVal =!= "", kVal.cast("long")))
+        .withColumn("is_del",
+          when(col("event_type") === "error", 1L).otherwise(0L))
+        .groupBy("user_id", "k")
+        .agg(max(struct(col("ts_us"), col("event_id"), col("is_del"),
+            col("value"))).as("last"),
+          count(lit(1)).as("n_ops"), sum("is_del").as("n_deletes"))
+        .filter(col("last.is_del") === 0)
+        .select(col("user_id"), col("k"),
+          col("last.value").as("last_value"),
+          col("last.ts_us").as("last_ts_us"),
+          col("last.event_id").as("last_event_id"),
+          col("n_ops"), col("n_deletes"))
+        .transform(graft.Q.presentSorted(_, "user_id", "k"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+             THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END AS k,
+        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+      FROM events
+    ), r AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY user_id, k
+          ORDER BY ts_us DESC, event_id DESC) AS rn,
+        COUNT(*) OVER (PARTITION BY user_id, k) AS n_ops,
+        SUM(is_del) OVER (PARTITION BY user_id, k) AS n_deletes
+      FROM ev
+    )
+    SELECT user_id, k, value AS last_value, ts_us AS last_ts_us,
+      event_id AS last_event_id,
+      CAST(n_ops AS BIGINT) AS n_ops, CAST(n_deletes AS BIGINT) AS n_deletes
+    FROM r WHERE rn = 1 AND is_del = 0
+    ORDER BY user_id, k NULLS FIRST"""))
+
+  /** Z-order (Morton) layout audit — the MULTI-dimensional completion of
+    * q115's 1-D zonemap study, and the layout decision a lakehouse
+    * OPTIMIZE/CLUSTER BY command makes on a 100 TB table. Interleaving
+    * RAW values is the textbook Z-order mistake: with user_id spanning 4
+    * bits and k spanning 7, the high bits of k own the curve and the
+    * "Z-order" degenerates to a k-sort (observed: 0 blocks skipped on
+    * the user band). So each dimension is first normalized to an
+    * EQUI-DEPTH 16-bucket id via [[graft.rel.GlobalRank]] (rank·16/n —
+    * the same per-column range-partition-id normalization Delta's
+    * OPTIMIZE ZORDER applies, and skew-proof where min/max scaling is
+    * not), and the Morton code interleaves the two 4-bit bucket ids
+    * (static shift-or chain — stays inside whole-stage codegen). The
+    * audit then ranks the table four ways (natural, each lexicographic
+    * order, Z-order), cuts 64-row blocks, and scores every (layout,
+    * predicate) pair by blocks skipped and rows scanned: each lex layout
+    * serves only its leading column, while Z-order serves single-dim
+    * bands on either column AND 2-D boxes — the quantified reason
+    * multi-dim clustering exists.
+    *
+    * Scale shape: bucket ids and layout ranks all come from GlobalRank
+    * (range shuffle, no single-partition window) over a persisted
+    * 4-consumer base projection; the row count joins back as a broadcast
+    * 1-row frame; blocks aggregate map-side. At fleet scale the Z-order
+    * rank IS the rewrite: `repartitionByRange(morton)` + write.
+    */
+  val q159 = Q("q159_zorder_layout_audit",
+    (s, dir) => {
+      val kVal = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      def mortonExpr(x: String, y: String): String =
+        (0 until 4).map(i =>
+          s"((($x >> $i) & 1) * ${1L << (2 * i)} + (($y >> $i) & 1) * ${1L << (2 * i + 1)})")
+          .mkString(" + ")
+      val ev = Tables(s, dir, "events")
+        .withColumn("k", when(kVal =!= "", kVal.cast("long")))
+        .select(col("event_id"), col("user_id"), col("k"))
+      val cnt = ev.agg(count(lit(1)).as("_n"))
+      def bucket(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
+        graft.rel.GlobalRank
+          .withGlobalRank(df, Seq(col(c), col("event_id")), "_rn")
+          .withColumn(out, expr("_rn * 16 div _n")).drop("_rn")
+      val base = bucket(bucket(ev.crossJoin(broadcast(cnt)), "user_id", "ub"), "k", "kb")
+        .withColumn("morton", expr(mortonExpr("ub", "kb")))
+        .drop("_n")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val layouts = Seq(
+        "natural" -> Seq(col("event_id")),
+        "lex_user_k" -> Seq(col("user_id"), col("k"), col("event_id")),
+        "lex_k_user" -> Seq(col("k"), col("user_id"), col("event_id")),
+        "zorder" -> Seq(col("morton"), col("event_id")))
+      val blocks = layouts.map { case (name, keys) =>
+        graft.rel.GlobalRank.withGlobalRank(base, keys, "rn")
+          .groupBy((col("rn") / 64).cast("long").as("block_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min("user_id").as("lo_u"), max("user_id").as("hi_u"),
+            min("k").as("lo_k"), max("k").as("hi_k"))
+          .withColumn("layout", lit(name))
+      }.reduce(_ unionByName _)
+      val preds = Seq(
+        ("p_user_band", "NOT (lo_u > 19 OR hi_u < 10)"),
+        ("p_k_band", "NOT (lo_k > 39 OR hi_k < 20)"),
+        ("p_box", "NOT (lo_u > 29 OR hi_u < 10 OR lo_k > 59 OR hi_k < 20)"))
+      preds.map { case (pname, mustScan) =>
+        blocks.withColumn("predicate", lit(pname))
+          .withColumn("scanned", expr(s"CASE WHEN $mustScan THEN n_rows ELSE 0 END"))
+          .withColumn("skipped_block", expr(s"CASE WHEN $mustScan THEN 0 ELSE 1 END"))
+      }.reduce(_ unionByName _)
+        .groupBy("layout", "predicate")
+        .agg(count(lit(1)).as("n_blocks"),
+          sum("skipped_block").as("n_skip_blocks"),
+          sum("n_rows").as("n_rows_total"),
+          sum("scanned").as("n_rows_scanned"))
+        .select(col("layout"), col("predicate"), col("n_blocks"),
+          col("n_skip_blocks"),
+          expr("n_rows_scanned * 1000 div n_rows_total").as("scan_permille"))
+        .transform(graft.Q.presentSorted(_, "layout", "predicate"))
+    },
+    Some {
+      val mortonSql = (0 until 4).map(i =>
+        s"(((ub >> $i) & 1) * ${1L << (2 * i)} + ((kb >> $i) & 1) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      s"""WITH e AS (
+      SELECT event_id, user_id,
+        CASE WHEN regexp_extract(props, '"k":\\s*(\\d+)', 1) != ''
+             THEN CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) END AS k
+      FROM events
+    ), b AS (
+      SELECT *,
+        (ROW_NUMBER() OVER (ORDER BY user_id NULLS FIRST, event_id) - 1)
+          * 16 // COUNT(*) OVER () AS ub,
+        (ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, event_id) - 1)
+          * 16 // COUNT(*) OVER () AS kb
+      FROM e
+    ), m AS (
+      SELECT *, $mortonSql AS morton FROM b
+    ), ranked AS (
+      SELECT user_id, k,
+        ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn_nat,
+        ROW_NUMBER() OVER (ORDER BY user_id NULLS FIRST, k NULLS FIRST, event_id) - 1 AS rn_uk,
+        ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, user_id NULLS FIRST, event_id) - 1 AS rn_ku,
+        ROW_NUMBER() OVER (ORDER BY morton NULLS FIRST, event_id) - 1 AS rn_z
+      FROM m
+    ), lay AS (
+      SELECT 'natural' AS layout, rn_nat // 64 AS block_id, user_id, k FROM ranked
+      UNION ALL
+      SELECT 'lex_user_k', rn_uk // 64, user_id, k FROM ranked
+      UNION ALL
+      SELECT 'lex_k_user', rn_ku // 64, user_id, k FROM ranked
+      UNION ALL
+      SELECT 'zorder', rn_z // 64, user_id, k FROM ranked
+    ), blocks AS (
+      SELECT layout, block_id, COUNT(*) AS n_rows,
+        MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+        MIN(k) AS lo_k, MAX(k) AS hi_k
+      FROM lay GROUP BY layout, block_id
+    ), pb AS (
+      SELECT *, 'p_user_band' AS predicate,
+        NOT (lo_u > 19 OR hi_u < 10) AS must_scan FROM blocks
+      UNION ALL
+      SELECT *, 'p_k_band', NOT (lo_k > 39 OR hi_k < 20) FROM blocks
+      UNION ALL
+      SELECT *, 'p_box',
+        NOT (lo_u > 29 OR hi_u < 10 OR lo_k > 59 OR hi_k < 20) FROM blocks
+    )
+    SELECT layout, predicate, COUNT(*) AS n_blocks,
+      CAST(SUM(CASE WHEN must_scan THEN 0 ELSE 1 END) AS BIGINT) AS n_skip_blocks,
+      CAST(SUM(CASE WHEN must_scan THEN n_rows ELSE 0 END) AS BIGINT) * 1000
+        // CAST(SUM(n_rows) AS BIGINT) AS scan_permille
+    FROM pb GROUP BY layout, predicate ORDER BY layout, predicate"""
+    })
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159)
 }

@@ -299,6 +299,57 @@ object StreamingMetrics {
       }
   }
 
+  case class CdcRow(userId: Long, k: Option[Long], tsUs: Long, eventId: Long,
+                    isDel: Boolean, value: Option[Double])
+  case class CdcState(tsUs: Long, eventId: Long, isDel: Boolean,
+                      value: Option[Double], nOps: Long, nDeletes: Long)
+  case class CdcOut(userId: Long, k: Option[Long], live: Boolean,
+                    lastValue: Option[Double], lastTsUs: Long,
+                    lastEventId: Long, nOps: Long, nDeletes: Long)
+
+  /** Streaming changelog → snapshot maintenance — q158's streaming twin
+    * (the continuously-maintained MERGE a lakehouse runs on a CDC feed):
+    * per key (userId, k), keep ONE candidate struct — the max under the
+    * version order (tsUs, eventId) — plus two op counters as
+    * `flatMapGroupsWithState` state (O(1) per key, not log-length), and
+    * emit the key's current snapshot row every trigger it changes:
+    * `live=false` rows are retractions a downstream sink applies as
+    * deletes.
+    *
+    * Batch-boundary invariance: max-by-version and the counters are
+    * associative + commutative, so any replay with different batch cuts
+    * converges to the batch q158 answer — the spec proves it. At fleet
+    * scale, pre-aggregate `max(struct(version, payload))` per partition
+    * before the shuffle (exactly q158's map-side combine) so the
+    * stateful stage receives one candidate per key per partition.
+    */
+  def streamChangelogSnapshot(rows: Dataset[CdcRow]): Dataset[CdcOut] = {
+    implicit val outEnc: Encoder[CdcOut] = Encoders.product[CdcOut]
+    implicit val stEnc: Encoder[CdcState] = Encoders.product[CdcState]
+    implicit val keyEnc: Encoder[(Long, Option[Long])] =
+      Encoders.product[(Long, Option[Long])]
+    rows.groupByKey(r => (r.userId, r.k))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Option[Long]), it: Iterator[CdcRow], state: GroupState[CdcState]) =>
+          var st = state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, isDel = false, None, 0L, 0L))
+          it.foreach { r =>
+            val newer = r.tsUs > st.tsUs || (r.tsUs == st.tsUs && r.eventId > st.eventId)
+            st = CdcState(
+              if (newer) r.tsUs else st.tsUs,
+              if (newer) r.eventId else st.eventId,
+              if (newer) r.isDel else st.isDel,
+              if (newer) r.value else st.value,
+              st.nOps + 1,
+              st.nDeletes + (if (r.isDel) 1L else 0L))
+          }
+          state.update(st)
+          Iterator.single(CdcOut(key._1, key._2, live = !st.isDel,
+            if (st.isDel) None else st.value, st.tsUs, st.eventId,
+            st.nOps, st.nDeletes))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

@@ -2309,8 +2309,102 @@ object PipelineQueries {
       md5(string_agg(hh, '' ORDER BY rn)) AS shard_md5
     FROM r GROUP BY 1 ORDER BY 1"""))
 
+  private val SaK = 8 // suffix-ranking window (tokens): 3 doubling rounds
+
+  /** ExactSubstr-style duplicated-span extraction via DISTRIBUTED
+    * PREFIX-DOUBLING suffix ranking (Manber–Myers by way of the
+    * suffix-array dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 §4.1): mark every
+    * token position whose forward SaK-gram occurs ≥2 times ANYWHERE in
+    * the corpus (cross- OR within-doc — the ExactSubstr semantics, vs
+    * q88 which counts distinct grams shared across ≥2 docs), then merge
+    * flagged positions into maximal per-doc spans.
+    *
+    * Construction — why not just explode grams like q88: a K-token gram
+    * explode ships K copies of every token through the shuffle; the
+    * real ExactSubstr runs at K=50, where that is a 50× blowup. Prefix
+    * doubling instead keeps ONE row per token position and runs
+    * ⌈log₂K⌉ rounds, each: (1) a per-doc `lead(rank, 2ʲ)` window pairs
+    * each suffix's rank with the rank 2ʲ positions ahead (−1 pads past
+    * the end — a sentinel no real id collides with, so padded windows
+    * can never alias full ones); (2) the DISTINCT pairs get dense ids
+    * from [[graft.rel.GlobalRank]] (range shuffle — no single-partition
+    * window); (3) an equi-join maps positions to the new ids. After
+    * round j every rank identifies the suffix's first 2^(j+1) tokens
+    * exactly, so ranks-equal ⟺ SaK-grams-equal with NO hashing and no
+    * collision caveat. Per-round frames are persisted because the
+    * distinct branch and the join branch must not re-execute the round
+    * (the harness clears the cache per query; a production run would
+    * checkpoint rounds).
+    *
+    * The final pass filters to full windows (pos ≤ len−SaK), counts
+    * class occupancy with a window partitioned by rank (linear shuffle,
+    * bounded groups), and merges flagged positions gaps-and-islands
+    * style into spans [tok_start, tok_end]. 100 TB shape: log₂K linear
+    * shuffles of fixed-width long rows — the trade that wins over the
+    * K× gram blowup precisely when K grows.
+    */
+  val q157 = Q("q157_suffix_dup_spans",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val tk = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val vocab = graft.rel.GlobalRank
+        .withGlobalRank(tk.select("tok").distinct(), Seq(col("tok")), "r")
+      var ranked = tk.join(vocab, "tok").select("doc_id", "pos", "r")
+      for (d <- Seq(1, 2, 4)) { // coverage 2, 4, 8 = SaK tokens
+        val w = Window.partitionBy("doc_id").orderBy("pos")
+        val paired = ranked
+          .withColumn("r2", coalesce(lead("r", d).over(w), lit(-1L)))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val ids = graft.rel.GlobalRank.withGlobalRank(
+          paired.select("r", "r2").distinct(), Seq(col("r"), col("r2")), "rn")
+        ranked = paired.join(ids, Seq("r", "r2"))
+          .select(col("doc_id"), col("pos"), col("rn").as("r"))
+      }
+      val full = ranked
+        .withColumn("len", max(col("pos")).over(Window.partitionBy("doc_id")) + 1)
+        .filter(col("pos") <= col("len") - SaK)
+      val flagged = full
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("r")))
+        .filter(col("cnt") >= 2)
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      flagged
+        .withColumn("grp", col("pos") - row_number().over(wDoc))
+        .groupBy("doc_id", "grp")
+        .agg(min("pos").cast("long").as("tok_start"),
+          (max("pos") + SaK - 1).cast("long").as("tok_end"),
+          count(lit(1)).as("n_dup_grams"))
+        .withColumn("span_tokens", col("tok_end") - col("tok_start") + 1L)
+        .select("doc_id", "tok_start", "tok_end", "span_tokens", "n_dup_grams")
+        .transform(graft.Q.presentSorted(_, "doc_id", "tok_start"))
+    },
+    // the oracle states the SEMANTICS directly (explode exact grams,
+    // count classes, islands) — gram-equality, not rank plumbing
+    Some(s"""WITH tk AS (
+      SELECT doc_id, $toksSql AS tk FROM documents
+    ), p AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+${SaK - 1}], ' ') AS gram
+      FROM tk, UNNEST(generate_series(1, len(tk) - ${SaK - 1})) AS u(i)
+    ), c AS (
+      SELECT gram, COUNT(*) AS cnt FROM p GROUP BY gram
+    ), f AS (
+      SELECT p.doc_id, p.pos FROM p JOIN c USING (gram) WHERE c.cnt >= 2
+    ), isl AS (
+      SELECT doc_id, pos,
+        pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM f
+    )
+    SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS tok_start,
+      CAST(MAX(pos) + ${SaK - 1} AS BIGINT) AS tok_end,
+      CAST(MAX(pos) + ${SaK - 1} - MIN(pos) + 1 AS BIGINT) AS span_tokens,
+      COUNT(*) AS n_dup_grams
+    FROM isl GROUP BY doc_id, grp
+    ORDER BY doc_id, tok_start"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
       q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
-      q113, q115, q154, q155)
+      q113, q115, q154, q155, q157)
 }

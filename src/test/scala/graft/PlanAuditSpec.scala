@@ -440,6 +440,38 @@ class PlanAuditSpec extends SparkTestBase {
       "raw text must not ship through the bucketed candidate join")
   }
 
+  test("q157: suffix ranking is GlobalRank rounds — no global window, no gram blowup joins") {
+    val p = plan("q157_suffix_dup_spans")
+    assert(p.contains("_gr_pid"),
+      "dense ids must come from GlobalRank (range shuffle), not a global window")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "pair→id mapping must stay an equi-join")
+  }
+
+  test("q158: changelog compaction is one partial-aggregable merge — no window, no sort") {
+    val p = plan("q158_changelog_snapshot")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      "last-writer-wins must be max(struct), not a ranking window")
+    assert(p.contains("partial_max"),
+      "each map task must ship one candidate struct per key (map-side combine)")
+  }
+
+  test("q159: all four layouts rank via GlobalRank; block zonemaps aggregate map-side") {
+    val p = plan("q159_zorder_layout_audit")
+    assert(p.contains("_gr_pid"), "layout ranks must be range-partitioned")
+    assert(!p.contains("windowspecdefinition(user_id") &&
+      !p.contains("windowspecdefinition(morton"),
+      "no key-ordered global window may replace GlobalRank")
+    assert(!p.contains("CartesianProduct"))
+    // nested-loop occurrences are all the ONE broadcast of the 1-row
+    // count frame scaling the bucket ids (the persisted base subtree
+    // re-prints under every unioned layout branch, so occurrence COUNTS
+    // are meaningless); every instance must be a broadcast build
+    assert("BroadcastNestedLoopJoin (\\w+), Cross".r.findAllMatchIn(p)
+      .forall(m => m.group(1).startsWith("Build")),
+      "any nested-loop join must be the broadcast count frame")
+  }
+
   test("q154: τ comes from exact_topk — no per-source full-sort window") {
     val p = plan("q154_priority_sample_audit")
     assert(p.contains("exact_topk"),

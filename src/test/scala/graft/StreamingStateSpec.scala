@@ -185,4 +185,57 @@ class StreamingStateSpec extends SparkTestBase {
       assert(out("B").last.estMass === allB.map(_.w).sum)
     } finally q.stop()
   }
+
+  test("streaming changelog snapshot: per-key MERGE state converges to the batch answer under any cut") {
+    import StreamingMetrics.{CdcOut, CdcRow}
+    val all = Seq(
+      CdcRow(1L, Some(5L), 1000L, 10L, isDel = false, Some(1.0)),
+      CdcRow(1L, Some(5L), 2000L, 11L, isDel = false, Some(2.0)),
+      CdcRow(1L, Some(6L), 1000L, 12L, isDel = false, Some(3.0)),
+      CdcRow(1L, Some(6L), 3000L, 13L, isDel = true, None), // tombstone
+      CdcRow(2L, Some(7L), 5000L, 14L, isDel = false, Some(4.0)),
+      CdcRow(2L, Some(7L), 5000L, 15L, isDel = false, Some(5.0)), // ts tie → 15
+      CdcRow(2L, None, 6000L, 16L, isDel = false, Some(6.0)), // null key is a key
+      CdcRow(3L, Some(8L), 1000L, 17L, isDel = true, None),
+      CdcRow(3L, Some(8L), 2000L, 18L, isDel = false, Some(7.0))) // resurrection
+
+    def run(cut: Int, qname: String): Map[(Long, Option[Long]), CdcOut] = {
+      val dir = Files.createTempDirectory("cdc")
+      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val stream = spark.readStream.schema(Seq.empty[CdcRow].toDF().schema)
+        .parquet(dir.toString).as[CdcRow]
+      val q = StreamingMetrics.streamChangelogSnapshot(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        landDf(dir, "b2.parquet", all.drop(cut).toDF())
+        q.processAllAvailable()
+        // nOps is strictly monotone per key → max-nOps row IS the final state
+        spark.table(qname).as[CdcOut].collect()
+          .groupBy(r => (r.userId, r.k)).view.mapValues(_.maxBy(_.nOps)).toMap
+      } finally q.stop()
+    }
+
+    val out = run(4, "cdc_a")
+    assert(out.keySet === Set((1L, Some(5L)), (1L, Some(6L)), (2L, Some(7L)),
+      (2L, None), (3L, Some(8L))))
+    val k15 = out((1L, Some(5L)))
+    assert(k15.live && k15.lastValue === Some(2.0) && k15.lastEventId === 11L
+      && k15.nOps === 2L && k15.nDeletes === 0L)
+    val k16 = out((1L, Some(6L))) // tombstoned: retraction row, no value
+    assert(!k16.live && k16.lastValue.isEmpty && k16.nOps === 2L && k16.nDeletes === 1L)
+    val k27 = out((2L, Some(7L))) // version tie resolves by eventId
+    assert(k27.live && k27.lastValue === Some(5.0) && k27.lastEventId === 15L)
+    assert(out((2L, None)).live && out((2L, None)).lastValue === Some(6.0))
+    val k38 = out((3L, Some(8L))) // delete then later upsert → resurrected
+    assert(k38.live && k38.lastValue === Some(7.0) && k38.nDeletes === 1L)
+
+    // batch-cut invariance: a different micro-batch split converges to
+    // the identical final snapshot (state merge is assoc + commutative)
+    val out2 = run(7, "cdc_b")
+    assert(out.view.mapValues(o =>
+        (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap ===
+      out2.view.mapValues(o =>
+        (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap)
+  }
 }
