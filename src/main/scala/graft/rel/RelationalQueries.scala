@@ -1654,11 +1654,14 @@ object RelationalQueries {
     * bands on either column AND 2-D boxes — the quantified reason
     * multi-dim clustering exists.
     *
-    * Scale shape: bucket ids and layout ranks all come from GlobalRank
-    * (range shuffle, no single-partition window) over a persisted
-    * 4-consumer base projection; the row count joins back as a broadcast
-    * 1-row frame; blocks aggregate map-side. At fleet scale the Z-order
-    * rank IS the rewrite: `repartitionByRange(morton)` + write.
+    * Scale shape: three GlobalRank pipelines (range shuffle, no
+    * single-partition window) over a persisted base — the two lex
+    * layout ranks double as the bucket-id sources; the Z-order rank
+    * costs only a per-cell window + a ≤256-row broadcast (see inline
+    * comment); the row count joins back as a broadcast 1-row frame;
+    * blocks aggregate map-side and the block frame is cached across the
+    * three predicate branches. At fleet scale the Z-order rank IS the
+    * rewrite: cluster-by-morton + write.
     */
   val q159 = Q("q159_zorder_layout_audit",
     (s, dir) => {
@@ -1671,27 +1674,53 @@ object RelationalQueries {
         .withColumn("k", when(kVal =!= "", kVal.cast("long")))
         .select(col("event_id"), col("user_id"), col("k"))
       val cnt = ev.agg(count(lit(1)).as("_n"))
-      def bucket(df: org.apache.spark.sql.DataFrame, c: String, out: String) =
-        graft.rel.GlobalRank
-          .withGlobalRank(df, Seq(col(c), col("event_id")), "_rn")
-          .withColumn(out, expr("_rn * 16 div _n")).drop("_rn")
-      val base = bucket(bucket(ev.crossJoin(broadcast(cnt)), "user_id", "ub"), "k", "kb")
+      // THREE GlobalRank pipelines, each a SHALLOW independent read of
+      // the persisted base (deep rank-over-rank chains re-execute their
+      // whole lineage per branch — measured 2× slower): the two
+      // lexicographic layout ranks double as the equi-depth bucket
+      // sources (ub/kb = rank·16/n; the bucket tiebreak IS the layout
+      // order, which the oracle mirrors). The Z-order rank itself needs
+      // NO range exchange: the Morton domain is ≤256 cells by
+      // construction, so exact rank = broadcast cumulative cell offsets
+      // (a ≤256-row frame) + a PARALLEL per-cell row_number — the
+      // bounded-code-domain shortcut a fleet-scale Z-order rewrite uses
+      // to turn the layout sort into a cheap cluster-by.
+      val gr = graft.rel.GlobalRank
+      val mStore = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val base0 = ev.crossJoin(broadcast(cnt)).persist(mStore)
+      val rUk = gr.withGlobalRank(base0,
+        Seq(col("user_id"), col("k"), col("event_id")), "rn_uk").persist(mStore)
+      val rKu = gr.withGlobalRank(base0,
+        Seq(col("k"), col("user_id"), col("event_id")), "rn_ku").persist(mStore)
+      val rNat = gr.withGlobalRank(base0, Seq(col("event_id")), "rn_nat")
+      val zin = rUk.select(col("event_id"), col("user_id"), col("k"),
+          expr("rn_uk * 16 div _n").as("ub"))
+        .join(rKu.select(col("event_id"), expr("rn_ku * 16 div _n").as("kb")),
+          "event_id")
         .withColumn("morton", expr(mortonExpr("ub", "kb")))
-        .drop("_n")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val layouts = Seq(
-        "natural" -> Seq(col("event_id")),
-        "lex_user_k" -> Seq(col("user_id"), col("k"), col("event_id")),
-        "lex_k_user" -> Seq(col("k"), col("user_id"), col("event_id")),
-        "zorder" -> Seq(col("morton"), col("event_id")))
-      val blocks = layouts.map { case (name, keys) =>
-        graft.rel.GlobalRank.withGlobalRank(base, keys, "rn")
-          .groupBy((col("rn") / 64).cast("long").as("block_id"))
+        .persist(mStore) // consumers: cell-count agg + rank join
+      val cellOffs = zin.groupBy("morton").agg(count(lit(1)).as("_c"))
+        .withColumn("_off", coalesce(
+          sum("_c").over(Window.orderBy("morton")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("morton", "_off") // ≤256 rows: the one tiny global window
+      val rZ = zin.join(broadcast(cellOffs), "morton")
+        .withColumn("rn_z", col("_off") - 1L +
+          row_number().over(Window.partitionBy("morton").orderBy("event_id")))
+      def blockStats(df: org.apache.spark.sql.DataFrame, rn: String, name: String) =
+        df.groupBy((col(rn) / 64).cast("long").as("block_id"))
           .agg(count(lit(1)).as("n_rows"),
             min("user_id").as("lo_u"), max("user_id").as("hi_u"),
             min("k").as("lo_k"), max("k").as("hi_k"))
           .withColumn("layout", lit(name))
-      }.reduce(_ unionByName _)
+      val blocks = Seq(blockStats(rNat, "rn_nat", "natural"),
+        blockStats(rUk, "rn_uk", "lex_user_k"),
+        blockStats(rKu, "rn_ku", "lex_k_user"),
+        blockStats(rZ, "rn_z", "zorder")).reduce(_ unionByName _)
+        // three predicate branches read the block stats: without the
+        // cache each branch re-executes all four rank pipelines (the
+        // frame is tiny — ≤ n/64 rows per layout)
+        .cache()
       val preds = Seq(
         ("p_user_band", "NOT (lo_u > 19 OR hi_u < 10)"),
         ("p_k_band", "NOT (lo_k > 39 OR hi_k < 20)"),
@@ -1722,9 +1751,9 @@ object RelationalQueries {
       FROM events
     ), b AS (
       SELECT *,
-        (ROW_NUMBER() OVER (ORDER BY user_id NULLS FIRST, event_id) - 1)
+        (ROW_NUMBER() OVER (ORDER BY user_id NULLS FIRST, k NULLS FIRST, event_id) - 1)
           * 16 // COUNT(*) OVER () AS ub,
-        (ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, event_id) - 1)
+        (ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, user_id NULLS FIRST, event_id) - 1)
           * 16 // COUNT(*) OVER () AS kb
       FROM e
     ), m AS (

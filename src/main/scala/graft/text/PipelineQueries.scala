@@ -2102,6 +2102,10 @@ object PipelineQueries {
             min("n_chars").as("lo_nc"), max("n_chars").as("hi_nc"))
           .withColumn("layout", lit(name))
       }.reduce(_ unionByName _)
+        // three predicate branches read the block stats: without the
+        // cache each branch re-executes all four rank pipelines (the
+        // frame is tiny — ≤ n/32 rows per layout)
+        .cache()
       val preds = Seq(
         ("p_lang_eq", "NOT (lo_lang > 'de' OR hi_lang < 'de')"),
         ("p_len_range", "NOT (lo_nc > 1000 OR hi_nc < 500)"),
@@ -2321,55 +2325,64 @@ object PipelineQueries {
     * flagged positions into maximal per-doc spans.
     *
     * Construction — why not just explode grams like q88: a K-token gram
-    * explode ships K copies of every token through the shuffle; the
-    * real ExactSubstr runs at K=50, where that is a 50× blowup. Prefix
-    * doubling instead keeps ONE row per token position and runs
-    * ⌈log₂K⌉ rounds, each: (1) a per-doc `lead(rank, 2ʲ)` window pairs
-    * each suffix's rank with the rank 2ʲ positions ahead (−1 pads past
-    * the end — a sentinel no real id collides with, so padded windows
-    * can never alias full ones); (2) the DISTINCT pairs get dense ids
-    * from [[graft.rel.GlobalRank]] (range shuffle — no single-partition
-    * window); (3) an equi-join maps positions to the new ids. After
-    * round j every rank identifies the suffix's first 2^(j+1) tokens
-    * exactly, so ranks-equal ⟺ SaK-grams-equal with NO hashing and no
-    * collision caveat. Per-round frames are persisted because the
-    * distinct branch and the join branch must not re-execute the round
-    * (the harness clears the cache per query; a production run would
-    * checkpoint rounds).
-    *
-    * The final pass filters to full windows (pos ≤ len−SaK), counts
-    * class occupancy with a window partitioned by rank (linear shuffle,
-    * bounded groups), and merges flagged positions gaps-and-islands
-    * style into spans [tok_start, tok_end]. 100 TB shape: log₂K linear
-    * shuffles of fixed-width long rows — the trade that wins over the
-    * K× gram blowup precisely when K grows.
+    * explode ships K copies of every token string through the shuffle
+    * and identifies grams by a 48-bit hash; the real ExactSubstr runs
+    * at K=50, where that is a 50× text blowup and a collision caveat.
+    * Here instead:
+    *   1. ROUND 0 — rank compaction: the vocabulary gets dense ids from
+    *      [[graft.rel.GlobalRank]] (range shuffle, no single-partition
+    *      window), so every later stage moves longs, never text.
+    *   2. ONE doc-keyed window exchange materializes all SaK−1 forward
+    *      ranks per position (`lead(r, j)`, −1 end-padding — a sentinel
+    *      no real id collides with, so padded windows can never alias
+    *      full ones) plus the doc length (count frame on the SAME
+    *      exchange).
+    *   3. DUPLICATE-HALF PRUNE — the suffix-array dedup filter: an
+    *      8-gram can only repeat if BOTH its 4-gram halves repeat, so a
+    *      map-side-combinable groupBy counts 4-gram classes and two
+    *      broadcast-able semi-joins keep only positions whose two
+    *      halves are each corpus-duplicated. On a near-dup-sparse
+    *      corpus this kills almost every position BEFORE the wide key
+    *      ever shuffles — the step that makes the op linear at 100 TB.
+    *   4. Survivors shuffle once more, partitioned by the exact 8-rank
+    *      key (a window count ≥ 2) — ranks-equal ⟺ grams-equal with NO
+    *      hashing — and flagged positions merge gaps-and-islands style
+    *      into per-doc spans [tok_start, tok_end].
+    * For K beyond a round's lead width this generalizes to prefix
+    * doubling (dense-rank the half-keys via GlobalRank, lead by K/2,
+    * prune, repeat): payload stays bounded per round while rounds grow
+    * log K — the trade that wins over the K× gram blowup precisely when
+    * K grows.
     */
   val q157 = Q("q157_suffix_dup_spans",
     (s, dir) => {
       import org.apache.spark.storage.StorageLevel
+      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+      val wLen = Window.partitionBy("doc_id")
       val tk = Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       val vocab = graft.rel.GlobalRank
         .withGlobalRank(tk.select("tok").distinct(), Seq(col("tok")), "r")
-      var ranked = tk.join(vocab, "tok").select("doc_id", "pos", "r")
-      for (d <- Seq(1, 2, 4)) { // coverage 2, 4, 8 = SaK tokens
-        val w = Window.partitionBy("doc_id").orderBy("pos")
-        val paired = ranked
-          .withColumn("r2", coalesce(lead("r", d).over(w), lit(-1L)))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val ids = graft.rel.GlobalRank.withGlobalRank(
-          paired.select("r", "r2").distinct(), Seq(col("r"), col("r2")), "rn")
-        ranked = paired.join(ids, Seq("r", "r2"))
-          .select(col("doc_id"), col("pos"), col("rn").as("r"))
-      }
-      val full = ranked
-        .withColumn("len", max(col("pos")).over(Window.partitionBy("doc_id")) + 1)
-        .filter(col("pos") <= col("len") - SaK)
-      val flagged = full
-        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("r")))
+      val half = SaK / 2
+      val leadCols = (1 until SaK).map(j =>
+        coalesce(lead("r", j).over(wDoc), lit(-1L)).as(s"r$j"))
+      val quad = tk.join(vocab, "tok")
+        .select(Seq(col("doc_id"), col("pos"), col("r")) ++ leadCols :+
+          count(lit(1)).over(wLen).as("len"): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: prune agg + pair stage
+      val loKey = (0 until half).map(j => if (j == 0) "r" else s"r$j")
+      val hiKey = (half until SaK).map(j => s"r$j")
+      val dup4 = quad.filter(col("pos") <= col("len") - half)
+        .groupBy(loKey.map(col): _*).agg(count(lit(1)).as("c4"))
+        .filter(col("c4") >= 2).drop("c4")
+        .cache() // both semi-joins read it; duplicated classes only
+      val flagged = quad.filter(col("pos") <= col("len") - SaK)
+        .join(dup4, loKey, "leftsemi")
+        .join(dup4.toDF(hiKey: _*), hiKey, "leftsemi")
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy((loKey ++ hiKey).map(col): _*)))
         .filter(col("cnt") >= 2)
-      val wDoc = Window.partitionBy("doc_id").orderBy("pos")
       flagged
         .withColumn("grp", col("pos") - row_number().over(wDoc))
         .groupBy("doc_id", "grp")

@@ -459,9 +459,14 @@ class PlanAuditSpec extends SparkTestBase {
   test("q159: all four layouts rank via GlobalRank; block zonemaps aggregate map-side") {
     val p = plan("q159_zorder_layout_audit")
     assert(p.contains("_gr_pid"), "layout ranks must be range-partitioned")
-    assert(!p.contains("windowspecdefinition(user_id") &&
-      !p.contains("windowspecdefinition(morton"),
-      "no key-ordered global window may replace GlobalRank")
+    // intended window shapes: PARTITIONED by morton (the parallel
+    // per-cell rank) and ordered-global over AGGREGATED ≤256-row frames
+    // (cell offsets — the same bounded pattern as GlobalRank's offsets).
+    // What must never appear is an ordered GLOBAL window on a raw layout
+    // key (first spec element carrying ASC = no partition cols first).
+    assert(!"windowspecdefinition\\((?:user_id|k|event_id)#\\d+L? ASC".r
+      .findFirstIn(p).isDefined,
+      "no key-ordered global window may replace GlobalRank/cell ranks")
     assert(!p.contains("CartesianProduct"))
     // nested-loop occurrences are all the ONE broadcast of the 1-row
     // count frame scaling the bucket ids (the persisted base subtree
