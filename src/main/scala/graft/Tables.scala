@@ -21,9 +21,11 @@ object Tables {
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // every query path may use the Exact fast-sum kernels; registration is
-    // an idempotent registry put, so doing it here keeps call sites clean
+    // every query path may use the Exact fast-sum / ordered-dot kernels;
+    // registration is an idempotent registry put, so doing it here keeps
+    // call sites clean
     graft.functions.DecSum.ensureRegistered(spark)
+    graft.functions.OrdDot.ensureRegistered(spark)
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

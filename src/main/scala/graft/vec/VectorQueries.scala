@@ -49,17 +49,18 @@ object VectorQueries {
   // ---- ordered-double folds: plain double math, left fold. Bit-exact
   // across engines because the DuckDB mirror (list_reduce over a
   // prepended zero) performs the SAME adds in the SAME order — ~10× less
-  // CPU than the decimal recipe. Used on the hot pairwise paths (q39).
+  // CPU than the decimal recipe as an HOF, another ~10× as the compiled
+  // ord_dot kernel (functions.OrdDot — identical IEEE add sequence,
+  // registered by Tables()). Used on the hot pairwise paths (q39, q160).
   private def dotOrdExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    s"ord_dot($a, $b)"
 
   private def dotOrdSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> " +
       "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
   private def norm2OrdExpr(a: String): String =
-    s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    s"ord_dot($a, $a)"
 
   private def norm2OrdSql(a: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform($a, x -> " +
@@ -1850,7 +1851,221 @@ object VectorQueries {
     FROM margins WHERE dd2 > 0
     GROUP BY 1 ORDER BY bucket"""))
 
+  // --------------------------------------------------------------- q160
+  private val NdK = 6       // graph degree (neighbors kept per node)
+  private val NdRounds = 2  // neighbor-of-neighbor refinement rounds
+  private val NdProbes = 32 // audit probe set: vec_id < NdProbes
+
+  /** NN-descent k-NN graph + audit frames, rounds parameterized so the
+    * spec can prove refinement monotonicity (recall(R rounds) >
+    * recall(0 rounds)) without magic constants. See [[q160]].
+    */
+  private[graft] def nnDescentRecall(s: SparkSession, dir: String, rounds: Int): DataFrame = {
+    // ordered-double folds, not the decimal kernel: ~500k pairwise dots
+    // flow through the build+audit, and the left-fold double recipe is
+    // an order of magnitude cheaper while staying bit-exact vs DuckDB
+    // (same adds, same order — see the fold helpers' contract)
+    val en = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", expr(norm2OrdExpr("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the only driver-side datum: the corpus cardinality (one scalar),
+    // needed to wrap the 48-bit init hash onto valid node ids
+    val n = en.count()
+    // deterministic pseudo-random init: neighbor j of node v is
+    // H(v, j) mod N, H = first 12 md5 hex digits as a 48-bit int (the
+    // catalog's portable hash — same fold on the DuckDB side). Self
+    // hits / duplicate draws drop out, so an init list may hold < K
+    // neighbors: NN-descent needs a candidate pool, not an exact-K
+    // start, and every later round only grows a node's pool.
+    // dedupe via collect_set-then-explode rather than distinct(): one
+    // shuffle keyed on src whose partitioning the downstream top-K
+    // window (and every broadcast-preserved join between them) reuses —
+    // a (src, nbr)-keyed distinct would add a second exchange
+    def dedupBySrc(pairs: DataFrame): DataFrame =
+      pairs.groupBy("src").agg(collect_set(col("nbr")).as("ns"))
+        .select(col("src"), explode(col("ns")).as("nbr"))
+    val init = dedupBySrc(en.select(col("vec_id").as("src"),
+        explode(expr(s"transform(sequence(1, $NdK), j -> " +
+          "CAST(conv(substr(md5(CAST(concat('nd#', CAST(vec_id AS STRING), '#', " +
+          s"CAST(j AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % $n)")).as("nbr"))
+      .filter(col("nbr") =!= col("src")))
+    // exact squared L2 for a (src, nbr) pair frame: two hash joins on
+    // vec_id (linear shuffles); ordered-fold dots keep the ordering —
+    // and therefore the whole graph — engine- and partitioning-
+    // independent
+    def withD2(pairs: DataFrame): DataFrame =
+      pairs
+        .join(en.select(col("vec_id").as("src"), col("embedding").as("ae"),
+          col("n2").as("an2")), "src")
+        .join(en.select(col("vec_id").as("nbr"), col("embedding").as("be"),
+          col("n2").as("bn2")), "nbr")
+        .select(col("src"), col("nbr"),
+          (col("an2") + col("bn2") - lit(2.0) * expr(dotOrdExpr("ae", "be"))).as("d2"))
+    val wK = Window.partitionBy("src").orderBy(col("d2"), col("nbr"))
+    var edges = withD2(init)
+      .withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= NdK).drop("rn")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    for (_ <- 1 to rounds) {
+      // undirected adjacency: out-neighbors plus REVERSE neighbors —
+      // the reverse direction is what lets a popular node propagate
+      // into lists that don't yet point at it (the heart of NN-descent)
+      val adj = edges.select("src", "nbr")
+        .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
+      // neighbor-of-neighbor proposals: every ordered pair within a
+      // pivot's neighborhood. Bounded by degree² ≤ (2K)² per pivot —
+      // candidates stay O(N·K²) per round, never all-pairs.
+      val prop = adj.as("x")
+        .join(adj.as("y"), col("x.src") === col("y.src") && col("x.nbr") =!= col("y.nbr"))
+        .select(col("x.nbr").as("src"), col("y.nbr").as("nbr"))
+      val cand = dedupBySrc(prop.union(edges.select("src", "nbr"))
+        .filter(col("src") =!= col("nbr")))
+      // per-node top-K over the bounded candidate list; current edges
+      // are in the candidate set, so a node's list never regresses
+      edges = withD2(cand)
+        .withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= NdK).drop("rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    // audit: exact top-K for the ≤ NdProbes probe rows (brute force,
+    // probe side broadcast — q36/q92's measurement shape; the graph
+    // build above is the scale path, the audit is the meter)
+    val probes = en.filter(col("vec_id") < NdProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val exact = broadcast(probes)
+      .join(en.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
+      .withColumn("re",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("re") <= NdK)
+      // ≤ NdProbes·K rows feeding three consumers (hits/e1 and the
+      // final join) — cache so the brute-force pass runs once
+      .cache()
+    val g = edges.filter(col("src") < NdProbes)
+      .withColumn("rg", row_number().over(wK))
+      .cache() // same: two consumers (hits, g1), ≤ NdProbes·K rows
+    val hits = exact.select(col("q_id"), col("c_id"))
+      .join(g.select(col("src").as("q_id"), col("nbr").as("c_id")), Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val e1 = exact.filter(col("re") === 1)
+      .select(col("q_id"), col("c_id").as("exact_top1"))
+    val g1 = g.filter(col("rg") === 1)
+      .select(col("src").as("q_id"), col("nbr").as("graph_top1"))
+    // LEFT joins: a probe whose (degenerate) init lost every edge must
+    // report recall 0, not vanish — same contract as q92's audit
+    e1.join(g1, Seq("q_id"), "left").join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("q_id"), col("exact_top1"), col("graph_top1"),
+        coalesce(col("graph_top1") === col("exact_top1"), lit(false))
+          .cast("int").as("top1_match"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / lit(NdK)).as("recall_k"))
+      .transform(graft.Q.presentSorted(_, "q_id"))
+  }
+
+  /** NN-descent k-NN graph construction + recall audit (Dong, Moses,
+    * Li, "Efficient K-Nearest Neighbor Graph Construction for Generic
+    * Similarity Measures", WWW 2011) — the GRAPH-based member of the
+    * ANN family (brute q36, LSH q37/q39, IVF q44/q52/q54, PQ q92,
+    * Matryoshka q138): build a degree-K graph by repeatedly proposing
+    * neighbors-of-neighbors and keeping each node's K closest, then
+    * audit recall@K and top-1 agreement against exact brute force on a
+    * fixed probe set. The constructed graph is the serving structure
+    * graph-ANN engines (HNSW layer 0, DiskANN) search over.
+    *
+    * Determinism: md5-derived init, ordered-double-fold distances
+    * (left fold, so both engines perform the same IEEE adds in the
+    * same order), id tie breaks — the graph is bit-identical across
+    * engines and partitionings, which is what makes a recall AUDIT
+    * oracle-able rather than a statistical claim.
+    *
+    * Scale shape: each round shuffles O(N·K) adjacency rows and
+    * O(N·K²) bounded candidate pairs (pivot-local join — never
+    * all-pairs), distances ride two linear hash joins on vec_id, and
+    * the per-node top-K sorts bounded lists. The brute-force side
+    * exists only under the ≤ 32-probe audit. Reference analog:
+    * nearest-neighbor retrieval in
+    * /root/reference/src/market_microstructure_toolkit/analysis.py
+    * (pairwise similarity scans) re-expressed as the distributed
+    * graph-construction path a 100 TB embedding corpus requires.
+    */
+  val q160 = Q("q160_nn_descent_recall",
+    (s, dir) => nnDescentRecall(s, dir, NdRounds),
+    Some {
+      val hashFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), i -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('nd#' || " +
+          "CAST(e.vec_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), i, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      def dist(p: String) =
+        s"""SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM $p p JOIN en a ON a.vec_id = p.src JOIN en b ON b.vec_id = p.nbr"""
+      def round(r: Int): String = {
+        val in = s"d${r - 1}"
+        s"""adj$r AS (
+      SELECT src, nbr FROM $in UNION SELECT nbr AS src, src AS nbr FROM $in
+    ), cd$r AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT x.nbr AS src, y.nbr AS nbr
+        FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.nbr != y.nbr
+        UNION ALL SELECT src, nbr FROM $in
+      ) WHERE src != nbr
+    ), dd$r AS (
+      ${dist(s"cd$r")}
+    ), d$r AS (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
+      ) WHERE rn <= $NdK
+    )"""
+      }
+      s"""WITH en AS (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    init AS (
+      SELECT e.vec_id AS src, ($hashFold % c.n) AS nbr
+      FROM embeddings e CROSS JOIN cnt c
+      CROSS JOIN (SELECT unnest(generate_series(1, $NdK)) AS j) js
+    ), e0 AS (
+      SELECT DISTINCT src, nbr FROM init WHERE nbr != src
+    ), dd0 AS (
+      ${dist("e0")}
+    ), d0 AS (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
+      ) WHERE rn <= $NdK
+    ), ${(1 to NdRounds).map(round).mkString(",\n    ")},
+    exact AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")} AS d2
+      FROM en q JOIN en c ON c.vec_id != q.vec_id
+      WHERE q.vec_id < $NdProbes
+    ), ek AS (
+      SELECT q_id, c_id, re FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, c_id) AS re FROM exact
+      ) WHERE re <= $NdK
+    ), g AS (
+      SELECT src AS q_id, nbr AS c_id,
+        ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rg
+      FROM d$NdRounds WHERE src < $NdProbes
+    ), hits AS (
+      SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM ek e JOIN g ON g.q_id = e.q_id AND g.c_id = e.c_id
+      GROUP BY e.q_id
+    ), e1 AS (SELECT q_id, c_id AS exact_top1 FROM ek WHERE re = 1),
+    g1 AS (SELECT q_id, c_id AS graph_top1 FROM g WHERE rg = 1)
+    SELECT e1.q_id, exact_top1, graph_top1,
+      CAST(COALESCE(graph_top1 = exact_top1, FALSE) AS INT) AS top1_match,
+      COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+      CAST(COALESCE(n_hit, 0) AS DOUBLE) / $NdK AS recall_k
+    FROM e1 LEFT JOIN g1 USING (q_id) LEFT JOIN hits USING (q_id)
+    ORDER BY q_id"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148)
+      q100, q130, q131, q138, q147, q148, q160)
 }

@@ -153,4 +153,43 @@ class KernelParitySpec extends SparkTestBase {
         .filter(!(col("h") <=> col("k"))),
       "char_grams")
   }
+
+  test("ord_dot ≡ aggregate/zip_with left fold, bit-exact, incl. degenerate arrays") {
+    graft.functions.OrdDot.ensureRegistered(spark)
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(11)
+    def arr(n: Int): Seq[java.lang.Float] =
+      (0 until n).map(_ => java.lang.Float.valueOf((rnd.nextFloat() - 0.5f) * 100f))
+    val cases: Seq[(Long, Seq[java.lang.Float], Seq[java.lang.Float])] =
+      (0L until 40L).map(i => (i, arr(64), arr(64))) ++ Seq(
+        (100L, Seq.empty, Seq.empty),                           // empty → 0.0
+        (101L, arr(5), arr(8)),                                 // ragged → null
+        (102L, arr(3).updated(1, null: java.lang.Float), arr(3)), // null elem → null
+        (103L, Seq(java.lang.Float.valueOf(-0.0f)), Seq(java.lang.Float.valueOf(0.0f))), // signed zero
+        (104L, Seq(java.lang.Float.valueOf(Float.MaxValue)), Seq(java.lang.Float.valueOf(Float.MaxValue))))
+    val df = cases.toDF("id", "a", "b").cache()
+    val hof = expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      "CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+    assertNoDiff(
+      df.select(col("id"), hof.as("h"), expr("ord_dot(a, b)").as("k"))
+        .filter(!(col("h") <=> col("k"))),
+      "ord_dot vs HOF")
+    // bit-identity, not just numeric equality: +0.0 vs −0.0 must agree
+    val bits = df.select(col("id"), hof.as("h"), expr("ord_dot(a, b)").as("k"))
+      .collect()
+    bits.foreach { r =>
+      val (h, k) = (r.get(1), r.get(2))
+      if (h != null && k != null)
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ===
+          java.lang.Double.doubleToRawLongBits(r.getDouble(2)),
+          s"bit mismatch on id=${r.getLong(0)}")
+    }
+    // norm flavor: ord_dot(a, a) ≡ the single-array square fold
+    val hofN = expr("aggregate(a, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+    assertNoDiff(
+      df.select(col("id"), hofN.as("h"), expr("ord_dot(a, a)").as("k"))
+        .filter(!(col("h") <=> col("k"))),
+      "ord_dot(a,a) vs square fold")
+  }
 }

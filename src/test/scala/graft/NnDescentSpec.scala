@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q160 NN-descent k-NN graph: the properties the oracle can't see.
+  *
+  * The oracle pins the exact output values; this spec pins the CLAIMS
+  * behind them — that the neighbor-of-neighbor rounds genuinely refine
+  * the graph (recall strictly improves over the hash init), that the
+  * audit contract holds shape-wise (one row per probe, recall bounded
+  * by the degree), and that the whole build is deterministic across
+  * runs within a session.
+  */
+class NnDescentSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def recallFrame(rounds: Int) = {
+    val df = vec.VectorQueries.nnDescentRecall(spark, dir, rounds)
+    val rows = df.collect().toIndexedSeq
+    df.unpersist() // presentSorted cached it; don't leak across tests
+    rows
+  }
+
+  test("refinement: 2 NN-descent rounds strictly beat the hash init") {
+    val init = recallFrame(0)
+    val refined = recallFrame(2)
+    assert(init.size === 32 && refined.size === 32, "one audit row per probe")
+    def mean(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.getAs[Double]("recall_k")).sum / rows.size
+    val (m0, m2) = (mean(init), mean(refined))
+    assert(m2 > m0,
+      s"neighbor-of-neighbor rounds must improve recall (init $m0, refined $m2)")
+    // the init is a uniform hash draw: expected recall ≈ K/N ≈ 0.012 —
+    // anything ≥ 0.2 after refinement means the descent is really
+    // climbing the similarity structure, not shuffling noise
+    assert(m2 >= 0.2, s"refined recall $m2 implausibly low")
+  }
+
+  test("audit shape: recall bounded by degree, hits consistent") {
+    val rows = recallFrame(2)
+    rows.foreach { r =>
+      val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0 && nHit <= 6, s"n_hit $nHit outside [0, K]")
+      assert(math.abs(r.getAs[Double]("recall_k") - nHit / 6.0) < 1e-15)
+      val t1 = r.getAs[Int]("top1_match")
+      assert(t1 === 0 || t1 === 1)
+      if (t1 === 1)
+        assert(r.getAs[Long]("graph_top1") === r.getAs[Long]("exact_top1"))
+    }
+  }
+
+  test("determinism: two builds in one session are value-identical") {
+    val a = recallFrame(2).map(_.toSeq)
+    val b = recallFrame(2).map(_.toSeq)
+    assert(a === b, "md5 init + decimal distances must make the graph reproducible")
+  }
+}

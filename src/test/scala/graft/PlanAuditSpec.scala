@@ -52,6 +52,13 @@ class PlanAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q160: NN-descent candidates are pivot-local equi-joins, never all-pairs") {
+    val p = plan("q160_nn_descent_recall")
+    assert(!p.contains("CartesianProduct"),
+      "graph construction must bound candidates by the pivot join; the only " +
+        "non-equi join allowed is the ≤32-row broadcast probe audit")
+  }
+
   test("q49: nearest as-of is two window passes, no N×S join") {
     val p = plan("q49_asof_nearest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
