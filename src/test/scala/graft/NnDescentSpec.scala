@@ -53,6 +53,29 @@ class NnDescentSpec extends SparkTestBase {
   test("determinism: two builds in one session are value-identical") {
     val a = recallFrame(2).map(_.toSeq)
     val b = recallFrame(2).map(_.toSeq)
-    assert(a === b, "md5 init + decimal distances must make the graph reproducible")
+    assert(a === b, "md5 init + ordered-fold distances must make the graph reproducible")
+  }
+
+  test("q161 beam search: visited set bounded, found distance never beats exact") {
+    val df = SparkEntry.queries("q161_graph_beam_search")(spark, dir)
+    val rows = df.collect().toIndexedSeq
+    df.unpersist()
+    assert(rows.size === 32, "one row per probe")
+    // V grows by at most beam·degree per hop from the single entry node
+    val cap = 1 + 4 * 6 * 3
+    rows.foreach { r =>
+      val nv = r.getAs[Long]("n_visited")
+      assert(nv >= 1 && nv <= cap, s"n_visited $nv outside [1, $cap]")
+      val ratio = r.getAs[Any]("dist_ratio_permille")
+      if (ratio != null)
+        assert(ratio.asInstanceOf[Long] >= 1000L,
+          "beam result cannot be closer than the exact nearest neighbor")
+      if (r.getAs[Int]("top1_match") === 1 && ratio != null)
+        assert(ratio.asInstanceOf[Long] === 1000L)
+    }
+    // the efficiency claim behind graph ANN: the traversal touches a
+    // bounded neighborhood, not the corpus (500 nodes at sf0.001)
+    val meanVisited = rows.map(_.getAs[Long]("n_visited")).sum.toDouble / rows.size
+    assert(meanVisited < 100, s"mean visited $meanVisited should be ≪ corpus size")
   }
 }

@@ -59,6 +59,13 @@ class PlanAuditSpec extends SparkTestBase {
         "non-equi join allowed is the ≤32-row broadcast probe audit")
   }
 
+  test("q161: every beam hop joins data-sized edges against a broadcast frontier") {
+    val p = plan("q161_graph_beam_search")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin"),
+      "frontier expansion must broadcast the bounded probe side")
+  }
+
   test("q49: nearest as-of is two window passes, no N×S join") {
     val p = plan("q49_asof_nearest")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
