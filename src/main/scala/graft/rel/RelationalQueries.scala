@@ -1794,8 +1794,97 @@ object RelationalQueries {
     FROM pb GROUP BY layout, predicate ORDER BY layout, predicate"""
     })
 
+  /** Incremental materialized-view maintenance (q158's aggregate-state
+    * sibling): the daily per-event-type rollup is refreshed by
+    * aggregating each ingest batch into a PARTIAL STATE (count / decimal
+    * sum / min / max — every column a commutative monoid) and merging
+    * O(groups) state rows, never rescanning the base batch — the
+    * Delta/Iceberg incremental-MV / streaming-aggregation-state pattern
+    * a 100 TB rollup depends on (full recompute is the thing you can't
+    * afford). The audit joins the merged view against a direct full
+    * recompute and proves them indistinguishable per group.
+    *
+    * The exactness hinge: batch states keep their sums in DECIMAL and
+    * merge in DECIMAL, casting to double only at the edge. Merging
+    * already-cast doubles would re-order IEEE adds and break merged ≡
+    * direct; the decimal carrier is order-independent, which is exactly
+    * the property a partial-aggregate shuffle needs anyway. Reference
+    * analog: the run-level summary CSV the impact CLIs append per run
+    * (/root/reference/src/market_microstructure_toolkit/impact_twap_cli.py:86)
+    * — re-expressed as mergeable aggregate state instead of file appends.
+    */
+  val q162 = Q("q162_incremental_mv",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val ev = Tables(s, dir, "events")
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        // three ingest batches cut on fixed day boundaries (the corpus
+        // spans 2024-01: days 19723–19752 at every SF — ScaleBench's
+        // copies widen density, not the wall-clock span)
+        .withColumn("batch",
+          when(col("day") < 19733, 0).when(col("day") < 19743, 1).otherwise(2))
+      def decSum(c: org.apache.spark.sql.Column) =
+        sum(round(c, 8).cast(DecimalType(38, 8)))
+      val states = ev.groupBy("batch", "day", "event_type")
+        .agg(count(lit(1)).as("n_events"),
+          count(col("value")).as("n_vals"),
+          decSum(col("value")).as("sum_state"),
+          min("value").as("min_v"), max("value").as("max_v"))
+      val merged = states.groupBy("day", "event_type")
+        .agg(sum("n_events").as("n_events"),
+          sum("n_vals").as("n_vals"),
+          sum("sum_state").cast("double").as("sum_value"),
+          min("min_v").as("min_value"), max("max_v").as("max_value"),
+          count(lit(1)).as("n_batches"))
+      val direct = ev.groupBy("day", "event_type")
+        .agg(count(lit(1)).as("d_n"),
+          decSum(col("value")).cast("double").as("d_sum"),
+          min("value").as("d_min"), max("value").as("d_max"))
+      merged.join(direct, Seq("day", "event_type"))
+        .select(col("day"), col("event_type"), col("n_events"), col("n_vals"),
+          col("sum_value"), col("min_value"), col("max_value"), col("n_batches"),
+          (col("n_events") === col("d_n") && (col("sum_value") <=> col("d_sum")) &&
+            (col("min_value") <=> col("d_min")) && (col("max_value") <=> col("d_max")))
+            .cast("int").as("matches_full"))
+        .transform(graft.Q.presentSorted(_, "day", "event_type"))
+    },
+    Some("""WITH ev AS (
+      SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events
+    ), b AS (
+      SELECT *, CASE WHEN day < 19733 THEN 0 WHEN day < 19743 THEN 1 ELSE 2 END AS batch
+      FROM ev
+    ), states AS (
+      SELECT batch, day, event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(COUNT(value) AS BIGINT) AS n_vals,
+        SUM(CAST(ROUND(value, 8) AS DECIMAL(38,8))) AS sum_state,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM b GROUP BY batch, day, event_type
+    ), merged AS (
+      SELECT day, event_type,
+        CAST(SUM(n_events) AS BIGINT) AS n_events,
+        CAST(SUM(n_vals) AS BIGINT) AS n_vals,
+        CAST(SUM(sum_state) AS DOUBLE) AS sum_value,
+        MIN(min_v) AS min_value, MAX(max_v) AS max_value,
+        CAST(COUNT(*) AS BIGINT) AS n_batches
+      FROM states GROUP BY day, event_type
+    ), direct AS (
+      SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS d_n,
+        CAST(SUM(CAST(ROUND(value, 8) AS DECIMAL(38,8))) AS DOUBLE) AS d_sum,
+        MIN(value) AS d_min, MAX(value) AS d_max
+      FROM b GROUP BY day, event_type
+    )
+    SELECT m.day, m.event_type, n_events, n_vals, sum_value, min_value,
+      max_value, n_batches,
+      CAST(CASE WHEN n_events = d_n AND sum_value IS NOT DISTINCT FROM d_sum
+        AND min_value IS NOT DISTINCT FROM d_min
+        AND max_value IS NOT DISTINCT FROM d_max
+        THEN 1 ELSE 0 END AS INT) AS matches_full
+    FROM merged m JOIN direct d USING (day, event_type)
+    ORDER BY day, event_type"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152, q158, q159)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162)
 }

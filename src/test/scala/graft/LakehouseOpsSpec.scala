@@ -131,4 +131,40 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(rows(("zorder", "p_user_band"))._2 > 0)
     assert(rows(("zorder", "p_k_band"))._2 > 0)
   }
+
+  test("q162: merged MV ≡ direct on every group, and the merge is split-invariant") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.queries("q162_incremental_mv")(spark, dir)
+    val out = df.collect().toIndexedSeq
+    df.unpersist()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Int]("matches_full") === 1),
+      "every group's merged state must be indistinguishable from full recompute")
+    // split-invariance: re-batch by a key UNRELATED to the query's day
+    // cuts (event_id mod 5) and merge with the same decimal recipe —
+    // identical view. This is the property that lets a lakehouse refresh
+    // from arbitrary ingest batch boundaries.
+    import org.apache.spark.sql.types.DecimalType
+    val ev = Tables(spark, dir, "events")
+      .withColumn("day", expr("(ts div 1000) div 86400000000"))
+      .withColumn("batch", pmod(col("event_id"), lit(5)))
+    val states = ev.groupBy("batch", "day", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value"), 8).cast(DecimalType(38, 8))).as("sum_state"),
+        min("value").as("min_v"), max("value").as("max_v"))
+    val merged5 = states.groupBy("day", "event_type")
+      .agg(sum("n_events").as("n_events"),
+        sum("sum_state").cast("double").as("sum_value"),
+        min("min_v").as("min_value"), max("max_v").as("max_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getAs[Any]("sum_value"), r.getAs[Any]("min_value"),
+          r.getAs[Any]("max_value"))).toMap
+    out.foreach { r =>
+      val k = (r.getLong(0), r.getString(1))
+      val m = merged5(k)
+      assert(m === ((r.getAs[Long]("n_events"), r.getAs[Any]("sum_value"),
+        r.getAs[Any]("min_value"), r.getAs[Any]("max_value"))),
+        s"5-way batch merge diverged from 3-way on $k")
+    }
+  }
 }

@@ -55,7 +55,7 @@ class NullRobustnessSpec extends SparkTestBase {
     "q27_text_stats", "q28_lang_id", "q29_exact_dedup", "q48_minhash_lsh_dedup",
     "q57_bpe_tokens", "q80_pii_redaction", "q153_sorted_neighborhood",
     "q154_priority_sample_audit", "q155_shard_manifest",
-    "q156_group_split_assign", "q132_event_transitions", "q152_funnel_latency",
+    "q156_group_split_assign", "q132_event_transitions", "q152_funnel_latency", "q162_incremental_mv",
     // round-8 additions: suffix ranking (null/empty text), changelog
     // compaction + zorder audit (null props → null key/morton)
     "q157_suffix_dup_spans", "q158_changelog_snapshot", "q159_zorder_layout_audit")

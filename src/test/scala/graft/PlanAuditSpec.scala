@@ -470,6 +470,15 @@ class PlanAuditSpec extends SparkTestBase {
       "each map task must ship one candidate struct per key (map-side combine)")
   }
 
+  test("q162: MV maintenance is pure partial-aggregable state merge — no window") {
+    val p = plan("q162_incremental_mv")
+    assert(!p.toLowerCase.contains("windowspecdefinition"),
+      "state build and merge must be plain aggregates")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "batch states must combine map-side before any shuffle")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q159: all four layouts rank via GlobalRank; block zonemaps aggregate map-side") {
     val p = plan("q159_zorder_layout_audit")
     assert(p.contains("_gr_pid"), "layout ranks must be range-partitioned")
