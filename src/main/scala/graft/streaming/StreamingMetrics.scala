@@ -350,6 +350,52 @@ object StreamingMetrics {
       }
   }
 
+  case class MvRow(day: Long, eventType: String, value: Option[Double])
+  case class MvState(n: Long, nVals: Long, sumUnscaled: Long,
+                     minV: Option[Double], maxV: Option[Double])
+  case class MvOut(day: Long, eventType: String, nEvents: Long, nVals: Long,
+                   sumValue: Option[Double], minValue: Option[Double],
+                   maxValue: Option[Double])
+
+  /** Streaming MV maintenance — q162's streaming twin: the daily rollup
+    * kept continuously fresh as `flatMapGroupsWithState` with O(1) state
+    * per group (count / non-null count / sum / min / max), emitting the
+    * group's current view row every trigger it changes. The sum rides
+    * the state as its UNSCALED decimal long (the DecSum carrier —
+    * `round(value, 8)` exact at scale 8): order-independent and exact,
+    * so ANY micro-batch cut converges to q162's batch-merged view, and
+    * overflow is loud (`addExact`) rather than silently wrapped. At
+    * fleet scale the same monoid pre-aggregates per partition before
+    * the stateful shuffle — exactly q162's batch partial states.
+    */
+  def streamMvMaintenance(rows: Dataset[MvRow]): Dataset[MvOut] = {
+    implicit val outEnc: Encoder[MvOut] = Encoders.product[MvOut]
+    implicit val stEnc: Encoder[MvState] = Encoders.product[MvState]
+    implicit val keyEnc: Encoder[(Long, String)] = Encoders.product[(Long, String)]
+    rows.groupByKey(r => (r.day, r.eventType))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), it: Iterator[MvRow], state: GroupState[MvState]) =>
+          var st = state.getOption.getOrElse(MvState(0L, 0L, 0L, None, None))
+          it.foreach { r =>
+            val u = r.value.map(v => java.math.BigDecimal.valueOf(v)
+              .setScale(8, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact())
+            st = MvState(
+              st.n + 1,
+              st.nVals + (if (r.value.isDefined) 1L else 0L),
+              u.fold(st.sumUnscaled)(x => Math.addExact(st.sumUnscaled, x)),
+              (st.minV.toSeq ++ r.value.toSeq).reduceOption[Double](math.min),
+              (st.maxV.toSeq ++ r.value.toSeq).reduceOption[Double](math.max))
+          }
+          state.update(st)
+          Iterator.single(MvOut(key._1, key._2, st.n, st.nVals,
+            if (st.nVals == 0L) None
+            else Some(new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(st.sumUnscaled), 8).doubleValue()),
+            st.minV, st.maxV))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

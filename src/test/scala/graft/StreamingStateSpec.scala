@@ -238,4 +238,47 @@ class StreamingStateSpec extends SparkTestBase {
       out2.view.mapValues(o =>
         (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap)
   }
+
+  test("streaming MV maintenance converges to q162's batch view under any cut") {
+    import StreamingMetrics.{MvOut, MvRow}
+    val all = Tables(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("(ts div 1000) div 86400000000 AS day", "event_type AS eventType", "value")
+      .as[MvRow].collect().toSeq
+
+    def run(cut: Int, qname: String): Map[(Long, String), MvOut] = {
+      val dir = Files.createTempDirectory("mv")
+      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val stream = spark.readStream.schema(Seq.empty[MvRow].toDF().schema)
+        .parquet(dir.toString).as[MvRow]
+      val q = StreamingMetrics.streamMvMaintenance(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        landDf(dir, "b2.parquet", all.drop(cut).toDF())
+        q.processAllAvailable()
+        // nEvents is strictly monotone per group → max row IS final state
+        spark.table(qname).as[MvOut].collect()
+          .groupBy(r => (r.day, r.eventType)).view.mapValues(_.maxBy(_.nEvents)).toMap
+      } finally q.stop()
+    }
+
+    val a = run(all.size / 3, "mv_a")
+    val b = run(2 * all.size / 3, "mv_b")
+    assert(a === b, "different micro-batch cuts must converge to one view")
+
+    // and the converged state IS the batch q162 merged view
+    val batch = SparkEntry.queries("q162_incremental_mv")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r =>
+      (r.getLong(0), r.getString(1)) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("n_vals"),
+          Option(r.getAs[Any]("sum_value")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("min_value")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("max_value")).map(_.asInstanceOf[Double]))).toMap
+    batch.unpersist()
+    assert(a.keySet === expect.keySet)
+    a.foreach { case (k, o) =>
+      assert(expect(k) === ((o.nEvents, o.nVals, o.sumValue, o.minValue, o.maxValue)),
+        s"streaming state diverged from batch MV on $k")
+    }
+  }
 }
