@@ -2483,8 +2483,111 @@ object TextQueries {
     GROUP BY split, a.n_leaked_groups, a.n_leaked_docs, a.total_docs
     ORDER BY split"""))
 
+  // --------------------------------------------------------------- q163
+  private val BpeMergeRounds = 3
+
+  /** BPE merge-rule TRAINING (Sennrich, Haddow, Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL 2016) — the
+    * training side of q57's tokenizer application: reduce the corpus to
+    * its word-frequency table ONCE (the shuffle that turns 100 TB of
+    * text into a vocab-sized frame — exactly how production BPE
+    * trainers scale), then run [[BpeMergeRounds]] rounds of
+    * count-adjacent-symbol-pairs → pick the most frequent (ties:
+    * lexicographic) → apply the merge greedily left-to-right in every
+    * word. Emits one row per learned rule with its weighted pair count
+    * and the post-merge corpus token count (the compression curve).
+    *
+    * The merge application is engine-portable by construction: symbols
+    * are encoded with TWO-space delimiters ("  t  h  e  </w>  "), so a
+    * merge of (a, b) is plain `replace(enc, " a  b ", " ab ")` — the
+    * search consumes only the inner halves of the boundary delimiters,
+    * which makes standard left-to-right non-overlapping replacement
+    * implement greedy BPE exactly (consecutive merges like a a a →
+    * (aa) a work, and a symbol can never false-match inside a longer
+    * symbol because both of its delimiter halves are anchored).
+    * Per-round argmax is a 1-row driver scalar (the q54-seed pattern);
+    * every per-round frame is vocab-sized, never corpus-sized.
+    */
+  val q163 = Q("q163_bpe_merge_train",
+    (s, dir) => {
+      val words = Tables(s, dir, "documents")
+        .select(explode(expr("regexp_extract_all(text, '\\\\p{L}+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      var enc = words.withColumn("enc",
+          concat(lit("  "),
+            array_join(expr(
+              "transform(sequence(1, length(word)), i -> substring(word, i, 1))"), "  "),
+            lit("  </w>  ")))
+        .select("n", "enc")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val symsExpr = "filter(split(enc, ' '), x -> x != '')"
+      def tokensAfter(df: org.apache.spark.sql.DataFrame): Long =
+        df.select(sum(col("n") * size(expr(symsExpr))).cast("long")).first().getLong(0)
+      val rows = (1 to BpeMergeRounds).map { r =>
+        val top = enc
+          .select(col("n"), expr(symsExpr).as("s"))
+          .select(col("n"), explode(expr(
+            "transform(sequence(1, size(s) - 1), i -> " +
+              "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("n").as("pair_n"))
+          .orderBy(desc("pair_n"), col("lhs"), col("rhs"))
+          .limit(1).collect()(0)
+        val (lhs, rhs, pairN) = (top.getString(0), top.getString(1), top.getLong(2))
+        val next = enc.withColumn("enc",
+            call_function("replace", col("enc"),
+              lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val out = (r.toLong, lhs, rhs, pairN, tokensAfter(next))
+        enc = next
+        out
+      }
+      val sess = s
+      import sess.implicits._
+      rows.toDF("merge_rank", "lhs", "rhs", "pair_n", "tokens_after")
+        .orderBy("merge_rank")
+    },
+    Some {
+      def round(r: Int): String = {
+        val in = s"e${r - 1}"
+        s"""p$r AS (
+      SELECT s[i] AS lhs, s[i + 1] AS rhs, CAST(SUM(n) AS BIGINT) AS pair_n
+      FROM (
+        SELECT n, s, unnest(generate_series(1, len(s) - 1)) AS i FROM (
+          SELECT n, list_filter(str_split(enc, ' '), x -> x != '') AS s FROM $in
+        )
+      ) GROUP BY s[i], s[i + 1]
+    ), t$r AS (
+      SELECT lhs, rhs, pair_n FROM p$r ORDER BY pair_n DESC, lhs, rhs LIMIT 1
+    ), e$r AS (
+      SELECT n, replace(enc,
+        ' ' || (SELECT lhs FROM t$r) || '  ' || (SELECT rhs FROM t$r) || ' ',
+        ' ' || (SELECT lhs || rhs FROM t$r) || ' ') AS enc
+      FROM $in
+    ), a$r AS (
+      SELECT CAST(SUM(n * len(list_filter(str_split(enc, ' '), x -> x != ''))) AS BIGINT)
+        AS tokens_after FROM e$r
+    )"""
+      }
+      s"""WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(regexp_extract_all(text, '[\\p{L}]+')) AS word FROM documents
+      ) GROUP BY word
+    ), e0 AS (
+      SELECT n,
+        '  ' || array_to_string(list_transform(generate_series(1, length(word)),
+          i -> substr(word, i, 1)), '  ') || '  </w>  ' AS enc
+      FROM w
+    ), ${(1 to BpeMergeRounds).map(round).mkString(",\n    ")}
+    ${(1 to BpeMergeRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) AS merge_rank, lhs, rhs, pair_n, " +
+          s"(SELECT tokens_after FROM a$r) AS tokens_after FROM t$r")
+        .mkString("\n    UNION ALL\n    ")}
+    ORDER BY merge_rank"""
+    })
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156)
+      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163)
 }

@@ -2048,13 +2048,13 @@ object VectorQueries {
       ) WHERE src != nbr
     ), dd$r AS (
       ${dist(s"cd$r")}
-    ), d$r AS (
+    ), d$r AS MATERIALIZED (
       SELECT src, nbr, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
       ) WHERE rn <= $NdK
     )"""
       }
-      s"""WITH en AS (
+      s"""WITH en AS MATERIALIZED (
       SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
     ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     init AS (
@@ -2065,7 +2065,7 @@ object VectorQueries {
       SELECT DISTINCT src, nbr FROM init WHERE nbr != src
     ), dd0 AS (
       ${dist("e0")}
-    ), d0 AS (
+    ), d0 AS MATERIALIZED (
       SELECT src, nbr, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
       ) WHERE rn <= $NdK
@@ -2205,7 +2205,7 @@ object VectorQueries {
       ) WHERE src != nbr
     ), dd$r AS (
       ${dist(s"cd$r")}
-    ), d$r AS (
+    ), d$r AS MATERIALIZED (
       SELECT src, nbr, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
       ) WHERE rn <= $NdK
@@ -2223,7 +2223,7 @@ object VectorQueries {
       WHERE g.nbr != f.q_id
     ), s$h AS (
       ${scoreSql(s"x$h")}
-    ), v$h AS (
+    ), v$h AS MATERIALIZED (
       SELECT q_id, node, MIN(d2) AS d2 FROM (
         SELECT * FROM $vin UNION ALL SELECT * FROM s$h
       ) GROUP BY q_id, node
@@ -2233,7 +2233,7 @@ object VectorQueries {
       ) WHERE rb <= $BsBeam
     )"""
       }
-      s"""WITH en AS (
+      s"""WITH en AS MATERIALIZED (
       SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
     ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
     init AS (
@@ -2244,7 +2244,7 @@ object VectorQueries {
       SELECT DISTINCT src, nbr FROM init WHERE nbr != src
     ), dd0 AS (
       ${dist("e0g")}
-    ), d0 AS (
+    ), d0 AS MATERIALIZED (
       SELECT src, nbr, d2 FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
       ) WHERE rn <= $NdK

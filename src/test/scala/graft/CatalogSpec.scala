@@ -19,8 +19,11 @@ class CatalogSpec extends SparkTestBase {
     // `IS DISTINCT FROM` operator isn't read as a FROM clause
     val fromRe = "(?i)(?<!DISTINCT )\\b(?:FROM|JOIN)\\s+([a-zA-Z_][a-zA-Z0-9_]*)".r
     SparkEntry.catalog.flatMap(q => q.oracle.map(q.name -> _)).foreach { case (name, sql) =>
-      // allow recursive-CTE column lists: `reach(id, r) AS (`
-      val ctes = "([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*\\(".r
+      // allow recursive-CTE column lists (`reach(id, r) AS (`) and
+      // DuckDB's explicit `AS MATERIALIZED (` (forces single evaluation
+      // of multiply-referenced CTEs — see q160/q161)
+      val ctes = ("([a-zA-Z_][a-zA-Z0-9_]*)\\s*(?:\\([^)]*\\))?\\s+AS\\s*" +
+        "(?:MATERIALIZED\\s*)?\\(").r
         .findAllMatchIn(sql).map(_.group(1)).toSet
       val refs = fromRe.findAllMatchIn(sql).map(_.group(1)).toSet
       val unknown = refs.filterNot(r => known(r) || ctes(r) || r == "generate_series")

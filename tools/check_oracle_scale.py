@@ -39,7 +39,20 @@ def main():
                 timeout = float(argv[i + 1])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_glob(scale_dir, base_dir, t)}')")
+        g = table_glob(scale_dir, base_dir, t)
+        if t == "events":
+            # ScaleBench writes the scale copy's ts as plain INT64
+            # epoch-NANOS (the engine contract), but every events oracle
+            # reads `epoch_us(ts)` against the driver's TIMESTAMP
+            # encoding — normalize the view back to TIMESTAMP so the
+            # same oracle SQL runs on both corpora.
+            ty = con.execute(
+                f"SELECT typeof(ts) FROM read_parquet('{g}') LIMIT 1").fetchone()
+            if ty and ty[0] == "BIGINT":
+                con.execute(f"CREATE VIEW {t} AS SELECT * REPLACE "
+                            f"(make_timestamp(ts // 1000) AS ts) FROM read_parquet('{g}')")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{g}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     only = [n for n in only_csv.split(",") if n]
     if not only:
