@@ -2526,6 +2526,11 @@ object TextQueries {
       val rows = (1 to BpeMergeRounds).map { r =>
         val top = enc
           .select(col("n"), expr(symsExpr).as("s"))
+          // single-symbol words have no pairs; the guard matters because
+          // Spark's sequence(1, 0) is the DESCENDING [1, 0] (it would
+          // index past the array), while DuckDB's generate_series(1, 0)
+          // is empty — the filter makes both engines contribute nothing
+          .filter(size(col("s")) >= 2)
           .select(col("n"), explode(expr(
             "transform(sequence(1, size(s) - 1), i -> " +
               "struct(element_at(s, i) AS lhs, element_at(s, i + 1) AS rhs))")).as("p"))
