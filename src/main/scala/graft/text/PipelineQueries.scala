@@ -2416,8 +2416,134 @@ object PipelineQueries {
     FROM isl GROUP BY doc_id, grp
     ORDER BY doc_id, tok_start"""))
 
+  // --------------------------------------------------------------- q164
+  private val KmvK = 256 // sketch size: K smallest distinct gram hashes per source
+
+  /** KMV-sketched cross-source overlap — q79's SCALE path (Beyer et al.,
+    * "On Synopses for Distinct-Value Estimation Under Multiset
+    * Operations", SIGMOD 2007; the K-minimum-values θ-Jaccard
+    * estimator): q79's exact matrix equi-joins every distinct gram
+    * across sources, which at 100 TB ships the whole gram universe;
+    * here each source is reduced to its K smallest distinct 48-bit gram
+    * hashes — a bounded, mergeable synopsis — and every pairwise
+    * Jaccard is estimated from two K-row sketches: take the K smallest
+    * of the sketch UNION, count how many live in both sketches, ρ =
+    * common/|M|. The audit computes the exact Jaccard on the SAME
+    * hashed universe (pure sketch error, no hash-collision confound)
+    * and reports the signed permille error — the K-vs-accuracy curve a
+    * fleet deployment needs before trusting the estimate.
+    *
+    * Scale shape: the (source, hash) frame is partial-aggregable
+    * distinct; per-source top-K is a bounded window; everything
+    * downstream of the sketch build is (n_sources choose 2) rows of
+    * ≤2K-element arrays. The exact audit leg is gate-scale
+    * instrumentation — at fleet scale you'd run sketches only, which
+    * is the point being measured.
+    */
+  val q164 = Q("q164_kmv_source_overlap",
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val gramsH = docs.select(col("source"), col("text"))
+        .withColumn("tk", toks)
+        .withColumn("nw",
+          when(length(trim(col("text"))) === 0, lit(0)).otherwise(size(col("tk"))))
+        .filter(col("nw") >= 3)
+        .select(col("source"), explode(transform(sequence(lit(0), col("nw") - 3),
+          i => concat_ws(" ", element_at(col("tk"), i + 1),
+            element_at(col("tk"), i + 2), element_at(col("tk"), i + 3)))).as("gram"))
+        .select(col("source"),
+          expr("CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 12), 16, 10) AS BIGINT)")
+            .as("h"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketches = gramsH
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("source").orderBy("h")))
+        .filter(col("rk") <= KmvK)
+        .groupBy("source")
+        .agg(sort_array(collect_list(col("h"))).as("sk"))
+      val sizes = gramsH.groupBy("source").agg(count(lit(1)).as("n_h"))
+      val exact = gramsH.as("a")
+        .join(gramsH.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      val left = sketches.select(col("source").as("source_a"), col("sk").as("ska"))
+        .join(broadcast(sizes.select(col("source").as("source_a"), col("n_h").as("n_a"))),
+          "source_a")
+      val right = sketches.select(col("source").as("source_b"), col("sk").as("skb"))
+        .join(broadcast(sizes.select(col("source").as("source_b"), col("n_h").as("n_b"))),
+          "source_b")
+      left.join(broadcast(right), col("source_a") < col("source_b"))
+        .withColumn("m", slice(array_sort(array_union(col("ska"), col("skb"))), 1, KmvK))
+        .withColumn("k_used", size(col("m")).cast("long"))
+        .withColumn("n_common", size(expr(
+          "filter(m, v -> array_contains(ska, v) AND array_contains(skb, v))")).cast("long"))
+        .join(exact, Seq("source_a", "source_b"), "left")
+        .withColumn("n_inter", coalesce(col("n_inter"), lit(0L)))
+        .withColumn("est_jaccard", col("n_common").cast("double") / col("k_used"))
+        .withColumn("exact_jaccard", col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+        .withColumn("err_permille", expr(
+          "CAST(FLOOR((est_jaccard - exact_jaccard) * 1000.0) AS BIGINT)"))
+        .select("source_a", "source_b", "n_a", "n_b", "k_used", "n_common",
+          "est_jaccard", "exact_jaccard", "err_permille")
+        .transform(graft.Q.presentSorted(_, "source_a", "source_b"))
+    },
+    Some(s"""WITH base AS (
+      SELECT source, $toksSql AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len($toksSql) END AS nw
+      FROM documents
+    ), gr AS (
+      SELECT DISTINCT source,
+        list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(1, 12), i ->
+            CAST(strpos('0123456789abcdef', substr(md5(gram), i, 1)) - 1 AS BIGINT))),
+          (acc, x) -> acc * 16 + x) AS h
+      FROM (
+        SELECT source, unnest(list_transform(generate_series(1, nw - 2),
+          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+        FROM base WHERE nw >= 3)
+    ), sk AS (
+      SELECT source, list_sort(list(h)) AS sk FROM (
+        SELECT source, h,
+          ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        FROM gr
+      ) WHERE rk <= $KmvK GROUP BY source
+    ), sz AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_h FROM gr GROUP BY source
+    ), inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM gr a JOIN gr b ON a.h = b.h AND a.source < b.source
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT sa.source AS source_a, sb.source AS source_b,
+        za.n_h AS n_a, zb.n_h AS n_b,
+        list_sort(list_distinct(list_concat(sa.sk, sb.sk)))[1:$KmvK] AS m,
+        sa.sk AS ska, sb.sk AS skb
+      FROM sk sa JOIN sk sb ON sa.source < sb.source
+      JOIN sz za ON za.source = sa.source
+      JOIN sz zb ON zb.source = sb.source
+    ), est AS (
+      SELECT source_a, source_b, n_a, n_b,
+        CAST(len(m) AS BIGINT) AS k_used,
+        CAST(len(list_filter(m, v ->
+          list_contains(ska, v) AND list_contains(skb, v))) AS BIGINT) AS n_common
+      FROM pairs
+    )
+    SELECT e.source_a, e.source_b, n_a, n_b, k_used, n_common,
+      CAST(n_common AS DOUBLE) / k_used AS est_jaccard,
+      CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+        (n_a + n_b - COALESCE(i.n_inter, 0)) AS exact_jaccard,
+      CAST(FLOOR((CAST(n_common AS DOUBLE) / k_used -
+        CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+          (n_a + n_b - COALESCE(i.n_inter, 0))) * 1000.0) AS BIGINT) AS err_permille
+    FROM est e LEFT JOIN inter i USING (source_a, source_b)
+    ORDER BY source_a, source_b"""))
+
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
       q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
-      q113, q115, q154, q155, q157)
+      q113, q115, q154, q155, q157, q164)
 }

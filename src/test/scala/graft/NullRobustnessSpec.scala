@@ -56,7 +56,7 @@ class NullRobustnessSpec extends SparkTestBase {
     "q57_bpe_tokens", "q80_pii_redaction", "q153_sorted_neighborhood",
     "q154_priority_sample_audit", "q155_shard_manifest",
     "q156_group_split_assign", "q132_event_transitions", "q152_funnel_latency", "q162_incremental_mv",
-    "q163_bpe_merge_train",
+    "q163_bpe_merge_train", "q164_kmv_source_overlap",
     // round-8 additions: suffix ranking (null/empty text), changelog
     // compaction + zorder audit (null props → null key/morton)
     "q157_suffix_dup_spans", "q158_changelog_snapshot", "q159_zorder_layout_audit")
