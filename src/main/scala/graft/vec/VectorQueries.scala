@@ -2285,7 +2285,122 @@ object VectorQueries {
     ORDER BY q_id"""
     })
 
+  // --------------------------------------------------------------- q165
+  private val LpRounds = 3 // synchronized label-propagation rounds
+
+  /** Label-propagation communities over the NN-descent graph (Raghavan,
+    * Albert, Kumara, "Near linear time algorithm to detect community
+    * structures in large-scale networks", Phys. Rev. E 2007) — the
+    * clustering leg of the graph stack (q160 builds, q161 searches,
+    * q165 clusters): every node starts in its own community, and each
+    * synchronized round adopts the most frequent label among its
+    * undirected neighbors (ties → smallest label). Centroid-free
+    * cluster structure for semantic grouping at corpus scale — the
+    * alternative to q54's k-means when K is unknown.
+    *
+    * Determinism: fixed round count, synchronized updates (no
+    * visit-order dependence — the asynchronous variant's
+    * nondeterminism is exactly what a distributed engine must avoid),
+    * argmax as one partial-aggregable min(struct(-count, label)).
+    * Scale shape: each round is adjacency ⋈ labels on node id + two
+    * grouped aggregations — all linear in edges, no windows over
+    * node-sized partitions, and the adjacency is the memoized
+    * checkpointed q160 frame.
+    */
+  val q165 = Q("q165_knn_label_propagation",
+    (s, dir) => {
+      val edges = ndGraph(s, dir)
+      val adj = edges.select("src", "nbr")
+        .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var labels = ndEn(s, dir).select(col("vec_id").as("node"), col("vec_id").as("lbl"))
+      for (_ <- 1 to LpRounds) {
+        labels = adj
+          .join(labels.select(col("node").as("nbr"), col("lbl")), "nbr")
+          .groupBy(col("src"), col("lbl")).agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(min(struct((-col("c")).as("nc"), col("lbl"))).as("m"))
+          .select(col("src").as("node"), col("m.lbl").as("lbl"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      labels.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"), min(col("node")).as("min_node"),
+          max(col("node")).as("max_node"))
+        .transform(graft.Q.presentSorted(_, "community"))
+    },
+    Some {
+      val hashFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), i -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('nd#' || " +
+          "CAST(e.vec_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), i, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      def dist(p: String) =
+        s"""SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM $p p JOIN en a ON a.vec_id = p.src JOIN en b ON b.vec_id = p.nbr"""
+      def graphRound(r: Int): String = {
+        val in = s"d${r - 1}"
+        s"""adj$r AS (
+      SELECT src, nbr FROM $in UNION SELECT nbr AS src, src AS nbr FROM $in
+    ), cd$r AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT x.nbr AS src, y.nbr AS nbr
+        FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.nbr != y.nbr
+        UNION ALL SELECT src, nbr FROM $in
+      ) WHERE src != nbr
+    ), dd$r AS (
+      ${dist(s"cd$r")}
+    ), d$r AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
+      ) WHERE rn <= $NdK
+    )"""
+      }
+      def lpRound(r: Int): String = {
+        val in = if (r == 1) "l0" else s"l${r - 1}"
+        s"""l$r AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT src AS node, lbl,
+          ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, lbl) AS rn
+        FROM (
+          SELECT a.src, l.lbl, COUNT(*) AS c
+          FROM ua a JOIN $in l ON l.node = a.nbr
+          GROUP BY a.src, l.lbl
+        )
+      ) WHERE rn = 1
+    )"""
+      }
+      s"""WITH en AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    init AS (
+      SELECT e.vec_id AS src, ($hashFold % c.n) AS nbr
+      FROM embeddings e CROSS JOIN cnt c
+      CROSS JOIN (SELECT unnest(generate_series(1, $NdK)) AS j) js
+    ), e0g AS (
+      SELECT DISTINCT src, nbr FROM init WHERE nbr != src
+    ), dd0 AS (
+      ${dist("e0g")}
+    ), d0 AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
+      ) WHERE rn <= $NdK
+    ), ${(1 to NdRounds).map(graphRound).mkString(",\n    ")},
+    ua AS MATERIALIZED (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT src, nbr FROM d$NdRounds
+        UNION ALL SELECT nbr AS src, src AS nbr FROM d$NdRounds
+      )
+    ), l0 AS (
+      SELECT vec_id AS node, vec_id AS lbl FROM embeddings
+    ), ${(1 to LpRounds).map(lpRound).mkString(",\n    ")}
+    SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+      MIN(node) AS min_node, MAX(node) AS max_node
+    FROM l$LpRounds GROUP BY lbl ORDER BY community"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148, q160, q161)
+      q100, q130, q131, q138, q147, q148, q160, q161, q165)
 }

@@ -78,4 +78,21 @@ class NnDescentSpec extends SparkTestBase {
     val meanVisited = rows.map(_.getAs[Long]("n_visited")).sum.toDouble / rows.size
     assert(meanVisited < 100, s"mean visited $meanVisited should be ≪ corpus size")
   }
+
+  test("q165 label propagation: communities partition the node set") {
+    val df = SparkEntry.queries("q165_knn_label_propagation")(spark, dir)
+    val rows = df.collect().toIndexedSeq
+    df.unpersist()
+    val n = 500L // sf0.001 embeddings cardinality
+    assert(rows.map(_.getAs[Long]("n_members")).sum === n,
+      "every node must land in exactly one community")
+    assert(rows.size > 1 && rows.size < n,
+      s"${rows.size} communities: propagation must neither collapse to one nor stay fully fragmented")
+    rows.foreach { r =>
+      val (c, lo, hi) = (r.getAs[Long]("community"),
+        r.getAs[Long]("min_node"), r.getAs[Long]("max_node"))
+      assert(c >= 0 && c < n && lo <= hi,
+        "community ids are node ids; member ranges must be well-formed")
+    }
+  }
 }
