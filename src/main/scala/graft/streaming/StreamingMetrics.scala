@@ -396,6 +396,44 @@ object StreamingMetrics {
       }
   }
 
+  case class KmvRow(source: String, h: Long)
+  case class KmvState(nSeen: Long, mins: List[Long]) // asc-sorted, distinct, ≤ K
+  case class KmvOut(source: String, nSeen: Long, kUsed: Long,
+                    theta: Option[Long], estDistinct: Option[Double])
+
+  /** Streaming KMV sketch maintenance — q164's streaming twin: per
+    * source, keep the K smallest DISTINCT 48-bit hashes as
+    * `flatMapGroupsWithState` state (O(K) per source, independent of
+    * stream length) and emit the current cardinality estimate per
+    * trigger: exact while the sketch isn't full (the K-min set IS the
+    * distinct set), (K−1)·2⁴⁸/θ once it is (θ = the Kth smallest — the
+    * Beyer et al. unbiased estimator). The K-min-set merge is
+    * associative + commutative + idempotent (duplicates and anything ≥
+    * the current θ are no-ops), so any micro-batch cut converges to
+    * the batch sketch — the spec proves it, plus equality with a batch
+    * groupBy of the same K smallest. This is the production shape for
+    * "distinct grams per source, live" on a feed too big to count.
+    */
+  def streamKmvSketch(rows: Dataset[KmvRow], k: Int = 256): Dataset[KmvOut] = {
+    implicit val outEnc: Encoder[KmvOut] = Encoders.product[KmvOut]
+    implicit val stEnc: Encoder[KmvState] = Encoders.product[KmvState]
+    rows.groupByKey(_.source)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, it: Iterator[KmvRow], state: GroupState[KmvState]) =>
+          val st = state.getOption.getOrElse(KmvState(0L, Nil))
+          var n = st.nSeen
+          val batch = it.map { r => n += 1; r.h }.toList
+          val mins = (st.mins ++ batch).distinct.sorted.take(k)
+          state.update(KmvState(n, mins))
+          val full = mins.size >= k
+          Iterator.single(KmvOut(source, n, mins.size.toLong,
+            if (full) Some(mins.last) else None,
+            if (mins.isEmpty) Some(0.0)
+            else if (full) Some((k - 1).toDouble * 281474976710656.0 / mins.last.toDouble)
+            else Some(mins.size.toDouble)))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

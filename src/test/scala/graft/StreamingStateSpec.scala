@@ -281,4 +281,62 @@ class StreamingStateSpec extends SparkTestBase {
         s"streaming state diverged from batch MV on $k")
     }
   }
+
+  test("streaming KMV sketch converges to the batch K-min set under any cut") {
+    import StreamingMetrics.{KmvOut, KmvRow}
+    // q164's gram-hash recipe over the real corpus, restricted to 4
+    // sources so the per-key state paths get dense batches
+    val all = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(col("source").isin("src0", "src1", "src2", "src3"))
+      .selectExpr("source", "text")
+      .selectExpr("source",
+        "explode(transform(sequence(0, greatest(size(split(trim(lower(text)), '\\\\s+')) - 3, 0) - 1), " +
+          "i -> concat_ws(' ', element_at(split(trim(lower(text)), '\\\\s+'), i + 1), " +
+          "element_at(split(trim(lower(text)), '\\\\s+'), i + 2), " +
+          "element_at(split(trim(lower(text)), '\\\\s+'), i + 3)))) AS gram")
+      .selectExpr("source",
+        "CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 12), 16, 10) AS BIGINT) AS h")
+      .as[KmvRow].collect().toSeq
+
+    val k = 64
+    def run(cut: Int, qname: String): Map[String, KmvOut] = {
+      val dir = Files.createTempDirectory("kmv")
+      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val stream = spark.readStream.schema(Seq.empty[KmvRow].toDF().schema)
+        .parquet(dir.toString).as[KmvRow]
+      val q = StreamingMetrics.streamKmvSketch(stream, k)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        landDf(dir, "b2.parquet", all.drop(cut).toDF())
+        q.processAllAvailable()
+        spark.table(qname).as[KmvOut].collect()
+          .groupBy(_.source).view.mapValues(_.maxBy(_.nSeen)).toMap
+      } finally q.stop()
+    }
+
+    val a = run(all.size / 4, "kmv_a")
+    val b = run(3 * all.size / 4, "kmv_b")
+    assert(a.keySet === b.keySet)
+    a.keySet.foreach { s =>
+      assert((a(s).kUsed, a(s).theta, a(s).estDistinct) ===
+        ((b(s).kUsed, b(s).theta, b(s).estDistinct)),
+        s"different cuts diverged on $s")
+    }
+    // batch equality + estimator sanity on the exact distinct count
+    val bySrc = all.groupBy(_.source)
+    a.foreach { case (s, o) =>
+      val distinctH = bySrc(s).map(_.h).distinct.sorted
+      val expectMins = distinctH.take(k)
+      assert(o.nSeen === bySrc(s).size)
+      assert(o.kUsed === expectMins.size)
+      if (expectMins.size >= k) {
+        assert(o.theta === Some(expectMins.last))
+        val est = o.estDistinct.get
+        val exact = distinctH.size.toDouble
+        assert(est > exact * 0.6 && est < exact * 1.6,
+          s"$s: KMV estimate $est implausible vs exact $exact at K=$k")
+      } else assert(o.estDistinct === Some(expectMins.size.toDouble))
+    }
+  }
 }
