@@ -1878,7 +1878,14 @@ object VectorQueries {
     val en = ndEn(s, dir)
     // the only driver-side datum: the corpus cardinality (one scalar),
     // needed to wrap the 48-bit init hash onto valid node ids
-    val n = en.count()
+    buildEdgesOver(en, en.count(), rounds)
+  }
+
+  /** NN-descent over an arbitrary node frame (vec_id contiguous in
+    * [0, n)) — q160/q161/q165 build over the full corpus; q166 builds
+    * over the base partition only (the pre-insert index).
+    */
+  private def buildEdgesOver(en: DataFrame, n: Long, rounds: Int): DataFrame = {
     // deterministic pseudo-random init: neighbor j of node v is
     // H(v, j) mod N, H = first 12 md5 hex digits as a 48-bit int (the
     // catalog's portable hash — same fold on the DuckDB side). Self
@@ -2119,6 +2126,44 @@ object VectorQueries {
     * hops, ordered-fold distances, id tie breaks — identical traversal
     * in both engines.
     */
+  /** Greedy beam traversal shared by q161 (search) and q166 (insert):
+    * for every probe row (q_id, qe, qn2) in `probeEmb`, start at entry
+    * node e0 (e1 for the probe that IS e0), run [[BsHops]] hops of
+    * expand-score-prune at beam [[BsBeam]] over `edges` whose node
+    * embeddings come from `enGraph`, and return the full visited frame
+    * (q_id, node, d2). Each hop joins the data-sized edge table against
+    * a broadcast bounded frontier — never the reverse.
+    */
+  private def beamVisited(probeEmb: DataFrame, enGraph: DataFrame,
+                          edges: DataFrame, e0: Long, e1: Long): DataFrame = {
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(probeEmb.select(col("q_id"), col("qe"), col("qn2")), "q_id")
+        .join(enGraph.select(col("vec_id").as("node"), col("embedding").as("ce"),
+          col("n2").as("cn2")), "node")
+        .select(col("q_id"), col("node"),
+          (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
+    val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
+    var visited = score(probeEmb.select(col("q_id")).withColumn("node",
+        when(col("q_id") === e0, lit(e1)).otherwise(lit(e0))))
+      .cache() // ≤ probe-count rows; each hop reads it twice
+    var frontier = visited.select("q_id", "node")
+    for (_ <- 1 to BsHops) {
+      val expand = edges
+        .join(broadcast(frontier.select(col("q_id"), col("node").as("src"))), "src")
+        .select(col("q_id"), col("nbr").as("node"))
+        .filter(col("node") =!= col("q_id"))
+        .distinct()
+      visited = visited.union(score(expand))
+        .groupBy("q_id", "node").agg(min(col("d2")).as("d2"))
+        .cache() // ≤ probes·(1 + B·K·hops) rows, read by 2 consumers
+      frontier = visited
+        .withColumn("rb", row_number().over(wB))
+        .filter(col("rb") <= BsBeam).select("q_id", "node")
+    }
+    visited
+  }
+
   val q161 = Q("q161_graph_beam_search",
     (s, dir) => {
       val en = ndEn(s, dir)
@@ -2127,37 +2172,10 @@ object VectorQueries {
       // entry point, with the runner-up for the probe that IS the entry
       val lo2 = en.select("vec_id").orderBy("vec_id").limit(2)
         .collect().map(_.getLong(0))
-      val (e0, e1) = (lo2(0), lo2(1))
       val probes = en.filter(col("vec_id") < NdProbes)
-        .select(col("vec_id").as("q_id"))
-      def score(pairs: DataFrame): DataFrame =
-        pairs
-          .join(en.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-            col("n2").as("qn2")), "q_id")
-          .join(en.select(col("vec_id").as("node"), col("embedding").as("ce"),
-            col("n2").as("cn2")), "node")
-          .select(col("q_id"), col("node"),
-            (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val visited = beamVisited(probes, en, edges, lo2(0), lo2(1))
       val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
-      var visited = score(probes.withColumn("node",
-          when(col("q_id") === e0, lit(e1)).otherwise(lit(e0))))
-        .cache() // ≤ NdProbes rows; each hop reads it twice
-      var frontier = visited.select("q_id", "node")
-      for (_ <- 1 to BsHops) {
-        // data-sized edges ⋈ broadcast frontier — the only join where a
-        // side scales with the corpus keeps the bounded side broadcast
-        val expand = edges
-          .join(broadcast(frontier.select(col("q_id"), col("node").as("src"))), "src")
-          .select(col("q_id"), col("nbr").as("node"))
-          .filter(col("node") =!= col("q_id"))
-          .distinct()
-        visited = visited.union(score(expand))
-          .groupBy("q_id", "node").agg(min(col("d2")).as("d2"))
-          .cache() // ≤ NdProbes·(1 + B·K·hops) rows, read by 2 consumers
-        frontier = visited
-          .withColumn("rb", row_number().over(wB))
-          .filter(col("rb") <= BsBeam).select("q_id", "node")
-      }
       val best = visited
         .withColumn("rb", row_number().over(wB))
         .filter(col("rb") === 1)
@@ -2400,7 +2418,188 @@ object VectorQueries {
     FROM l$LpRounds GROUP BY lbl ORDER BY community"""
     })
 
+  // --------------------------------------------------------------- q166
+  private val InsB = 32 // audited insert batch size
+
+  /** Incremental graph-index insertion audit — the MAINTENANCE leg of
+    * the graph stack (q160 builds, q161 serves, q165 clusters, q166
+    * grows): split the corpus 90/10 into a BASE partition (ids < ⌊9n/10⌋,
+    * the pre-existing index) and an insert stream; build the NN-descent
+    * graph over the base only; then discover each inserted node's
+    * neighbors the way HNSW/DiskANN insertion does — a beam search from
+    * the fixed entry point over the EXISTING graph, keeping the K
+    * closest of everything visited as the new node's out-edges. The
+    * audit scores those discovered edges against the exact top-K among
+    * base nodes: recall@K, top-1 agreement, and the visited count
+    * (insertion cost is O(B·K·H) scored nodes per new vector — the
+    * reason graph indexes absorb inserts without a rebuild).
+    *
+    * Scale shape: the base graph is memoized + checkpointed; every
+    * insert in the batch traverses CONCURRENTLY (one frame of probes
+    * rides the same broadcast-frontier joins), and the exact-top-K leg
+    * exists only for the ≤ [[InsB]] audited inserts.
+    */
+  val q166 = Q("q166_graph_insert_audit",
+    (s, dir) => {
+      val en = ndEn(s, dir)
+      val n = en.count()
+      val b = n * 9 / 10
+      val baseEn = en.filter(col("vec_id") < b)
+      val edges = graft.util.SessionMemo.getOrCompute(s, s"nd-graph-base:$dir") {
+        ensureCkptDir(s)
+        buildEdgesOver(baseEn, b, NdRounds).checkpoint()
+      }
+      val lo2 = baseEn.select("vec_id").orderBy("vec_id").limit(2)
+        .collect().map(_.getLong(0))
+      val probes = en.filter(col("vec_id") >= b && col("vec_id") < b + InsB)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val visited = beamVisited(probes, baseEn, edges, lo2(0), lo2(1))
+      val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
+      val chosen = visited
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= NdK)
+        .cache() // ≤ InsB·K rows, three consumers
+      val nvis = visited.groupBy("q_id").agg(count(lit(1)).as("n_visited"))
+      val exact = broadcast(probes)
+        .join(baseEn.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          col("n2").as("cn2")))
+        .select(col("q_id"), col("c_id"),
+          (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
+        .withColumn("re", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+        .filter(col("re") <= NdK)
+        .cache() // ≤ InsB·K rows, two consumers
+      val hits = exact.select(col("q_id"), col("c_id"))
+        .join(chosen.select(col("q_id"), col("node").as("c_id")), Seq("q_id", "c_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+      val e1 = exact.filter(col("re") === 1)
+        .select(col("q_id"), col("c_id").as("exact_top1"))
+      val g1 = chosen.filter(col("rk") === 1)
+        .select(col("q_id"), col("node").as("ins_top1"))
+      e1.join(g1, "q_id").join(nvis, "q_id").join(hits, Seq("q_id"), "left")
+        .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+        .select(col("q_id"), col("exact_top1"), col("ins_top1"),
+          (col("ins_top1") === col("exact_top1")).cast("int").as("top1_match"),
+          col("n_hit"),
+          (col("n_hit").cast("double") / lit(NdK)).as("recall_k"),
+          col("n_visited"))
+        .transform(graft.Q.presentSorted(_, "q_id"))
+    },
+    Some {
+      val hashFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), i -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('nd#' || " +
+          "CAST(e.vec_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), i, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      def dist(p: String) =
+        s"""SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM $p p JOIN enb a ON a.vec_id = p.src JOIN enb b ON b.vec_id = p.nbr"""
+      def graphRound(r: Int): String = {
+        val in = s"d${r - 1}"
+        s"""adj$r AS (
+      SELECT src, nbr FROM $in UNION SELECT nbr AS src, src AS nbr FROM $in
+    ), cd$r AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT x.nbr AS src, y.nbr AS nbr
+        FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.nbr != y.nbr
+        UNION ALL SELECT src, nbr FROM $in
+      ) WHERE src != nbr
+    ), dd$r AS (
+      ${dist(s"cd$r")}
+    ), d$r AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
+      ) WHERE rn <= $NdK
+    )"""
+      }
+      def scoreSql(p: String) =
+        s"""SELECT x.q_id, x.node,
+        q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")} AS d2
+      FROM $p x JOIN ena q ON q.vec_id = x.q_id JOIN enb c ON c.vec_id = x.node"""
+      def hop(h: Int): String = {
+        val (vin, fin) = (s"v${h - 1}", s"f${h - 1}")
+        s"""x$h AS (
+      SELECT DISTINCT f.q_id, g.nbr AS node
+      FROM $fin f JOIN d$NdRounds g ON g.src = f.node
+      WHERE g.nbr != f.q_id
+    ), s$h AS (
+      ${scoreSql(s"x$h")}
+    ), v$h AS MATERIALIZED (
+      SELECT q_id, node, MIN(d2) AS d2 FROM (
+        SELECT * FROM $vin UNION ALL SELECT * FROM s$h
+      ) GROUP BY q_id, node
+    ), f$h AS (
+      SELECT q_id, node FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rb FROM v$h
+      ) WHERE rb <= $BsBeam
+    )"""
+      }
+      s"""WITH ena AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), bb AS (SELECT CAST(COUNT(*) * 9 // 10 AS BIGINT) AS b FROM embeddings),
+    enb AS MATERIALIZED (
+      SELECT e.* FROM ena e CROSS JOIN bb WHERE e.vec_id < bb.b
+    ), init AS (
+      SELECT e.vec_id AS src, ($hashFold % c.b) AS nbr
+      FROM embeddings e CROSS JOIN bb c
+      CROSS JOIN (SELECT unnest(generate_series(1, $NdK)) AS j) js
+      WHERE e.vec_id < c.b
+    ), e0g AS (
+      SELECT DISTINCT src, nbr FROM init WHERE nbr != src
+    ), dd0 AS (
+      ${dist("e0g")}
+    ), d0 AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
+      ) WHERE rn <= $NdK
+    ), ${(1 to NdRounds).map(graphRound).mkString(",\n    ")},
+    lo AS (
+      SELECT MIN(vec_id) AS e0,
+        MIN(CASE WHEN vec_id > (SELECT MIN(vec_id) FROM enb) THEN vec_id END) AS e1
+      FROM enb
+    ), x0 AS (
+      SELECT p.vec_id AS q_id,
+        CASE WHEN p.vec_id = lo.e0 THEN lo.e1 ELSE lo.e0 END AS node
+      FROM embeddings p CROSS JOIN lo CROSS JOIN bb
+      WHERE p.vec_id >= bb.b AND p.vec_id < bb.b + $InsB
+    ), v0 AS (
+      ${scoreSql("x0")}
+    ), f0 AS (SELECT q_id, node FROM v0),
+    ${(1 to BsHops).map(hop).mkString(",\n    ")},
+    chosen AS (
+      SELECT q_id, node, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rk
+        FROM v$BsHops
+      ) WHERE rk <= $NdK
+    ), nvis AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_visited FROM v$BsHops GROUP BY q_id
+    ), exacts AS (
+      SELECT q_id, c_id, re FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")} AS d2,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")}, c.vec_id) AS re
+        FROM ena q CROSS JOIN bb JOIN enb c ON true
+        WHERE q.vec_id >= bb.b AND q.vec_id < bb.b + $InsB
+      ) WHERE re <= $NdK
+    ), hits AS (
+      SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exacts e JOIN chosen g ON g.q_id = e.q_id AND g.node = e.c_id
+      GROUP BY e.q_id
+    ), e1 AS (SELECT q_id, c_id AS exact_top1 FROM exacts WHERE re = 1),
+    g1 AS (SELECT q_id, node AS ins_top1 FROM chosen WHERE rk = 1)
+    SELECT e1.q_id, exact_top1, ins_top1,
+      CAST(CASE WHEN ins_top1 = exact_top1 THEN 1 ELSE 0 END AS INT) AS top1_match,
+      COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+      CAST(COALESCE(n_hit, 0) AS DOUBLE) / $NdK AS recall_k,
+      n_visited
+    FROM e1 JOIN g1 USING (q_id) JOIN nvis USING (q_id)
+    LEFT JOIN hits USING (q_id)
+    ORDER BY q_id"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148, q160, q161, q165)
+      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166)
 }

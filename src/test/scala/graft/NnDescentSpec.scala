@@ -79,6 +79,26 @@ class NnDescentSpec extends SparkTestBase {
     assert(meanVisited < 100, s"mean visited $meanVisited should be ≪ corpus size")
   }
 
+  test("q166 insert audit: batch shape, bounded traversal, recall consistency") {
+    val df = SparkEntry.queries("q166_graph_insert_audit")(spark, dir)
+    val rows = df.collect().toIndexedSeq
+    df.unpersist()
+    assert(rows.size === 32, "one row per audited insert")
+    // base cut at sf0.001: b = 450 — inserts are ids 450..481
+    assert(rows.map(_.getAs[Long]("q_id")).toSet === (450L until 482L).toSet)
+    val cap = 1 + 4 * 6 * 3
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_top1") < 450L &&
+        r.getAs[Long]("ins_top1") < 450L,
+        "discovered and true neighbors must come from the BASE partition")
+      val nv = r.getAs[Long]("n_visited")
+      assert(nv >= 1 && nv <= cap)
+      val nh = r.getAs[Long]("n_hit")
+      assert(nh >= 0 && nh <= 6)
+      assert(math.abs(r.getAs[Double]("recall_k") - nh / 6.0) < 1e-15)
+    }
+  }
+
   test("q165 label propagation: communities partition the node set") {
     val df = SparkEntry.queries("q165_knn_label_propagation")(spark, dir)
     val rows = df.collect().toIndexedSeq
