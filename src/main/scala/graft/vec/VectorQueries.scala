@@ -2599,7 +2599,102 @@ object VectorQueries {
     ORDER BY q_id"""
     })
 
+  // --------------------------------------------------------------- q167
+  private val KcK = 8 // coreset size (greedy k-center rounds)
+
+  /** Greedy k-center coreset selection (Gonzalez, "Clustering to
+    * minimize the maximum intercluster distance", TCS 1985 — the
+    * 2-approximation farthest-point traversal, the standard diversity
+    * selector for training-data pruning / active-learning seeding):
+    * seed with the smallest vec_id, then [[KcK]]−1 rounds of "add the
+    * point farthest from its nearest selected center" (squared-L2,
+    * ties → smallest id). Emits the selection ORDER with each pick's
+    * coverage radius — the decreasing radius sequence IS the coreset
+    * quality curve — plus a final row carrying the residual radius
+    * after all K picks (what an additional center would cover).
+    *
+    * Scale shape: the running min-distance frame carries 2 scalars per
+    * point and updates by ONE broadcast-center join per round (no
+    * all-pairs anywhere); each argmax is a distributed TakeOrdered(1).
+    * K driver-side rows total — the q54-seed bound. The whole loop is
+    * engine-mirrorable because every distance is an ordered-double
+    * fold and every argmax has a deterministic id tie-break.
+    */
+  val q167 = Q("q167_kcenter_coreset",
+    (s, dir) => {
+      val en = ndEn(s, dir)
+      val c1 = en.select(min(col("vec_id"))).first().getLong(0)
+      def toCenter(cid: Long) =
+        broadcast(en.filter(col("vec_id") === cid)
+          .select(col("embedding").as("ce"), col("n2").as("cn2")))
+      val d2c: org.apache.spark.sql.Column =
+        col("n2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("embedding", "ce"))
+      var minD = en.crossJoin(toCenter(c1))
+        .select(col("vec_id"), col("embedding"), col("n2"), d2c.as("md"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val picks = scala.collection.mutable.ArrayBuffer[(Long, java.lang.Long, java.lang.Double)](
+        (1L, java.lang.Long.valueOf(c1), null))
+      for (r <- 2 to KcK) {
+        val top = minD.select("vec_id", "md")
+          .orderBy(desc("md"), col("vec_id")).limit(1).first()
+        val (cid, rad) = (top.getLong(0), top.getDouble(1))
+        picks += ((r.toLong, java.lang.Long.valueOf(cid), java.lang.Double.valueOf(rad)))
+        minD = minD.crossJoin(toCenter(cid))
+          .select(col("vec_id"), col("embedding"), col("n2"),
+            least(col("md"), d2c).as("md"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      }
+      val residual = minD.select("vec_id", "md")
+        .orderBy(desc("md"), col("vec_id")).limit(1).first().getDouble(1)
+      picks += ((KcK + 1L, null, java.lang.Double.valueOf(residual)))
+      val sess = s
+      import sess.implicits._
+      picks.toSeq.toDF("round", "center_id", "radius2").orderBy("round")
+    },
+    Some {
+      def dotC(p: String, c: String) = dotOrdSql(s"$p.embedding", s"$c.embedding")
+      // each center is materialized as its ONE row and cross-joined:
+      // a scalar subquery inside the join condition makes DuckDB
+      // nested-loop over all candidates evaluating the dot per (p, c)
+      // pair — measured 247 s at sf0.1 vs ~2 s with the 1-row cross join
+      def mRound(r: Int): String = {
+        val (mPrev, t) = (s"m${r - 1}", s"t$r")
+        s"""$t AS (
+      SELECT vec_id AS cid, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1
+    ), ct$r AS MATERIALIZED (
+      SELECT c.* FROM en c WHERE c.vec_id = (SELECT cid FROM $t)
+    ), m$r AS MATERIALIZED (
+      SELECT m.vec_id, LEAST(m.md,
+        p.n2 + c.n2 - 2.0::DOUBLE * ${dotC("p", "c")}) AS md
+      FROM $mPrev m
+      JOIN en p ON p.vec_id = m.vec_id
+      CROSS JOIN ct$r c
+    )"""
+      }
+      s"""WITH en AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), c1 AS (SELECT MIN(vec_id) AS cid FROM en),
+    ct1 AS MATERIALIZED (
+      SELECT c.* FROM en c WHERE c.vec_id = (SELECT cid FROM c1)
+    ), m1 AS MATERIALIZED (
+      SELECT p.vec_id,
+        p.n2 + c.n2 - 2.0::DOUBLE * ${dotC("p", "c")} AS md
+      FROM en p CROSS JOIN ct1 c
+    ), ${(2 to KcK).map(mRound).mkString(",\n    ")},
+    tR AS (
+      SELECT md FROM m$KcK ORDER BY md DESC, vec_id LIMIT 1
+    )
+    SELECT CAST(1 AS BIGINT) AS round, (SELECT cid FROM c1) AS center_id,
+      CAST(NULL AS DOUBLE) AS radius2
+    ${(2 to KcK).map(r =>
+        s"UNION ALL SELECT CAST($r AS BIGINT), (SELECT cid FROM t$r), (SELECT md FROM t$r)")
+        .mkString("\n    ")}
+    UNION ALL SELECT CAST(${KcK + 1} AS BIGINT), CAST(NULL AS BIGINT),
+      (SELECT md FROM tR)
+    ORDER BY round"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166)
+      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167)
 }

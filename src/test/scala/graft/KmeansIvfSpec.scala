@@ -40,4 +40,21 @@ class KmeansIvfSpec extends SparkTestBase {
       assert(rows.map(_.getLong(1)).toSet.size === 1, "one cell per query")
     }
   }
+
+  test("q167 greedy k-center: radius sequence non-increasing, picks distinct") {
+    val df = SparkEntry.queries("q167_kcenter_coreset")(spark, "/root/testdata/sf0.001")
+    val rows = df.collect().toIndexedSeq.sortBy(_.getAs[Long]("round"))
+    assert(rows.size === 9, "8 picks + the residual row")
+    val centers = rows.init.map(_.getAs[Long]("center_id"))
+    assert(centers.toSet.size === 8, "greedy picks must be distinct")
+    assert(rows.last.get(rows.last.fieldIndex("center_id")) == null)
+    // farthest-point property: adding a center can only shrink every
+    // point's min-distance, so the pick radii (and the residual) are
+    // monotone non-increasing
+    val radii = rows.drop(1).map(_.getAs[Double]("radius2"))
+    radii.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-12, s"radius grew: $a -> $b")
+    }
+    assert(radii.forall(_ > 0))
+  }
 }
