@@ -68,11 +68,28 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("target/bench_timings.json"), json)
     } catch { case e: Throwable => System.err.println(s"[bench] timings write: ${e.getMessage}") }
-    // Stop Spark BEFORE printing so no shutdown log lines follow the JSON,
-    // and order the headline fields (metric/value/unit/sf) AFTER the long
-    // per-query map: a harness that keeps only the final ~2k chars of
-    // output still sees the totals. Duplicate-free, valid JSON either way.
+    // Stop Spark BEFORE printing so no shutdown log lines follow the JSON.
     spark.stop()
     println(json)
+    // Driver-tail self-containment (round-8 verdict: BENCH_r08 carried a
+    // truncated tail and "parsed": null): the driver keeps only the final
+    // ~2000 chars of output, which cannot hold the ~5 KB full-name map
+    // above. The LAST stdout line is therefore a compact digest — numeric
+    // query ids + per-query min seconds as parallel arrays — sized to fit
+    // the tail window entirely (with room for the trailing sbt status
+    // line), so the round artifact always contains a complete, parseable
+    // per-query map. Full names stay in the line above and on disk.
+    val byId = results
+      .map { case (k, _, mn) => (k.drop(1).takeWhile(_.isDigit).toInt, mn) }
+      .sortBy(_._1)
+    def fmt(dp: Int, v: Double): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    def digest(dp: Int): String = {
+      val ids = byId.map(_._1).mkString("[", ",", "]")
+      val ts = byId.map(t => fmt(dp, t._2)).mkString("[", ",", "]")
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"qid":$ids,"qmin":$ts}"""
+    }
+    val d = digest(2)
+    println(if (d.length <= 1850) d else digest(1))
   }
 }

@@ -88,6 +88,10 @@ object OrdDot {
     import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
     spark.asInstanceOf[ClassicSession].sessionState.functionRegistry
       .createOrReplaceTempFunction("ord_dot",
-        exprs => OrdDot(exprs(0), exprs(1)), "built-in")
+        {
+          case Seq(a, b) => OrdDot(a, b)
+          case exprs => throw new IllegalArgumentException(
+            s"ord_dot requires exactly 2 arguments (got ${exprs.length})")
+        }, "built-in")
   }
 }

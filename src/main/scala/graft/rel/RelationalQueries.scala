@@ -1818,11 +1818,13 @@ object RelationalQueries {
       import org.apache.spark.sql.types.DecimalType
       val ev = Tables(s, dir, "events")
         .withColumn("day", expr("(ts div 1000) div 86400000000"))
-        // three ingest batches cut on fixed day boundaries (the corpus
-        // spans 2024-01: days 19723–19752 at every SF — ScaleBench's
-        // copies widen density, not the wall-clock span)
-        .withColumn("batch",
-          when(col("day") < 19733, 0).when(col("day") < 19743, 1).otherwise(2))
+        // three ingest batches cut on a key ORTHOGONAL to the MV group
+        // key (event_id mod 3, not day ranges): every (day, event_type)
+        // group receives partial states from all three batches, so the
+        // in-query merged ≡ direct audit exercises a REAL multi-state
+        // merge per group (a day-range cut would put each group in
+        // exactly one batch and the audit could never catch a merge bug)
+        .withColumn("batch", pmod(col("event_id"), lit(3)))
       def decSum(c: org.apache.spark.sql.Column) =
         sum(round(c, 8).cast(DecimalType(38, 8)))
       val states = ev.groupBy("batch", "day", "event_type")
@@ -1849,9 +1851,9 @@ object RelationalQueries {
         .transform(graft.Q.presentSorted(_, "day", "event_type"))
     },
     Some("""WITH ev AS (
-      SELECT epoch_us(ts) // 86400000000 AS day, event_type, value FROM events
+      SELECT event_id, epoch_us(ts) // 86400000000 AS day, event_type, value FROM events
     ), b AS (
-      SELECT *, CASE WHEN day < 19733 THEN 0 WHEN day < 19743 THEN 1 ELSE 2 END AS batch
+      SELECT *, event_id % 3 AS batch
       FROM ev
     ), states AS (
       SELECT batch, day, event_type,

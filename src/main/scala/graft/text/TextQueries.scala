@@ -2524,7 +2524,7 @@ object TextQueries {
       def tokensAfter(df: org.apache.spark.sql.DataFrame): Long =
         df.select(sum(col("n") * size(expr(symsExpr))).cast("long")).first().getLong(0)
       val rows = (1 to BpeMergeRounds).map { r =>
-        val top = enc
+        val tops = enc
           .select(col("n"), expr(symsExpr).as("s"))
           // single-symbol words have no pairs; the guard matters because
           // Spark's sequence(1, 0) is the DESCENDING [1, 0] (it would
@@ -2537,16 +2537,23 @@ object TextQueries {
           .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
           .agg(sum("n").as("pair_n"))
           .orderBy(desc("pair_n"), col("lhs"), col("rhs"))
-          .limit(1).collect()(0)
+          .limit(1).collect()
+        require(tops.nonEmpty, s"q163_bpe_merge_train: merge round $r found no " +
+          "symbol pairs — the corpus has no multi-character words left to merge")
+        val top = tops(0)
         val (lhs, rhs, pairN) = (top.getString(0), top.getString(1), top.getLong(2))
         val next = enc.withColumn("enc",
             call_function("replace", col("enc"),
               lit(s" $lhs  $rhs "), lit(s" $lhs$rhs ")))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // tokensAfter materializes `next`; the superseded encoding
+        // generation then has no reader — drop it (one live generation)
         val out = (r.toLong, lhs, rhs, pairN, tokensAfter(next))
+        enc.unpersist()
         enc = next
         out
       }
+      enc.unpersist() // rows are driver-side; the last generation has no reader
       val sess = s
       import sess.implicits._
       rows.toDF("merge_rank", "lhs", "rhs", "pair_n", "tokens_after")

@@ -140,10 +140,10 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Int]("matches_full") === 1),
       "every group's merged state must be indistinguishable from full recompute")
-    // split-invariance: re-batch by a key UNRELATED to the query's day
-    // cuts (event_id mod 5) and merge with the same decimal recipe —
-    // identical view. This is the property that lets a lakehouse refresh
-    // from arbitrary ingest batch boundaries.
+    // split-invariance: re-batch by a DIFFERENT cut than the query's
+    // (event_id mod 5 vs its mod 3) and merge with the same decimal
+    // recipe — identical view. This is the property that lets a
+    // lakehouse refresh from arbitrary ingest batch boundaries.
     import org.apache.spark.sql.types.DecimalType
     val ev = Tables(spark, dir, "events")
       .withColumn("day", expr("(ts div 1000) div 86400000000"))
