@@ -1890,25 +1890,35 @@ object VectorQueries {
     * [0, n)) — q160/q161/q165 build over the full corpus; q166 builds
     * over the base partition only (the pre-insert index).
     */
-  private def buildEdgesOver(en: DataFrame, n: Long, rounds: Int): DataFrame = {
-    // deterministic pseudo-random init: neighbor j of node v is
-    // H(v, j) mod N, H = first 12 md5 hex digits as a 48-bit int (the
-    // catalog's portable hash — same fold on the DuckDB side). Self
-    // hits / duplicate draws drop out, so an init list may hold < K
-    // neighbors: NN-descent needs a candidate pool, not an exact-K
-    // start, and every later round only grows a node's pool.
-    // dedupe via collect_set-then-explode rather than distinct(): one
-    // shuffle keyed on src whose partitioning the downstream top-K
-    // window (and every broadcast-preserved join between them) reuses —
-    // a (src, nbr)-keyed distinct would add a second exchange
-    def dedupBySrc(pairs: DataFrame): DataFrame =
-      pairs.groupBy("src").agg(collect_set(col("nbr")).as("ns"))
-        .select(col("src"), explode(col("ns")).as("nbr"))
-    val init = dedupBySrc(en.select(col("vec_id").as("src"),
-        explode(expr(s"transform(sequence(1, $NdK), j -> " +
+  /** Deterministic pseudo-random init pairs: neighbor j ∈ [1, k] of
+    * node v is H(v, j) mod N, H = first 12 md5 hex digits as a 48-bit
+    * int (the catalog's portable hash — same fold on the DuckDB side).
+    * Self hits / duplicate draws drop out, so an init list may hold
+    * < k neighbors: NN-descent needs a candidate pool, not an exact-k
+    * start. Also reused VERBATIM as q168's long-range routing links —
+    * random edges are what keep a clustered graph navigable ACROSS
+    * clusters (the navigable-small-world ingredient HNSW bakes into
+    * its upper layers), so serving unions them with the learned edges.
+    */
+  private def initPairsOver(en: DataFrame, n: Long, k: Int): DataFrame =
+    en.select(col("vec_id").as("src"),
+        explode(expr(s"transform(sequence(1, $k), j -> " +
           "CAST(conv(substr(md5(CAST(concat('nd#', CAST(vec_id AS STRING), '#', " +
           s"CAST(j AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % $n)")).as("nbr"))
-      .filter(col("nbr") =!= col("src")))
+      .filter(col("nbr") =!= col("src"))
+
+  /** collect_set-then-explode dedupe rather than distinct(): one
+    * shuffle keyed on src whose partitioning the downstream top-K
+    * window (and every broadcast-preserved join between them) reuses —
+    * a (src, nbr)-keyed distinct would add a second exchange.
+    */
+  private def dedupBySrc(pairs: DataFrame): DataFrame =
+    pairs.groupBy("src").agg(collect_set(col("nbr")).as("ns"))
+      .select(col("src"), explode(col("ns")).as("nbr"))
+
+  private def buildEdgesOver(en: DataFrame, n: Long, rounds: Int,
+                             k: Int = NdK): DataFrame = {
+    val init = dedupBySrc(initPairsOver(en, n, k))
     // exact squared L2 for a (src, nbr) pair frame: two hash joins on
     // vec_id (linear shuffles); ordered-fold dots keep the ordering —
     // and therefore the whole graph — engine- and partitioning-
@@ -1924,7 +1934,7 @@ object VectorQueries {
     val wK = Window.partitionBy("src").orderBy(col("d2"), col("nbr"))
     var edges = withD2(init)
       .withColumn("rn", row_number().over(wK))
-      .filter(col("rn") <= NdK).drop("rn")
+      .filter(col("rn") <= k).drop("rn")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 1 to rounds) {
       // undirected adjacency: out-neighbors plus REVERSE neighbors —
@@ -1944,7 +1954,7 @@ object VectorQueries {
       // are in the candidate set, so a node's list never regresses
       val next = withD2(cand)
         .withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= NdK).drop("rn")
+        .filter(col("rn") <= k).drop("rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // materialize the new generation, then DROP the superseded one:
       // at most 2 edge generations are ever live in the block manager
@@ -2151,7 +2161,8 @@ object VectorQueries {
     * a broadcast bounded frontier — never the reverse.
     */
   private def beamVisited(probeEmb: DataFrame, enGraph: DataFrame,
-                          edges: DataFrame, e0: Long, e1: Long): DataFrame = {
+                          edges: DataFrame, e0: Long, e1: Long,
+                          beam: Int = BsBeam, hops: Int = BsHops): DataFrame = {
     def score(pairs: DataFrame): DataFrame =
       pairs
         .join(probeEmb.select(col("q_id"), col("qe"), col("qn2")), "q_id")
@@ -2164,7 +2175,7 @@ object VectorQueries {
         when(col("q_id") === e0, lit(e1)).otherwise(lit(e0))))
       .cache() // ≤ probe-count rows; each hop reads it twice
     var frontier = visited.select("q_id", "node")
-    for (_ <- 1 to BsHops) {
+    for (_ <- 1 to hops) {
       val expand = edges
         .join(broadcast(frontier.select(col("q_id"), col("node").as("src"))), "src")
         .select(col("q_id"), col("nbr").as("node"))
@@ -2180,7 +2191,7 @@ object VectorQueries {
       visited = nv
       frontier = visited
         .withColumn("rb", row_number().over(wB))
-        .filter(col("rb") <= BsBeam).select("q_id", "node")
+        .filter(col("rb") <= beam).select("q_id", "node")
     }
     visited
   }
@@ -2741,7 +2752,253 @@ object VectorQueries {
     ORDER BY round"""
     })
 
+  // --------------------------------------------------------------- q168
+  // Operating point fixed by a measured sweep at sf0.1 (N=2000, PERF.md
+  // round 9): k=16/1 round/beam 12/4 hops → recall@6 0.948, top-1 1.00,
+  // ~690 nodes visited. Runners-up: (12,2,8,4) 0.786, (8,2,16,5) 0.901,
+  // (16,2,12,4) 0.948 at 2× the build cost of rounds=1.
+  private val ClK = 16     // learned out-degree of the clustered graph
+  private val ClRounds = 1 // NN-descent refinement rounds over it
+  private val ClBeam = 12  // serving beam width
+  private val ClHops = 4   // serving hop count
+  private val ClRK = 6     // audited recall depth (recall@ClRK)
+
+  /** Clustered corpus derived DETERMINISTICALLY from the embeddings
+    * table: v′ = 0.25·v + offset(label, dim), where offset is the
+    * corpus's portable 48-bit md5 hash of (label, 1-based dim index)
+    * scaled to [0, 1). Ten labels → ten well-separated Gaussian-like
+    * cells whose diameter (0.25 × the uniform spread) is ≪ the
+    * inter-offset distance — i.e. the geometry real embedding corpora
+    * have and the uniform q160 corpus deliberately lacks. Pure
+    * per-row math (no shuffle), bit-mirrorable: both engines CAST the
+    * float element to double, multiply by 0.25 and add the identically
+    * derived offset.
+    */
+  private def clEn(s: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.getOrCompute(s, s"cl-en:$dir") {
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, (x, i) -> 0.25D * CAST(x AS DOUBLE) + " +
+            "CAST(conv(substr(md5(CAST(concat('oc#', CAST(label AS STRING), '#', " +
+            "CAST(i + 1 AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 1000 / 1000.0)")
+            .as("embedding"))
+        .withColumn("n2", expr(norm2OrdExpr("embedding")))
+    }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** q168's serving graph: NN-descent refined edges (local precision)
+    * UNIONED with the deterministic random init pairs (long-range
+    * routing). On clustered data the refined K-NN graph is close to
+    * DISCONNECTED across clusters — a beam from one fixed entry could
+    * never leave the entry's cluster — and the random links are what
+    * keep it navigable (the small-world ingredient HNSW's upper layers
+    * provide). Degree ≤ 2·[[ClK]]; memoized + checkpointed like the
+    * q160 graph.
+    */
+  private[graft] def clGraphTuned(s: SparkSession, dir: String,
+                                  k: Int, rounds: Int): DataFrame = {
+    ensureCkptDir(s)
+    val cl = clEn(s, dir)
+    val n = cl.count()
+    val refined = buildEdgesOver(cl, n, rounds, k)
+    val serving = dedupBySrc(refined.select("src", "nbr")
+      .union(initPairsOver(cl, n, k)))
+    val ck = serving.checkpoint()
+    refined.unpersist()
+    ck
+  }
+
+  private def clGraph(s: SparkSession, dir: String): DataFrame =
+    graft.util.SessionMemo.getOrCompute(s, s"cl-graph:$dir") {
+      ensureCkptDir(s)
+      clGraphTuned(s, dir, ClK, ClRounds)
+    }
+
+  /** Beam-serving recall audit over an arbitrary (src, nbr) graph on
+    * the clustered corpus — parameterized so the spec (and the tuning
+    * sweep that fixed the q168 operating point) can probe other
+    * beam/hop/depth configurations.
+    */
+  private[graft] def clAudit(s: SparkSession, dir: String, edges: DataFrame,
+                             beam: Int, hops: Int, rk: Int): DataFrame = {
+    val cl = clEn(s, dir)
+    val lo2 = cl.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    require(lo2.length == 2,
+      s"q168_graph_ann_clustered needs ≥2 embeddings (found ${lo2.length})")
+    val probes = cl.filter(col("vec_id") < NdProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    val visited = beamVisited(probes, cl, edges, lo2(0), lo2(1), beam, hops)
+    val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
+    val chosen = visited
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= rk)
+      .cache() // ≤ probes·rk rows, three consumers
+    val nvis = visited.groupBy("q_id").agg(count(lit(1)).as("n_visited"))
+    val exact = broadcast(probes)
+      .join(cl.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
+      .withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("re") <= rk)
+      .cache() // ≤ probes·rk rows, two consumers
+    val hits = exact.select(col("q_id"), col("c_id"))
+      .join(chosen.select(col("q_id"), col("node").as("c_id")), Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val e1 = exact.filter(col("re") === 1)
+      .select(col("q_id"), col("c_id").as("exact_top1"))
+    val g1 = chosen.filter(col("rk") === 1)
+      .select(col("q_id"), col("node").as("beam_top1"))
+    e1.join(g1, "q_id").join(nvis, "q_id").join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("q_id"), col("exact_top1"), col("beam_top1"),
+        (col("beam_top1") === col("exact_top1")).cast("int").as("top1_match"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / lit(rk)).as("recall_k"),
+        col("n_visited"))
+      .transform(graft.Q.presentSorted(_, "q_id"))
+  }
+
+  /** Graph ANN at a USEFUL operating point (the q160/q161 machinery
+    * demonstrated honest-but-low recall ≈ 0.1 on the deliberately
+    * structureless uniform corpus): same NN-descent build + beam
+    * serving, run on the clustered corpus [[clEn]] with the
+    * learned-∪-random serving graph [[clGraph]], beam [[ClBeam]] ×
+    * [[ClHops]] hops, audited recall@[[ClRK]] per probe against exact
+    * brute force. The three columns that justify the index: recall_k
+    * (the quality actually served), n_visited (≪ N nodes scored per
+    * query — the serving cost that stays bounded as the corpus grows),
+    * top1_match.
+    */
+  val q168 = Q("q168_graph_ann_clustered",
+    (s, dir) => clAudit(s, dir, clGraph(s, dir), ClBeam, ClHops, ClRK),
+    Some {
+      // per-(label, 1-based dim) offset hash — inner fold variable is g,
+      // NOT i, to avoid capturing the dim index js.i
+      val offFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), g -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('oc#' || " +
+          "CAST(e.label AS VARCHAR) || '#' || CAST(js.i AS VARCHAR)), g, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      val hashFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), g -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('nd#' || " +
+          "CAST(e.vec_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)), g, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      def dist(p: String) =
+        s"""SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM $p p JOIN en a ON a.vec_id = p.src JOIN en b ON b.vec_id = p.nbr"""
+      def graphRound(r: Int): String = {
+        val in = s"d${r - 1}"
+        s"""adj$r AS (
+      SELECT src, nbr FROM $in UNION SELECT nbr AS src, src AS nbr FROM $in
+    ), cd$r AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT x.nbr AS src, y.nbr AS nbr
+        FROM adj$r x JOIN adj$r y ON x.src = y.src AND x.nbr != y.nbr
+        UNION ALL SELECT src, nbr FROM $in
+      ) WHERE src != nbr
+    ), dd$r AS (
+      ${dist(s"cd$r")}
+    ), d$r AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
+      ) WHERE rn <= $ClK
+    )"""
+      }
+      def scoreSql(p: String) =
+        s"""SELECT x.q_id, x.node,
+        q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")} AS d2
+      FROM $p x JOIN en q ON q.vec_id = x.q_id JOIN en c ON c.vec_id = x.node"""
+      def hop(h: Int): String = {
+        val (vin, fin) = (s"v${h - 1}", s"f${h - 1}")
+        s"""x$h AS (
+      SELECT DISTINCT f.q_id, g.nbr AS node
+      FROM $fin f JOIN sg g ON g.src = f.node
+      WHERE g.nbr != f.q_id
+    ), s$h AS (
+      ${scoreSql(s"x$h")}
+    ), v$h AS MATERIALIZED (
+      SELECT q_id, node, MIN(d2) AS d2 FROM (
+        SELECT * FROM $vin UNION ALL SELECT * FROM s$h
+      ) GROUP BY q_id, node
+    ), f$h AS (
+      SELECT q_id, node FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rb FROM v$h
+      ) WHERE rb <= $ClBeam
+    )"""
+      }
+      s"""WITH cl AS MATERIALIZED (
+      SELECT e.vec_id,
+        list(0.25*CAST(e.embedding[js.i] AS DOUBLE) + ($offFold % 1000)/1000.0
+          ORDER BY js.i) AS embedding
+      FROM embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) js
+      GROUP BY e.vec_id
+    ), en AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM cl
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+    init AS (
+      SELECT e.vec_id AS src, ($hashFold % c.n) AS nbr
+      FROM embeddings e CROSS JOIN cnt c
+      CROSS JOIN (SELECT unnest(generate_series(1, $ClK)) AS j) js
+    ), e0g AS (
+      SELECT DISTINCT src, nbr FROM init WHERE nbr != src
+    ), dd0 AS (
+      ${dist("e0g")}
+    ), d0 AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
+      ) WHERE rn <= $ClK
+    ), ${(1 to ClRounds).map(graphRound).mkString(",\n    ")},
+    sg AS MATERIALIZED (
+      SELECT src, nbr FROM d$ClRounds UNION SELECT src, nbr FROM e0g
+    ), lo AS (
+      SELECT MIN(vec_id) AS e0, MIN(CASE WHEN vec_id > (SELECT MIN(vec_id) FROM embeddings)
+        THEN vec_id END) AS e1 FROM embeddings
+    ), x0 AS (
+      SELECT p.vec_id AS q_id,
+        CASE WHEN p.vec_id = lo.e0 THEN lo.e1 ELSE lo.e0 END AS node
+      FROM embeddings p CROSS JOIN lo WHERE p.vec_id < $NdProbes
+    ), v0 AS (
+      ${scoreSql("x0")}
+    ), f0 AS (SELECT q_id, node FROM v0),
+    ${(1 to ClHops).map(hop).mkString(",\n    ")},
+    chosen AS (
+      SELECT q_id, node, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rk
+        FROM v$ClHops
+      ) WHERE rk <= $ClRK
+    ), nvis AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_visited FROM v$ClHops GROUP BY q_id
+    ), exacts AS (
+      SELECT q_id, c_id, re FROM (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")} AS d2,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            q.n2 + c.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "c.embedding")}, c.vec_id) AS re
+        FROM en q JOIN en c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < $NdProbes
+      ) WHERE re <= $ClRK
+    ), hits AS (
+      SELECT e.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+      FROM exacts e JOIN chosen g ON g.q_id = e.q_id AND g.node = e.c_id
+      GROUP BY e.q_id
+    ), e1 AS (SELECT q_id, c_id AS exact_top1 FROM exacts WHERE re = 1),
+    g1 AS (SELECT q_id, node AS beam_top1 FROM chosen WHERE rk = 1)
+    SELECT e1.q_id, exact_top1, beam_top1,
+      CAST(CASE WHEN beam_top1 = exact_top1 THEN 1 ELSE 0 END AS INT) AS top1_match,
+      COALESCE(n_hit, CAST(0 AS BIGINT)) AS n_hit,
+      CAST(COALESCE(n_hit, 0) AS DOUBLE) / $ClRK AS recall_k,
+      n_visited
+    FROM e1 JOIN g1 USING (q_id) JOIN nvis USING (q_id)
+    LEFT JOIN hits USING (q_id)
+    ORDER BY q_id"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167)
+      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167, q168)
 }
