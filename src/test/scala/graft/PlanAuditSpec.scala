@@ -509,4 +509,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin"),
       "the per-source τ table (|sources| rows) must broadcast back")
   }
+
+  test("q42: the pruned-rank pass reads the persisted binned projection, not a re-scan") {
+    spark.catalog.clearCache()
+    val p = plan("q42_sketch_aggregates")
+    // building the final frame runs the histogram pass and persists
+    // `binned`; the surviving rank pass must read that cache — one scan
+    // + one broadcast bin join TOTAL per pass, not per consumer
+    assert(p.contains("InMemoryTableScan"),
+      "rank pass must read the persisted binned projection")
+    spark.catalog.clearCache()
+  }
+
+  test("iterative vec loops leave no accumulated cached generations") {
+    // the round-9 contract: each loop (k-center rounds, beam hops)
+    // unpersists superseded generations — after a full run the cache
+    // holds the shared corpus frame and the final consumer caches only,
+    // NOT O(rounds) frames
+    spark.catalog.clearCache()
+    SparkEntry.queries("q167_kcenter_coreset")(spark, dir).collect()
+    val afterKc = spark.sparkContext.getPersistentRDDs.size
+    assert(afterKc <= 2,
+      s"q167 left $afterKc cached RDDs; its loop is stateless — only the corpus frame may persist")
+    spark.catalog.clearCache()
+    val df161 = SparkEntry.queries("q161_graph_beam_search")(spark, dir)
+    df161.collect()
+    df161.unpersist()
+    val afterBeam = spark.sparkContext.getPersistentRDDs.size
+    assert(afterBeam <= 4,
+      s"q161 left $afterBeam cached RDDs; beam hops must not accumulate a frame per hop")
+    spark.catalog.clearCache()
+  }
 }

@@ -30,6 +30,23 @@ class StreamingStateSpec extends SparkTestBase {
   private def land(dir: java.nio.file.Path, name: String, ticks: Seq[Tick]): Unit =
     landDf(dir, name, ticks.toDF())
 
+  /** Seeded random micro-batch boundaries: 3–8 slices of [0, n). The
+    * twins' convergence claims quantify over ANY cut; the fixed 2-batch
+    * cuts exercise one boundary each, this samples a multi-boundary cut
+    * reproducibly (seed in the call site).
+    */
+  private def seededCuts(n: Int, seed: Long): Seq[Int] = {
+    val rnd = new scala.util.Random(seed)
+    val k = 3 + rnd.nextInt(6)
+    Seq.fill(k - 1)(1 + rnd.nextInt(math.max(n - 1, 1))).distinct.sorted
+  }
+
+  /** Slice `all` at ascending in-range boundaries → non-empty batches. */
+  private def slices[T](all: Seq[T], cuts: Seq[Int]): Seq[Seq[T]] = {
+    val bounds = (0 +: cuts.filter(c => c > 0 && c < all.size).distinct.sorted) :+ all.size
+    bounds.sliding(2).collect { case Seq(a, b) if b > a => all.slice(a, b) }.toSeq
+  }
+
   test("flatMapGroupsWithState carries per-symbol state across two micro-batches") {
     val dir = Files.createTempDirectory("ticks")
     // batch 1 lands before the stream starts; batch 2 arrives mid-stream
@@ -186,6 +203,47 @@ class StreamingStateSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming priority sampler: randomized multi-batch cuts converge to the batch fold") {
+    import StreamingMetrics.{PsItem, PsOut, PsRow}
+    val K = 3
+    def mk(source: String, ids: Seq[Long]): Seq[PsRow] =
+      ids.map(i => PsRow(source, i, (i % 13 + 1).toDouble,
+        (i % 13 + 1).toDouble * 1000.0 / (i % 7 + 1).toDouble))
+    val all = mk("A", 1L to 40L) ++ mk("B", Seq(101L, 102L, 104L))
+    def ref(rows: Seq[PsRow]): (Double, Int, Double) = {
+      val top = rows.map(r => PsItem(r.p, r.w, r.docId))
+        .sortBy(x => (-x.p, x.docId)).take(K + 1)
+      val full = top.size >= K + 1
+      val tau = if (full) top.last.p else 0.0
+      val sample = if (full) top.dropRight(1) else top
+      (tau, sample.size, sample.foldLeft(0.0)((a, x) => a + math.max(x.w, tau)))
+    }
+    val dir = Files.createTempDirectory("psr")
+    val parts = slices(all, seededCuts(all.size, 0x9541L))
+    landDf(dir, "b1.parquet", parts.head.toDF())
+    val stream = spark.readStream.schema(Seq.empty[PsRow].toDF().schema)
+      .parquet(dir.toString).as[PsRow]
+    val q = StreamingMetrics.streamPrioritySample(stream, K)
+      .writeStream.outputMode("append").format("memory").queryName("psr").start()
+    try {
+      q.processAllAvailable()
+      parts.tail.zipWithIndex.foreach { case (p, i) =>
+        landDf(dir, s"b${i + 2}.parquet", p.toDF())
+        q.processAllAvailable()
+      }
+      val fin = spark.table("psr").as[PsOut].collect()
+        .groupBy(_.source).view.mapValues(_.maxBy(_.nSeen)).toMap
+      Seq("A", "B").foreach { s =>
+        val rows = all.filter(_.source == s)
+        val (tau, kEff, est) = ref(rows)
+        assert(fin(s).nSeen === rows.size.toLong, s"$s nSeen")
+        assert(fin(s).tau === tau, s"$s tau under randomized cuts")
+        assert(fin(s).kEff === kEff, s"$s kEff under randomized cuts")
+        assert(fin(s).estMass === est, s"$s estMass under randomized cuts")
+      }
+    } finally q.stop()
+  }
+
   test("streaming changelog snapshot: per-key MERGE state converges to the batch answer under any cut") {
     import StreamingMetrics.{CdcOut, CdcRow}
     val all = Seq(
@@ -199,24 +257,27 @@ class StreamingStateSpec extends SparkTestBase {
       CdcRow(3L, Some(8L), 1000L, 17L, isDel = true, None),
       CdcRow(3L, Some(8L), 2000L, 18L, isDel = false, Some(7.0))) // resurrection
 
-    def run(cut: Int, qname: String): Map[(Long, Option[Long]), CdcOut] = {
+    def run(cuts: Seq[Int], qname: String): Map[(Long, Option[Long]), CdcOut] = {
       val dir = Files.createTempDirectory("cdc")
-      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
       val stream = spark.readStream.schema(Seq.empty[CdcRow].toDF().schema)
         .parquet(dir.toString).as[CdcRow]
       val q = StreamingMetrics.streamChangelogSnapshot(stream)
         .writeStream.outputMode("append").format("memory").queryName(qname).start()
       try {
         q.processAllAvailable()
-        landDf(dir, "b2.parquet", all.drop(cut).toDF())
-        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
         // nOps is strictly monotone per key → max-nOps row IS the final state
         spark.table(qname).as[CdcOut].collect()
           .groupBy(r => (r.userId, r.k)).view.mapValues(_.maxBy(_.nOps)).toMap
       } finally q.stop()
     }
 
-    val out = run(4, "cdc_a")
+    val out = run(Seq(4), "cdc_a")
     assert(out.keySet === Set((1L, Some(5L)), (1L, Some(6L)), (2L, Some(7L)),
       (2L, None), (3L, Some(8L))))
     val k15 = out((1L, Some(5L)))
@@ -232,11 +293,13 @@ class StreamingStateSpec extends SparkTestBase {
 
     // batch-cut invariance: a different micro-batch split converges to
     // the identical final snapshot (state merge is assoc + commutative)
-    val out2 = run(7, "cdc_b")
-    assert(out.view.mapValues(o =>
-        (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap ===
-      out2.view.mapValues(o =>
-        (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap)
+    def key(m: Map[(Long, Option[Long]), CdcOut]) = m.view.mapValues(o =>
+      (o.live, o.lastValue, o.lastTsUs, o.lastEventId, o.nOps, o.nDeletes)).toMap
+    val out2 = run(Seq(7), "cdc_b")
+    assert(key(out) === key(out2))
+    // and a seeded RANDOM multi-batch cut (3–8 slices) converges too
+    val out3 = run(seededCuts(all.size, 0xCDC1L), "cdc_c")
+    assert(key(out) === key(out3), "randomized multi-batch cut diverged")
   }
 
   test("streaming MV maintenance converges to q162's batch view under any cut") {
@@ -245,26 +308,31 @@ class StreamingStateSpec extends SparkTestBase {
       .selectExpr("(ts div 1000) div 86400000000 AS day", "event_type AS eventType", "value")
       .as[MvRow].collect().toSeq
 
-    def run(cut: Int, qname: String): Map[(Long, String), MvOut] = {
+    def run(cuts: Seq[Int], qname: String): Map[(Long, String), MvOut] = {
       val dir = Files.createTempDirectory("mv")
-      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
       val stream = spark.readStream.schema(Seq.empty[MvRow].toDF().schema)
         .parquet(dir.toString).as[MvRow]
       val q = StreamingMetrics.streamMvMaintenance(stream)
         .writeStream.outputMode("append").format("memory").queryName(qname).start()
       try {
         q.processAllAvailable()
-        landDf(dir, "b2.parquet", all.drop(cut).toDF())
-        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
         // nEvents is strictly monotone per group → max row IS final state
         spark.table(qname).as[MvOut].collect()
           .groupBy(r => (r.day, r.eventType)).view.mapValues(_.maxBy(_.nEvents)).toMap
       } finally q.stop()
     }
 
-    val a = run(all.size / 3, "mv_a")
-    val b = run(2 * all.size / 3, "mv_b")
+    val a = run(Seq(all.size / 3), "mv_a")
+    val b = run(Seq(2 * all.size / 3), "mv_b")
     assert(a === b, "different micro-batch cuts must converge to one view")
+    val c = run(seededCuts(all.size, 0x1620L), "mv_c")
+    assert(a === c, "randomized multi-batch cut diverged from the 2-batch view")
 
     // and the converged state IS the batch q162 merged view
     val batch = SparkEntry.queries("q162_incremental_mv")(spark, "/root/testdata/sf0.001")
@@ -299,29 +367,36 @@ class StreamingStateSpec extends SparkTestBase {
       .as[KmvRow].collect().toSeq
 
     val k = 64
-    def run(cut: Int, qname: String): Map[String, KmvOut] = {
+    def run(cuts: Seq[Int], qname: String): Map[String, KmvOut] = {
       val dir = Files.createTempDirectory("kmv")
-      landDf(dir, "b1.parquet", all.take(cut).toDF())
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
       val stream = spark.readStream.schema(Seq.empty[KmvRow].toDF().schema)
         .parquet(dir.toString).as[KmvRow]
       val q = StreamingMetrics.streamKmvSketch(stream, k)
         .writeStream.outputMode("append").format("memory").queryName(qname).start()
       try {
         q.processAllAvailable()
-        landDf(dir, "b2.parquet", all.drop(cut).toDF())
-        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
         spark.table(qname).as[KmvOut].collect()
           .groupBy(_.source).view.mapValues(_.maxBy(_.nSeen)).toMap
       } finally q.stop()
     }
 
-    val a = run(all.size / 4, "kmv_a")
-    val b = run(3 * all.size / 4, "kmv_b")
-    assert(a.keySet === b.keySet)
+    val a = run(Seq(all.size / 4), "kmv_a")
+    val b = run(Seq(3 * all.size / 4), "kmv_b")
+    val c = run(seededCuts(all.size, 0x164AL), "kmv_c")
+    assert(a.keySet === b.keySet && a.keySet === c.keySet)
     a.keySet.foreach { s =>
       assert((a(s).kUsed, a(s).theta, a(s).estDistinct) ===
         ((b(s).kUsed, b(s).theta, b(s).estDistinct)),
         s"different cuts diverged on $s")
+      assert((a(s).kUsed, a(s).theta, a(s).estDistinct) ===
+        ((c(s).kUsed, c(s).theta, c(s).estDistinct)),
+        s"randomized multi-batch cut diverged on $s")
     }
     // batch equality + estimator sanity on the exact distinct count
     val bySrc = all.groupBy(_.source)
