@@ -26,6 +26,7 @@ object Tables {
     // call sites clean
     graft.functions.DecSum.ensureRegistered(spark)
     graft.functions.OrdDot.ensureRegistered(spark)
+    graft.functions.JaroWinkler.ensureRegistered(spark)
     normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"))
   }
 

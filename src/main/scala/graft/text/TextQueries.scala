@@ -2598,8 +2598,111 @@ object TextQueries {
     ORDER BY merge_rank"""
     })
 
+  // --------------------------------------------------------------- q169
+
+  /** Record linkage (entity resolution) — the dedup family's
+    * approximate-IDENTIFIER leg (q29 is exact rows, q48/q153 are
+    * near-dup CONTENT; this is dirty-key matching, the classic
+    * Fellegi–Sunter blocking+compare pipeline every training-data
+    * metadata join needs): derive an entity "title" per document (first
+    * six tokens), corrupt a deterministic quarter of them with one
+    * md5-positioned character drop (the dirty side), then link dirty →
+    * clean by MULTI-PASS BLOCKING (first-3-chars key ∪ last-3-chars
+    * key — two cheap equi-joins whose union recovers pairs either
+    * single key loses to the corruption) and verify candidates with
+    * the native [[graft.functions.JaroWinkler]] kernel (semantics
+    * pinned bit-for-bit to DuckDB's `jaro_winkler_similarity`, so the
+    * oracle uses the built-in). Emits per dirty record its best match
+    * (max JW, id tie-break), candidate count, whether the match is the
+    * true source, and whether it clears the 0.88 accept threshold —
+    * blocking recall and match precision are READ OFF the output.
+    *
+    * Scale shape: blocking keys shard the join (never all-pairs); the
+    * JW verify runs only inside blocks; ranking windows partition by
+    * dirty key (bounded by block size, no global sort). Duplicate
+    * titles resolve to the smallest clean id — the honest
+    * unresolvable-by-name case, visible as self_match=0.
+    */
+  val q169 = Q("q169_record_linkage",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          array_join(slice(split(trim(col("text")), " "), 1, 6), " ").as("title"))
+      val clean = base.filter(length(col("title")) >= 8)
+      val dirty = clean.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .withColumn("h", expr("CAST(conv(substr(md5(CAST(concat('rl#', " +
+          "CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+        .withColumn("pos", (lit(1) + col("h") % length(col("title"))).cast("int"))
+        .select(col("doc_id").as("d_key"),
+          concat(substring(col("title"), lit(1), col("pos") - lit(1)),
+            col("title").substr(col("pos") + lit(1), length(col("title"))))
+            .as("dtitle"))
+      val c = clean.select(col("doc_id").as("c_key"), col("title"))
+      def blocked(keyD: String, keyC: String) =
+        dirty.withColumn("bk", expr(keyD))
+          .join(c.withColumn("bk", expr(keyC)), "bk")
+          .select(col("d_key"), col("c_key"), col("title"), col("dtitle"))
+      val cand = blocked("substring(dtitle, 1, 3)", "substring(title, 1, 3)")
+        .union(blocked("right(dtitle, 3)", "right(title, 3)"))
+        .distinct()
+      val scored = cand
+        .withColumn("jw", expr("jaro_winkler(title, dtitle)"))
+        .select("d_key", "c_key", "jw")
+      val w = Window.partitionBy("d_key")
+      val ranked = scored
+        .withColumn("rn", row_number().over(w.orderBy(desc("jw"), col("c_key"))))
+        .withColumn("n_cand", count(lit(1)).over(w))
+      ranked.filter(col("rn") === 1)
+        .select(col("d_key"), col("c_key").as("match_key"), col("jw").as("best_jw"),
+          col("n_cand"),
+          (col("c_key") === col("d_key")).cast("int").as("self_match"),
+          (col("jw") >= 0.88).cast("int").as("strong"))
+        .transform(graft.Q.presentSorted(_, "d_key"))
+    },
+    Some {
+      val hashFold =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), g -> " +
+          "CAST(strpos('0123456789abcdef', substr(md5('rl#' || " +
+          "CAST(doc_id AS VARCHAR)), g, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      s"""WITH base AS (
+      SELECT doc_id, array_to_string((string_split(trim(text), ' '))[1:6], ' ') AS title
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+    ), clean AS (
+      SELECT doc_id, title FROM base WHERE len(title) >= 8
+    ), dirty0 AS (
+      SELECT doc_id, title, $hashFold AS h FROM clean WHERE doc_id % 4 = 1
+    ), dirty AS (
+      SELECT doc_id AS d_key,
+        concat(substr(title, 1, CAST(1 + h % len(title) AS INT) - 1),
+               substr(title, CAST(1 + h % len(title) AS INT) + 1)) AS dtitle
+      FROM dirty0
+    ), cand AS (
+      SELECT d.d_key, c.doc_id AS c_key, c.title, d.dtitle
+      FROM dirty d JOIN clean c ON substr(d.dtitle, 1, 3) = substr(c.title, 1, 3)
+      UNION
+      SELECT d.d_key, c.doc_id, c.title, d.dtitle
+      FROM dirty d JOIN clean c ON right(d.dtitle, 3) = right(c.title, 3)
+    ), scored AS (
+      SELECT d_key, c_key, jaro_winkler_similarity(title, dtitle) AS jw FROM cand
+    ), ranked AS (
+      SELECT *,
+        ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY jw DESC, c_key) AS rn,
+        COUNT(*) OVER (PARTITION BY d_key) AS n_cand
+      FROM scored
+    )
+    SELECT d_key, c_key AS match_key, jw AS best_jw,
+      CAST(n_cand AS BIGINT) AS n_cand,
+      CAST(CASE WHEN c_key = d_key THEN 1 ELSE 0 END AS INT) AS self_match,
+      CAST(CASE WHEN jw >= 0.88 THEN 1 ELSE 0 END AS INT) AS strong
+    FROM ranked WHERE rn = 1 ORDER BY d_key"""
+    })
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163)
+      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169)
 }

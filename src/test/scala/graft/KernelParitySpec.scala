@@ -192,4 +192,43 @@ class KernelParitySpec extends SparkTestBase {
         .filter(!(col("h") <=> col("k"))),
       "ord_dot(a,a) vs square fold")
   }
+
+  test("jaro_winkler ≡ DuckDB jaro_winkler_similarity on pinned probes") {
+    // values captured from DuckDB 1.0 (the oracle engine) — the kernel's
+    // contract is BIT equality with these, incl. the 0.7 boost threshold,
+    // the min(prefix,4) cap, integer transposition halving (the
+    // 'abcdef'/'bcadef' odd-k case), and 0.0 on empty input
+    val sess = spark
+    import sess.implicits._
+    val pinned = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DWAYNE", "DUANE", 0.8400000000000001),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("abc", "xyz", 0.0),
+      ("a", "", 0.0),
+      ("", "", 0.0),
+      ("ab", "ab", 1.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("aaaaaaaaab", "aaaaaaaaba", 0.98),
+      ("prefix_long_match", "prefix_long_mbtch", 0.9764705882352941),
+      ("ab", "ba", 0.0),
+      ("kitten", "sitting", 0.746031746031746),
+      ("x", "xy", 0.8500000000000001),
+      ("abcdefgh", "abcdefgh_longer_tail", 0.88),
+      ("aaxxxxxxxx", "aayyyyyyyy", 0.4666666666666666), // jaro ≤ 0.7 → no bonus
+      ("abcdef", "bcadef", 0.9444444444444445)) // odd mismatch count → t = 1
+    Tables(spark, "/root/testdata/sf0.001", "region") // registers the kernel
+    val got = pinned.map(_._1).zip(pinned.map(_._2)).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b) AS jw").collect().map(_.getDouble(0))
+    pinned.map(_._3).zip(got).zip(pinned).foreach { case ((e, g), (a, b, _)) =>
+      assert(java.lang.Double.doubleToRawLongBits(e) ===
+        java.lang.Double.doubleToRawLongBits(g),
+        s"jaro_winkler('$a','$b') = $g, DuckDB pins $e")
+    }
+    // null propagation + arity error
+    val n = Seq(("x", Option.empty[String])).toDF("a", "b")
+      .selectExpr("jaro_winkler(a, b)").collect()(0)
+    assert(n.isNullAt(0))
+    intercept[Exception] { spark.sql("SELECT jaro_winkler('a')").collect() }
+  }
 }
