@@ -1885,8 +1885,81 @@ object RelationalQueries {
     FROM merged m JOIN direct d USING (day, event_type)
     ORDER BY day, event_type"""))
 
+  /** Time-travel reads over the q158 changelog — the third lakehouse
+    * leg (q158 = MERGE compaction, q162 = incremental MV, this =
+    * AS-OF-version reconstruction, Delta/Iceberg `VERSION AS OF`):
+    * the per-(user_id, props.k) snapshot is reconstructed at three
+    * version cutoffs (ingest-day bounds) and summarized per cutoff —
+    * keys seen, live vs tombstoned, decimal-exact live value mass,
+    * newest live version.
+    *
+    * The scale shape IS the point: K cutoffs cost ONE scan and ONE
+    * key shuffle, not K of either — each cutoff is a conditional
+    * `max(when(day < cut, struct(version, payload)))` inside the same
+    * partial-aggregable groupBy (map tasks ship ≤ K candidate structs
+    * per key), then the K states unpivot and roll up per cutoff
+    * (second shuffle on the 3-row cutoff key). No window anywhere.
+    * The value mass rides DECIMAL (q162's hinge) so the per-cutoff
+    * sums are partition-order-independent.
+    */
+  val q170 = Q("q170_time_travel_read",
+    (s, dir) => {
+      import org.apache.spark.sql.types.DecimalType
+      val kVal = regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1)
+      val ev = Tables(s, dir, "events")
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("day", expr("(ts div 1000) div 86400000000"))
+        .withColumn("k", when(kVal =!= "", kVal.cast("long")))
+        .withColumn("is_del",
+          when(col("event_type") === "error", 1L).otherwise(0L))
+      val st = struct(col("ts_us"), col("event_id"), col("is_del"), col("value"))
+      // version cutoffs: ingest-day bounds (corpus spans days 19723–19752
+      // at every SF); the last is the full-history read
+      val cuts = Seq(19733L, 19743L, 19753L)
+      val aggs = cuts.zipWithIndex.map { case (c, i) =>
+        max(when(col("day") < c, st)).as(s"s$i")
+      }
+      val byKey = ev.groupBy("user_id", "k").agg(aggs.head, aggs.tail: _*)
+      val un = byKey.select(expr(
+          "stack(3, 19733L, s0, 19743L, s1, 19753L, s2) AS (cutoff_day, st)"))
+        .filter(col("st").isNotNull) // key did not exist yet at this cutoff
+      un.groupBy("cutoff_day").agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("st.is_del") === 0, 1L).otherwise(0L)).as("n_live"),
+          sum(col("st.is_del")).as("n_deleted"),
+          sum(when(col("st.is_del") === 0,
+            round(col("st.value"), 8).cast(DecimalType(38, 8))))
+            .cast("double").as("live_value_sum"),
+          max(when(col("st.is_del") === 0, col("st.event_id")))
+            .as("live_max_event_id"))
+        .transform(graft.Q.presentSorted(_, "cutoff_day"))
+    },
+    Some("""WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        epoch_us(ts) // 86400000000 AS day, value,
+        CASE WHEN regexp_extract(props, '"k":\s*(\d+)', 1) != ''
+             THEN CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) END AS k,
+        CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_del
+      FROM events
+    ), cut AS (
+      SELECT unnest([CAST(19733 AS BIGINT), 19743, 19753]) AS cutoff_day
+    ), r AS (
+      SELECT c.cutoff_day, e.user_id, e.k, e.is_del, e.value, e.event_id,
+        ROW_NUMBER() OVER (PARTITION BY c.cutoff_day, e.user_id, e.k
+          ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+      FROM ev e JOIN cut c ON e.day < c.cutoff_day
+    )
+    SELECT cutoff_day,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(CASE WHEN is_del = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      CAST(SUM(is_del) AS BIGINT) AS n_deleted,
+      CAST(SUM(CASE WHEN is_del = 0
+        THEN CAST(ROUND(value, 8) AS DECIMAL(38,8)) END) AS DOUBLE) AS live_value_sum,
+      MAX(CASE WHEN is_del = 0 THEN event_id END) AS live_max_event_id
+    FROM r WHERE rn = 1 GROUP BY cutoff_day ORDER BY cutoff_day"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170)
 }

@@ -1942,17 +1942,28 @@ object VectorQueries {
       // into lists that don't yet point at it (the heart of NN-descent)
       val adj = edges.select("src", "nbr")
         .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
-      // neighbor-of-neighbor proposals: every ordered pair within a
-      // pivot's neighborhood. Bounded by degree² ≤ (2K)² per pivot —
-      // candidates stay O(N·K²) per round, never all-pairs.
-      val prop = adj.as("x")
-        .join(adj.as("y"), col("x.src") === col("y.src") && col("x.nbr") =!= col("y.nbr"))
-        .select(col("x.nbr").as("src"), col("y.nbr").as("nbr"))
-      val cand = dedupBySrc(prop.union(edges.select("src", "nbr"))
-        .filter(col("src") =!= col("nbr")))
-      // per-node top-K over the bounded candidate list; current edges
-      // are in the candidate set, so a node's list never regresses
-      val next = withD2(cand)
+      // PIVOT-LOCAL scoring: attach each endpoint's embedding to the
+      // adjacency ONCE (O(N·K) embedding-bearing rows), self-join on
+      // the pivot, and project straight to (src, nbr, d2). The naive
+      // alternative — materialize the O(N·K²) proposal pairs and join
+      // embeddings onto THEM — shuffles the embedding payload through
+      // the pair-sized exchange (measured 60+ GB of spill at the 100×
+      // probe: 200M pairs × two 64-float vectors; this shape spills
+      // ~5 GB). Candidates stay O(N·K²), never all-pairs; only d2
+      // scalars ride the pair-sized shuffles.
+      val adjE = adj.join(en.select(col("vec_id").as("nbr"),
+        col("embedding").as("ne"), col("n2").as("nn2")), "nbr")
+      val prop = adjE.as("x")
+        .join(adjE.as("y"), col("x.src") === col("y.src") && col("x.nbr") =!= col("y.nbr"))
+        .select(col("x.nbr").as("src"), col("y.nbr").as("nbr"),
+          (col("x.nn2") + col("y.nn2") -
+            lit(2.0) * expr(dotOrdExpr("x.ne", "y.ne"))).as("d2"))
+        .filter(col("src") =!= col("nbr"))
+      // current edges join the candidate pool with their KNOWN d2, so a
+      // node's list never regresses; duplicate (src, nbr) draws carry
+      // identical d2 — min() is pure dedup
+      val next = prop.union(edges.select("src", "nbr", "d2"))
+        .groupBy("src", "nbr").agg(min(col("d2")).as("d2"))
         .withColumn("rn", row_number().over(wK))
         .filter(col("rn") <= k).drop("rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
