@@ -128,4 +128,93 @@ object ExactQuantile {
       (rows ++ nullRows).toDF("g", "p", "q")
     } finally parted.unpersist(blocking = false)
   }
+
+  /** Per-group exact WEIGHTED quantiles — the mass-based complement of
+    * [[perGroup]] (curation wants "the price below which half the
+    * QUANTITY sits", not half the rows). Same two-pass rank-pick
+    * architecture: range-partition by value, count-grid → prefix
+    * offsets → targeted second pass; a group is never materialized on
+    * one node and no per-group window exists anywhere.
+    *
+    * Weights are LONGS by contract, and that is what makes the result
+    * engine- and partitioning-exact: cumulative INTEGER weight is
+    * permutation-invariant, so although the range partitioner may split
+    * a run of tied values arbitrarily, the run whose end-cum first
+    * reaches the target — and therefore the emitted VALUE — is unique.
+    * (Double weights would make the crossing comparison depend on
+    * float add order — the reason this contract exists.)
+    *
+    * Quantiles are permilles; target mass = ⌈pm·W/1000⌉ in integer
+    * arithmetic. Definition: the lower weighted quantile — smallest v
+    * with cumWeight(≤ v) ≥ target. Null values/weights are dropped.
+    *
+    * @return (g, pm, wq, target_w, total_w) — tiny (groups × permilles)
+    */
+  def perGroupWeighted(df: DataFrame, groupCol: String, valueCol: String,
+                       weightCol: String, pms: Seq[Long],
+                       nPart: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(groupCol).cast("string").as("g"),
+        col(valueCol).cast("double").as("v"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("v").isNotNull && col("w").isNotNull)
+      .as[(String, Double, Long)]
+    val parted = base.repartitionByRange(nPart, col("v"))
+      .sortWithinPartitions("v")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // pass 1: (partition, group) → weight mass; bounded driver grid
+      val grid: Array[(Int, String, Long)] = parted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        val m = mutable.HashMap.empty[String, Long]
+        it.foreach { case (g, _, w) => m.update(g, m.getOrElse(g, 0L) + w) }
+        m.iterator.map { case (g, ws) => (pid, g, ws) }
+      }.collect()
+      val totals: Map[String, Long] =
+        grid.groupBy(_._2).map { case (g, rows) => g -> rows.map(_._3).sum }
+      val targets: Map[String, Seq[(Long, Long)]] = totals.map { case (g, tw) =>
+        g -> pms.map(pm => pm -> ((pm * tw + 999L) / 1000L))
+      }
+      val starts: Map[(Int, String), Long] = {
+        val acc = mutable.HashMap.empty[String, Long]
+        val out = Map.newBuilder[(Int, String), Long]
+        grid.sortBy(_._1).foreach { case (pid, g, ws) =>
+          val s = acc.getOrElse(g, 0L)
+          out += ((pid, g) -> s)
+          acc.update(g, s + ws)
+        }
+        out.result()
+      }
+      val targetsB = spark.sparkContext.broadcast(targets)
+      val startsB = spark.sparkContext.broadcast(starts)
+      // pass 2: emit the first row whose running mass reaches each
+      // target (≤ |pms| rows per group per partition)
+      val picked: Array[(String, Long, Double, Long)] =
+        parted.mapPartitions { it =>
+          val pid = TaskContext.getPartitionId()
+          val cum = mutable.HashMap.empty[String, Long]
+          it.flatMap { case (g, v, w) =>
+            val before = cum.getOrElse(g, startsB.value.getOrElse((pid, g), 0L))
+            val after = before + w
+            cum.update(g, after)
+            targetsB.value.getOrElse(g, Seq.empty).collect {
+              case (pm, t) if before < t && t <= after => (g, pm, v, after)
+            }
+          }
+        }.collect()
+      // a target can be crossed in several partitions' local view only
+      // if starts already exceed it — the guard `before < t` admits
+      // exactly one row globally per (g, pm); keep min v defensively
+      val rows = for {
+        (g, tw) <- totals.toSeq
+        (pm, t) <- targets(g)
+      } yield {
+        val hit = picked.filter(r => r._1 == g && r._2 == pm)
+          .sortBy(_._3).headOption
+        (g, pm, hit.map(_._3), t, tw)
+      }
+      rows.toDF("g", "pm", "wq", "target_w", "total_w")
+    } finally parted.unpersist(blocking = false)
+  }
 }

@@ -1958,8 +1958,54 @@ object RelationalQueries {
       MAX(CASE WHEN is_del = 0 THEN event_id END) AS live_max_event_id
     FROM r WHERE rn = 1 GROUP BY cutoff_day ORDER BY cutoff_day"""))
 
+  /** Exact per-group WEIGHTED quantiles ([[ExactQuantile.perGroupWeighted]]
+    * — the mass-based complement of q65's row-rank quantiles): "the
+    * price below which half the shipped QUANTITY sits" per return flag,
+    * at p50/p90/p99 (permilles). Same distributed two-pass rank-pick
+    * shape as q65 (range partition by value → bounded count grid →
+    * prefix offsets → targeted second pass; no per-group window, no
+    * group ever materialized on a node); the weight contract is LONG so
+    * every cumulative comparison is integer-exact and
+    * partitioning-independent — the property a double-weight cumsum
+    * could not give. Curation analog: token-mass-weighted length
+    * cutoffs, quantity-weighted price bands (the reference's summary
+    * CSVs report only unweighted means,
+    * /root/reference/src/market_microstructure_toolkit/impact_twap_cli.py:86).
+    */
+  val q171 = Q("q171_weighted_quantiles",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"),
+          round(col("l_quantity"), 0).cast("long").as("wgt"))
+      ExactQuantile.perGroupWeighted(li, "l_returnflag", "l_extendedprice",
+          "wgt", Seq(500L, 900L, 990L))
+        .select(col("g").as("l_returnflag"), col("pm"), col("wq"),
+          col("target_w"), col("total_w"))
+        .transform(graft.Q.presentSorted(_, "l_returnflag", "pm"))
+    },
+    Some("""WITH base AS (
+      SELECT CAST(l_returnflag AS VARCHAR) AS g, l_extendedprice AS v,
+        CAST(ROUND(l_quantity) AS BIGINT) AS w
+      FROM lineitem WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ), tot AS (
+      SELECT g, CAST(SUM(w) AS BIGINT) AS total_w FROM base GROUP BY g
+    ), pms AS (
+      SELECT unnest([CAST(500 AS BIGINT), 900, 990]) AS pm
+    ), tgt AS (
+      SELECT g, pm, (pm * total_w + 999) // 1000 AS target_w, total_w
+      FROM tot CROSS JOIN pms
+    ), cw AS MATERIALIZED (
+      SELECT g, v, SUM(w) OVER (PARTITION BY g ORDER BY v) AS cum FROM base
+    )
+    SELECT t.g AS l_returnflag, t.pm,
+      CASE WHEN t.total_w > 0 THEN
+        (SELECT MIN(c.v) FROM cw c WHERE c.g = t.g AND c.cum >= t.target_w)
+      END AS wq,
+      CAST(t.target_w AS BIGINT) AS target_w, t.total_w
+    FROM tgt t ORDER BY l_returnflag, pm"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170, q171)
 }

@@ -74,4 +74,56 @@ class ExactQuantileSpec extends SparkTestBase {
     assert(got === Map(("a", 0.5) -> Some(2.0), ("dead", 0.5) -> None,
       ("mixed", 0.5) -> Some(7.0)))
   }
+
+  test("weighted: matches a driver-side reference fold; partition invariant") {
+    val sess = spark
+    import sess.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 4000).map { i =>
+      val g = s"g${i % 5}"
+      (g, math.floor(rnd.nextDouble() * 50) / 10.0, rnd.nextInt(7).toLong) // ties + zero weights
+    }
+    val df = rows.toDF("g", "v", "w").repartition(13)
+    val pms = Seq(500L, 900L, 990L)
+    // reference: smallest v whose cumulative integer mass reaches ceil(pm*W/1000)
+    def ref(g: String): Map[Long, Option[Double]] = {
+      val vs = rows.filter(_._1 == g).sortBy(_._2)
+      val w = vs.map(_._3).sum
+      pms.map { pm =>
+        val t = (pm * w + 999L) / 1000L
+        var cum = 0L
+        pm -> vs.collectFirst { case (_, v, wi) if { cum += wi; cum >= t } => v }
+      }.toMap
+    }
+    def got(nPart: Int): Map[(String, Long), (Option[Double], Long, Long)] =
+      ExactQuantile.perGroupWeighted(df, "g", "v", "w", pms, nPart)
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+          ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+            r.getLong(3), r.getLong(4))).toMap
+    val a = got(32)
+    (0 until 5).map(i => s"g$i").foreach { g =>
+      val r = ref(g)
+      pms.foreach { pm =>
+        assert(a((g, pm))._1 === r(pm), s"weighted quantile ($g, $pm)")
+      }
+    }
+    // partitioning must not change a single bit of the answer
+    assert(a === got(3), "weighted quantiles must be partition-count invariant")
+  }
+
+  test("weighted: zero-weight rows carry no mass, zero-total group yields NULL") {
+    val sess = spark
+    import sess.implicits._
+    val df = Seq(
+      ("a", 1.0, 0L), ("a", 2.0, 5L), ("a", 3.0, 0L), ("a", 9.0, 5L),
+      ("z", 1.0, 0L), ("z", 2.0, 0L)).toDF("g", "v", "w")
+    val got = ExactQuantile.perGroupWeighted(df, "g", "v", "w", Seq(500L, 1000L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // a: W=10, t(500)=5 -> v=2.0 (first run reaching mass 5); t(1000)=10 -> 9.0
+    assert(got(("a", 500L)) === Some(2.0))
+    assert(got(("a", 1000L)) === Some(9.0))
+    // z: all-zero mass -> no target reachable -> NULL at every pm
+    assert(got(("z", 500L)) === None && got(("z", 1000L)) === None)
+  }
 }
