@@ -59,7 +59,10 @@ class NullRobustnessSpec extends SparkTestBase {
     "q163_bpe_merge_train", "q164_kmv_source_overlap",
     // round-8 additions: suffix ranking (null/empty text), changelog
     // compaction + zorder audit (null props → null key/morton)
-    "q157_suffix_dup_spans", "q158_changelog_snapshot", "q159_zorder_layout_audit")
+    "q157_suffix_dup_spans", "q158_changelog_snapshot", "q159_zorder_layout_audit",
+    // round-9 additions: record linkage (null text → no title), time
+    // travel (null props/value), weighted quantiles (null price/quantity)
+    "q169_record_linkage", "q170_time_travel_read", "q171_weighted_quantiles")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {
