@@ -2701,8 +2701,135 @@ object TextQueries {
     FROM ranked WHERE rn = 1 ORDER BY d_key"""
     })
 
+  // --------------------------------------------------------------- q172
+
+  /** Exact frequent-itemset mining via SON (Savasere–Omiecinski–Navathe,
+    * VLDB 1995 — the two-phase partition algorithm that made Apriori
+    * distributed, and the shape `spark.ml`'s FPGrowth parallelizes):
+    * baskets are documents, items their distinct tokens, support
+    * threshold 60 % of the corpus.
+    *
+    * Phase 1 (mapPartitions — genuinely per-partition imperative logic,
+    * the case the catalog reserves it for): each partition runs in-core
+    * Apriori (sizes 1–3, candidate pruning through the lattice) at the
+    * PROPORTIONAL local threshold ⌈minsup·n_p/N⌉. The SON lemma makes
+    * the union of local winners a provably COMPLETE candidate set: an
+    * itemset below threshold in every partition proportionally is below
+    * it globally (pigeonhole), so no partitioning can lose a frequent
+    * itemset — candidates depend on the partitioning, the OUTPUT never
+    * does. Phase 2 broadcasts the Apriori-bounded (≤ thousands)
+    * candidates and counts exact support in one scan; `support ≥
+    * minsup` filters to the exact answer.
+    *
+    * Scale shape: phase 1 touches each basket once in memory and ships
+    * only candidate ids; phase 2 is scan × broadcast with map-side
+    * combinable counts. Nothing is quadratic in the corpus; the lattice
+    * work is bounded by the per-basket item count (~23 here) and the
+    * Apriori pruning.
+    */
+  val q172 = Q("q172_frequent_itemsets",
+    (s, dir) => {
+      val sess = s
+      import sess.implicits._
+      val docs = Tables(s, dir, "documents")
+        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          array_sort(array_distinct(split(trim(lower(col("text"))), " "))).as("items"))
+        .filter(size(col("items")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nDocs = docs.count()
+      val minsup = (3 * nDocs + 4) / 5 // ceil(0.6·N), exact integers
+      val cands = docs.select("items").as[Seq[String]].mapPartitions { it =>
+        val baskets = it.toArray
+        val np = baskets.length.toLong
+        // SON proportional threshold: ⌈minsup·n_p/N⌉ (≥ 1 so an empty
+        // quota can't mark everything frequent in a tiny partition)
+        val tp = math.max(1L, (minsup * np + nDocs - 1) / nDocs)
+        val sing = scala.collection.mutable.HashMap.empty[String, Long]
+        baskets.foreach(_.foreach(t => sing.update(t, sing.getOrElse(t, 0L) + 1L)))
+        val l1 = sing.collect { case (t, c) if c >= tp => t }.toSet
+        val pair = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        baskets.foreach { b =>
+          val f = b.filter(l1) // baskets are sorted → pairs canonical
+          var i = 0
+          while (i < f.length) {
+            var j = i + 1
+            while (j < f.length) {
+              val k = (f(i), f(j))
+              pair.update(k, pair.getOrElse(k, 0L) + 1L); j += 1
+            }
+            i += 1
+          }
+        }
+        // NOT `pair.collect { case (p, c) if … => p }`: a Map.collect
+        // whose results are Tuple2s REBUILDS A MAP keyed by the first
+        // token and silently dedups 428 locally-frequent pairs to 29
+        // (one per distinct lhs) — found the hard way
+        val l2 = pair.iterator.collect { case (p, c) if c >= tp => p }.toSet
+        val tri = scala.collection.mutable.HashMap.empty[(String, String, String), Long]
+        baskets.foreach { b =>
+          val f = b.filter(l1)
+          var i = 0
+          while (i < f.length) {
+            var j = i + 1
+            while (j < f.length) {
+              if (l2((f(i), f(j)))) { // Apriori prune at the pair level
+                var k = j + 1
+                while (k < f.length) {
+                  if (l2((f(j), f(k))) && l2((f(i), f(k)))) {
+                    val key = (f(i), f(j), f(k))
+                    tri.update(key, tri.getOrElse(key, 0L) + 1L)
+                  }
+                  k += 1
+                }
+              }
+              j += 1
+            }
+            i += 1
+          }
+        }
+        val l3 = tri.collect { case (t, c) if c >= tp => t }
+        (l1.iterator.map(Seq(_)) ++
+          l2.iterator.map { case (a, b) => Seq(a, b) } ++
+          l3.iterator.map { case (a, b, c) => Seq(a, b, c) })
+      }.toDF("iset").distinct()
+      val out = docs.crossJoin(broadcast(cands))
+        .filter(expr("forall(iset, x -> array_contains(items, x))"))
+        .groupBy("iset").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= minsup)
+        .select(size(col("iset")).cast("long").as("k"),
+          array_join(col("iset"), ",").as("itemset"), col("support"))
+      out.transform(graft.Q.presentSorted(_, "k", "itemset"))
+    },
+    Some("""WITH d AS (
+      SELECT doc_id, list_sort(list_distinct(string_split(trim(lower(text)), ' '))) AS items
+      FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
+    ), dd AS (SELECT * FROM d WHERE len(items) > 0),
+    ms AS (SELECT (3 * COUNT(*) + 4) // 5 AS minsup FROM dd),
+    t AS (SELECT doc_id, unnest(items) AS tok FROM dd),
+    s1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
+    p2 AS (
+      SELECT a.tok AS t1, b.tok AS t2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    ), p3 AS (
+      SELECT a.tok AS t1, b.tok AS t2, c3.tok AS t3, CAST(COUNT(*) AS BIGINT) AS c
+      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      JOIN t c3 ON b.doc_id = c3.doc_id AND b.tok < c3.tok
+      GROUP BY 1, 2, 3
+    )
+    SELECT k, itemset, support FROM (
+      SELECT CAST(1 AS BIGINT) AS k, tok AS itemset, c AS support
+      FROM s1, ms WHERE c >= minsup
+      UNION ALL
+      SELECT 2, t1 || ',' || t2, c FROM p2, ms WHERE c >= minsup
+      UNION ALL
+      SELECT 3, t1 || ',' || t2 || ',' || t3, c FROM p3, ms WHERE c >= minsup
+    ) ORDER BY k, itemset"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169)
+      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169,
+      q172)
 }
