@@ -1918,6 +1918,7 @@ object VectorQueries {
 
   private def buildEdgesOver(en: DataFrame, n: Long, rounds: Int,
                              k: Int = NdK): DataFrame = {
+    ensureCkptDir(en.sparkSession)
     val init = dedupBySrc(initPairsOver(en, n, k))
     // exact squared L2 for a (src, nbr) pair frame: two hash joins on
     // vec_id (linear shuffles); ordered-fold dots keep the ordering —
@@ -1932,10 +1933,18 @@ object VectorQueries {
         .select(col("src"), col("nbr"),
           (col("an2") + col("bn2") - lit(2.0) * expr(dotOrdExpr("ae", "be"))).as("d2"))
     val wK = Window.partitionBy("src").orderBy(col("d2"), col("nbr"))
+    // every generation is RELIABLY CHECKPOINTED, not cached: the round
+    // plan references `edges` several times (adjacency both ways +
+    // candidate union), so an uncheckpointed loop's LOGICAL plan grows
+    // ~5x per round and the per-action plan-description stringification
+    // alone can pin the driver at high round counts (observed at the
+    // 100x sweep). Checkpoints truncate lineage to a flat scan — the
+    // ConnectedComponents pattern — and the frames are 3 scalars per
+    // edge, so the write is small relative to the round's shuffles.
     var edges = withD2(init)
       .withColumn("rn", row_number().over(wK))
       .filter(col("rn") <= k).drop("rn")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .checkpoint()
     for (_ <- 1 to rounds) {
       // undirected adjacency: out-neighbors plus REVERSE neighbors —
       // the reverse direction is what lets a popular node propagate
@@ -1962,19 +1971,11 @@ object VectorQueries {
       // current edges join the candidate pool with their KNOWN d2, so a
       // node's list never regresses; duplicate (src, nbr) draws carry
       // identical d2 — min() is pure dedup
-      val next = prop.union(edges.select("src", "nbr", "d2"))
+      edges = prop.union(edges.select("src", "nbr", "d2"))
         .groupBy("src", "nbr").agg(min(col("d2")).as("d2"))
         .withColumn("rn", row_number().over(wK))
         .filter(col("rn") <= k).drop("rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // materialize the new generation, then DROP the superseded one:
-      // at most 2 edge generations are ever live in the block manager
-      // (K accumulating MEMORY_AND_DISK frames is avoidable pressure
-      // at 100 TB). The count is not extra work — round r+1 (or the
-      // caller) would materialize this frame anyway, off the cache.
-      next.count()
-      edges.unpersist()
-      edges = next
+        .checkpoint() // eager: materializes AND truncates the lineage
     }
     edges
   }
@@ -1987,11 +1988,9 @@ object VectorQueries {
     */
   private def ndGraph(s: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.getOrCompute(s, s"nd-graph:$dir") {
-      ensureCkptDir(s)
-      val built = buildNdEdges(s, dir, NdRounds)
-      val ck = built.checkpoint() // eager: materializes to reliable files
-      built.unpersist() // the checkpoint replaces the cached final round
-      ck
+      // buildEdgesOver checkpoints every generation, so the returned
+      // final round is already a reliable flat-scan frame
+      buildNdEdges(s, dir, NdRounds)
     }
 
   /** Rounds-parameterized recall audit over a freshly-built graph —
@@ -2182,9 +2181,18 @@ object VectorQueries {
         .select(col("q_id"), col("node"),
           (col("qn2") + col("cn2") - lit(2.0) * expr(dotOrdExpr("qe", "ce"))).as("d2"))
     val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
+    ensureCkptDir(enGraph.sparkSession)
+    // every hop's visited set is RELIABLY CHECKPOINTED: the hop plan
+    // references `visited` twice (the union and the frontier), so an
+    // uncheckpointed loop's LOGICAL plan DOUBLES per hop — at a hops=10
+    // sweep the 2^h-sized per-action plan-description stringification
+    // alone pinned the driver. The frames are tiny (≤ probes·(1 +
+    // B·deg·hops) rows of 3 scalars → KBs), so truncating lineage per
+    // hop costs nothing and bounds plan depth at ANY hop count; no
+    // cached generations remain afterwards.
     var visited = score(probeEmb.select(col("q_id")).withColumn("node",
         when(col("q_id") === e0, lit(e1)).otherwise(lit(e0))))
-      .cache() // ≤ probe-count rows; each hop reads it twice
+      .checkpoint()
     var frontier = visited.select("q_id", "node")
     for (_ <- 1 to hops) {
       val expand = edges
@@ -2192,14 +2200,9 @@ object VectorQueries {
         .select(col("q_id"), col("nbr").as("node"))
         .filter(col("node") =!= col("q_id"))
         .distinct()
-      val nv = visited.union(score(expand))
+      visited = visited.union(score(expand))
         .groupBy("q_id", "node").agg(min(col("d2")).as("d2"))
-        .cache() // ≤ probes·(1 + B·K·hops) rows, read by 2 consumers
-      // materialize the new visited set, then drop its predecessor —
-      // only the live generation stays cached through the hop loop
-      nv.count()
-      visited.unpersist()
-      visited = nv
+        .checkpoint() // eager: materializes AND truncates per hop
       frontier = visited
         .withColumn("rb", row_number().over(wB))
         .filter(col("rb") <= beam).select("q_id", "node")
@@ -2499,11 +2502,7 @@ object VectorQueries {
       val b = n * 9 / 10
       val baseEn = en.filter(col("vec_id") < b)
       val edges = graft.util.SessionMemo.getOrCompute(s, s"nd-graph-base:$dir") {
-        ensureCkptDir(s)
-        val built = buildEdgesOver(baseEn, b, NdRounds)
-        val ck = built.checkpoint()
-        built.unpersist()
-        ck
+        buildEdgesOver(baseEn, b, NdRounds) // every generation checkpointed
       }
       val lo2 = baseEn.select("vec_id").orderBy("vec_id").limit(2)
         .collect().map(_.getLong(0))
@@ -2810,12 +2809,10 @@ object VectorQueries {
     ensureCkptDir(s)
     val cl = clEn(s, dir)
     val n = cl.count()
-    val refined = buildEdgesOver(cl, n, rounds, k)
-    val serving = dedupBySrc(refined.select("src", "nbr")
+    val refined = buildEdgesOver(cl, n, rounds, k) // checkpointed
+    dedupBySrc(refined.select("src", "nbr")
       .union(initPairsOver(cl, n, k)))
-    val ck = serving.checkpoint()
-    refined.unpersist()
-    ck
+      .checkpoint()
   }
 
   private def clGraph(s: SparkSession, dir: String): DataFrame =
