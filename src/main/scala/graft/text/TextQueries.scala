@@ -2745,41 +2745,42 @@ object TextQueries {
         // SON proportional threshold: ⌈minsup·n_p/N⌉ (≥ 1 so an empty
         // quota can't mark everything frequent in a tiny partition)
         val tp = math.max(1L, (minsup * np + nDocs - 1) / nDocs)
+        // dense-id counting: the locally-frequent vocabulary indexes a
+        // flat count cube (boxed-string-tuple HashMaps priced this loop
+        // at ~6 s of the bench; int arithmetic runs it in well under a
+        // second). The L1 filter bounds the cube side — if a corpus ever
+        // had > 512 locally-frequent tokens the size-3 lattice would be
+        // the wrong algorithm long before the array was (512³ longs =
+        // 1 GiB), so fail loudly rather than degrade silently.
         val sing = scala.collection.mutable.HashMap.empty[String, Long]
         baskets.foreach(_.foreach(t => sing.update(t, sing.getOrElse(t, 0L) + 1L)))
-        val l1 = sing.collect { case (t, c) if c >= tp => t }.toSet
-        val pair = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        baskets.foreach { b =>
-          val f = b.filter(l1) // baskets are sorted → pairs canonical
+        val l1 = sing.iterator.collect { case (t, c) if c >= tp => t }.toArray.sorted
+        val n1 = l1.length
+        require(n1 <= 512,
+          s"q172: $n1 locally-frequent tokens — dense size-3 lattice capped at 512")
+        val idOf = l1.iterator.zipWithIndex.toMap
+        val ids = baskets.map(_.iterator.flatMap(idOf.get).toArray) // sorted ids
+        val pc = new Array[Long](n1 * n1)
+        ids.foreach { f =>
           var i = 0
           while (i < f.length) {
             var j = i + 1
-            while (j < f.length) {
-              val k = (f(i), f(j))
-              pair.update(k, pair.getOrElse(k, 0L) + 1L); j += 1
-            }
+            while (j < f.length) { pc(f(i) * n1 + f(j)) += 1L; j += 1 }
             i += 1
           }
         }
-        // NOT `pair.collect { case (p, c) if … => p }`: a Map.collect
-        // whose results are Tuple2s REBUILDS A MAP keyed by the first
-        // token and silently dedups 428 locally-frequent pairs to 29
-        // (one per distinct lhs) — found the hard way
-        val l2 = pair.iterator.collect { case (p, c) if c >= tp => p }.toSet
-        val tri = scala.collection.mutable.HashMap.empty[(String, String, String), Long]
-        baskets.foreach { b =>
-          val f = b.filter(l1)
+        val isL2 = pc.map(_ >= tp)
+        val tc = new Array[Long](n1 * n1 * n1)
+        ids.foreach { f =>
           var i = 0
           while (i < f.length) {
             var j = i + 1
             while (j < f.length) {
-              if (l2((f(i), f(j)))) { // Apriori prune at the pair level
+              if (isL2(f(i) * n1 + f(j))) { // Apriori prune at the pair level
                 var k = j + 1
                 while (k < f.length) {
-                  if (l2((f(j), f(k))) && l2((f(i), f(k)))) {
-                    val key = (f(i), f(j), f(k))
-                    tri.update(key, tri.getOrElse(key, 0L) + 1L)
-                  }
+                  if (isL2(f(j) * n1 + f(k)) && isL2(f(i) * n1 + f(k)))
+                    tc((f(i) * n1 + f(j)) * n1 + f(k)) += 1L
                   k += 1
                 }
               }
@@ -2788,13 +2789,29 @@ object TextQueries {
             i += 1
           }
         }
-        val l3 = tri.collect { case (t, c) if c >= tp => t }
-        (l1.iterator.map(Seq(_)) ++
-          l2.iterator.map { case (a, b) => Seq(a, b) } ++
-          l3.iterator.map { case (a, b, c) => Seq(a, b, c) })
+        val out = Iterator.tabulate(n1)(i => Seq(l1(i))) ++
+          (0 until n1 * n1).iterator.collect {
+            case p if isL2(p) => Seq(l1(p / n1), l1(p % n1))
+          } ++
+          tc.iterator.zipWithIndex.collect {
+            case (c, t) if c >= tp =>
+              Seq(l1(t / (n1 * n1)), l1(t / n1 % n1), l1(t % n1))
+          }
+        out
       }.toDF("iset").distinct()
       val out = docs.crossJoin(broadcast(cands))
-        .filter(expr("forall(iset, x -> array_contains(items, x))"))
+        // containment as SHORT-CIRCUITING codegen'd array_contains
+        // conjuncts (itemsets are ≤ 3 tokens): most (doc, candidate)
+        // pairs fail on the first missing token, so the scan×candidates
+        // filter prices at one probe per miss — a forall/array_contains
+        // lambda (interpreted) or array_intersect (builds a set per
+        // pair) measured 3–5× slower here
+        .filter(
+          array_contains(col("items"), element_at(col("iset"), 1)) &&
+          (size(col("iset")) < 2 ||
+            array_contains(col("items"), element_at(col("iset"), 2))) &&
+          (size(col("iset")) < 3 ||
+            array_contains(col("items"), element_at(col("iset"), 3))))
         .groupBy("iset").agg(count(lit(1)).as("support"))
         .filter(col("support") >= minsup)
         .select(size(col("iset")).cast("long").as("k"),
