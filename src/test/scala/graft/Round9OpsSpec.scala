@@ -1,0 +1,55 @@
+package graft
+
+/** Properties of the round-9 operators the oracle cannot see: the
+  * record-linkage pipeline must actually LINK (blocking recall ×
+  * verify precision visible as self-match rate), and time-travel
+  * snapshots must be monotone in the version cutoff.
+  */
+class Round9OpsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q169: blocking + JW verify resolves corrupted titles back to their source") {
+    val df = SparkEntry.queries("q169_record_linkage")(spark, dir)
+    val rows = df.collect().toIndexedSeq
+    df.unpersist()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jw = r.getAs[Double]("best_jw")
+      assert(jw >= 0.0 && jw <= 1.0, s"jw $jw outside [0,1]")
+      assert(r.getAs[Int]("strong") === (if (jw >= 0.88) 1 else 0),
+        "strong flag must be exactly the 0.88 threshold")
+      assert(r.getAs[Long]("n_cand") >= 1L, "the best match is itself a candidate")
+    }
+    def mean(c: String) = rows.map(_.getAs[Int](c).toDouble).sum / rows.size
+    // measured 0.96 / 0.95 at this SF — floors are regression slack,
+    // and they are the operator's reason to exist: a single-char drop
+    // must usually link back to its source through the blocking union
+    assert(mean("self_match") >= 0.85, s"self-match rate ${mean("self_match")} too low")
+    assert(mean("strong") >= 0.85, s"strong-match rate ${mean("strong")} too low")
+  }
+
+  test("q170: snapshots grow monotonically with the version cutoff and reconcile with q158") {
+    val df = SparkEntry.queries("q170_time_travel_read")(spark, dir)
+    val rows = df.collect().toIndexedSeq.sortBy(_.getAs[Long]("cutoff_day"))
+    df.unpersist()
+    assert(rows.size === 3, "three version cutoffs")
+    rows.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.getAs[Long]("n_keys") <= b.getAs[Long]("n_keys"),
+        "keys seen can only grow as the cutoff advances")
+      assert(a.getAs[Long]("live_max_event_id") <= b.getAs[Long]("live_max_event_id"),
+        "the newest live version can only advance")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_keys") ===
+        r.getAs[Long]("n_live") + r.getAs[Long]("n_deleted"),
+        "every key at a cutoff is exactly live or tombstoned")
+    }
+    // the full-history cutoff IS the q158 MERGE: same live-key count
+    val q158 = SparkEntry.queries("q158_changelog_snapshot")(spark, dir)
+    val liveFull = q158.count()
+    q158.unpersist()
+    assert(rows.last.getAs[Long]("n_live") === liveFull,
+      "time travel to the newest version must equal the compacted snapshot")
+  }
+}
