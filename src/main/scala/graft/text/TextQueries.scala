@@ -2621,7 +2621,14 @@ object TextQueries {
     * JW verify runs only inside blocks; ranking windows partition by
     * dirty key (bounded by block size, no global sort). Duplicate
     * titles resolve to the smallest clean id — the honest
-    * unresolvable-by-name case, visible as self_match=0.
+    * unresolvable-by-name case, visible as self_match=0. Scale caveat
+    * every production linkage shares: a FIXED blocking alphabet makes
+    * in-block pairs quadratic in N (here ~N²/192 — visible as the 10×
+    * step ratio rising once pair work dominates fixed cost), so key
+    * selectivity must grow with the corpus — longer prefixes,
+    * composite keys, or rank-windowed blocking (q153's
+    * sorted-neighborhood is the constant-width-per-row form of exactly
+    * that).
     */
   val q169 = Q("q169_record_linkage",
     (s, dir) => {
