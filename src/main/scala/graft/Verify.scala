@@ -8,6 +8,14 @@ object Verify {
     val Array(sfDir, outDir) = args.take(2)
     // optional 3rd arg: comma-separated query-name subset (local iteration)
     val only = args.drop(2).headOption.map(_.split(",").toSet)
+    // a typo'd subset name must not read as a silently-empty success
+    // (cost a round-9 scale probe an hour: q159_zorder_audit vs
+    // …_layout_audit dumped nothing and the run still exited 0)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s) in subset: ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
