@@ -16,6 +16,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // superseded iterative-loop checkpoints are deleted as their RDDs
+      // are GC'd (must be in the conf at context creation — see util.Ckpt)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -89,7 +92,17 @@ object Bench {
       val ts = byId.map(t => fmt(dp, t._2)).mkString("[", ",", "]")
       s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"qid":$ids,"qmin":$ts}"""
     }
-    val d = digest(2)
-    println(if (d.length <= 1850) d else digest(1))
+    // Loop precision downward until the digest fits; if even 0-dp
+    // overflows the tail window (catalog far past ~220 queries), say so
+    // loudly on stderr rather than regress to a silently-truncated tail.
+    val fitting = (2 to 0 by -1).iterator.map(digest).find(_.length <= 1850)
+    fitting match {
+      case Some(d) => println(d)
+      case None =>
+        System.err.println(
+          s"[bench] digest exceeds 1850-char tail budget even at 0 dp " +
+            s"(${digest(0).length} chars, ${byId.size} queries) — tail artifact will truncate")
+        println(digest(0))
+    }
   }
 }

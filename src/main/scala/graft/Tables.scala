@@ -57,6 +57,9 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // superseded iterative-loop checkpoints are deleted as their RDDs
+      // are GC'd (must be in the conf at context creation — see util.Ckpt)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

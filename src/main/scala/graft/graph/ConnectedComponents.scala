@@ -56,9 +56,7 @@ object ConnectedComponents {
     // so an uncheckpointed lineage grows EXPONENTIALLY — truncate it
     // every round with a reliable checkpoint (edge sets are tiny: two
     // longs per non-root vertex and shrinking)
-    if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+    graft.util.Ckpt.ensureDir(spark.sparkContext)
     val vcol = vertices.columns.head
     val Seq(uc, vc) = edges.columns.take(2).toSeq
     // canonical form: (u, v) with u > v, no self-loops, distinct

@@ -758,9 +758,7 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_bigrams"),
         expr("sum(p_scaled) div count(1)").as("mean_p_scaled"),
         min("p_scaled").as("min_p_scaled"))
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+    graft.util.Ckpt.ensureDir(s.sparkContext)
     val out = agg.checkpoint()
     bigrams.unpersist()
     out

@@ -37,8 +37,13 @@ class Round9OpsSpec extends SparkTestBase {
     rows.sliding(2).foreach { case Seq(a, b) =>
       assert(a.getAs[Long]("n_keys") <= b.getAs[Long]("n_keys"),
         "keys seen can only grow as the cutoff advances")
-      assert(a.getAs[Long]("live_max_event_id") <= b.getAs[Long]("live_max_event_id"),
-        "the newest live version can only advance")
+      // live_max_event_id monotonicity is NOT an operator invariant (a
+      // later tombstone can delete the key holding the current max live
+      // version without any other key catching up), so it is not
+      // asserted here; read through java.lang.Long so an all-tombstoned
+      // cutoff (NULL max) stays a readable value rather than an NPE.
+      val liveMax = Option(b.getAs[java.lang.Long]("live_max_event_id"))
+      liveMax.foreach(m => assert(m >= 0L, "live version ids are non-negative"))
     }
     rows.foreach { r =>
       assert(r.getAs[Long]("n_keys") ===
