@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup queries over `documents` (LLM-data-pipeline
@@ -361,9 +362,7 @@ object TextQueries {
         .withColumn("ov", expr(s"shingle_overlap(ta, tb, $N)"))
         .select(col("id_a"), col("id_b"),
           col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      graft.util.Ckpt.ensureDir(s.sparkContext)
       val out = scored.checkpoint()
       bands.unpersist()
       out
@@ -393,9 +392,7 @@ object TextQueries {
         graft.graph.ConnectedComponents.label(ver, docs.select(col("doc_id")))
       // truncate lineage + free every cache this computation took: the
       // memoized result must not pin executor storage across queries
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      graft.util.Ckpt.ensureDir(s.sparkContext)
       val out = labels.checkpoint()
       labels.unpersist()
       out
@@ -936,9 +933,7 @@ object TextQueries {
           (expr("(doc_id * 2654435761) % 1000") < 900).cast("long").as("k_train"))
       val flags = split.join(lang, "doc_id").join(qual, "doc_id")
         .join(exact, "doc_id").join(near, "doc_id")
-      if (s.sparkContext.getCheckpointDir.isEmpty)
-        s.sparkContext.setCheckpointDir(
-          new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+      graft.util.Ckpt.ensureDir(s.sparkContext)
       flags.checkpoint()
     }
 
@@ -2625,57 +2620,67 @@ object TextQueries {
     * every production linkage shares: a FIXED blocking alphabet makes
     * in-block pairs quadratic in N (here ~N²/192 — visible as the 10×
     * step ratio rising once pair work dominates fixed cost), so key
-    * selectivity must grow with the corpus — longer prefixes,
-    * composite keys, or rank-windowed blocking (q153's
-    * sorted-neighborhood is the constant-width-per-row form of exactly
-    * that).
+    * selectivity must grow with the corpus. [[q173]] is the scale-safe
+    * twin: the same entities, corruption, verify, and ranking, with
+    * the alphabet blocks replaced by sorted-neighborhood rank windows
+    * whose candidate count per record is constant by construction.
     */
-  val q169 = Q("q169_record_linkage",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val base = Tables(s, dir, "documents")
-        .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
-        .select(col("doc_id"),
-          array_join(slice(split(trim(col("text")), " "), 1, 6), " ").as("title"))
-      val clean = base.filter(length(col("title")) >= 8)
-      val dirty = clean.filter(pmod(col("doc_id"), lit(4)) === 1)
-        .withColumn("h", expr("CAST(conv(substr(md5(CAST(concat('rl#', " +
-          "CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
-        .withColumn("pos", (lit(1) + col("h") % length(col("title"))).cast("int"))
-        .select(col("doc_id").as("d_key"),
-          concat(substring(col("title"), lit(1), col("pos") - lit(1)),
-            col("title").substr(col("pos") + lit(1), length(col("title"))))
-            .as("dtitle"))
-      val c = clean.select(col("doc_id").as("c_key"), col("title"))
-      def blocked(keyD: String, keyC: String) =
-        dirty.withColumn("bk", expr(keyD))
-          .join(c.withColumn("bk", expr(keyC)), "bk")
-          .select(col("d_key"), col("c_key"), col("title"), col("dtitle"))
-      val cand = blocked("substring(dtitle, 1, 3)", "substring(title, 1, 3)")
-        .union(blocked("right(dtitle, 3)", "right(title, 3)"))
-        .distinct()
-      val scored = cand
-        .withColumn("jw", expr("jaro_winkler(title, dtitle)"))
-        .select("d_key", "c_key", "jw")
-      val w = Window.partitionBy("d_key")
-      val ranked = scored
-        .withColumn("rn", row_number().over(w.orderBy(desc("jw"), col("c_key"))))
-        .withColumn("n_cand", count(lit(1)).over(w))
-      ranked.filter(col("rn") === 1)
-        .select(col("d_key"), col("c_key").as("match_key"), col("jw").as("best_jw"),
-          col("n_cand"),
-          (col("c_key") === col("d_key")).cast("int").as("self_match"),
-          (col("jw") >= 0.88).cast("int").as("strong"))
-        .transform(graft.Q.presentSorted(_, "d_key"))
-    },
-    Some {
-      val hashFold =
-        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
-          "list_transform(generate_series(1, 12), g -> " +
-          "CAST(strpos('0123456789abcdef', substr(md5('rl#' || " +
-          "CAST(doc_id AS VARCHAR)), g, 1)) - 1 AS BIGINT))), " +
-          "(acc, x) -> acc * 16 + x)"
-      s"""WITH base AS (
+  /** Shared entity derivation for the linkage pair q169/q173: per-doc
+    * 6-token "title" entities (clean side) and the deterministic
+    * quarter corrupted by one md5-positioned character drop (dirty
+    * side). Returns (clean(c_key, title), dirty(d_key, dtitle)).
+    */
+  private[graft] def linkageCleanDirty(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val base = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .select(col("doc_id"),
+        array_join(slice(split(trim(col("text")), " "), 1, 6), " ").as("title"))
+    val clean = base.filter(length(col("title")) >= 8)
+    val dirty = clean.filter(pmod(col("doc_id"), lit(4)) === 1)
+      .withColumn("h", expr("CAST(conv(substr(md5(CAST(concat('rl#', " +
+        "CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("pos", (lit(1) + col("h") % length(col("title"))).cast("int"))
+      .select(col("doc_id").as("d_key"),
+        concat(substring(col("title"), lit(1), col("pos") - lit(1)),
+          col("title").substr(col("pos") + lit(1), length(col("title"))))
+          .as("dtitle"))
+    (clean.select(col("doc_id").as("c_key"), col("title")), dirty)
+  }
+
+  /** Shared verify + ranking tail for q169/q173: candidates
+    * (d_key, c_key, title, dtitle) → per-dirty best match with
+    * candidate count, self-match flag, and the 0.88 accept flag. The
+    * ranking window partitions by dirty key, so its width is the
+    * per-record candidate count — bounded by the blocking scheme, never
+    * a global sort.
+    */
+  private def linkageBest(cand: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = cand
+      .withColumn("jw", expr("jaro_winkler(title, dtitle)"))
+      .select("d_key", "c_key", "jw")
+    val w = Window.partitionBy("d_key")
+    val ranked = scored
+      .withColumn("rn", row_number().over(w.orderBy(desc("jw"), col("c_key"))))
+      .withColumn("n_cand", count(lit(1)).over(w))
+    ranked.filter(col("rn") === 1)
+      .select(col("d_key"), col("c_key").as("match_key"), col("jw").as("best_jw"),
+        col("n_cand"),
+        (col("c_key") === col("d_key")).cast("int").as("self_match"),
+        (col("jw") >= 0.88).cast("int").as("strong"))
+      .transform(graft.Q.presentSorted(_, "d_key"))
+  }
+
+  /** DuckDB mirror of [[linkageCleanDirty]] (CTEs `clean`, `dirty`). */
+  private val linkageCteSql: String = {
+    val hashFold =
+      "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(generate_series(1, 12), g -> " +
+        "CAST(strpos('0123456789abcdef', substr(md5('rl#' || " +
+        "CAST(doc_id AS VARCHAR)), g, 1)) - 1 AS BIGINT))), " +
+        "(acc, x) -> acc * 16 + x)"
+    s"""WITH base AS (
       SELECT doc_id, array_to_string((string_split(trim(text), ' '))[1:6], ' ') AS title
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), clean AS (
@@ -2687,13 +2692,12 @@ object TextQueries {
         concat(substr(title, 1, CAST(1 + h % len(title) AS INT) - 1),
                substr(title, CAST(1 + h % len(title) AS INT) + 1)) AS dtitle
       FROM dirty0
-    ), cand AS (
-      SELECT d.d_key, c.doc_id AS c_key, c.title, d.dtitle
-      FROM dirty d JOIN clean c ON substr(d.dtitle, 1, 3) = substr(c.title, 1, 3)
-      UNION
-      SELECT d.d_key, c.doc_id, c.title, d.dtitle
-      FROM dirty d JOIN clean c ON right(d.dtitle, 3) = right(c.title, 3)
-    ), scored AS (
+    )"""
+  }
+
+  /** DuckDB mirror of [[linkageBest]] on top of a CTE named `cand`. */
+  private val linkageBestSql: String =
+    """, scored AS (
       SELECT d_key, c_key, jaro_winkler_similarity(title, dtitle) AS jw FROM cand
     ), ranked AS (
       SELECT *,
@@ -2706,7 +2710,102 @@ object TextQueries {
       CAST(CASE WHEN c_key = d_key THEN 1 ELSE 0 END AS INT) AS self_match,
       CAST(CASE WHEN jw >= 0.88 THEN 1 ELSE 0 END AS INT) AS strong
     FROM ranked WHERE rn = 1 ORDER BY d_key"""
-    })
+
+  val q169 = Q("q169_record_linkage",
+    (s, dir) => {
+      val (c, dirty) = linkageCleanDirty(s, dir)
+      def blocked(keyD: String, keyC: String) =
+        dirty.withColumn("bk", expr(keyD))
+          .join(c.withColumn("bk", expr(keyC)), "bk")
+          .select(col("d_key"), col("c_key"), col("title"), col("dtitle"))
+      val cand = blocked("substring(dtitle, 1, 3)", "substring(title, 1, 3)")
+        .union(blocked("right(dtitle, 3)", "right(title, 3)"))
+        .distinct()
+      linkageBest(cand)
+    },
+    Some(s"""$linkageCteSql, cand AS (
+      SELECT d.d_key, c.doc_id AS c_key, c.title, d.dtitle
+      FROM dirty d JOIN clean c ON substr(d.dtitle, 1, 3) = substr(c.title, 1, 3)
+      UNION
+      SELECT d.d_key, c.doc_id, c.title, d.dtitle
+      FROM dirty d JOIN clean c ON right(d.dtitle, 3) = right(c.title, 3)
+    )$linkageBestSql"""))
+
+  // --------------------------------------------------------------- q173
+  private[graft] val SnmLinkW = 12 // rank-window width per pass
+
+  /** Record linkage with SCALE-SAFE blocking — q169's twin, following
+    * the q71/q72 precedent (a width-scaled leg next to a fixed-width
+    * one). q169's first-3/last-3-char blocking keys have FIXED
+    * selectivity, so in-block pairs grow ~N²/192; this leg replaces the
+    * alphabet blocks with sorted-neighborhood rank windows (the q153
+    * machinery pointed at linkage): union the clean titles and dirty
+    * titles into one stream, rank it globally twice — by title and by
+    * REVERSED title (the classic multi-pass SNM answer to a corruption
+    * anywhere in the key: a single character drop preserves either the
+    * prefix order or the suffix order) — and compare each dirty record
+    * only with clean records within rank distance < [[SnmLinkW]] in
+    * either pass. Candidates per dirty record are ≤ 2·(2W−1) BY
+    * CONSTRUCTION — constant, independent of N — so total verify work
+    * is linear in the corpus where q169's is quadratic.
+    *
+    * Scale shape: both global ranks come from [[graft.rel.GlobalRank]]
+    * (range shuffle + per-partition offsets, no single-partition
+    * window); the rank-distance pairing is the q153 bucket trick — rank
+    * div W buckets, clean side replicated to its own ± adjacent buckets
+    * (bounded 3×), ONE equi-join per pass, then the exact distance
+    * filter. Verify + ranking are shared with q169 ([[linkageBest]]),
+    * so blocking recall (self_match rate) is directly comparable
+    * between the fixed-alphabet and rank-windowed legs.
+    */
+  val q173 = Q("q173_record_linkage_snm",
+    (s, dir) => {
+      val (c, dirty) = linkageCleanDirty(s, dir)
+      val stream = c.select(col("c_key").as("id"), lit(0).as("kind"), col("title").as("t"))
+        .unionByName(dirty.select(col("d_key").as("id"), lit(1).as("kind"),
+          col("dtitle").as("t")))
+      def pass(sortKey: org.apache.spark.sql.Column): DataFrame = {
+        val ranked = graft.rel.GlobalRank.withGlobalRank(
+          stream.withColumn("sk", sortKey),
+          Seq(col("sk"), col("kind"), col("id")), "rn")
+          .select("id", "kind", "t", "rn")
+        val d = ranked.filter(col("kind") === 1)
+          .select(col("id").as("d_key"), col("t").as("dtitle"),
+            col("rn").as("rn_d"), expr(s"rn div $SnmLinkW").as("bucket"))
+        val cc = ranked.filter(col("kind") === 0)
+          .select(explode(array(expr(s"rn div $SnmLinkW - 1"),
+              expr(s"rn div $SnmLinkW"), expr(s"rn div $SnmLinkW + 1"))).as("bucket"),
+            col("id").as("c_key"), col("t").as("title"), col("rn").as("rn_c"))
+        d.join(cc, Seq("bucket"))
+          .filter(abs(col("rn_c") - col("rn_d")) < SnmLinkW)
+          .select("d_key", "c_key", "title", "dtitle")
+      }
+      val cand = pass(col("t")).union(pass(reverse(col("t")))).distinct()
+      linkageBest(cand)
+    },
+    // NULLS FIRST pins the rank order to Spark's ascending-nulls-first
+    // default (titles are never null here; the pin is for robustness).
+    Some(s"""$linkageCteSql, stream AS (
+      SELECT doc_id AS id, 0 AS kind, title AS t FROM clean
+      UNION ALL
+      SELECT d_key AS id, 1 AS kind, dtitle AS t FROM dirty
+    ), r1 AS (
+      SELECT id, kind, t,
+        ROW_NUMBER() OVER (ORDER BY t NULLS FIRST, kind, id) - 1 AS rn
+      FROM stream
+    ), r2 AS (
+      SELECT id, kind, t,
+        ROW_NUMBER() OVER (ORDER BY reverse(t) NULLS FIRST, kind, id) - 1 AS rn
+      FROM stream
+    ), cand AS (
+      SELECT d.id AS d_key, c.id AS c_key, c.t AS title, d.t AS dtitle
+      FROM r1 d JOIN r1 c
+        ON d.kind = 1 AND c.kind = 0 AND abs(c.rn - d.rn) < $SnmLinkW
+      UNION
+      SELECT d.id, c.id, c.t, d.t
+      FROM r2 d JOIN r2 c
+        ON d.kind = 1 AND c.kind = 0 AND abs(c.rn - d.rn) < $SnmLinkW
+    )$linkageBestSql"""))
 
   // --------------------------------------------------------------- q172
 
@@ -2734,8 +2833,14 @@ object TextQueries {
     * work is bounded by the per-basket item count (~23 here) and the
     * Apriori pruning.
     */
-  val q172 = Q("q172_frequent_itemsets",
-    (s, dir) => {
+  /** SON mining body, parameterized on the support threshold
+    * supNum/supDen (the gate query q172 fixes 3/5 = 60 %; the scale
+    * probes run lower thresholds where a decorrelated 10× corpus still
+    * yields survivors — PERF.md round 10).
+    */
+  private[graft] def sonItemsets(s: SparkSession, dir: String,
+                                 supNum: Long, supDen: Long): DataFrame = {
+    {
       val sess = s
       import sess.implicits._
       val docs = Tables(s, dir, "documents")
@@ -2745,7 +2850,7 @@ object TextQueries {
         .filter(size(col("items")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nDocs = docs.count()
-      val minsup = (3 * nDocs + 4) / 5 // ceil(0.6·N), exact integers
+      val minsup = (supNum * nDocs + supDen - 1) / supDen // ceil, exact integers
       val cands = docs.select("items").as[Seq[String]].mapPartitions { it =>
         val baskets = it.toArray
         val np = baskets.length.toLong
@@ -2753,20 +2858,24 @@ object TextQueries {
         // quota can't mark everything frequent in a tiny partition)
         val tp = math.max(1L, (minsup * np + nDocs - 1) / nDocs)
         // dense-id counting: the locally-frequent vocabulary indexes a
-        // flat count cube (boxed-string-tuple HashMaps priced this loop
+        // flat PAIR matrix (boxed-string-tuple HashMaps priced this loop
         // at ~6 s of the bench; int arithmetic runs it in well under a
-        // second). The L1 filter bounds the cube side — if a corpus ever
-        // had > 512 locally-frequent tokens the size-3 lattice would be
-        // the wrong algorithm long before the array was (512³ longs =
-        // 1 GiB), so fail loudly rather than degrade silently.
+        // second). Triples are counted in an unboxed-long-keyed sparse
+        // map instead of a dense n1³ cube — they are Apriori-pruned and
+        // sparse, and the cube was the one allocation that could OOM a
+        // task (1 GiB at n1=512) before any require fired. The L1 cap
+        // is now only the pair matrix (2048² longs = 32 MB) and the
+        // honesty guard: past ~2k locally-frequent tokens the size-3
+        // lattice is the wrong algorithm, so fail loudly.
         val sing = scala.collection.mutable.HashMap.empty[String, Long]
         baskets.foreach(_.foreach(t => sing.update(t, sing.getOrElse(t, 0L) + 1L)))
         val l1 = sing.iterator.collect { case (t, c) if c >= tp => t }.toArray.sorted
         val n1 = l1.length
-        require(n1 <= 512,
-          s"q172: $n1 locally-frequent tokens — dense size-3 lattice capped at 512")
+        require(n1 <= 2048,
+          s"q172: $n1 locally-frequent tokens — size-3 lattice capped at 2048")
         val idOf = l1.iterator.zipWithIndex.toMap
         val ids = baskets.map(_.iterator.flatMap(idOf.get).toArray) // sorted ids
+        val nL = n1.toLong
         val pc = new Array[Long](n1 * n1)
         ids.foreach { f =>
           var i = 0
@@ -2777,7 +2886,7 @@ object TextQueries {
           }
         }
         val isL2 = pc.map(_ >= tp)
-        val tc = new Array[Long](n1 * n1 * n1)
+        val tc = new scala.collection.mutable.LongMap[Long]()
         ids.foreach { f =>
           var i = 0
           while (i < f.length) {
@@ -2786,8 +2895,10 @@ object TextQueries {
               if (isL2(f(i) * n1 + f(j))) { // Apriori prune at the pair level
                 var k = j + 1
                 while (k < f.length) {
-                  if (isL2(f(j) * n1 + f(k)) && isL2(f(i) * n1 + f(k)))
-                    tc((f(i) * n1 + f(j)) * n1 + f(k)) += 1L
+                  if (isL2(f(j) * n1 + f(k)) && isL2(f(i) * n1 + f(k))) {
+                    val key = (f(i) * nL + f(j)) * nL + f(k)
+                    tc(key) = tc.getOrElse(key, 0L) + 1L
+                  }
                   k += 1
                 }
               }
@@ -2800,9 +2911,9 @@ object TextQueries {
           (0 until n1 * n1).iterator.collect {
             case p if isL2(p) => Seq(l1(p / n1), l1(p % n1))
           } ++
-          tc.iterator.zipWithIndex.collect {
-            case (c, t) if c >= tp =>
-              Seq(l1(t / (n1 * n1)), l1(t / n1 % n1), l1(t % n1))
+          tc.iterator.collect {
+            case (t, c) if c >= tp =>
+              Seq(l1((t / (nL * nL)).toInt), l1((t / nL % nL).toInt), l1((t % nL).toInt))
           }
         out
       }.toDF("iset").distinct()
@@ -2824,12 +2935,16 @@ object TextQueries {
         .select(size(col("iset")).cast("long").as("k"),
           array_join(col("iset"), ",").as("itemset"), col("support"))
       out.transform(graft.Q.presentSorted(_, "k", "itemset"))
-    },
-    Some("""WITH d AS (
+    }
+  }
+
+  /** DuckDB mirror of [[sonItemsets]] at supNum/supDen. */
+  private[graft] def sonOracleSql(supNum: Long, supDen: Long): String =
+    s"""WITH d AS (
       SELECT doc_id, list_sort(list_distinct(string_split(trim(lower(text)), ' '))) AS items
       FROM documents WHERE text IS NOT NULL AND len(trim(text)) > 0
     ), dd AS (SELECT * FROM d WHERE len(items) > 0),
-    ms AS (SELECT (3 * COUNT(*) + 4) // 5 AS minsup FROM dd),
+    ms AS (SELECT ($supNum * COUNT(*) + $supDen - 1) // $supDen AS minsup FROM dd),
     t AS (SELECT doc_id, unnest(items) AS tok FROM dd),
     s1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY tok),
     p2 AS (
@@ -2849,11 +2964,15 @@ object TextQueries {
       SELECT 2, t1 || ',' || t2, c FROM p2, ms WHERE c >= minsup
       UNION ALL
       SELECT 3, t1 || ',' || t2 || ',' || t3, c FROM p3, ms WHERE c >= minsup
-    ) ORDER BY k, itemset"""))
+    ) ORDER BY k, itemset"""
+
+  val q172 = Q("q172_frequent_itemsets",
+    (s, dir) => sonItemsets(s, dir, 3, 5), // 60 % support, the gate point
+    Some(sonOracleSql(3, 5)))
 
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
-      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169,
+      q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169, q173,
       q172)
 }

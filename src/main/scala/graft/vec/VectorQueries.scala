@@ -374,9 +374,7 @@ object VectorQueries {
   private val xcDotExpr = "dec_dot8(embedding, cvec)"
 
   private def ensureCkptDir(s: SparkSession): Unit =
-    if (s.sparkContext.getCheckpointDir.isEmpty)
-      s.sparkContext.setCheckpointDir(
-        new java.io.File(System.getProperty("java.io.tmpdir"), "graft-ckpt").getAbsolutePath)
+    graft.util.Ckpt.ensureDir(s.sparkContext)
 
   /** (vec_id, clabel, crn): every vector's per-label centroid cells
     * ranked by the exact-decimal distance d2 = ‖c‖² − 2·x·c (ties →
@@ -2772,6 +2770,47 @@ object VectorQueries {
   private val ClBeam = 12  // serving beam width
   private val ClHops = 4   // serving hop count
   private val ClRK = 6     // audited recall depth (recall@ClRK)
+
+  /** One graph-ANN operating point: build degree, NN-descent refinement
+    * rounds, serving beam width, serving hop count.
+    */
+  private[graft] case class ClConfig(degree: Int, rounds: Int, beam: Int, hops: Int)
+
+  /** Measured operating-point anchors (the PERF.md round-9 sweep):
+    * per-label cell size → the config that restored recall@6 ≥ 0.83 at
+    * that scale with visited fraction FALLING (34 % → 10.7 % → 5.3 %).
+    */
+  private val clAnchors: Seq[(Double, ClConfig)] = Seq(
+    200.0 -> ClConfig(16, 1, 12, 4),
+    2000.0 -> ClConfig(24, 2, 16, 5),
+    20000.0 -> ClConfig(32, 2, 48, 10))
+
+  /** The measured re-tune as a FUNCTION — what a fleet user applies when
+    * the corpus grows instead of re-running the sweep: interpolate the
+    * [[clAnchors]] in log10(cell size), the textbook law (degree ∝ log
+    * cell size; beam·hops is the efSearch-style serving-exploration
+    * knob, which the sweep showed must grow FASTER than degree on
+    * uniform in-cell geometry). Below the first anchor the gate config
+    * is already past its recall ceiling, so it clamps; above the last
+    * anchor the final segment's slope extends (each further 10× of cell
+    * size adds the 10×→100× increments).
+    */
+  private[graft] def tunedConfig(n: Long, cells: Int): ClConfig = {
+    val cell = math.max(1.0, n.toDouble / math.max(1, cells))
+    val x = math.log10(cell)
+    val xs = clAnchors.map(a => math.log10(a._1))
+    def interp(f: ClConfig => Int): Int = {
+      val ys = clAnchors.map(a => f(a._2).toDouble)
+      val v =
+        if (x <= xs.head) ys.head
+        else {
+          val i = math.min(xs.length - 2, math.max(0, xs.lastIndexWhere(_ <= x)))
+          ys(i) + (ys(i + 1) - ys(i)) * (x - xs(i)) / (xs(i + 1) - xs(i))
+        }
+      math.round(v).toInt
+    }
+    ClConfig(interp(_.degree), interp(_.rounds), interp(_.beam), interp(_.hops))
+  }
 
   /** Clustered corpus derived DETERMINISTICALLY from the embeddings
     * table: v′ = 0.25·v + offset(label, dim), where offset is the
