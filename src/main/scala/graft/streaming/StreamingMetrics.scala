@@ -434,6 +434,64 @@ object StreamingMetrics {
       }
   }
 
+  case class TtRow(userId: Long, k: Option[Long], day: Long, tsUs: Long,
+                   eventId: Long, isDel: Boolean, value: Option[Double])
+  // per-cutoff candidate; tsUs = Long.MinValue marks "key not yet
+  // present at this cutoff" (avoids Option-inside-Seq in the encoder)
+  case class TtCand(cutoffDay: Long, tsUs: Long, eventId: Long, isDel: Boolean,
+                    value: Option[Double])
+  case class TtState(cands: Seq[TtCand], nOps: Long)
+  case class TtOut(userId: Long, k: Option[Long], cutoffDay: Long, live: Boolean,
+                   value: Option[Double], eventId: Long, nOps: Long)
+
+  /** Streaming time-travel maintenance — q170's streaming twin (the
+    * retained-version state a lakehouse keeps so `VERSION AS OF` stays
+    * answerable on a live CDC feed), completing the lakehouse triple:
+    * q158 MERGE and q162 MV already have streaming twins. Per key,
+    * ONE candidate struct per version cutoff — the max-(tsUs, eventId)
+    * operation whose ingest day precedes that cutoff — held as
+    * `flatMapGroupsWithState` state: O(cutoffs) per key, not
+    * log-length. Every trigger emits the key's current per-cutoff
+    * snapshot rows (exactly the rows q170's conditional max-struct
+    * aggregation unpivots in batch).
+    *
+    * Batch-boundary invariance: each cutoff's candidate is a max under
+    * the total version order (tsUs, eventId) — associative, commutative,
+    * idempotent — so any micro-batch cut converges to the batch q170
+    * reconstruction; the spec proves it against the batch query on the
+    * same events. At fleet scale, pre-aggregate the per-cutoff
+    * conditional max per partition before the stateful shuffle (q170's
+    * own map-side combine), so state updates see ≤ cutoffs candidates
+    * per key per batch.
+    */
+  def streamTimeTravel(rows: Dataset[TtRow],
+                       cuts: Seq[Long] = Seq(19733L, 19743L, 19753L)): Dataset[TtOut] = {
+    implicit val outEnc: Encoder[TtOut] = Encoders.product[TtOut]
+    implicit val stEnc: Encoder[TtState] = Encoders.product[TtState]
+    implicit val keyEnc: Encoder[(Long, Option[Long])] =
+      Encoders.product[(Long, Option[Long])]
+    val cutsI = cuts.toIndexedSeq
+    rows.groupByKey(r => (r.userId, r.k))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Long, Option[Long]), it: Iterator[TtRow], state: GroupState[TtState]) =>
+          var st = state.getOption.getOrElse(TtState(
+            cutsI.map(c => TtCand(c, Long.MinValue, Long.MinValue,
+              isDel = false, None)), 0L))
+          it.foreach { r =>
+            st = TtState(st.cands.map { c =>
+              val newer = r.day < c.cutoffDay &&
+                (r.tsUs > c.tsUs || (r.tsUs == c.tsUs && r.eventId > c.eventId))
+              if (newer) TtCand(c.cutoffDay, r.tsUs, r.eventId, r.isDel, r.value)
+              else c
+            }, st.nOps + 1)
+          }
+          state.update(st)
+          st.cands.iterator.filter(_.tsUs != Long.MinValue).map(c =>
+            TtOut(key._1, key._2, c.cutoffDay, live = !c.isDel,
+              if (c.isDel) None else c.value, c.eventId, st.nOps))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

@@ -414,4 +414,69 @@ class StreamingStateSpec extends SparkTestBase {
       } else assert(o.estDistinct === Some(expectMins.size.toDouble))
     }
   }
+
+  test("streaming time travel converges to the batch q170 reconstruction under any cut") {
+    import StreamingMetrics.{TtOut, TtRow}
+    // q170's own derivation of the changelog rows, collected once
+    val all = Tables(spark, "/root/testdata/sf0.001", "events")
+      .selectExpr("user_id AS userId",
+        "CASE WHEN regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) != '' " +
+          "THEN CAST(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT) END AS k",
+        "(ts div 1000) div 86400000000 AS day", "ts div 1000 AS tsUs",
+        "event_id AS eventId", "event_type = 'error' AS isDel", "value")
+      .as[TtRow].collect().toSeq
+    val cuts = Seq(19733L, 19743L, 19753L)
+
+    def run(cutIdx: Seq[Int], qname: String): Map[(Long, Option[Long], Long), TtOut] = {
+      val dir = Files.createTempDirectory("tt")
+      val parts = slices(all, cutIdx)
+      landDf(dir, "b1.parquet", parts.head.toDF())
+      val stream = spark.readStream.schema(Seq.empty[TtRow].toDF().schema)
+        .parquet(dir.toString).as[TtRow]
+      val q = StreamingMetrics.streamTimeTravel(stream, cuts)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
+        // nOps is strictly monotone per key → max-nOps rows ARE the
+        // final state's per-cutoff snapshot
+        spark.table(qname).as[TtOut].collect()
+          .groupBy(r => (r.userId, r.k, r.cutoffDay))
+          .view.mapValues(_.maxBy(_.nOps)).toMap
+      } finally q.stop()
+    }
+
+    def view(m: Map[(Long, Option[Long], Long), TtOut]) =
+      m.view.mapValues(o => (o.live, o.value, o.eventId)).toMap
+    val a = run(Seq(all.size / 3), "tt_a")
+    val b = run(Seq(2 * all.size / 3), "tt_b")
+    assert(view(a) === view(b), "different micro-batch cuts must converge")
+    val c = run(seededCuts(all.size, 0x17C0L), "tt_c")
+    assert(view(a) === view(c), "randomized multi-batch cut diverged")
+
+    // the converged per-key states roll up to EXACTLY the batch q170
+    // summary (decimal-exact value mass included)
+    val batch = SparkEntry.queries("q170_time_travel_read")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r =>
+      r.getAs[Long]("cutoff_day") ->
+        (r.getAs[Long]("n_keys"), r.getAs[Long]("n_live"), r.getAs[Long]("n_deleted"),
+          Option(r.getAs[Any]("live_value_sum")).map(_.asInstanceOf[Double]),
+          Option(r.getAs[Any]("live_max_event_id")).map(_.asInstanceOf[Long]))).toMap
+    batch.unpersist()
+    val byCut = a.values.toSeq.groupBy(_.cutoffDay)
+    assert(byCut.keySet === expect.keySet)
+    byCut.foreach { case (cut, rows) =>
+      val live = rows.filter(_.live)
+      val mass = live.flatMap(_.value)
+        .map(v => java.math.BigDecimal.valueOf(v)
+          .setScale(8, java.math.RoundingMode.HALF_UP))
+        .reduceOption((x, y) => x.add(y)).map(_.doubleValue())
+      val got = (rows.size.toLong, live.size.toLong, (rows.size - live.size).toLong,
+        mass, live.map(_.eventId).maxOption)
+      assert(got === expect(cut), s"cutoff $cut: streaming state diverged from batch q170")
+    }
+  }
 }
