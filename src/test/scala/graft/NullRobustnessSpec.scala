@@ -62,7 +62,10 @@ class NullRobustnessSpec extends SparkTestBase {
     "q157_suffix_dup_spans", "q158_changelog_snapshot", "q159_zorder_layout_audit",
     // round-9 additions: record linkage (null text → no title), time
     // travel (null props/value), weighted quantiles (null price/quantity)
-    "q169_record_linkage", "q170_time_travel_read", "q171_weighted_quantiles")
+    "q169_record_linkage", "q170_time_travel_read", "q171_weighted_quantiles",
+    // round-10 addition: rank-windowed linkage (null text → no title;
+    // null lang irrelevant — the rank key is the title itself)
+    "q173_record_linkage_snm")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {

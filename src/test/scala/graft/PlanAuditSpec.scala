@@ -461,6 +461,18 @@ class PlanAuditSpec extends SparkTestBase {
       "raw text must not ship through the bucketed candidate join")
   }
 
+  test("q173: rank-windowed linkage is GlobalRank + bucketed equi-joins") {
+    val p = plan("q173_record_linkage_snm")
+    assert(p.contains("_gr_pid"),
+      "both sort passes (title, reversed title) must rank via GlobalRank")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "rank-distance pairing must stay a bucket equi-join, never a range/BNL join")
+    // the verify ranking partitions by the dirty key (bounded by the
+    // constructive candidate cap); nothing may plan an unpartitioned window
+    assert(!p.contains("windowspecdefinition()"),
+      "no global (unpartitioned) window anywhere in the linkage plan")
+  }
+
   test("q157: suffix ranking is GlobalRank rounds — no global window, no gram blowup joins") {
     val p = plan("q157_suffix_dup_spans")
     assert(p.contains("_gr_pid"),
