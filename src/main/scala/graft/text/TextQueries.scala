@@ -2917,21 +2917,46 @@ object TextQueries {
           }
         out
       }.toDF("iset").distinct()
-      val out = docs.crossJoin(broadcast(cands))
+      // GLOBAL L1 refinement before the containment scan. Near the
+      // noise floor the per-partition candidate union INFLATES (every
+      // borderline token crosses the proportional threshold in some
+      // partition — the 100× probe at support 1/125 measured a
+      // docs × candidates scan of 23 minutes against a 410-row
+      // answer), and phase 2's cost is docs × |candidates|. One
+      // linear token count fixes it exactly: candidate singles get
+      // their TRUE support from a hash-joined explode (no containment
+      // scan at all), and anti-monotonicity prunes every pair/triple
+      // with a sub-threshold member before the scan — provably no
+      // frequent itemset is lost (a frequent itemset's members are
+      // frequent), so the output is unchanged.
+      val singleSupport = docs.select(explode(col("items")).as("tok"))
+        .join(broadcast(cands.filter(size(col("iset")) === 1)
+          .select(element_at(col("iset"), 1).as("tok"))), "tok")
+        .groupBy("tok").agg(count(lit(1)).as("support"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val l1Exact = singleSupport.filter(col("support") >= minsup)
+      val bigCands = cands.filter(size(col("iset")) >= 2)
+        .select(col("iset"), explode(col("iset")).as("tok"))
+        .join(broadcast(l1Exact.select("tok")), "tok")
+        .groupBy("iset").agg(count(lit(1)).as("nm"))
+        .filter(col("nm") === size(col("iset")))
+        .select("iset")
+      val bigOut = docs.crossJoin(broadcast(bigCands))
         // containment as SHORT-CIRCUITING codegen'd array_contains
-        // conjuncts (itemsets are ≤ 3 tokens): most (doc, candidate)
+        // conjuncts (itemsets are 2–3 tokens): most (doc, candidate)
         // pairs fail on the first missing token, so the scan×candidates
         // filter prices at one probe per miss — a forall/array_contains
         // lambda (interpreted) or array_intersect (builds a set per
         // pair) measured 3–5× slower here
         .filter(
           array_contains(col("items"), element_at(col("iset"), 1)) &&
-          (size(col("iset")) < 2 ||
-            array_contains(col("items"), element_at(col("iset"), 2))) &&
+          array_contains(col("items"), element_at(col("iset"), 2)) &&
           (size(col("iset")) < 3 ||
             array_contains(col("items"), element_at(col("iset"), 3))))
         .groupBy("iset").agg(count(lit(1)).as("support"))
         .filter(col("support") >= minsup)
+      val out = l1Exact.select(array(col("tok")).as("iset"), col("support"))
+        .unionByName(bigOut)
         .select(size(col("iset")).cast("long").as("k"),
           array_join(col("iset"), ",").as("itemset"), col("support"))
       out.transform(graft.Q.presentSorted(_, "k", "itemset"))

@@ -55,6 +55,37 @@ class Round10OpsSpec extends SparkTestBase {
       s"q173 resolved ${rows.size} dirty records vs q169's $q169n — coverage dropped")
   }
 
+  test("q172 SON body at a non-gate threshold equals the brute-force lattice") {
+    // 50 % support exercises a different phase-1 partition threshold and
+    // the round-10 global-L1 refinement path (exact single counts +
+    // anti-monotone pruning before the containment scan); the oracle
+    // gate only ever sees 60 %
+    val out = TextQueries.sonItemsets(spark, dir, 1, 2).collect()
+      .map(r => (r.getAs[String]("itemset"), r.getAs[Long]("support"))).toMap
+    val baskets = Tables(spark, dir, "documents")
+      .selectExpr("array_sort(array_distinct(split(trim(lower(text)), ' '))) AS items")
+      .filter(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("items")) > 0)
+      .collect().map(_.getSeq[String](0).toIndexedSeq)
+    val minsup = (baskets.length + 1) / 2
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    def bump(k: String): Unit = counts.update(k, counts.getOrElse(k, 0L) + 1L)
+    baskets.foreach { b =>
+      for (i <- b.indices) {
+        bump(b(i))
+        for (j <- i + 1 until b.size) {
+          bump(s"${b(i)},${b(j)}")
+          for (k <- j + 1 until b.size) bump(s"${b(i)},${b(j)},${b(k)}")
+        }
+      }
+    }
+    val expect = counts.filter(_._2 >= minsup).toMap
+    assert(out === expect,
+      s"SON answer (${out.size} itemsets) != brute force (${expect.size})")
+    assert(expect.exists(_._1.count(_ == ',') == 2),
+      "the fixture must exercise triples at this threshold")
+  }
+
   test("q168 tuned-config law reproduces the measured sweep anchors exactly") {
     import VectorQueries.{tunedConfig, ClConfig}
     // the three swept operating points (PERF.md round 9): cell size
