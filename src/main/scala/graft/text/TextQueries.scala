@@ -2648,18 +2648,25 @@ object TextQueries {
     (clean.select(col("doc_id").as("c_key"), col("title")), dirty)
   }
 
-  /** Shared verify + ranking tail for q169/q173: candidates
-    * (d_key, c_key, title, dtitle) → per-dirty best match with
-    * candidate count, self-match flag, and the 0.88 accept flag. The
-    * ranking window partitions by dirty key, so its width is the
-    * per-record candidate count — bounded by the blocking scheme, never
-    * a global sort.
+  /** Shared verify + ranking tail for q169/q173: per-leg SCORED
+    * candidates (d_key, c_key, jw) → per-dirty best match with
+    * candidate count, self-match flag, and the 0.88 accept flag.
+    *
+    * The JW score is computed map-side INSIDE each blocking leg and
+    * only (long, long, double) rides the union + distinct exchange —
+    * never the title strings. At 100× (500 k entities, ~180 M
+    * candidate pairs) the string-carrying variant spent its 30 CPU-min
+    * hashing/shipping titles through the dedup shuffle; jw is
+    * functionally dependent on the pair, so distinct-on-the-triple ≡
+    * distinct-on-the-pair and a duplicated pair costs one extra
+    * map-side kernel eval instead of a wide exchange row. The ranking
+    * window partitions by dirty key, so its width is the per-record
+    * candidate count — bounded by the blocking scheme, never a global
+    * sort.
     */
-  private def linkageBest(cand: DataFrame): DataFrame = {
+  private def linkageBest(scoredLegs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = cand
-      .withColumn("jw", expr("jaro_winkler(title, dtitle)"))
-      .select("d_key", "c_key", "jw")
+    val scored = scoredLegs.distinct()
     val w = Window.partitionBy("d_key")
     val ranked = scored
       .withColumn("rn", row_number().over(w.orderBy(desc("jw"), col("c_key"))))
@@ -2717,11 +2724,11 @@ object TextQueries {
       def blocked(keyD: String, keyC: String) =
         dirty.withColumn("bk", expr(keyD))
           .join(c.withColumn("bk", expr(keyC)), "bk")
-          .select(col("d_key"), col("c_key"), col("title"), col("dtitle"))
-      val cand = blocked("substring(dtitle, 1, 3)", "substring(title, 1, 3)")
-        .union(blocked("right(dtitle, 3)", "right(title, 3)"))
-        .distinct()
-      linkageBest(cand)
+          .select(col("d_key"), col("c_key"),
+            expr("jaro_winkler(title, dtitle)").as("jw"))
+      linkageBest(
+        blocked("substring(dtitle, 1, 3)", "substring(title, 1, 3)")
+          .union(blocked("right(dtitle, 3)", "right(title, 3)")))
     },
     Some(s"""$linkageCteSql, cand AS (
       SELECT d.d_key, c.doc_id AS c_key, c.title, d.dtitle
@@ -2778,10 +2785,10 @@ object TextQueries {
             col("id").as("c_key"), col("t").as("title"), col("rn").as("rn_c"))
         d.join(cc, Seq("bucket"))
           .filter(abs(col("rn_c") - col("rn_d")) < SnmLinkW)
-          .select("d_key", "c_key", "title", "dtitle")
+          .select(col("d_key"), col("c_key"),
+            expr("jaro_winkler(title, dtitle)").as("jw"))
       }
-      val cand = pass(col("t")).union(pass(reverse(col("t")))).distinct()
-      linkageBest(cand)
+      linkageBest(pass(col("t")).union(pass(reverse(col("t")))))
     },
     // NULLS FIRST pins the rank order to Spark's ascending-nulls-first
     // default (titles are never null here; the pin is for robustness).
