@@ -492,6 +492,69 @@ object StreamingMetrics {
       }
   }
 
+  case class LinkRow(dKey: Long, dtitle: String)
+  case class LinkState(bestJw: Double, matchKey: Long, nCand: Long)
+  case class LinkOut(dKey: Long, matchKey: Long, bestJw: Double, nCand: Long,
+                     selfMatch: Boolean, strong: Boolean)
+
+  /** Streaming record linkage — the q169 family's streaming leg: a
+    * stream of dirty entity titles resolves against the STATIC clean
+    * entity table (the reference side a production linkage holds as an
+    * index) through the same multi-pass blocking (first-3 ∪ last-3 char
+    * keys as one exploded stream-static equi-join) and the same
+    * bit-exact `jaro_winkler` verify as the batch query, then a
+    * per-dirty-key running best as `flatMapGroupsWithState` state —
+    * O(1) per key: (best jw, match key, candidate count).
+    *
+    * The blocking keys are PASS-TAGGED ("p:" prefix / "s:" suffix) so
+    * the one exploded equi-join reproduces exactly the batch's
+    * prefix-with-prefix ∪ suffix-with-suffix candidate set, never a
+    * cross-pass match. Candidate dedup (a pair found by both passes)
+    * happens inside the trigger's group iterator — a dirty record's
+    * candidates all arrive in its own micro-batch, so in-trigger
+    * dedup plus the associative + commutative state merge (max by
+    * (jw, −key), distinct-candidate count sum) makes any micro-batch
+    * cut of the dirty stream converge to the batch q169 row for that
+    * key — the spec proves the equality. (Re-delivery of a whole dirty
+    * record in a later trigger would re-count its candidates; the
+    * at-most-once cut model is the contract here, as in the other
+    * twins.)
+    */
+  def streamLinkage(dirty: Dataset[LinkRow],
+                    clean: org.apache.spark.sql.DataFrame): Dataset[LinkOut] = {
+    graft.functions.JaroWinkler.ensureRegistered(dirty.sparkSession)
+    implicit val outEnc: Encoder[LinkOut] = Encoders.product[LinkOut]
+    implicit val stEnc: Encoder[LinkState] = Encoders.product[LinkState]
+    val cand = dirty
+      .select(col("dKey"), col("dtitle"),
+        explode(array(expr("concat('p:', substring(dtitle, 1, 3))"),
+          expr("concat('s:', right(dtitle, 3))"))).as("bk"))
+      .join(clean.select(col("c_key").as("cKey"), col("title"),
+        explode(array(expr("concat('p:', substring(title, 1, 3))"),
+          expr("concat('s:', right(title, 3))"))).as("bk")), "bk")
+      .select(col("dKey"), col("cKey"),
+        expr("jaro_winkler(title, dtitle)").as("jw"))
+    cand.groupByKey(_.getAs[Long]("dKey"))(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (dKey: Long, it: Iterator[org.apache.spark.sql.Row], state: GroupState[LinkState]) =>
+          var st = state.getOption.getOrElse(LinkState(-1.0, Long.MaxValue, 0L))
+          val seen = scala.collection.mutable.HashSet.empty[Long]
+          it.foreach { r =>
+            val cKey = r.getAs[Long]("cKey")
+            if (seen.add(cKey)) { // both passes can surface the same pair
+              val jw = r.getAs[Double]("jw")
+              val better = jw > st.bestJw || (jw == st.bestJw && cKey < st.matchKey)
+              st = LinkState(if (better) jw else st.bestJw,
+                if (better) cKey else st.matchKey, st.nCand + 1L)
+            }
+          }
+          state.update(st)
+          if (st.nCand == 0L) Iterator.empty
+          else Iterator.single(LinkOut(dKey, st.matchKey, st.bestJw, st.nCand,
+            st.matchKey == dKey, st.bestJw >= 0.88))
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

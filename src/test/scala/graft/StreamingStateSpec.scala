@@ -415,6 +415,50 @@ class StreamingStateSpec extends SparkTestBase {
     }
   }
 
+  test("streaming record linkage converges to the batch q169 best matches under any cut") {
+    import StreamingMetrics.{LinkOut, LinkRow}
+    val (clean, dirtyDf) =
+      graft.text.TextQueries.linkageCleanDirty(spark, "/root/testdata/sf0.001")
+    val cleanStatic = clean.cache() // the static reference side
+    val all = dirtyDf.selectExpr("d_key AS dKey", "dtitle").as[LinkRow].collect().toSeq
+
+    def run(cuts: Seq[Int], qname: String): Map[Long, LinkOut] = {
+      val dir = Files.createTempDirectory("rl")
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
+      val stream = spark.readStream.schema(Seq.empty[LinkRow].toDF().schema)
+        .parquet(dir.toString).as[LinkRow]
+      val q = StreamingMetrics.streamLinkage(stream, cleanStatic)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
+        spark.table(qname).as[LinkOut].collect()
+          .groupBy(_.dKey).view.mapValues(_.maxBy(_.nCand)).toMap
+      } finally q.stop()
+    }
+
+    def view(m: Map[Long, LinkOut]) = m.view.mapValues(o =>
+      (o.matchKey, o.bestJw, o.nCand, o.selfMatch, o.strong)).toMap
+    val a = run(Seq(all.size / 2), "rl_a")
+    val c = run(seededCuts(all.size, 0x169AL), "rl_c")
+    assert(view(a) === view(c), "randomized multi-batch cut diverged")
+
+    // the streamed best matches ARE the batch q169 rows — same blocking,
+    // same kernel, same tie-breaks, same distinct-candidate counts
+    val batch = SparkEntry.queries("q169_record_linkage")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r => r.getAs[Long]("d_key") ->
+      (r.getAs[Long]("match_key"), r.getAs[Double]("best_jw"),
+        r.getAs[Long]("n_cand"), r.getAs[Int]("self_match") == 1,
+        r.getAs[Int]("strong") == 1)).toMap
+    batch.unpersist()
+    assert(view(a) === expect, "streaming linkage diverged from batch q169")
+    cleanStatic.unpersist()
+  }
+
   test("streaming time travel converges to the batch q170 reconstruction under any cut") {
     import StreamingMetrics.{TtOut, TtRow}
     // q170's own derivation of the changelog rows, collected once
