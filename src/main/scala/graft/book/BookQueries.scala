@@ -511,5 +511,69 @@ object BookQueries {
     },
     headline = true)
 
-  def all: Seq[Q] = Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47, q50)
+  // ------------------------------------------------- q176: OHLC time bars
+  /** Time-bar aggregation — the resampling step every irregular tick
+    * stream pays before downstream modeling (the reference computes all
+    * series metrics at tick granularity; bars are the missing rollup,
+    * cf. `metrics_cli.py` operating on raw rows). Per (sym, hour):
+    * open/close via `min_by`/`max_by` on the unique `seq` (deterministic
+    * — no window, no sort), high/low as plain max/min, tick count, L1
+    * volume as an exact long sum, and bar VWAP via the decimal-exact
+    * recipe ([[graft.Exact]]).
+    *
+    * Scale shape: ONE partial-aggregable groupBy over (sym, bar) — every
+    * aggregate here (min_by/max_by/min/max/sum) map-side combines, so a
+    * 100 TB tick table reduces to bar-cardinality state per executor
+    * before the single shuffle. That is the whole plan: no window means
+    * no per-key sort, which is what makes bars cheaper than any of the
+    * §2.5 series metrics at fleet scale.
+    */
+  val q176 = Q("q176_ohlc_bars",
+    (s, dir) => {
+      val barUs = 3600000000L // 1-hour bars, ts_us grid
+      val b = bookDf(s, dir)
+        .withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+        .filter(col("mid").isNotNull)
+        .withColumn("bar", expr(s"ts_us div $barUs"))
+        .withColumn("vol",
+          (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+            .cast("long"))
+      b.groupBy("sym", "bar")
+        .agg(
+          min_by(col("mid"), col("seq")).as("open"),
+          max("mid").as("high"),
+          min("mid").as("low"),
+          max_by(col("mid"), col("seq")).as("close"),
+          count(lit(1)).as("n_ticks"),
+          sum("vol").as("l1_volume"),
+          Exact.sumExactR(col("mid") * col("vol"), 6, 6).as("pv"))
+        .withColumn("bar_vwap",
+          when(col("l1_volume") > 0, col("pv") / col("l1_volume")))
+        .select("sym", "bar", "open", "high", "low", "close", "n_ticks",
+          "l1_volume", "bar_vwap")
+        .orderBy("sym", "bar")
+    },
+    Some(withCte(s""",
+    m AS (
+      SELECT sym, seq, ts_us // 3600000000 AS bar, ${BookSql.mid} AS mid,
+        CAST(COALESCE(bid1_size, 0.0::DOUBLE) + COALESCE(ask1_size, 0.0::DOUBLE) AS BIGINT) AS vol
+      FROM book
+      WHERE ${BookSql.mid} IS NOT NULL
+    ), agg AS (
+      SELECT sym, bar,
+        arg_min(mid, seq) AS open,
+        MAX(mid) AS high,
+        MIN(mid) AS low,
+        arg_max(mid, seq) AS close,
+        COUNT(*) AS n_ticks,
+        CAST(SUM(vol) AS BIGINT) AS l1_volume,
+        ${Exact.sumExactRSql("mid * vol", 6, 6)} AS pv
+      FROM m GROUP BY sym, bar
+    )
+    SELECT sym, bar, open, high, low, close, n_ticks, l1_volume,
+      CASE WHEN l1_volume > 0 THEN pv / l1_volume END AS bar_vwap
+    FROM agg ORDER BY sym, bar""")))
+
+  def all: Seq[Q] =
+    Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47, q50, q176)
 }

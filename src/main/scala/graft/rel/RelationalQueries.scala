@@ -2057,8 +2057,83 @@ object RelationalQueries {
       CAST(t.target_w AS BIGINT) AS target_w, t.total_w
     FROM tgt t ORDER BY l_returnflag, pm"""))
 
+  // --------------------------------------------------------------- q175
+  /** Small-file compaction planner — the lakehouse OPTIMIZE leg the
+    * MERGE/MV/layout/time-travel family (q158/q162/q159/q170) was
+    * missing. Simulates a partitioned table's file manifest (one file
+    * per (ship-month, suppkey-bucket), integer byte sizes derived from
+    * the rows), derives a scale-invariant target (4× the mean file
+    * size, one global integer), and plans the rewrite: within each
+    * partition, files sorted largest-first are striped into output bins
+    * by cumulative-offset division — next-fit on a sorted stream, the
+    * single-pass plan that needs no sequential bin state (classic FFD
+    * needs a mutable bin list; offset-striping is its shuffle-free
+    * approximation and is what table services actually run, cf. Iceberg
+    * BinPackStrategy / Delta OPTIMIZE).
+    *
+    * Scale shape: the only data-sized stage is the manifest aggregation
+    * (ONE partial-aggregable shuffle on (part, file)); everything after
+    * — target scalar, per-partition cumsum window, bin rollup — runs on
+    * the MANIFEST, which is metadata-sized (files, not rows; a 100 TB
+    * table is ~10⁵ files). The planner's window partitions by table
+    * partition, so planning parallelizes across partitions and no
+    * single-partition global sort exists. In production the manifest
+    * comes free from the table format's metadata layer; the row-derived
+    * manifest here stands in so the oracle can verify the PLAN exactly.
+    */
+  val q175 = Q("q175_compaction_planner",
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val manifest = li
+        .withColumn("part",
+          (year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long"))
+        .withColumn("fk", col("l_suppkey") % 16)
+        .groupBy("part", "fk")
+        .agg((count(lit(1)) * 64 + sum(col("l_quantity").cast("long"))).as("bytes"))
+      val tgt = manifest.agg(expr("(sum(bytes) div count(1)) * 4").as("target"))
+      val w = Window.partitionBy("part").orderBy(desc("bytes"), col("fk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val binned = manifest.crossJoin(broadcast(tgt))
+        .withColumn("cum", sum("bytes").over(w))
+        .withColumn("bin", expr("(cum - bytes) div target"))
+      val bins = binned.groupBy("part", "target", "bin")
+        .agg(count(lit(1)).as("bf"), sum("bytes").as("bb"),
+          sum(when(col("bytes") * 2 < col("target"), 1L).otherwise(0L)).as("sf"))
+      bins.groupBy("part", "target")
+        .agg(sum("bf").as("n_files"), sum("sf").as("n_small_files"),
+          count(lit(1)).as("n_bins"), sum("bb").as("bytes_total"),
+          max("bb").as("max_bin_bytes"), min("bb").as("min_bin_bytes"))
+        .select(col("part"), col("n_files"), col("n_small_files"), col("n_bins"),
+          col("bytes_total"), col("max_bin_bytes"), col("min_bin_bytes"),
+          col("target").as("target_bytes"))
+        .orderBy("part")
+    },
+    Some("""WITH manifest AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS part,
+             l_suppkey % 16 AS fk,
+             CAST(COUNT(*) * 64 + SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS bytes
+      FROM lineitem GROUP BY 1, 2
+    ), tgt AS (
+      SELECT (CAST(SUM(bytes) AS BIGINT) // COUNT(*)) * 4 AS target FROM manifest
+    ), binned AS (
+      SELECT m.part, m.bytes, t.target,
+        CAST(SUM(m.bytes) OVER (PARTITION BY m.part ORDER BY m.bytes DESC, m.fk
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      FROM manifest m, tgt t
+    ), bins AS (
+      SELECT part, target, (cum - bytes) // target AS bin,
+        CAST(COUNT(*) AS BIGINT) AS bf, CAST(SUM(bytes) AS BIGINT) AS bb,
+        CAST(SUM(CASE WHEN bytes * 2 < target THEN 1 ELSE 0 END) AS BIGINT) AS sf
+      FROM binned GROUP BY part, target, bin
+    )
+    SELECT part, CAST(SUM(bf) AS BIGINT) AS n_files,
+      CAST(SUM(sf) AS BIGINT) AS n_small_files,
+      CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(bb) AS BIGINT) AS bytes_total,
+      MAX(bb) AS max_bin_bytes, MIN(bb) AS min_bin_bytes, target AS target_bytes
+    FROM bins GROUP BY part, target ORDER BY part"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170, q171)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170, q171, q175)
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1135,8 +1136,12 @@ object PipelineQueries {
     * partial-aggregable, the (D, N) scalars broadcast, top-10 is a
     * per-query window over ≤ matched docs.
     */
-  val q86 = Q("q86_bm25_topk",
-    (s, dir) => {
+  /** Shared BM25 scoring leg (q86 and the q174 hybrid fusion): the
+    * integer-exact Robertson scores per (query_id, doc_id) — see the
+    * q86 scaladoc above for the rational-arithmetic derivation. The
+    * SQL twin is [[bm25CteSql]]; edit them together.
+    */
+  private[text] def bm25ByQuery(s: SparkSession, dir: String): DataFrame = {
       val docs = Tables(s, dir, "documents")
       val terms = Seq(1 -> Seq("table", "scan"), 2 -> Seq("spark", "query"),
         3 -> Seq("merge", "batch"))
@@ -1161,15 +1166,30 @@ object PipelineQueries {
           "idf_scaled * ((44 * tf * big_d * 1000) div " +
             "(20 * tf * big_d + 6 * big_d + 18 * dl * n_docs))"))
         .join(broadcast(qdf), Seq("term"))
-      val byQuery = scored.groupBy("query_id", "doc_id")
+      scored.groupBy("query_id", "doc_id")
         .agg(sum("term_score").as("score"), count(lit(1)).as("n_terms_hit"))
+  }
+
+  val q86 = Q("q86_bm25_topk",
+    (s, dir) => {
+      val byQuery = bm25ByQuery(s, dir)
       val w = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
       byQuery.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 10)
         .select("query_id", "rnk", "doc_id", "score", "n_terms_hit")
         .orderBy("query_id", "rnk")
     },
-    Some(s"""WITH qt AS (
+    Some(s"""WITH $bm25CteSql, r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+      FROM byq
+    )
+    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
+    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+
+  /** DuckDB mirror of [[bm25ByQuery]] as a WITH-chain ending in
+    * `byq(query_id, doc_id, score, n_terms_hit)`.
+    */
+  private[text] lazy val bm25CteSql: String = s"""qt AS (
       SELECT * FROM (VALUES (1, 'table'), (1, 'scan'), (2, 'spark'), (2, 'query'),
         (3, 'merge'), (3, 'batch')) AS t(query_id, term)
     ), base AS (
@@ -1200,12 +1220,100 @@ object PipelineQueries {
       SELECT query_id, doc_id, CAST(SUM(term_score) AS BIGINT) AS score,
         COUNT(*) AS n_terms_hit
       FROM scored GROUP BY query_id, doc_id
-    ), r AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-      FROM byq
+    )"""
+
+  // --------------------------------------------------------------- q174
+  /** Hybrid retrieval with reciprocal-rank fusion — the step a RAG /
+    * training-data retrieval pipeline runs on top of its two index legs
+    * (Cormack–Clarke–Büttcher, SIGIR'09): the BM25 lexical leg
+    * ([[bm25ByQuery]], integer-exact) and a dense cosine leg over the
+    * aligned embeddings (doc_id = vec_id, exact decimal dot products as
+    * in q36), each truncated to its top-50 ranks, fused by
+    * RRF(d) = Σ_legs 1/(60 + rank_leg(d)) at integer fixed-point
+    * (10⁶ div (60 + rank) — engine-exact, no float rank math).
+    *
+    * Scale design: fusion consumes RANKS ONLY, so each leg is free to
+    * be whatever index the corpus size demands — the brute-force dense
+    * leg here is the gate-scale choice; at fleet scale you swap in the
+    * IVF (q44) or clustered-graph (q168) leg unchanged, because the
+    * fused frame is (query, doc, rank): k·|queries| rows per leg, never
+    * corpus-sized. The lexical leg prunes to query terms BEFORE any
+    * shuffle; the full-outer rank join and re-rank run on 2·k rows per
+    * query.
+    */
+  val q174 = Q("q174_hybrid_rrf_fusion",
+    (s, dir) => {
+      graft.functions.DecDot8.ensureRegistered(s)
+      val K = 50
+      val lexW = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+      val lex = bm25ByQuery(s, dir)
+        .withColumn("lex_rnk", row_number().over(lexW).cast("long"))
+        .filter(col("lex_rnk") <= K)
+        .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rnk"))
+      val en = Tables(s, dir, "embeddings")
+        .withColumn("n2", expr("dec_dot8(embedding, embedding)"))
+      val qv = en.filter(col("vec_id").between(1, 3))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+      val cv = en.select(col("vec_id").as("doc_id"), col("embedding").as("ce"), col("n2").as("cn2"))
+      val denseW = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("doc_id"))
+      val dense = broadcast(qv).join(cv, col("doc_id") =!= col("query_id"))
+        .withColumn("dot", expr("dec_dot8(qe, ce)"))
+        .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
+          col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
+        .withColumn("dense_rnk", row_number().over(denseW).cast("long"))
+        .filter(col("dense_rnk") <= K)
+        .select("query_id", "doc_id", "dense_rnk")
+      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+        .withColumn("rrf_scaled",
+          coalesce(expr("1000000 div (60 + lex_rnk)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + dense_rnk)"), lit(0L)))
+      val w = Window.partitionBy("query_id").orderBy(desc("rrf_scaled"), col("doc_id"))
+      fused.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("query_id", "rnk", "doc_id", "rrf_scaled", "lex_rnk", "dense_rnk")
+        .orderBy("query_id", "rnk")
+    },
+    Some(s"""WITH $bm25CteSql, lexr AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rnk FROM (
+        SELECT query_id, doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+        FROM byq)
+      WHERE lex_rnk <= 50
+    ), en AS (
+      SELECT vec_id, embedding,
+        CAST(list_sum(list_transform(embedding, x ->
+          CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE) AS n2
+      FROM embeddings
+    ), dp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS doc_id, q.n2 AS qn2, c.n2 AS cn2,
+        CAST(list_sum(list_transform(list_zip(q.embedding, c.embedding), p ->
+          CAST(round(CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE), 8) AS DECIMAL(38,8)))) AS DOUBLE) AS dot
+      FROM en q JOIN en c ON c.vec_id != q.vec_id
+      WHERE q.vec_id BETWEEN 1 AND 3
+    ), dsc AS (
+      SELECT query_id, doc_id,
+        CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+      FROM dp
+    ), dense AS (
+      SELECT query_id, doc_id, dense_rnk FROM (
+        SELECT query_id, doc_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rnk
+        FROM dsc)
+      WHERE dense_rnk <= 50
+    ), fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rnk, d.dense_rnk,
+             COALESCE(1000000 // (60 + l.lex_rnk), 0) +
+               COALESCE(1000000 // (60 + d.dense_rnk), 0) AS rrf_scaled
+      FROM lexr l FULL OUTER JOIN dense d
+        ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+    ), rr AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rnk
+      FROM fused
     )
-    SELECT query_id, CAST(rnk AS BIGINT) AS rnk, doc_id, score, n_terms_hit
-    FROM r WHERE rnk <= 10 ORDER BY query_id, rnk"""))
+    SELECT query_id, rnk, doc_id, rrf_scaled, lex_rnk, dense_rnk
+    FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk"""))
 
   // ---------------------------------------------------------------- q87
   /** Positional phrase search — the inverted-index build q86's bag-of-
@@ -2543,5 +2651,5 @@ object PipelineQueries {
   def all: Seq[Q] =
     Seq(q58, q59, q60, q61, q62, q63, q64, q66, q74, q75, q76, q78, q79, q80,
       q82, q83, q86, q87, q88, q89, q90, q91, q95, q96, q97, q98, q101, q107,
-      q113, q115, q154, q155, q157, q164)
+      q113, q115, q154, q155, q157, q164, q174)
 }

@@ -3002,9 +3002,104 @@ object TextQueries {
     (s, dir) => sonItemsets(s, dir, 3, 5), // 60 % support, the gate point
     Some(sonOracleSql(3, 5)))
 
+  // --------------------------------------------------------------- q177
+  /** Triangle count + transitivity of the near-dup graph — the local-
+    * density audit q126's component-level stats can't see (a loose chain
+    * of borderline pairs and a tight clique have the same n_nodes/
+    * n_edges at density < 1; triangles separate them, and transitivity
+    * is the standard measure of how "clique-like" each dup group is —
+    * i.e. whether keep-one-per-group is safe or the group is a chain of
+    * unrelated docs glued by hub false-positives).
+    *
+    * Scale design: DEGREE-ORDERED wedge enumeration (Chiba–Nishizeki /
+    * Schank's forward algorithm). Each verified edge is oriented from
+    * its (degree, id)-smaller endpoint, wedges are enumerated only from
+    * the two out-edges of a common source, and the closing edge is a
+    * hash-join lookup. Work is Σ outdeg² where outdeg is bounded by
+    * graph arboricity — O(m^{3/2}) worst case and far less on dedup
+    * graphs — instead of Σ deg² of the naive wedge join, which a hub
+    * node (one doc near-duplicating thousands) turns quadratic. Both
+    * orientation and wedge join are equi-joins on ids; nothing leaves
+    * the executors.
+    */
+  val q177 = Q("q177_dup_graph_triangles",
+    (s, dir) => {
+      val edges = dedupEdges(s, dir) // distinct, id_a < id_b
+      val labels = dedupGroups(s, dir)
+      val esym = edges.select(col("id_a").as("u"), col("id_b").as("v"))
+        .union(edges.select(col("id_b").as("u"), col("id_a").as("v")))
+      val deg = esym.groupBy("u").agg(count(lit(1)).as("deg"))
+      // total (degree, id) order packed into one long join key: doc ids
+      // and degrees both stay far below 1e8 at every tested scale
+      val ok = deg.select(col("u").as("id"),
+        (col("deg") * lit(100000000L) + col("u")).as("okey"))
+      val o = edges
+        .join(ok.select(col("id").as("id_a"), col("okey").as("ka")), "id_a")
+        .join(ok.select(col("id").as("id_b"), col("okey").as("kb")), "id_b")
+        .select(
+          when(col("ka") < col("kb"), col("id_a")).otherwise(col("id_b")).as("src"),
+          when(col("ka") < col("kb"), col("id_b")).otherwise(col("id_a")).as("dst"),
+          greatest(col("ka"), col("kb")).as("kd"))
+      val tri = o.as("x").join(o.as("y"),
+          col("x.src") === col("y.src") && col("x.kd") < col("y.kd"))
+        .select(col("x.dst").as("src"), col("y.dst").as("dst"))
+        .join(o.select("src", "dst"), Seq("src", "dst"))
+        .join(labels.select(col("doc_id").as("src"), col("comp").as("g")), "src")
+        .groupBy("g").agg(count(lit(1)).as("n_triangles"))
+      val wed = deg
+        .join(labels.select(col("doc_id").as("u"), col("comp").as("g")), "u")
+        .groupBy("g").agg(expr("sum(deg * (deg - 1) div 2)").as("n_wedges"))
+      val nodes = labels.groupBy(col("comp").as("g"))
+        .agg(count(lit(1)).as("n_nodes")).filter(col("n_nodes") >= 2)
+      val edgeCnt = edges
+        .join(labels.select(col("doc_id").as("id_a"), col("comp").as("g")), "id_a")
+        .groupBy("g").agg(count(lit(1)).as("n_edges"))
+      nodes.join(edgeCnt, "g")
+        .join(tri, Seq("g"), "left").join(wed, Seq("g"), "left")
+        .select(col("g").as("group_id"), col("n_nodes"), col("n_edges"),
+          coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+          coalesce(col("n_wedges"), lit(0L)).as("n_wedges"),
+          when(coalesce(col("n_wedges"), lit(0L)) > 0,
+            expr("3000 * coalesce(n_triangles, 0) div n_wedges")).as("transitivity_permille"))
+        .orderBy("group_id")
+    },
+    Some(s"""$dedupCteSql, deg AS (
+      SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM esym GROUP BY src
+    ), ok AS (
+      SELECT id, deg * 100000000 + id AS okey FROM deg
+    ), o AS (
+      SELECT CASE WHEN a.okey < b.okey THEN v.id_a ELSE v.id_b END AS src,
+             CASE WHEN a.okey < b.okey THEN v.id_b ELSE v.id_a END AS dst,
+             greatest(a.okey, b.okey) AS kd
+      FROM ver v JOIN ok a ON a.id = v.id_a JOIN ok b ON b.id = v.id_b
+    ), trig AS (
+      SELECT c.group_id AS g, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM o x JOIN o y ON x.src = y.src AND x.kd < y.kd
+      JOIN o z ON z.src = x.dst AND z.dst = y.dst
+      JOIN comp c ON c.doc_id = x.dst
+      GROUP BY c.group_id
+    ), wed AS (
+      SELECT c.group_id AS g, CAST(SUM(d.deg * (d.deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg d JOIN comp c ON c.doc_id = d.id GROUP BY c.group_id
+    ), nodes AS (
+      SELECT group_id AS g, CAST(COUNT(*) AS BIGINT) AS n_nodes
+      FROM comp GROUP BY group_id HAVING COUNT(*) >= 2
+    ), ec AS (
+      SELECT c.group_id AS g, CAST(COUNT(*) AS BIGINT) AS n_edges
+      FROM ver v JOIN comp c ON c.doc_id = v.id_a GROUP BY c.group_id
+    )
+    SELECT n.g AS group_id, n.n_nodes, e.n_edges,
+      COALESCE(t.n_triangles, 0) AS n_triangles,
+      COALESCE(w.n_wedges, 0) AS n_wedges,
+      CASE WHEN COALESCE(w.n_wedges, 0) > 0
+           THEN 3000 * COALESCE(t.n_triangles, 0) // w.n_wedges END AS transitivity_permille
+    FROM nodes n JOIN ec e ON e.g = n.g
+    LEFT JOIN trig t ON t.g = n.g LEFT JOIN wed w ON w.g = n.g
+    ORDER BY group_id"""))
+
   def all: Seq[Q] =
     Seq(q27, q28, q29, q30, q31, q32, q33, q48, q51, q53, q57, q67, q69, q70,
       q71, q73, q81, q84, q85, q93, q102, q103, q104, q105, q106, q108, q109,
       q110, q112, q114, q122, q126, q128, q135, q150, q153, q156, q163, q169, q173,
-      q172)
+      q172, q177)
 }

@@ -559,4 +559,41 @@ class PlanAuditSpec extends SparkTestBase {
       s"q161 left $afterBeam cached RDDs; beam hops must not accumulate a frame per hop")
     spark.catalog.clearCache()
   }
+
+  test("q174: fusion joins are rank-bounded; only the 3-row query side BNLs") {
+    val p = plan("q174_hybrid_rrf_fusion")
+    assert(!p.contains("CartesianProduct"))
+    // exactly two bounded nested-loop joins are legitimate: the 1-row
+    // (D, N) scalar graft inside the BM25 leg and the 3-row
+    // query-vector × corpus probe (the q36 precedent); the lexical
+    // term joins and the rank fusion must all be hash/sort joins on keys
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      "only the 1-row scalar and 3-row query sides may nested-loop")
+    assert(!p.contains("windowspecdefinition()"),
+      "leg and fusion rankings partition by query_id — no global window")
+  }
+
+  test("q175: planning windows partition by table partition; manifest agg combines map-side") {
+    val p = plan("q175_compaction_planner")
+    assert(!p.contains("windowspecdefinition()"),
+      "the cumsum window must partition by `part`, never a global sort")
+    assert(p.contains("partial_count") || p.contains("partial_sum") ||
+      "HashAggregate".r.findAllIn(p).size >= 4,
+      "the manifest aggregation must map-side combine before its shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q176: OHLC bars are ONE partial-aggregable groupBy — no window, no join") {
+    val p = plan("q176_ohlc_bars")
+    assert(!p.contains("Window"), "bars must not plan any window")
+    assert(!p.contains("Join"), "bars must not plan any join")
+    assert(p.contains("min_by") && p.contains("max_by"))
+  }
+
+  test("q177: wedge enumeration is equi-joins only — no all-pairs anywhere") {
+    val p = plan("q177_dup_graph_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "orientation, wedge, and closing joins must all be key equi-joins")
+    assert(!p.contains("windowspecdefinition()"))
+  }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-10 second-wave operator properties the oracle cannot see:
+  * q174 fusion arithmetic/leg-consistency, q175 byte conservation and
+  * bin-count bounds against an independent manifest recompute, q176
+  * OHLC ordering invariants.
+  */
+class Round10bOpsSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q174: RRF arithmetic, leg bounds, and rank monotonicity") {
+    val rows = SparkEntry.queries("q174_hybrid_rrf_fusion")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(1L, 2L, 3L))
+    byQ.foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")) === (1L to sorted.size).toIndexedSeq)
+      // fused score recomputes from the leg ranks, and is non-increasing
+      val scores = sorted.map { r =>
+        val lex = Option(r.getAs[java.lang.Long]("lex_rnk")).map(_.toLong)
+        val dense = Option(r.getAs[java.lang.Long]("dense_rnk")).map(_.toLong)
+        assert(lex.isDefined || dense.isDefined, "row in neither leg's top-k")
+        lex.foreach(v => assert(v >= 1 && v <= 50))
+        dense.foreach(v => assert(v >= 1 && v <= 50))
+        val expect = lex.map(v => 1000000L / (60 + v)).getOrElse(0L) +
+          dense.map(v => 1000000L / (60 + v)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_scaled") === expect)
+        expect
+      }
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      // a doc ranked top-1 in BOTH legs would dominate: fused top-1 must
+      // score at least any single-leg maximum (1000000/61)
+      assert(scores.head >= 1000000L / 61 || scores.head > 0)
+    }
+  }
+
+  test("q175: byte conservation vs independent manifest, bin bounds") {
+    val out = SparkEntry.queries("q175_compaction_planner")(spark, dir)
+      .collect().toIndexedSeq
+    assert(out.nonEmpty)
+    // independent manifest recompute (different plan shape: no window)
+    val li = Tables(spark, dir, "lineitem")
+    val expect = li
+      .groupBy((year(col("l_shipdate")) * 100 + month(col("l_shipdate"))).cast("long").as("part"),
+        (col("l_suppkey") % 16).as("fk"))
+      .agg((count(lit(1)) * 64 + sum(col("l_quantity").cast("long"))).as("bytes"))
+      .groupBy("part")
+      .agg(count(lit(1)).as("nf"), sum("bytes").as("bt"))
+      .collect().map(r => r.getAs[Long]("part") -> (r.getAs[Long]("nf"), r.getAs[Long]("bt")))
+      .toMap
+    assert(out.size === expect.size)
+    out.foreach { r =>
+      val part = r.getAs[Long]("part")
+      val (nf, bt) = expect(part)
+      assert(r.getAs[Long]("n_files") === nf)
+      assert(r.getAs[Long]("bytes_total") === bt)
+      val nBins = r.getAs[Long]("n_bins")
+      val target = r.getAs[Long]("target_bytes")
+      assert(nBins >= 1 && nBins <= nf)
+      // offset-striping: bin ids live in [0, (bytes_total-1) div target]
+      assert(nBins <= (bt - 1) / target + 1)
+      assert(r.getAs[Long]("max_bin_bytes") <= bt)
+      assert(r.getAs[Long]("min_bin_bytes") >= 1)
+      assert(r.getAs[Long]("n_small_files") <= nf)
+    }
+    // the plan must actually compact somewhere at this SF, else vacuous
+    assert(out.exists(r => r.getAs[Long]("n_bins") < r.getAs[Long]("n_files")))
+  }
+
+  test("q176: OHLC ordering invariants and volume-weighted mean range") {
+    val rows = SparkEntry.queries("q176_ohlc_bars")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h)
+      assert(l <= c && c <= h)
+      assert(r.getAs[Long]("n_ticks") >= 1)
+      val vol = r.getAs[Long]("l1_volume")
+      assert(vol >= 0)
+      val vwap = Option(r.getAs[java.lang.Double]("bar_vwap"))
+      if (vol > 0) {
+        // weighted mean of in-bar mids: inside [low, high] up to the
+        // 1e-6 decimal grid of the exact-sum recipe
+        assert(vwap.isDefined)
+        assert(vwap.get >= l - 1e-6 && vwap.get <= h + 1e-6)
+      } else assert(vwap.isEmpty)
+    }
+    // bars per symbol are disjoint and cover the filtered tick count
+    val n = rows.map(_.getAs[Long]("n_ticks")).sum
+    val ticks = graft.book.SyntheticBook
+      .fromEvents(Tables(spark, dir, "events"), 5)
+      .withColumn("mid", graft.book.BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .filter(col("mid").isNotNull).count()
+    assert(n === ticks)
+  }
+}
