@@ -555,6 +555,62 @@ object StreamingMetrics {
       }
   }
 
+  case class BarTick(sym: String, seq: Long, bar: Long, mid: Double, vol: Long)
+  case class BarState(openSeq: Long, open: Double, closeSeq: Long, close: Double,
+                      high: Double, low: Double, nTicks: Long, vol: Long,
+                      pvUnscaled: Long)
+  case class BarOut(sym: String, bar: Long, open: Double, high: Double,
+                    low: Double, close: Double, nTicks: Long, l1Volume: Long,
+                    barVwap: Option[Double])
+
+  /** Streaming OHLC time bars — q176's streaming twin: per (sym, bar)
+    * O(1) state (open/close carried with their seq so min_by/max_by
+    * semantics survive out-of-order arrival inside a bar; high/low/
+    * count/volume as plain monoids; the VWAP numerator as its UNSCALED
+    * decimal long, the DecSum carrier — `round(mid·vol, 6)` exact at
+    * scale 6, order-independent, loud on overflow). Any micro-batch cut
+    * therefore converges to the batch bars exactly; the spec proves the
+    * equality. At fleet scale the same monoid pre-aggregates map-side
+    * before the stateful shuffle — exactly q176's batch partials.
+    */
+  def streamOhlcBars(ticks: Dataset[BarTick]): Dataset[BarOut] = {
+    implicit val outEnc: Encoder[BarOut] = Encoders.product[BarOut]
+    implicit val stEnc: Encoder[BarState] = Encoders.product[BarState]
+    implicit val keyEnc: Encoder[(String, Long)] = Encoders.product[(String, Long)]
+    ticks.groupByKey(t => (t.sym, t.bar))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (String, Long), it: Iterator[BarTick], state: GroupState[BarState]) =>
+          var st = state.getOption.orNull
+          it.foreach { t =>
+            val u = java.math.BigDecimal.valueOf(t.mid * t.vol)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .unscaledValue().longValueExact()
+            st =
+              if (st == null)
+                BarState(t.seq, t.mid, t.seq, t.mid, t.mid, t.mid, 1L, t.vol, u)
+              else BarState(
+                if (t.seq < st.openSeq) t.seq else st.openSeq,
+                if (t.seq < st.openSeq) t.mid else st.open,
+                if (t.seq > st.closeSeq) t.seq else st.closeSeq,
+                if (t.seq > st.closeSeq) t.mid else st.close,
+                math.max(st.high, t.mid), math.min(st.low, t.mid),
+                st.nTicks + 1L, st.vol + t.vol,
+                Math.addExact(st.pvUnscaled, u))
+          }
+          if (st == null) Iterator.empty
+          else {
+            state.update(st)
+            val vwap =
+              if (st.vol > 0)
+                Some(new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(st.pvUnscaled), 6).doubleValue() / st.vol)
+              else None
+            Iterator.single(BarOut(key._1, key._2, st.open, st.high, st.low,
+              st.close, st.nTicks, st.vol, vwap))
+          }
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

@@ -459,6 +459,57 @@ class StreamingStateSpec extends SparkTestBase {
     cleanStatic.unpersist()
   }
 
+  test("streaming OHLC bars converge to the batch q176 bars under any cut") {
+    import StreamingMetrics.{BarOut, BarTick}
+    // q176's own tick derivation, collected once (source order = seq)
+    val all = graft.book.SyntheticBook
+      .fromEvents(Tables(spark, "/root/testdata/sf0.001", "events"), 5)
+      .withColumn("mid", graft.book.BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .filter(col("mid").isNotNull)
+      .select(col("sym"), col("seq"), expr("ts_us div 3600000000").as("bar"),
+        col("mid"),
+        (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+          .cast("long").as("vol"))
+      .as[BarTick].collect().toSeq.sortBy(_.seq)
+
+    def run(cuts: Seq[Int], qname: String): Map[(String, Long), BarOut] = {
+      val dir = Files.createTempDirectory("ohlc")
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
+      val stream = spark.readStream.schema(Seq.empty[BarTick].toDF().schema)
+        .parquet(dir.toString).as[BarTick]
+      val q = StreamingMetrics.streamOhlcBars(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
+        // nTicks is strictly monotone per key → max-nTicks row IS the
+        // final bar state
+        spark.table(qname).as[BarOut].collect()
+          .groupBy(o => (o.sym, o.bar)).view.mapValues(_.maxBy(_.nTicks)).toMap
+      } finally q.stop()
+    }
+
+    def view(m: Map[(String, Long), BarOut]) = m.view.mapValues(o =>
+      (o.open, o.high, o.low, o.close, o.nTicks, o.l1Volume, o.barVwap)).toMap
+    val a = run(Seq(all.size / 2), "ohlc_a")
+    val c = run(seededCuts(all.size, 0x176AL), "ohlc_c")
+    assert(view(a) === view(c), "randomized multi-batch cut diverged")
+
+    // the converged bars ARE the batch q176 rows — same min_by/max_by
+    // open/close, same decimal-exact VWAP numerator
+    val batch = SparkEntry.queries("q176_ohlc_bars")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("bar")) ->
+      (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks"), r.getAs[Long]("l1_volume"),
+        Option(r.getAs[java.lang.Double]("bar_vwap")).map(_.doubleValue()))).toMap
+    batch.unpersist()
+    assert(view(a) === expect, "streaming bars diverged from batch q176")
+  }
+
   test("streaming time travel converges to the batch q170 reconstruction under any cut") {
     import StreamingMetrics.{TtOut, TtRow}
     // q170's own derivation of the changelog rows, collected once
