@@ -65,7 +65,13 @@ class NullRobustnessSpec extends SparkTestBase {
     "q169_record_linkage", "q170_time_travel_read", "q171_weighted_quantiles",
     // round-10 addition: rank-windowed linkage (null text → no title;
     // null lang irrelevant — the rank key is the title itself)
-    "q173_record_linkage_snm")
+    "q173_record_linkage_snm",
+    // round-10 second wave: RRF fusion (null text → empty lexical leg),
+    // compaction planner (null quantities drop out of the byte sum),
+    // OHLC bars (null-mid ticks filtered), triangles (ride the dedup
+    // memos over null/empty text)
+    "q174_hybrid_rrf_fusion", "q175_compaction_planner",
+    "q176_ohlc_bars", "q177_dup_graph_triangles")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {
