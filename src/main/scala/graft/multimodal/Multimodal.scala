@@ -68,6 +68,38 @@ object Multimodal {
     }
   }
 
+  case class FrameRow(asset_id: Long, frame_idx: Long, energy: Long)
+
+  /** Frame sampling at the batched decode boundary (builder brief:
+    * "frame-sample as UDFs over batches"): the payload is modeled as a
+    * sequence of fixed-`frameBytes` frames, every `stride`-th frame is
+    * sampled, and each sampled frame reduces to its byte-energy — the
+    * stand-in for a real per-frame decode (swap the inner loop for a
+    * codec without touching the plan; one decoder init per partition).
+    * Emits (asset, frame_idx, energy) rows: frames-not-sampled never
+    * materialize, so the exchange carries |frames|/stride longs per
+    * asset, never payload bytes.
+    */
+  def sampleFrameEnergies(assets: Dataset[Asset], frameBytes: Int,
+                          stride: Int): Dataset[FrameRow] = {
+    implicit val enc = Encoders.product[FrameRow]
+    assets.mapPartitions { it =>
+      // real codec: init demuxer/decoder here, once per partition
+      it.flatMap { a =>
+        val n = a.payload.length
+        val nFrames = (n + frameBytes - 1) / frameBytes
+        Iterator.range(0, nFrames).filter(_ % stride == 0).map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, n)
+          var s = 0L
+          var i = from
+          while (i < until) { s += (a.payload(i) & 0xffL); i += 1 }
+          FrameRow(a.asset_id, f.toLong, s)
+        }
+      }
+    }
+  }
+
   /** Decoded image metadata (the REAL codec path). */
   case class ImageMeta(width: Int, height: Int, format: String, channels: Int)
 

@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.Q
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Catalog queries over the multimodal asset layer: near-dup detection
@@ -150,5 +151,87 @@ object MultimodalQueries {
       CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_distinct_fp
     FROM feats GROUP BY kind ORDER BY kind"""))
 
-  def all: Seq[Q] = Seq(q117, q129)
+  // --------------------------------------------------------------- q178
+  /** Frame sampling + scene-cut detection over the video assets — the
+    * missing third multimodal leg (q117 = perceptual near-dup, q129 =
+    * whole-asset features; this is the PER-FRAME pass a video curation
+    * pipeline runs). The payload is modeled as 16-byte frames; every
+    * 4th frame is sampled at the [[Multimodal.sampleFrameEnergies]]
+    * batched decode boundary and reduced to its byte energy; a cut is
+    * an adjacent-sample energy jump > 512 (the stand-in for a real
+    * histogram-difference detector). Per asset: frame/sample counts,
+    * sampled energy mass, cut count, integer mean energy, first cut.
+    *
+    * Scale: decode is map-side; only (asset, frame, energy) longs cross
+    * the exchange (|frames|/stride per asset, never payload bytes); the
+    * cut window partitions by asset. The oracle recomputes every frame
+    * energy from hex nibbles, so byte-handling drift fails the gate.
+    */
+  val q178 = Q("q178_frame_sample_scenes",
+    (s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, dir).filter(col("kind") === "video")
+      val frames = Multimodal.sampleFrameEnergies(assets, 16, 4).toDF()
+      val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+      val cut = col("prev_e").isNotNull && abs(col("energy") - col("prev_e")) > 512
+      val roll = frames.withColumn("prev_e", lag("energy", 1).over(w))
+        .withColumn("is_cut", when(cut, 1L).otherwise(0L))
+        .withColumn("cut_at", when(cut, col("frame_idx")))
+        .groupBy("asset_id")
+        .agg(count(lit(1)).as("n_sampled"),
+          sum("energy").as("sampled_energy"),
+          sum("is_cut").as("n_cuts"),
+          min("cut_at").as("first_cut_frame"))
+      assets.select(col("asset_id"),
+          expr("(cast(length(payload) as bigint) + 15) div 16").as("n_frames"))
+        .join(roll, Seq("asset_id"), "left")
+        .select(col("asset_id"), col("n_frames"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("sampled_energy"), lit(0L)).as("sampled_energy"),
+          coalesce(col("n_cuts"), lit(0L)).as("n_cuts"),
+          when(coalesce(col("n_sampled"), lit(0L)) > 0,
+            expr("sampled_energy div n_sampled")).as("mean_frame_energy"),
+          col("first_cut_frame"))
+        .orderBy("asset_id")
+    },
+    Some("""WITH assets AS (
+      SELECT doc_id AS asset_id, encode(coalesce(text, '')) AS payload
+      FROM documents WHERE doc_id % 3 = 2
+    ), meta AS (
+      SELECT asset_id, hex(payload) AS hx,
+        CAST(octet_length(payload) AS BIGINT) AS n,
+        CAST((octet_length(payload) + 15) // 16 AS BIGINT) AS n_frames
+      FROM assets
+    ), fr AS (
+      SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(16*f + 1, least(16*f + 16, n)), k ->
+            CAST((strpos('0123456789ABCDEF', substr(hx, 2*k-1, 1)) - 1) * 16 +
+                 (strpos('0123456789ABCDEF', substr(hx, 2*k, 1)) - 1) AS BIGINT))),
+          (a, x) -> a + x) AS BIGINT) AS energy
+      FROM meta, unnest(generate_series(0, n_frames - 1)) AS t(f)
+      WHERE f % 4 = 0
+    ), cuts AS (
+      SELECT asset_id, frame_idx, energy,
+        lag(energy) OVER (PARTITION BY asset_id ORDER BY frame_idx) AS prev_e
+      FROM fr
+    ), roll AS (
+      SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+        CAST(SUM(energy) AS BIGINT) AS sampled_energy,
+        CAST(SUM(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 512
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        MIN(CASE WHEN prev_e IS NOT NULL AND abs(energy - prev_e) > 512
+                 THEN frame_idx END) AS first_cut_frame
+      FROM cuts GROUP BY asset_id
+    )
+    SELECT m.asset_id, m.n_frames,
+      COALESCE(r.n_sampled, 0) AS n_sampled,
+      COALESCE(r.sampled_energy, 0) AS sampled_energy,
+      COALESCE(r.n_cuts, 0) AS n_cuts,
+      CASE WHEN COALESCE(r.n_sampled, 0) > 0
+           THEN r.sampled_energy // r.n_sampled END AS mean_frame_energy,
+      r.first_cut_frame
+    FROM meta m LEFT JOIN roll r ON r.asset_id = m.asset_id
+    ORDER BY m.asset_id"""))
+
+  def all: Seq[Q] = Seq(q117, q129, q178)
 }

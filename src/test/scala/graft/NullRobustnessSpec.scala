@@ -71,7 +71,9 @@ class NullRobustnessSpec extends SparkTestBase {
     // OHLC bars (null-mid ticks filtered), triangles (ride the dedup
     // memos over null/empty text)
     "q174_hybrid_rrf_fusion", "q175_compaction_planner",
-    "q176_ohlc_bars", "q177_dup_graph_triangles")
+    "q176_ohlc_bars", "q177_dup_graph_triangles",
+    // frame sampling (null text → zero-frame asset row survives the left join)
+    "q178_frame_sample_scenes")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {

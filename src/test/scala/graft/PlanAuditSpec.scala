@@ -590,6 +590,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("min_by") && p.contains("max_by"))
   }
 
+  test("q178: frame decode is map-side; only (asset, frame, energy) longs shuffle") {
+    val p = plan("q178_frame_sample_scenes")
+    assert(!p.contains("windowspecdefinition()"),
+      "the cut window must partition by asset_id")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    // the frame rows entering the exchange must not carry the payload
+    assert(!"Exchange[^\n]*payload".r.findFirstIn(p).isDefined,
+      "payload bytes must never cross an exchange")
+  }
+
   test("q177: wedge enumeration is equi-joins only — no all-pairs anywhere") {
     val p = plan("q177_dup_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -72,6 +72,41 @@ class Round10bOpsSpec extends SparkTestBase {
     assert(out.exists(r => r.getAs[Long]("n_bins") < r.getAs[Long]("n_files")))
   }
 
+  test("q178: frame energies match a direct byte fold; sampling geometry holds") {
+    val rows = SparkEntry.queries("q178_frame_sample_scenes")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.nonEmpty)
+    // independent recompute: payload bytes folded directly (no frame
+    // model, no hex nibbles) for every asset
+    val expect = Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .collect().map { r =>
+        val bytes = r.getAs[String]("t").getBytes("UTF-8")
+        val nFrames = (bytes.length + 15) / 16
+        val sampled = (0 until nFrames).filter(_ % 4 == 0)
+        val energies = sampled.map { f =>
+          bytes.slice(16 * f, math.min(16 * f + 16, bytes.length))
+            .map(_ & 0xffL).sum
+        }
+        r.getAs[Long]("doc_id") -> (nFrames.toLong, sampled.size.toLong, energies.sum)
+      }.toMap
+    assert(rows.size === expect.size)
+    rows.foreach { r =>
+      val (nf, ns, se) = expect(r.getAs[Long]("asset_id"))
+      assert(r.getAs[Long]("n_frames") === nf)
+      assert(r.getAs[Long]("n_sampled") === ns)
+      assert(r.getAs[Long]("sampled_energy") === se)
+      val cuts = r.getAs[Long]("n_cuts")
+      assert(cuts >= 0 && cuts < math.max(ns, 1L))
+      Option(r.getAs[java.lang.Long]("first_cut_frame")).foreach { f =>
+        assert(cuts >= 1 && f % 4 === 0)
+      }
+    }
+    // the detector must fire somewhere at this SF, else the cut leg is vacuous
+    assert(rows.exists(_.getAs[Long]("n_cuts") > 0))
+  }
+
   test("q176: OHLC ordering invariants and volume-weighted mean range") {
     val rows = SparkEntry.queries("q176_ohlc_bars")(spark, dir)
       .collect().toIndexedSeq
