@@ -129,6 +129,20 @@ object ScaleBench {
       }.reduce(_ unionByName _), s"$outDir/events.parquet")
     }
 
+    // orders: feeds the vacuum-audit probe (q179). Copies get fresh
+    // order keys (file-ledger uniqueness: file_id = o_orderkey div 5
+    // must not collide across copies) and a +k-cent price shift so the
+    // byte ledger isn't the 1× ledger times Copies.
+    if (!present(outDir, "orders")) {
+      val ord = spark.read.parquet(s"$baseDir/orders.parquet")
+      val okStride = ord.agg(max("o_orderkey")).first().getLong(0) + 5
+      writeCommitted((0 until Copies).map { k =>
+        ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
+          .withColumn("o_totalprice",
+            round(col("o_totalprice") + lit(k * 0.01), 2))
+      }.reduce(_ unionByName _), s"$outDir/orders.parquet")
+    }
+
     // lineitem: feeds the distributed-exact-quantile probe (q65) and the
     // relational aggregate family at scale. Copies get fresh order keys
     // (join-key uniqueness) and a per-copy +k-cent price shift so the
@@ -185,6 +199,7 @@ object ScaleBench {
     "q173_record_linkage_snm",
     "q174_hybrid_rrf_fusion", "q175_compaction_planner",
     "q176_ohlc_bars", "q177_dup_graph_triangles", "q178_frame_sample_scenes",
+    "q179_vacuum_audit",
     "q112_bloom_decontam", "q113_contamination_spans", "q114_dedup_pagerank", "q115_zonemap_pruning",
     "q117_binary_ahash_neardup", "q118_postings_gamma_audit", "q119_source_cap_sweep",
     "q120_chunk_overlap_audit", "q121_dsir_importance", "q122_edit_verified_dedup",

@@ -2132,8 +2132,94 @@ object RelationalQueries {
       MAX(bb) AS max_bin_bytes, MIN(bb) AS min_bin_bytes, target AS target_bytes
     FROM bins GROUP BY part, target ORDER BY part"""))
 
+  // --------------------------------------------------------------- q179
+  /** Snapshot-expiry + orphan-file audit — the VACUUM leg completing the
+    * lakehouse maintenance six-pack (q158 MERGE, q162 incremental MV,
+    * q159 layout, q170 time travel, q175 OPTIMIZE, this =
+    * expire_snapshots + remove_orphan_files). A row-derived file ledger
+    * carries each file's [added, removed) snapshot lifetime; the
+    * retained window is snapshots [5, 7]. Referenced files come from
+    * the honest metadata shape — retained-snapshot MANIFESTS exploded
+    * per (file, snapshot) then distinct — not a closed-form lifetime
+    * predicate, because real table formats only have manifests. The
+    * disk listing is the ledger plus uncommitted writer leftovers
+    * (every 11th file has a tmp duplicate never tracked). Classification
+    * is one left join: orphan (on disk, never tracked) / live
+    * (referenced by a retained snapshot) / expired (tracked, fell out
+    * of retention); per-cohort counts + live vs reclaimable byte mass.
+    *
+    * Scale shape: the ledger aggregation is the only data-sized stage
+    * (one partial-aggregable shuffle); manifests explode ≤ |retention
+    * window| rows per FILE (metadata-sized), and the classify join is
+    * file-keyed equi. Snapshot expiry over a 100 TB table is a
+    * manifest-only plan — the data files are never read, only deleted.
+    */
+  val q179 = Q("q179_vacuum_audit",
+    (s, dir) => {
+      val R0 = 5; val CUR = 7 // retained snapshot window [R0, CUR]
+      val ledger = Tables(s, dir, "orders")
+        .groupBy(expr("o_orderkey div 5").as("file_id"))
+        .agg((count(lit(1)) * 128 +
+          sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))).as("bytes"))
+        .withColumn("added", col("file_id") % 8)
+        .withColumn("removed", col("added") + 1 + col("file_id") % 5)
+      val referenced = ledger
+        .filter(col("removed") > R0) // guard: sequence() must ascend
+        .withColumn("s", explode(expr(
+          s"sequence(greatest(added, $R0), least(removed - 1, $CUR))")))
+        .select("file_id").distinct().withColumn("ref", lit(1))
+      val disk = ledger.select(col("file_id"), col("bytes"), col("added"),
+          lit(0).as("orphan"))
+        .union(ledger.filter(col("file_id") % 11 === 3)
+          .select(col("file_id"), col("bytes"), col("added"), lit(1).as("orphan")))
+      disk.join(referenced, Seq("file_id"), "left")
+        .withColumn("status",
+          when(col("orphan") === 1, lit("orphan"))
+            .when(col("ref").isNotNull, lit("live"))
+            .otherwise(lit("expired")))
+        .groupBy(col("added").as("cohort"))
+        .agg(count(lit(1)).as("n_objects"),
+          sum(when(col("status") === "live", 1L).otherwise(0L)).as("n_live"),
+          sum(when(col("status") === "expired", 1L).otherwise(0L)).as("n_expired"),
+          sum(when(col("status") === "orphan", 1L).otherwise(0L)).as("n_orphans"),
+          sum(when(col("status") === "live", col("bytes")).otherwise(0L)).as("bytes_live"),
+          sum(when(col("status") =!= "live", col("bytes")).otherwise(0L)).as("bytes_reclaimable"))
+        .orderBy("cohort")
+    },
+    Some("""WITH ledger AS (
+      SELECT o_orderkey // 5 AS file_id,
+        CAST(COUNT(*) * 128 + SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT) AS bytes
+      FROM orders GROUP BY 1
+    ), lf AS (
+      SELECT file_id, bytes, file_id % 8 AS added,
+        file_id % 8 + 1 + file_id % 5 AS removed
+      FROM ledger
+    ), referenced AS (
+      SELECT DISTINCT file_id
+      FROM lf, unnest(generate_series(greatest(added, 5), least(removed - 1, 7))) AS t(s)
+      WHERE removed > 5
+    ), disk AS (
+      SELECT file_id, bytes, added, 0 AS orphan FROM lf
+      UNION ALL
+      SELECT file_id, bytes, added, 1 FROM lf WHERE file_id % 11 = 3
+    ), cls AS (
+      SELECT d.file_id, d.bytes, d.added,
+        CASE WHEN d.orphan = 1 THEN 'orphan'
+             WHEN r.file_id IS NOT NULL THEN 'live'
+             ELSE 'expired' END AS status
+      FROM disk d LEFT JOIN referenced r ON r.file_id = d.file_id
+    )
+    SELECT added AS cohort, CAST(COUNT(*) AS BIGINT) AS n_objects,
+      CAST(SUM(CASE WHEN status = 'live' THEN 1 ELSE 0 END) AS BIGINT) AS n_live,
+      CAST(SUM(CASE WHEN status = 'expired' THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+      CAST(SUM(CASE WHEN status = 'orphan' THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+      CAST(SUM(CASE WHEN status = 'live' THEN bytes ELSE 0 END) AS BIGINT) AS bytes_live,
+      CAST(SUM(CASE WHEN status != 'live' THEN bytes ELSE 0 END) AS BIGINT) AS bytes_reclaimable
+    FROM cls GROUP BY added ORDER BY cohort"""))
+
   def all: Seq[Q] =
     Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q38, q41, q42, q43, q45,
       q46, q55, q56, q65, q111, q116, q125, q132, q133, q134, q136, q137, q139,
-      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170, q171, q175)
+      q141, q142, q143, q146, q149, q151, q152, q158, q159, q162, q170, q171, q175,
+      q179)
 }

@@ -42,6 +42,12 @@ class NullRobustnessSpec extends SparkTestBase {
         when(pmod(col("l_orderkey"), lit(29)) === 11, lit(null: java.lang.Double))
           .otherwise(col("l_quantity")))
       .write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+    // orders: null totalprice exercises the vacuum ledger's byte sum
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(31)) === 9, lit(null: java.lang.Double))
+          .otherwise(col("o_totalprice")))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
     d
   }
 
@@ -73,7 +79,9 @@ class NullRobustnessSpec extends SparkTestBase {
     "q174_hybrid_rrf_fusion", "q175_compaction_planner",
     "q176_ohlc_bars", "q177_dup_graph_triangles",
     // frame sampling (null text → zero-frame asset row survives the left join)
-    "q178_frame_sample_scenes")
+    "q178_frame_sample_scenes",
+    // vacuum audit (null totalprice drops out of the ledger byte sum)
+    "q179_vacuum_audit")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {

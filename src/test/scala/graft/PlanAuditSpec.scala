@@ -600,6 +600,12 @@ class PlanAuditSpec extends SparkTestBase {
       "payload bytes must never cross an exchange")
   }
 
+  test("q179: vacuum audit is manifest-only after the ledger agg — equi joins, no window") {
+    val p = plan("q179_vacuum_audit")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Window"), "no window anywhere in the vacuum plan")
+  }
+
   test("q177: wedge enumeration is equi-joins only — no all-pairs anywhere") {
     val p = plan("q177_dup_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

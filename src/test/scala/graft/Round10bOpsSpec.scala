@@ -107,6 +107,45 @@ class Round10bOpsSpec extends SparkTestBase {
     assert(rows.exists(_.getAs[Long]("n_cuts") > 0))
   }
 
+  test("q179: classification matches the closed-form lifetime predicate; mass conserves") {
+    val rows = SparkEntry.queries("q179_vacuum_audit")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.size === 8)
+    // independent recompute: closed-form lifetime predicate instead of
+    // the manifest explode (a file is referenced iff removed > 5, since
+    // added <= 7 by construction)
+    val ledger = Tables(spark, dir, "orders")
+      .groupBy(expr("o_orderkey div 5").as("file_id"))
+      .agg(((count(lit(1)) * 128) +
+        sum(expr("cast(round(o_totalprice * 100, 0) as bigint)"))).as("bytes"))
+      .collect().map(r => r.getAs[Long]("file_id") -> r.getAs[Long]("bytes")).toMap
+    case class Agg(var objs: Long = 0, var live: Long = 0, var exp: Long = 0,
+                   var orph: Long = 0, var bLive: Long = 0, var bRec: Long = 0)
+    val agg = scala.collection.mutable.Map.empty[Long, Agg]
+    ledger.foreach { case (fid, bytes) =>
+      val added = fid % 8
+      val removed = added + 1 + fid % 5
+      val a = agg.getOrElseUpdate(added, Agg())
+      a.objs += 1
+      if (removed > 5) { a.live += 1; a.bLive += bytes }
+      else { a.exp += 1; a.bRec += bytes }
+      if (fid % 11 == 3) { a.objs += 1; a.orph += 1; a.bRec += bytes }
+    }
+    rows.foreach { r =>
+      val a = agg(r.getAs[Long]("cohort"))
+      assert(r.getAs[Long]("n_objects") === a.objs)
+      assert(r.getAs[Long]("n_live") === a.live)
+      assert(r.getAs[Long]("n_expired") === a.exp)
+      assert(r.getAs[Long]("n_orphans") === a.orph)
+      assert(r.getAs[Long]("bytes_live") === a.bLive)
+      assert(r.getAs[Long]("bytes_reclaimable") === a.bRec)
+    }
+    // all three outcome classes must occur at this SF, else vacuous
+    assert(rows.map(_.getAs[Long]("n_live")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_expired")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_orphans")).sum > 0)
+  }
+
   test("q176: OHLC ordering invariants and volume-weighted mean range") {
     val rows = SparkEntry.queries("q176_ohlc_bars")(spark, dir)
       .collect().toIndexedSeq
