@@ -100,6 +100,48 @@ object Multimodal {
     }
   }
 
+  case class ResizeRow(asset_id: Long, n_bytes_used: Long, out_checksum: Long,
+                       mean_out: Long)
+
+  /** Batched 2× box-downsample (builder brief: "resize as UDFs over
+    * batches"): the payload's first 64×64 bytes (row-major, short
+    * payloads zero-padded) are reduced to a 32×32 raster by integer
+    * 2×2 block means — the stand-in for a real resample kernel; swap
+    * the block loop for an image library without touching the plan.
+    * Emits a position-weighted checksum + integer mean of the output
+    * raster so the oracle can verify the kernel bit-for-bit. Payload
+    * bytes never leave the partition; one (asset, 3 longs) row ships.
+    */
+  def resize2x(assets: Dataset[Asset]): Dataset[ResizeRow] = {
+    implicit val enc = Encoders.product[ResizeRow]
+    val side = 64
+    assets.mapPartitions { it =>
+      // real codec: init resampler here, once per partition
+      it.map { a =>
+        val n = math.min(a.payload.length, side * side)
+        def px(r: Int, c: Int): Long = {
+          val i = r * side + c
+          if (i < n) a.payload(i) & 0xffL else 0L
+        }
+        var checksum = 0L
+        var sum = 0L
+        var r = 0
+        while (r < side / 2) {
+          var c = 0
+          while (c < side / 2) {
+            val v = (px(2 * r, 2 * c) + px(2 * r, 2 * c + 1) +
+              px(2 * r + 1, 2 * c) + px(2 * r + 1, 2 * c + 1)) / 4
+            checksum += v * (r * (side / 2) + c + 1)
+            sum += v
+            c += 1
+          }
+          r += 1
+        }
+        ResizeRow(a.asset_id, n.toLong, checksum, sum / (side * side / 4))
+      }
+    }
+  }
+
   /** Decoded image metadata (the REAL codec path). */
   case class ImageMeta(width: Int, height: Int, format: String, channels: Int)
 

@@ -233,5 +233,104 @@ object MultimodalQueries {
     FROM meta m LEFT JOIN roll r ON r.asset_id = m.asset_id
     ORDER BY m.asset_id"""))
 
-  def all: Seq[Q] = Seq(q117, q129, q178)
+  // --------------------------------------------------------------- q180
+  /** Image resize audit — the last verb of the brief's multimodal list
+    * (decode q129, feature-extract q117/q129, frame-sample q178,
+    * RESIZE here): the image-kind assets run the batched
+    * [[Multimodal.resize2x]] 2×2 box-downsample kernel and the rollup
+    * groups by output mean-intensity octave. The oracle recomputes the
+    * full 32×32 output raster per asset from hex nibbles (4 byte
+    * lookups per output pixel, zero-padded), so any drift in block
+    * addressing, padding, or integer-mean rounding fails the gate —
+    * the kernel is verified bit-for-bit, not statistically.
+    *
+    * Scale: the kernel is pure map-side batch work (the plan-audit pin
+    * on q178 applies identically — payloads never shuffle); the rollup
+    * ships 3 longs per asset into one partial-aggregable groupBy.
+    */
+  val q180 = Q("q180_image_resize_audit",
+    (s, dir) => {
+      val assets = Multimodal.syntheticAssets(s, dir).filter(col("kind") === "image")
+      // octave = floor(log2(mean)) via an exact integer CASE ladder —
+      // libm log2 differs by ulps across engines and a flipped floor at
+      // a power-of-two boundary would break the hash; mean ≤ 255 so the
+      // ladder is 8 branches
+      Multimodal.resize2x(assets).toDF()
+        .withColumn("octave",
+          when(col("mean_out") >= 128, lit(7L)).when(col("mean_out") >= 64, lit(6L))
+            .when(col("mean_out") >= 32, lit(5L)).when(col("mean_out") >= 16, lit(4L))
+            .when(col("mean_out") >= 8, lit(3L)).when(col("mean_out") >= 4, lit(2L))
+            .when(col("mean_out") >= 2, lit(1L)).otherwise(lit(0L)))
+        .groupBy("octave")
+        .agg(count(lit(1)).as("n_assets"),
+          sum("n_bytes_used").as("bytes_used"),
+          sum("out_checksum").as("checksum_mass"),
+          min("out_checksum").as("min_checksum"),
+          max("out_checksum").as("max_checksum"))
+        .orderBy("octave")
+    },
+    Some("""WITH assets AS (
+      SELECT doc_id AS asset_id, encode(coalesce(text, '')) AS payload
+      FROM documents WHERE doc_id % 3 = 0
+    ), meta AS (
+      SELECT asset_id, hex(payload) AS hx,
+        least(CAST(octet_length(payload) AS BIGINT), 4096) AS n
+      FROM assets
+    ), res AS (
+      SELECT asset_id, n AS n_bytes_used,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(0, 1023), o ->
+            (((CASE WHEN (o // 32) * 128 + (o % 32) * 2 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + (o % 32) * 2 + 1 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2 + 1) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2 + 1) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + 64 + (o % 32) * 2 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + 64 + (o % 32) * 2 + 1 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2 + 1) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2 + 1) + 2, 1)) - 1)
+               ELSE 0 END)) // 4) * (o + 1))),
+          (a, x) -> a + x) AS BIGINT) AS out_checksum,
+        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+          list_transform(generate_series(0, 1023), o ->
+            (((CASE WHEN (o // 32) * 128 + (o % 32) * 2 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + (o % 32) * 2 + 1 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2 + 1) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + (o % 32) * 2 + 1) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + 64 + (o % 32) * 2 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2) + 2, 1)) - 1)
+               ELSE 0 END) +
+              (CASE WHEN (o // 32) * 128 + 64 + (o % 32) * 2 + 1 < n THEN
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2 + 1) + 1, 1)) - 1) * 16 +
+                (strpos('0123456789ABCDEF', substr(hx, 2*((o // 32) * 128 + 64 + (o % 32) * 2 + 1) + 2, 1)) - 1)
+               ELSE 0 END)) // 4))),
+          (a, x) -> a + x) // 1024 AS BIGINT) AS mean_out
+      FROM meta
+    ), oct AS (
+      SELECT asset_id, n_bytes_used, out_checksum,
+        CAST(CASE WHEN mean_out >= 128 THEN 7 WHEN mean_out >= 64 THEN 6
+                  WHEN mean_out >= 32 THEN 5 WHEN mean_out >= 16 THEN 4
+                  WHEN mean_out >= 8 THEN 3 WHEN mean_out >= 4 THEN 2
+                  WHEN mean_out >= 2 THEN 1 ELSE 0 END AS BIGINT) AS octave
+      FROM res
+    )
+    SELECT octave, CAST(COUNT(*) AS BIGINT) AS n_assets,
+      CAST(SUM(n_bytes_used) AS BIGINT) AS bytes_used,
+      CAST(SUM(out_checksum) AS BIGINT) AS checksum_mass,
+      MIN(out_checksum) AS min_checksum,
+      MAX(out_checksum) AS max_checksum
+    FROM oct GROUP BY octave ORDER BY octave"""))
+
+  def all: Seq[Q] = Seq(q117, q129, q178, q180)
 }

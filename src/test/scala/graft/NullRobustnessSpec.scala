@@ -81,7 +81,9 @@ class NullRobustnessSpec extends SparkTestBase {
     // frame sampling (null text → zero-frame asset row survives the left join)
     "q178_frame_sample_scenes",
     // vacuum audit (null totalprice drops out of the ledger byte sum)
-    "q179_vacuum_audit")
+    "q179_vacuum_audit",
+    // resize audit (null text → zero raster, octave 0)
+    "q180_image_resize_audit")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {

@@ -606,6 +606,13 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no window anywhere in the vacuum plan")
   }
 
+  test("q180: resize is map-side; payload bytes never shuffle") {
+    val p = plan("q180_image_resize_audit")
+    assert(!p.contains("Window") && !p.contains("Join"))
+    assert(!"Exchange[^\n]*payload".r.findFirstIn(p).isDefined,
+      "payload bytes must never cross an exchange")
+  }
+
   test("q177: wedge enumeration is equi-joins only — no all-pairs anywhere") {
     val p = plan("q177_dup_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -146,6 +146,47 @@ class Round10bOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_orphans")).sum > 0)
   }
 
+  test("q180: resize kernel matches a direct 2x2 box filter; octaves partition assets") {
+    val rows = SparkEntry.queries("q180_image_resize_audit")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.nonEmpty)
+    // independent recompute of the whole rollup from raw text bytes
+    val docs = Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("t"))
+      .collect().map { r =>
+        val b = r.getAs[String]("t").getBytes("UTF-8")
+        val n = math.min(b.length, 4096)
+        def px(rr: Int, cc: Int): Long = {
+          val i = rr * 64 + cc; if (i < n) b(i) & 0xffL else 0L
+        }
+        var cs = 0L; var sm = 0L
+        for (rr <- 0 until 32; cc <- 0 until 32) {
+          val v = (px(2 * rr, 2 * cc) + px(2 * rr, 2 * cc + 1) +
+            px(2 * rr + 1, 2 * cc) + px(2 * rr + 1, 2 * cc + 1)) / 4
+          cs += v * (rr * 32 + cc + 1); sm += v
+        }
+        (n.toLong, cs, sm / 1024)
+      }
+    def octave(m: Long): Long =
+      if (m >= 128) 7 else if (m >= 64) 6 else if (m >= 32) 5 else if (m >= 16) 4
+      else if (m >= 8) 3 else if (m >= 4) 2 else if (m >= 2) 1 else 0
+    val expect = docs.groupBy(d => octave(d._3)).map { case (o, as) =>
+      o -> (as.size.toLong, as.map(_._1).sum, as.map(_._2).sum,
+        as.map(_._2).min, as.map(_._2).max)
+    }
+    assert(rows.size === expect.size)
+    rows.foreach { r =>
+      val e = expect(r.getAs[Long]("octave"))
+      assert(r.getAs[Long]("n_assets") === e._1)
+      assert(r.getAs[Long]("bytes_used") === e._2)
+      assert(r.getAs[Long]("checksum_mass") === e._3)
+      assert(r.getAs[Long]("min_checksum") === e._4)
+      assert(r.getAs[Long]("max_checksum") === e._5)
+    }
+    assert(rows.map(_.getAs[Long]("n_assets")).sum === docs.size.toLong)
+  }
+
   test("q176: OHLC ordering invariants and volume-weighted mean range") {
     val rows = SparkEntry.queries("q176_ohlc_bars")(spark, dir)
       .collect().toIndexedSeq
