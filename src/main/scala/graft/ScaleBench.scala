@@ -62,8 +62,18 @@ object ScaleBench {
     * pre-existing artifact from an earlier run) never forces or blocks
     * regeneration of the others.
     */
+  /** Optional comma-separated table subset (SPARK_GRAFT_SCALE_TABLES) —
+    * extreme-scale probes (e.g. 1000×) only need the tables their
+    * queries read; generating the full five-table corpus there would
+    * cost tens of GB for legs nothing consumes.
+    */
+  private val genTables: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_SCALE_TABLES").map(_.split(",").toSet)
+
+  private def wanted(t: String): Boolean = genTables.forall(_.contains(t))
+
   private def gen(spark: SparkSession, baseDir: String, outDir: String): Unit = {
-    if (!present(outDir, "documents")) {
+    if (wanted("documents") && !present(outDir, "documents")) {
       val docs = spark.read.parquet(s"$baseDir/documents.parquet")
       val nD = docs.count()
       writeCommitted((0 until Copies).map { k =>
@@ -78,7 +88,7 @@ object ScaleBench {
       }.reduce(_ unionByName _), s"$outDir/documents.parquet")
     }
 
-    if (!present(outDir, "embeddings")) {
+    if (wanted("embeddings") && !present(outDir, "embeddings")) {
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
       val nE = emb.count()
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -116,7 +126,7 @@ object ScaleBench {
     // nanos — byte-compatible with every query's `ts div 1000`
     // arithmetic (Tables' normalization is a type-conditional no-op on
     // the round-trip read).
-    if (!present(outDir, "events")) {
+    if (wanted("events") && !present(outDir, "events")) {
       val ev = Tables(spark, baseDir, "events")
       val nEv = ev.count()
       val userStride = ev.agg(max("user_id")).first().getLong(0) + 1
@@ -133,7 +143,7 @@ object ScaleBench {
     // order keys (file-ledger uniqueness: file_id = o_orderkey div 5
     // must not collide across copies) and a +k-cent price shift so the
     // byte ledger isn't the 1× ledger times Copies.
-    if (!present(outDir, "orders")) {
+    if (wanted("orders") && !present(outDir, "orders")) {
       val ord = spark.read.parquet(s"$baseDir/orders.parquet")
       val okStride = ord.agg(max("o_orderkey")).first().getLong(0) + 5
       writeCommitted((0 until Copies).map { k =>
@@ -151,7 +161,7 @@ object ScaleBench {
     // interpolation at 100× exercises ranks no smaller scale saw.
     // Flags/status/dates stay fixed: group cardinality is part of the
     // operator contract (3 return flags at any scale).
-    if (!present(outDir, "lineitem")) {
+    if (wanted("lineitem") && !present(outDir, "lineitem")) {
       val li = spark.read.parquet(s"$baseDir/lineitem.parquet")
       val okStride = li.agg(max("l_orderkey")).first().getLong(0) + 1
       writeCommitted((0 until Copies).map { k =>
