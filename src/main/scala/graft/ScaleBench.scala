@@ -209,7 +209,7 @@ object ScaleBench {
     "q173_record_linkage_snm",
     "q174_hybrid_rrf_fusion", "q175_compaction_planner",
     "q176_ohlc_bars", "q177_dup_graph_triangles", "q178_frame_sample_scenes",
-    "q179_vacuum_audit", "q180_image_resize_audit",
+    "q179_vacuum_audit", "q180_image_resize_audit", "q181_vpin_toxicity",
     "q112_bloom_decontam", "q113_contamination_spans", "q114_dedup_pagerank", "q115_zonemap_pruning",
     "q117_binary_ahash_neardup", "q118_postings_gamma_audit", "q119_source_cap_sweep",
     "q120_chunk_overlap_audit", "q121_dsir_importance", "q122_edit_verified_dedup",

@@ -574,6 +574,94 @@ object BookQueries {
       CASE WHEN l1_volume > 0 THEN pv / l1_volume END AS bar_vwap
     FROM agg ORDER BY sym, bar""")))
 
+  // ----------------------------------------------- q181: VPIN toxicity
+  /** Volume-synchronized probability of informed trading (VPIN —
+    * Easley, López de Prado, O'Hara, RFS 2012): the order-flow
+    * toxicity meter the OFI family (§2.5) doesn't cover. Ticks are
+    * direction-classified by the tick rule (mid up = buy, down = sell,
+    * unchanged carries the last known direction; leading unknowns
+    * default to buy — stated convention), volume-bucketed by
+    * cumulative-L1-volume striping (the q175 offset trick: bucket =
+    * pre-tick cumulative volume div V, V = 256 — equal-volume buckets
+    * with no sequential state), and each bucket's |buy − sell|
+    * imbalance feeds a trailing-5-bucket integer VPIN:
+    * 1000·Σimb div Σvol.
+    *
+    * Scale shape: the tick windows (lag, carried direction, cumsum)
+    * all share ONE (sym, seq) sort — Spark plans a single Sort+Window
+    * stage; the bucket rollup is a partial-aggregable groupBy and the
+    * VPIN window runs over BUCKET-cardinality rows (data volume div V),
+    * never ticks. All integer after the sign comparison, so the oracle
+    * hash-matches at any partitioning.
+    */
+  val q181 = Q("q181_vpin_toxicity",
+    (s, dir) => {
+      val V = 256L
+      val m = bookDf(s, dir)
+        .withColumn("mid", BookMetrics.mid(col("best_bid"), col("best_ask")))
+        .filter(col("mid").isNotNull)
+        .withColumn("vol",
+          (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+            .cast("long"))
+      val prevMid = lag("mid", 1).over(w)
+      val withDir = m
+        .withColumn("dir_raw",
+          when(col("mid") > prevMid, lit(1)).when(col("mid") < prevMid, lit(-1)))
+        .withColumn("dir", coalesce(last("dir_raw", ignoreNulls = true).over(wRun), lit(1)))
+        .withColumn("cum", sum("vol").over(wRun))
+        .withColumn("bucket", expr(s"(cum - vol) div $V"))
+      val buckets = withDir.groupBy("sym", "bucket")
+        .agg(sum(when(col("dir") === 1, col("vol")).otherwise(0L)).as("buy_vol"),
+          sum(when(col("dir") === -1, col("vol")).otherwise(0L)).as("sell_vol"))
+        .withColumn("imbalance", abs(col("buy_vol") - col("sell_vol")))
+        .withColumn("bucket_vol", col("buy_vol") + col("sell_vol"))
+      val wV = Window.partitionBy("sym").orderBy("bucket").rowsBetween(-4, 0)
+      buckets
+        .withColumn("win_imb", sum("imbalance").over(wV))
+        .withColumn("win_vol", sum("bucket_vol").over(wV))
+        .withColumn("vpin_permille",
+          when(col("win_vol") > 0, expr("(1000 * win_imb) div win_vol")))
+        .select("sym", "bucket", "buy_vol", "sell_vol", "imbalance",
+          "bucket_vol", "vpin_permille")
+        .orderBy("sym", "bucket")
+    },
+    Some(withCte(s""",
+    m AS (
+      SELECT sym, seq, ${BookSql.mid} AS mid,
+        CAST(COALESCE(bid1_size, 0.0::DOUBLE) + COALESCE(ask1_size, 0.0::DOUBLE) AS BIGINT) AS vol
+      FROM book
+      WHERE ${BookSql.mid} IS NOT NULL
+    ), d AS (
+      SELECT sym, seq, vol,
+        CASE WHEN mid > lag(mid) OVER $winSql THEN 1
+             WHEN mid < lag(mid) OVER $winSql THEN -1 END AS dir_raw
+      FROM m
+    ), c AS (
+      SELECT sym, seq, vol,
+        COALESCE(last_value(dir_raw IGNORE NULLS) OVER $runSql, 1) AS dir,
+        CAST(SUM(vol) OVER $runSql AS BIGINT) AS cum
+      FROM d
+    ), b AS (
+      SELECT sym, (cum - vol) // 256 AS bucket,
+        CAST(SUM(CASE WHEN dir = 1 THEN vol ELSE 0 END) AS BIGINT) AS buy_vol,
+        CAST(SUM(CASE WHEN dir = -1 THEN vol ELSE 0 END) AS BIGINT) AS sell_vol
+      FROM c GROUP BY sym, bucket
+    ), i AS (
+      SELECT sym, bucket, buy_vol, sell_vol,
+        abs(buy_vol - sell_vol) AS imbalance,
+        buy_vol + sell_vol AS bucket_vol
+      FROM b
+    ), v AS (
+      SELECT sym, bucket, buy_vol, sell_vol, imbalance, bucket_vol,
+        CAST(SUM(imbalance) OVER wv AS BIGINT) AS win_imb,
+        CAST(SUM(bucket_vol) OVER wv AS BIGINT) AS win_vol
+      FROM i
+      WINDOW wv AS (PARTITION BY sym ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT sym, bucket, buy_vol, sell_vol, imbalance, bucket_vol,
+      CASE WHEN win_vol > 0 THEN (1000 * win_imb) // win_vol END AS vpin_permille
+    FROM v ORDER BY sym, bucket""")))
+
   def all: Seq[Q] =
-    Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47, q50, q176)
+    Seq(q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q47, q50, q176, q181)
 }

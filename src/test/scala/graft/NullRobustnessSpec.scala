@@ -83,7 +83,9 @@ class NullRobustnessSpec extends SparkTestBase {
     // vacuum audit (null totalprice drops out of the ledger byte sum)
     "q179_vacuum_audit",
     // resize audit (null text → zero raster, octave 0)
-    "q180_image_resize_audit")
+    "q180_image_resize_audit",
+    // VPIN (null value → null mid ticks filtered before bucketing)
+    "q181_vpin_toxicity")
 
   for (name <- names)
     test(s"$name survives null/empty text, lang, value, and props rows") {

@@ -613,6 +613,17 @@ class PlanAuditSpec extends SparkTestBase {
       "payload bytes must never cross an exchange")
   }
 
+  test("q181: all tick windows share ONE (sym, seq) sort; no global window") {
+    val p = plan("q181_vpin_toxicity")
+    assert(!p.contains("windowspecdefinition()"),
+      "every window must partition by sym")
+    // lag + carried direction + cumsum must reuse a single sort: at most
+    // one Sort below the tick-level Window chain plus one for the
+    // bucket-level VPIN window and the presentation sort
+    assert("Sort ".r.findAllIn(p).size <= 4,
+      "tick windows must not each plan their own sort")
+  }
+
   test("q177: wedge enumeration is equi-joins only — no all-pairs anywhere") {
     val p = plan("q177_dup_graph_triangles")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

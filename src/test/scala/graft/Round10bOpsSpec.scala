@@ -187,6 +187,49 @@ class Round10bOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_assets")).sum === docs.size.toLong)
   }
 
+  test("q181: VPIN recomputes from a direct per-sym fold; toxicity bounded") {
+    val rows = SparkEntry.queries("q181_vpin_toxicity")(spark, dir)
+      .collect().toIndexedSeq
+    assert(rows.nonEmpty)
+    // independent recompute: sequential fold over each sym's ticks
+    // (tick rule, carried direction, cumulative-volume striping)
+    val ticks = graft.book.SyntheticBook
+      .fromEvents(Tables(spark, dir, "events"), 5)
+      .withColumn("mid", graft.book.BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .filter(col("mid").isNotNull)
+      .select(col("sym"), col("seq"), col("mid"),
+        (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+          .cast("long").as("vol"))
+      .collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("seq"),
+        r.getAs[Double]("mid"), r.getAs[Long]("vol")))
+    val expect = ticks.groupBy(_._1).flatMap { case (sym, ts) =>
+      var dir = 1; var prev = Double.NaN; var cum = 0L
+      val agg = scala.collection.mutable.Map.empty[Long, (Long, Long)]
+      ts.sortBy(_._2).foreach { case (_, _, mid, vol) =>
+        if (!prev.isNaN) {
+          if (mid > prev) dir = 1 else if (mid < prev) dir = -1
+        }
+        prev = mid
+        val bucket = cum / 256
+        cum += vol
+        val (b, s2) = agg.getOrElse(bucket, (0L, 0L))
+        if (dir == 1) agg(bucket) = (b + vol, s2) else agg(bucket) = (b, s2 + vol)
+      }
+      agg.map { case (bk, (b, s2)) => (sym, bk) -> (b, s2) }
+    }
+    rows.foreach { r =>
+      val key = (r.getAs[String]("sym"), r.getAs[Long]("bucket"))
+      val (b, s2) = expect(key)
+      assert(r.getAs[Long]("buy_vol") === b, s"buy_vol at $key")
+      assert(r.getAs[Long]("sell_vol") === s2, s"sell_vol at $key")
+      assert(r.getAs[Long]("imbalance") === math.abs(b - s2))
+      Option(r.getAs[java.lang.Long]("vpin_permille")).foreach { v =>
+        assert(v >= 0L && v <= 1000L)
+      }
+    }
+    assert(rows.size === expect.size)
+  }
+
   test("q176: OHLC ordering invariants and volume-weighted mean range") {
     val rows = SparkEntry.queries("q176_ohlc_bars")(spark, dir)
       .collect().toIndexedSeq
