@@ -1241,38 +1241,59 @@ object PipelineQueries {
     * shuffle; the full-outer rank join and re-rank run on 2·k rows per
     * query.
     */
+  /** RRF fusion core — consumes RANK FRAMES ONLY, `(query_id, doc_id,
+    * lex_rnk)` × `(query_id, doc_id, dense_rnk)`, so either leg swaps
+    * for any other index's top-k (IVF q44, graph q168, truncated-dim
+    * q138) without touching this body; Round10bOpsSpec proves it by
+    * fusing the same lexical leg with a truncated-dimension dense leg.
+    */
+  private[graft] def rrfFuse(lex: DataFrame, dense: DataFrame): DataFrame = {
+    val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_scaled",
+        coalesce(expr("1000000 div (60 + lex_rnk)"), lit(0L)) +
+          coalesce(expr("1000000 div (60 + dense_rnk)"), lit(0L)))
+    val w = Window.partitionBy("query_id").orderBy(desc("rrf_scaled"), col("doc_id"))
+    fused.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .select("query_id", "rnk", "doc_id", "rrf_scaled", "lex_rnk", "dense_rnk")
+      .orderBy("query_id", "rnk")
+  }
+
+  /** The q174 lexical leg: BM25 top-`k` ranks per query. */
+  private[graft] def lexTopK(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val lexW = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
+    bm25ByQuery(s, dir)
+      .withColumn("lex_rnk", row_number().over(lexW).cast("long"))
+      .filter(col("lex_rnk") <= k)
+      .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rnk"))
+  }
+
+  /** The q174 dense leg: exact-cosine top-`k` ranks per query vector,
+    * optionally on a dimension prefix (`dims` < 64 gives the q138-style
+    * truncated approximate leg the spec uses to prove leg-agnosticism).
+    */
+  private[graft] def denseTopK(s: SparkSession, dir: String, k: Int,
+                              dims: Option[Int] = None): DataFrame = {
+    graft.functions.DecDot8.ensureRegistered(s)
+    val emb = dims.fold(col("embedding"))(d => slice(col("embedding"), 1, d))
+    val en = Tables(s, dir, "embeddings")
+      .withColumn("e", emb)
+      .withColumn("n2", expr("dec_dot8(e, e)"))
+    val qv = en.filter(col("vec_id").between(1, 3))
+      .select(col("vec_id").as("query_id"), col("e").as("qe"), col("n2").as("qn2"))
+    val cv = en.select(col("vec_id").as("doc_id"), col("e").as("ce"), col("n2").as("cn2"))
+    val denseW = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("doc_id"))
+    broadcast(qv).join(cv, col("doc_id") =!= col("query_id"))
+      .withColumn("dot", expr("dec_dot8(qe, ce)"))
+      .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
+        col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
+      .withColumn("dense_rnk", row_number().over(denseW).cast("long"))
+      .filter(col("dense_rnk") <= k)
+      .select("query_id", "doc_id", "dense_rnk")
+  }
+
   val q174 = Q("q174_hybrid_rrf_fusion",
-    (s, dir) => {
-      graft.functions.DecDot8.ensureRegistered(s)
-      val K = 50
-      val lexW = Window.partitionBy("query_id").orderBy(desc("score"), col("doc_id"))
-      val lex = bm25ByQuery(s, dir)
-        .withColumn("lex_rnk", row_number().over(lexW).cast("long"))
-        .filter(col("lex_rnk") <= K)
-        .select(col("query_id").cast("long").as("query_id"), col("doc_id"), col("lex_rnk"))
-      val en = Tables(s, dir, "embeddings")
-        .withColumn("n2", expr("dec_dot8(embedding, embedding)"))
-      val qv = en.filter(col("vec_id").between(1, 3))
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"), col("n2").as("qn2"))
-      val cv = en.select(col("vec_id").as("doc_id"), col("embedding").as("ce"), col("n2").as("cn2"))
-      val denseW = Window.partitionBy("query_id").orderBy(desc("cos_sim"), col("doc_id"))
-      val dense = broadcast(qv).join(cv, col("doc_id") =!= col("query_id"))
-        .withColumn("dot", expr("dec_dot8(qe, ce)"))
-        .withColumn("cos_sim", when(col("qn2") > 0 && col("cn2") > 0,
-          col("dot") / (sqrt(col("qn2")) * sqrt(col("cn2")))))
-        .withColumn("dense_rnk", row_number().over(denseW).cast("long"))
-        .filter(col("dense_rnk") <= K)
-        .select("query_id", "doc_id", "dense_rnk")
-      val fused = lex.join(dense, Seq("query_id", "doc_id"), "full_outer")
-        .withColumn("rrf_scaled",
-          coalesce(expr("1000000 div (60 + lex_rnk)"), lit(0L)) +
-            coalesce(expr("1000000 div (60 + dense_rnk)"), lit(0L)))
-      val w = Window.partitionBy("query_id").orderBy(desc("rrf_scaled"), col("doc_id"))
-      fused.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
-        .select("query_id", "rnk", "doc_id", "rrf_scaled", "lex_rnk", "dense_rnk")
-        .orderBy("query_id", "rnk")
-    },
+    (s, dir) => rrfFuse(lexTopK(s, dir, 50), denseTopK(s, dir, 50)),
     Some(s"""WITH $bm25CteSql, lexr AS (
       SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rnk FROM (
         SELECT query_id, doc_id,

@@ -39,6 +39,42 @@ class Round10bOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q174: rrfFuse is leg-agnostic — a truncated-dim dense leg swaps in unchanged") {
+    import graft.text.PipelineQueries
+    val full = SparkEntry.queries("q174_hybrid_rrf_fusion")(spark, dir)
+      .collect().toIndexedSeq
+    // the SAME fusion body consuming a 16-dim approximate dense leg
+    val approx = PipelineQueries.rrfFuse(
+      PipelineQueries.lexTopK(spark, dir, 50),
+      PipelineQueries.denseTopK(spark, dir, 50, Some(16)))
+      .collect().toIndexedSeq
+    // well-formed under the swapped leg: per-query rank sequence + the
+    // fusion arithmetic hold exactly as with the exact leg
+    approx.groupBy(_.getAs[Long]("query_id")).foreach { case (_, qr) =>
+      val sorted = qr.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")) === (1L to sorted.size).toIndexedSeq)
+      sorted.foreach { r =>
+        val lex = Option(r.getAs[java.lang.Long]("lex_rnk")).map(_.toLong)
+        val dn = Option(r.getAs[java.lang.Long]("dense_rnk")).map(_.toLong)
+        val expect = lex.map(v => 1000000L / (60 + v)).getOrElse(0L) +
+          dn.map(v => 1000000L / (60 + v)).getOrElse(0L)
+        assert(r.getAs[Long]("rrf_scaled") === expect)
+      }
+    }
+    // the approximation is a real approximation of the full fusion: the
+    // per-query top-10 sets overlap substantially (deterministic data,
+    // floor pinned below the measured overlap)
+    def sets(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val f = sets(full); val a = sets(approx)
+    assert(f.keySet === a.keySet)
+    f.keySet.foreach { q =>
+      val overlap = (f(q) & a(q)).size
+      assert(overlap >= 4, s"query $q: top-10 overlap $overlap under the 16-dim leg")
+    }
+  }
+
   test("q175: byte conservation vs independent manifest, bin bounds") {
     val out = SparkEntry.queries("q175_compaction_planner")(spark, dir)
       .collect().toIndexedSeq
