@@ -611,6 +611,78 @@ object StreamingMetrics {
       }
   }
 
+  case class VpinTick(sym: String, seq: Long, mid: Double, vol: Long)
+  case class VpinBucket(bucket: Long, buy: Long, sell: Long)
+  case class VpinState(dir: Int, prevMid: Double, cum: Long, ring: Seq[VpinBucket])
+  case class VpinOut(sym: String, bucket: Long, buyVol: Long, sellVol: Long,
+                     imbalance: Long, bucketVol: Long, vpinPermille: Option[Long],
+                     finalized: Boolean)
+
+  /** Streaming VPIN — q181's twin: per-sym O(1) state (carried tick-rule
+    * direction AND previous mid — the sign alone would misclassify the
+    * first tick after a batch cut that lands exactly on a mid change;
+    * cumulative volume; a ≤5-entry ring of the current bucket plus its
+    * 4 trailing EXISTING buckets — q181's ROWS window, not a bucket-id
+    * range, so stripe slots skipped by an over-V tick behave
+    * identically). A bucket's final row is emitted the moment its
+    * successor opens — while the ring still holds its own trailing
+    * window — and the open bucket's running row is re-emitted each
+    * trigger that touches it. Each bucket finalizes exactly once
+    * (volume is monotone), so taking each (sym, bucket)'s finalized
+    * row (else its last partial) reconstructs q181 exactly under ANY
+    * micro-batch cut; the spec proves both the invariance and the
+    * batch equality.
+    */
+  def streamVpin(ticks: Dataset[VpinTick], v: Long = 256L): Dataset[VpinOut] = {
+    implicit val outEnc: Encoder[VpinOut] = Encoders.product[VpinOut]
+    implicit val stEnc: Encoder[VpinState] = Encoders.product[VpinState]
+    ticks.groupByKey(_.sym)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, it: Iterator[VpinTick], state: GroupState[VpinState]) =>
+          var st = state.getOption.getOrElse(VpinState(1, Double.NaN, 0L, Seq.empty))
+          var dir = st.dir
+          var prevMid = st.prevMid
+          var cum = st.cum
+          var ring = st.ring
+          val out = scala.collection.mutable.ArrayBuffer.empty[VpinOut]
+          def row(bk: VpinBucket, fin: Boolean): VpinOut = {
+            // ring ends at bk when this is called: its last ≤5 entries
+            // ARE the bucket's trailing-5-rows window
+            val window = ring.filter(_.bucket <= bk.bucket).takeRight(5)
+            val winImb = window.map(b => math.abs(b.buy - b.sell)).sum
+            val winVol = window.map(b => b.buy + b.sell).sum
+            VpinOut(sym, bk.bucket, bk.buy, bk.sell, math.abs(bk.buy - bk.sell),
+              bk.buy + bk.sell,
+              if (winVol > 0) Some(1000L * winImb / winVol) else None, fin)
+          }
+          it.toSeq.sortBy(_.seq).foreach { t =>
+            if (!prevMid.isNaN) {
+              if (t.mid > prevMid) dir = 1 else if (t.mid < prevMid) dir = -1
+            }
+            prevMid = t.mid
+            val bucket = cum / v
+            cum += t.vol
+            ring.lastOption match {
+              case Some(b) if b.bucket == bucket =>
+                ring = ring.init :+ (if (dir == 1) b.copy(buy = b.buy + t.vol)
+                                     else b.copy(sell = b.sell + t.vol))
+              case last =>
+                // previous bucket (if any) is final: emit it NOW, while
+                // the ring still ends at it
+                last.foreach(b => out += row(b, fin = true))
+                ring = (ring :+ VpinBucket(bucket,
+                  if (dir == 1) t.vol else 0L, if (dir == 1) 0L else t.vol))
+                  .takeRight(5)
+            }
+          }
+          state.update(VpinState(dir, prevMid, cum, ring))
+          // the open bucket's running row (the function only runs for
+          // keys present in the trigger, so the ring is never empty here)
+          ring.lastOption.foreach(b => out += row(b, fin = false))
+          out.iterator
+      }
+  }
+
   def runningDelta(ticks: Dataset[Tick]): Dataset[OfiOut] = {
     implicit val outEnc: Encoder[OfiOut] = Encoders.product[OfiOut]
     implicit val stEnc: Encoder[OfiState] = Encoders.product[OfiState]

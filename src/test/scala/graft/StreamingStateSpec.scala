@@ -510,6 +510,56 @@ class StreamingStateSpec extends SparkTestBase {
     assert(view(a) === expect, "streaming bars diverged from batch q176")
   }
 
+  test("streaming VPIN converges to the batch q181 buckets under any cut") {
+    import StreamingMetrics.{VpinOut, VpinTick}
+    // q181's own tick derivation, collected once (source order = seq)
+    val all = graft.book.SyntheticBook
+      .fromEvents(Tables(spark, "/root/testdata/sf0.001", "events"), 5)
+      .withColumn("mid", graft.book.BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .filter(col("mid").isNotNull)
+      .select(col("sym"), col("seq"), col("mid"),
+        (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+          .cast("long").as("vol"))
+      .as[VpinTick].collect().toSeq.sortBy(_.seq)
+
+    def run(cuts: Seq[Int], qname: String): Map[(String, Long), VpinOut] = {
+      val dir = Files.createTempDirectory("vpin")
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
+      val stream = spark.readStream.schema(Seq.empty[VpinTick].toDF().schema)
+        .parquet(dir.toString).as[VpinTick]
+      val q = StreamingMetrics.streamVpin(stream)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
+        // a bucket finalizes exactly once; the stream-end bucket's best
+        // row is its fullest partial
+        spark.table(qname).as[VpinOut].collect()
+          .groupBy(o => (o.sym, o.bucket))
+          .map { case (k, rs) => k -> rs.find(_.finalized).getOrElse(rs.maxBy(_.bucketVol)) }
+      } finally q.stop()
+    }
+
+    def view(m: Map[(String, Long), VpinOut]) = m.view.mapValues(o =>
+      (o.buyVol, o.sellVol, o.imbalance, o.bucketVol, o.vpinPermille)).toMap
+    val a = run(Seq(all.size / 2), "vpin_a")
+    val c = run(seededCuts(all.size, 0x181AL), "vpin_c")
+    assert(view(a) === view(c), "randomized multi-batch cut diverged")
+
+    // the reconstructed buckets ARE the batch q181 rows
+    val batch = SparkEntry.queries("q181_vpin_toxicity")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("bucket")) ->
+      (r.getAs[Long]("buy_vol"), r.getAs[Long]("sell_vol"), r.getAs[Long]("imbalance"),
+        r.getAs[Long]("bucket_vol"),
+        Option(r.getAs[java.lang.Long]("vpin_permille")).map(_.toLong))).toMap
+    batch.unpersist()
+    assert(view(a) === expect, "streaming VPIN diverged from batch q181")
+  }
+
   test("streaming time travel converges to the batch q170 reconstruction under any cut") {
     import StreamingMetrics.{TtOut, TtRow}
     // q170's own derivation of the changelog rows, collected once
