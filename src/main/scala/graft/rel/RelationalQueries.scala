@@ -1686,14 +1686,15 @@ object RelationalQueries {
     * bands 488‰ vs 512/552‰) — the reason several lakehouse engines
     * default to Hilbert for OPTIMIZE.
     *
-    * Scale shape: three GlobalRank pipelines (range shuffle, no
-    * single-partition window) over a persisted base — the two lex
-    * layout ranks double as the bucket-id sources; the Z-order rank
-    * costs only a per-cell window + a ≤256-row broadcast (see inline
-    * comment); the row count joins back as a broadcast 1-row frame;
-    * blocks aggregate map-side and the block frame is cached across the
-    * three predicate branches. At fleet scale the Z-order rank IS the
-    * rewrite: cluster-by-morton + write.
+    * Scale shape: two lex GlobalRank pipelines CHAINED (range shuffles,
+    * no single-partition window; both ranks land on one frame, so no
+    * data-sized rejoin) plus one for the natural layout — the lex ranks
+    * double as the bucket-id sources; both curve ranks share one
+    * per-cell window + a ≤256-row broadcast (see inline comment); the
+    * row count joins back as a broadcast 1-row frame; blocks aggregate
+    * map-side and the block frame is cached across the three predicate
+    * branches. At fleet scale the Z-order rank IS the rewrite:
+    * cluster-by-morton + write.
     */
   val q159 = Q("q159_zorder_layout_audit",
     (s, dir) => {
@@ -1706,25 +1707,32 @@ object RelationalQueries {
         .withColumn("k", when(kVal =!= "", kVal.cast("long")))
         .select(col("event_id"), col("user_id"), col("k"))
       val cnt = ev.agg(count(lit(1)).as("_n"))
-      // THREE GlobalRank pipelines, each a SHALLOW independent read of
-      // the persisted base (deep rank-over-rank chains re-execute their
-      // whole lineage per branch — measured 2× slower): the two
-      // lexicographic layout ranks double as the equi-depth bucket
-      // sources (ub/kb = rank·16/n; the bucket tiebreak IS the layout
-      // order, which the oracle mirrors). The Z-order rank itself needs
-      // NO range exchange: the Morton domain is ≤256 cells by
-      // construction, so exact rank = broadcast cumulative cell offsets
-      // (a ≤256-row frame) + a PARALLEL per-cell row_number — the
-      // bounded-code-domain shortcut a fleet-scale Z-order rewrite uses
-      // to turn the layout sort into a cheap cluster-by.
+      // TWO CHAINED GlobalRank pipelines (rn_ku ranked over the rn_uk
+      // frame — GlobalRank persists its internal ranged frame, so the
+      // chain's lineage is cut and both ranks ride ONE output frame;
+      // round 12: this replaces the rUk⋈rKu full-data event_id join,
+      // which was the query's biggest single exchange) plus one for the
+      // natural layout. The two lexicographic layout ranks double as the
+      // equi-depth bucket sources (ub/kb = rank·16/n; the bucket
+      // tiebreak IS the layout order, which the oracle mirrors). The
+      // curve ranks need NO range exchange: the Morton/Hilbert domains
+      // are ≤256 cells by construction, so exact rank = broadcast
+      // cumulative cell offsets (a ≤256-row frame) + a PARALLEL per-cell
+      // row_number — the bounded-code-domain shortcut a fleet-scale
+      // Z-order rewrite uses to turn the layout sort into a cheap
+      // cluster-by.
       val gr = graft.rel.GlobalRank
       val mStore = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val base0 = ev.crossJoin(broadcast(cnt)).persist(mStore)
-      val rUk = gr.withGlobalRank(base0,
-        Seq(col("user_id"), col("k"), col("event_id")), "rn_uk").persist(mStore)
-      val rKu = gr.withGlobalRank(base0,
-        Seq(col("k"), col("user_id"), col("event_id")), "rn_ku").persist(mStore)
+      // natural rank stays a separate shallow pipeline: chaining it into
+      // r2 was measured WORSE (rn_nat riding both later range exchanges
+      // costs more shuffle than its own one-exchange pipeline)
       val rNat = gr.withGlobalRank(base0, Seq(col("event_id")), "rn_nat")
+      val r2 = gr.withGlobalRank(
+          gr.withGlobalRank(base0,
+            Seq(col("user_id"), col("k"), col("event_id")), "rn_uk"),
+          Seq(col("k"), col("user_id"), col("event_id")), "rn_ku")
+        .persist(mStore) // consumers: the cell-count agg + the rZH build
       // Hilbert d-index over the same 16×16 equi-depth grid — computed
       // from ONE shared 256-entry table literal in both engines (the
       // standard xy2d walk runs at plan-build time, not per row), so the
@@ -1735,36 +1743,46 @@ object RelationalQueries {
       val hilbertCellExpr = "element_at(array(" +
         RelationalQueries.hilbertLut16.mkString(",") +
         "), CAST(ub * 16 + kb + 1 AS INT))"
-      val zin = rUk.select(col("event_id"), col("user_id"), col("k"),
-          expr("rn_uk * 16 div _n").as("ub"))
-        .join(rKu.select(col("event_id"), expr("rn_ku * 16 div _n").as("kb")),
-          "event_id")
+      val zin = r2.select(col("event_id"), col("user_id"), col("k"),
+          col("rn_uk"), col("rn_ku"),
+          expr("rn_uk * 16 div _n").as("ub"),
+          expr("rn_ku * 16 div _n").as("kb"))
         .withColumn("morton", expr(mortonExpr("ub", "kb")))
         .withColumn("hd", expr(hilbertCellExpr))
-        .persist(mStore) // consumers: 2 cell-count aggs + 2 rank joins
-      def cellRank(cellCol: String, rnName: String) = {
-        val offs = zin.groupBy(cellCol).agg(count(lit(1)).as("_c"))
-          .withColumn("_off", coalesce(
-            sum("_c").over(Window.orderBy(cellCol)
-              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(cellCol, "_off") // ≤256 rows: the one tiny global window
-        zin.join(broadcast(offs), cellCol)
-          .withColumn(rnName, col("_off") - 1L +
-            row_number().over(Window.partitionBy(cellCol).orderBy("event_id")))
-      }
-      val rZ = cellRank("morton", "rn_z")
-      val rH = cellRank("hd", "rn_h")
-      def blockStats(df: org.apache.spark.sql.DataFrame, rn: String, name: String) =
-        df.groupBy((col(rn) / 64).cast("long").as("block_id"))
-          .agg(count(lit(1)).as("n_rows"),
-            min("user_id").as("lo_u"), max("user_id").as("hi_u"),
-            min("k").as("lo_k"), max("k").as("hi_k"))
-          .withColumn("layout", lit(name))
-      val blocks = Seq(blockStats(rNat, "rn_nat", "natural"),
-        blockStats(rUk, "rn_uk", "lex_user_k"),
-        blockStats(rKu, "rn_ku", "lex_k_user"),
-        blockStats(rZ, "rn_z", "zorder"),
-        blockStats(rH, "rn_h", "hilbert")).reduce(_ unionByName _)
+      // Both curves are bijections of the SAME (ub, kb) cell, so one
+      // per-cell row_number (ordered by event_id) serves both ranks; the
+      // per-curve cumulative offsets differ only in the ≤256-row frame's
+      // sort order. One data-sized hash exchange instead of two, one
+      // cell-count pass instead of two (round 12).
+      val offs = zin.groupBy("ub", "kb", "morton", "hd")
+        .agg(count(lit(1)).as("_c"))
+        .withColumn("_offz", coalesce(
+          sum("_c").over(Window.orderBy("morton")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("_offh", coalesce(
+          sum("_c").over(Window.orderBy("hd")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("ub", "kb", "_offz", "_offh") // ≤256 rows: the tiny global windows
+      val rZH = zin.join(broadcast(offs), Seq("ub", "kb"))
+        .withColumn("_rn_cell",
+          row_number().over(Window.partitionBy("ub", "kb").orderBy("event_id")))
+        .withColumn("rn_z", col("_offz") - 1L + col("_rn_cell"))
+        .withColumn("rn_h", col("_offh") - 1L + col("_rn_cell"))
+        .persist(mStore) // consumers: the four non-natural blockStats
+      // ONE block-stats pass over the four-rank frame (stack fans each
+      // row to its four (layout, block_id) assignments map-side; the agg
+      // is partial-aggregable, so only ≤ 4·n/64 block rows shuffle) plus
+      // the natural leg — replaces five separate groupBy pipelines
+      // (round 12: −4 aggregation stage pairs, −4 cached-frame passes).
+      val blocks = rZH.select(col("user_id"), col("k"),
+          expr("stack(4, 'lex_user_k', rn_uk div 64, 'lex_k_user', rn_ku div 64, " +
+            "'zorder', rn_z div 64, 'hilbert', rn_h div 64) AS (layout, block_id)"))
+        .unionByName(rNat.select(col("user_id"), col("k"),
+          lit("natural").as("layout"), expr("rn_nat div 64").as("block_id")))
+        .groupBy("layout", "block_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min("user_id").as("lo_u"), max("user_id").as("hi_u"),
+          min("k").as("lo_k"), max("k").as("hi_k"))
         // three predicate branches read the block stats: without the
         // cache each branch re-executes all four rank pipelines (the
         // frame is tiny — ≤ n/64 rows per layout)
