@@ -611,6 +611,114 @@ object StreamingMetrics {
       }
   }
 
+  case class WmTick(sym: String, seq: Long, tsUs: Long, mid: Double, vol: Long)
+  case class WmSymState(maxTs: Long, bars: Map[Long, BarState],
+                        lateAccepted: Map[Long, Long])
+  case class WmBarOut(sym: String, bar: Long, isDrop: Boolean,
+                      open: Double, high: Double, low: Double, close: Double,
+                      nTicks: Long, l1Volume: Long, barVwap: Option[Double],
+                      nLateAccepted: Long, dropSeq: Option[Long])
+
+  /** Event-time OHLC bars with an EXPLICIT lateness horizon and a
+    * late-data audit — the watermark-semantics extension of
+    * [[streamOhlcBars]] (SURVEY §2.9's "event-time windows + watermark"
+    * item, round 12).
+    *
+    * Why not `withWatermark` + `window()` (as [[minuteBars]] uses)?
+    * Spark's built-in watermark advances only at micro-batch
+    * boundaries, so WHICH late rows are dropped depends on where the
+    * batch cuts land — correct streaming semantics, but untestable
+    * against a batch oracle. This twin pins a DATA-DEFINED horizon
+    * instead: per symbol, ticks are processed in `seq` order (the
+    * stream's total order; each batch's group is sorted before
+    * folding), the running max event time plays the watermark, and a
+    * tick is
+    *
+    *   - DROPPED  when its bar finalized before it arrived
+    *     (`barEnd + lateness <= maxTs` at arrival) → an audit row
+    *     (`isDrop=true`, `dropSeq` = the tick) emits, so late data is
+    *     observable, never silent;
+    *   - LATE-ACCEPTED when its bar had closed (`maxTs >= barEnd`) but
+    *     not yet finalized → merged normally and counted in the bar's
+    *     `nLateAccepted` audit column;
+    *   - a bar FINALIZES (emits exactly once, then leaves state) as
+    *     soon as `maxTs` passes `barEnd + lateness`.
+    *
+    * Every decision is a function of the seq-ordered tick sequence
+    * alone, so the emitted row SET is identical under ANY micro-batch
+    * cut (StreamingStateSpec pins it with randomized cuts) — the
+    * determinism the batch≡stream equality harness needs. State per
+    * symbol is the open-bar map, bounded by `lateness/barUs + 1` bars,
+    * never by stream length. Bars still open at stream end never emit
+    * (feed a flush tick past the horizon, as a real feed's heartbeat
+    * would).
+    */
+  def streamOhlcBarsWatermarked(ticks: Dataset[WmTick],
+                                barUs: Long = 3600000000L,
+                                latenessUs: Long = 1800000000L): Dataset[WmBarOut] = {
+    implicit val outEnc: Encoder[WmBarOut] = Encoders.product[WmBarOut]
+    implicit val stEnc: Encoder[WmSymState] = Encoders.product[WmSymState]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    ticks.groupByKey(_.sym)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (sym: String, it: Iterator[WmTick], state: GroupState[WmSymState]) =>
+          var st = state.getOption
+            .getOrElse(WmSymState(Long.MinValue, Map.empty, Map.empty))
+          val out = scala.collection.mutable.ArrayBuffer[WmBarOut]()
+          def barRow(b: Long, bs: BarState, late: Long): WmBarOut = {
+            val vwap =
+              if (bs.vol > 0)
+                Some(new java.math.BigDecimal(
+                  java.math.BigInteger.valueOf(bs.pvUnscaled), 6)
+                  .doubleValue() / bs.vol)
+              else None
+            WmBarOut(sym, b, isDrop = false, bs.open, bs.high, bs.low,
+              bs.close, bs.nTicks, bs.vol, vwap, late, None)
+          }
+          it.toSeq.sortBy(_.seq).foreach { t =>
+            val bar = Math.floorDiv(t.tsUs, barUs)
+            val barEnd = (bar + 1L) * barUs
+            if (barEnd + latenessUs <= st.maxTs)
+              out += WmBarOut(sym, bar, isDrop = true, 0.0, 0.0, 0.0, 0.0,
+                0L, 0L, None, 0L, Some(t.seq))
+            else {
+              val u = java.math.BigDecimal.valueOf(t.mid * t.vol)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              val merged = st.bars.get(bar) match {
+                case None =>
+                  BarState(t.seq, t.mid, t.seq, t.mid, t.mid, t.mid, 1L, t.vol, u)
+                case Some(s0) => BarState(
+                  if (t.seq < s0.openSeq) t.seq else s0.openSeq,
+                  if (t.seq < s0.openSeq) t.mid else s0.open,
+                  if (t.seq > s0.closeSeq) t.seq else s0.closeSeq,
+                  if (t.seq > s0.closeSeq) t.mid else s0.close,
+                  math.max(s0.high, t.mid), math.min(s0.low, t.mid),
+                  s0.nTicks + 1L, s0.vol + t.vol,
+                  Math.addExact(s0.pvUnscaled, u))
+              }
+              val lateHit = if (st.maxTs >= barEnd) 1L else 0L
+              st = st.copy(
+                bars = st.bars.updated(bar, merged),
+                lateAccepted = st.lateAccepted
+                  .updated(bar, st.lateAccepted.getOrElse(bar, 0L) + lateHit))
+            }
+            if (t.tsUs > st.maxTs) st = st.copy(maxTs = t.tsUs)
+            val (done, open) = st.bars.partition { case (b, _) =>
+              (b + 1L) * barUs + latenessUs <= st.maxTs
+            }
+            if (done.nonEmpty) {
+              done.toSeq.sortBy(_._1).foreach { case (b, bs) =>
+                out += barRow(b, bs, st.lateAccepted.getOrElse(b, 0L))
+              }
+              st = st.copy(bars = open, lateAccepted = st.lateAccepted -- done.keys)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   case class VpinTick(sym: String, seq: Long, mid: Double, vol: Long)
   case class VpinBucket(bucket: Long, buy: Long, sell: Long)
   case class VpinState(dir: Int, prevMid: Double, cum: Long, ring: Seq[VpinBucket])

@@ -624,4 +624,67 @@ class StreamingStateSpec extends SparkTestBase {
       assert(got === expect(cut), s"cutoff $cut: streaming state diverged from batch q170")
     }
   }
+
+  test("watermarked OHLC: drops, late-accepted counts and bars are cut-invariant") {
+    import StreamingMetrics.{WmBarOut, WmTick}
+    // barUs = 100, latenessUs = 150. Hand-crafted out-of-order feed:
+    //  A seq3 → bar0 after bar0 CLOSED (maxTs 110 ≥ 100) but before it
+    //    finalized → late-ACCEPTED;
+    //  A seq4 (ts 260) pushes maxTs past bar0's horizon (100+150) → bar0
+    //    finalizes;
+    //  A seq5 → bar0 after finalization → DROPPED, audit row;
+    //  A seq7 / B seq2 are flush heartbeats finalizing the open bars.
+    val all = Seq(
+      WmTick("A", 1L, 10L, 1.0, 2L), WmTick("A", 2L, 110L, 2.0, 3L),
+      WmTick("A", 3L, 50L, 3.0, 1L), WmTick("A", 4L, 260L, 4.0, 2L),
+      WmTick("A", 5L, 60L, 5.0, 9L), WmTick("A", 6L, 120L, 6.0, 1L),
+      WmTick("A", 7L, 600L, 7.0, 1L),
+      WmTick("B", 1L, 10L, 1.5, 1L), WmTick("B", 2L, 999L, 2.5, 1L))
+
+    def run(cuts: Seq[Int], qname: String): Set[WmBarOut] = {
+      val dir = Files.createTempDirectory("wmohlc")
+      val parts = slices(all, cuts)
+      landDf(dir, "b1.parquet", parts.head.toDF())
+      val stream = spark.readStream.schema(Seq.empty[WmTick].toDF().schema)
+        .parquet(dir.toString).as[WmTick]
+      val q = StreamingMetrics
+        .streamOhlcBarsWatermarked(stream, barUs = 100L, latenessUs = 150L)
+        .writeStream.outputMode("append").format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable()
+        parts.tail.zipWithIndex.foreach { case (p, i) =>
+          landDf(dir, s"b${i + 2}.parquet", p.toDF())
+          q.processAllAvailable()
+        }
+        // bars and drop audits each emit exactly once → the SET is the contract
+        spark.table(qname).as[WmBarOut].collect().toSet
+      } finally q.stop()
+    }
+
+    val a = run(Seq(4), "wmohlc_a")
+    val b = run(Seq(2, 5, 7), "wmohlc_b")
+    val c = run(seededCuts(all.size, 0x12DL), "wmohlc_c")
+    assert(a === b, "2-cut vs 3-cut emitted row sets diverged")
+    assert(a === c, "randomized multi-batch cut diverged")
+
+    val bars = a.filterNot(_.isDrop).map(o => (o.sym, o.bar) -> o).toMap
+    val drops = a.filter(_.isDrop)
+    // exactly one drop: A seq5 targeting finalized bar0
+    assert(drops.map(d => (d.sym, d.bar, d.dropSeq)) === Set(("A", 0L, Some(5L))))
+    // bar0: seq1 + late-accepted seq3 (seq5 dropped); open by min-seq,
+    // close by max-seq, decimal-exact vwap = (1.0·2 + 3.0·1)/3
+    val a0 = bars(("A", 0L))
+    assert((a0.open, a0.high, a0.low, a0.close, a0.nTicks, a0.l1Volume) ===
+      (1.0, 3.0, 1.0, 3.0, 2L, 3L))
+    assert(a0.barVwap === Some(5.0 / 3) && a0.nLateAccepted === 1L)
+    // bar1: seq2 in-order + seq6 late-accepted (bar closed at maxTs 260)
+    val a1 = bars(("A", 1L))
+    assert((a1.open, a1.close, a1.nTicks, a1.l1Volume, a1.nLateAccepted) ===
+      (2.0, 6.0, 2L, 4L, 1L))
+    assert(a1.barVwap === Some(3.0))
+    // bar2 (seq4 only) and B bar0 finalize via the flush heartbeats;
+    // the heartbeat bars themselves stay open and never emit
+    assert(bars(("A", 2L)).nTicks === 1L && bars(("B", 0L)).nTicks === 1L)
+    assert(bars.keySet === Set(("A", 0L), ("A", 1L), ("A", 2L), ("B", 0L)))
+  }
 }
