@@ -576,21 +576,41 @@ object VectorQueries {
   private val KCells = 8
   private val LloydRounds = 2
 
-  /** Assign every vector to its nearest centroid (exact-decimal
-    * d2 = ‖c‖² − 2·x·c, ties → smaller cid). `cent`: (cid, cvec, cnorm2),
-    * small → broadcast.
+  /** Append `cell` = nearest-centroid id (exact-decimal
+    * d2 = ‖c‖² − 2·x·c, ties → smaller cid) as a PURE PROJECTION over
+    * the input — all other columns retained.
+    *
+    * `cent` (cid, cvec, cnorm2) is ALWAYS driver-bounded here (K ≤ 8
+    * k-means cells / 4 PQ codes), so it is collected and the argmin
+    * compiled into `least` over K literal-centroid (d2, cid) structs —
+    * the same lexicographic (d2 asc, cid asc) order the previous
+    * min(struct) aggregation used, on the same kernel dots against the
+    * same collected doubles, so assignments are bit-identical. What it
+    * replaces (round 12): a broadcast K-way row fan-out + groupBy(vec_id)
+    * exchange + (at every caller) a join back onto the input by vec_id —
+    * two data-sized shuffles per assignment, per Lloyd round. Zero
+    * shuffles now; each round's plan starts from literals, so the Lloyd
+    * lineage never nests either.
+    */
+  private def withCell(emb: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = cent.select("cid", "cvec", "cnorm2").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .sortBy(_._1)
+    require(cs.length <= 256, s"withCell is for driver-bounded codebooks, got ${cs.length}")
+    val cands = cs.map { case (cid, cvec, cn2) =>
+      struct(
+        (lit(cn2) - lit(2.0) * call_function("dec_dot8", col("embedding"),
+          array(cvec.map(lit(_)): _*))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    emb.withColumn("cell", least(cands: _*).getField("cid"))
+  }
+
+  /** (vec_id, cell) view of [[withCell]] — kept for callers that join
+    * two assignment frames (q92's two-subspace encode).
     */
   private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
-    // nearest-centroid argmin as a lexicographic min(struct(d2, cid)):
-    // partial-aggregable (map-side combine — one row/vector crosses the
-    // shuffle) where the row_number window it replaces sorted the whole
-    // (vector × centroid) stream per vec_id. Ties break by cid, same as
-    // the window's (d2 asc, cid asc) order.
-    emb.join(broadcast(cent))
-      .withColumn("d2", col("cnorm2") - lit(2.0) * expr(xcDotExpr))
-      .groupBy("vec_id")
-      .agg(min(struct(col("d2"), col("cid"))).as("m"))
-      .select(col("vec_id"), col("m.cid").as("cell"))
+    withCell(emb, cent).select("vec_id", "cell")
 
   /** IVF over LEARNED k-means centroids (q44/q52's per-label cells kept
     * as the deterministic fallback): seeded init — the K vectors with
@@ -625,8 +645,10 @@ object VectorQueries {
         seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
       }
       for (_ <- 1 to LloydRounds) {
-        val asg = assignCells(emb, cent)
-        val perDim = emb.join(asg, "vec_id")
+        // withCell is a projection, so the per-dim mean is the round's
+        // ONLY exchange (≤ K·dim groups, partial-aggregable) — no
+        // assignment shuffle, no join-back (round 12)
+        val perDim = withCell(emb, cent)
           .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
           .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
           .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
@@ -634,12 +656,11 @@ object VectorQueries {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
             t => t.getField("c")).as("cvec"))
           .withColumn("cnorm2", expr(cnorm2Expr))
-          // K rows — materializing each round stops the Lloyd lineage
-          // nesting (each round's subtree would otherwise re-execute
-          // inside every later broadcast that references it)
-          .cache()
+        // no cache needed: the next round COLLECTS cent (K rows) inside
+        // withCell, so each round's plan starts from literals and the
+        // Lloyd lineage cannot nest
       }
-      val en = emb.join(assignCells(emb, cent), "vec_id")
+      val en = withCell(emb, cent)
         .withColumn("n2", expr(norm2Expr("embedding")))
         .cache() // read twice: probe side and candidate side of the cell join
       val qs = en.filter(col("vec_id") < 8)
@@ -996,8 +1017,9 @@ object VectorQueries {
       seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
     }
     for (_ <- 1 to rounds) {
-      val asg = assignCells(sub, cent)
-      val perDim = sub.join(asg, "vec_id")
+      // one exchange per round (the ≤ K·dim per-dim mean): assignment is
+      // withCell's literal-centroid projection, no join-back (round 12)
+      val perDim = withCell(sub, cent)
         .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
         .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
@@ -1005,9 +1027,10 @@ object VectorQueries {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
           t => t.getField("c")).as("cvec"))
         .withColumn("cnorm2", expr(cnorm2Expr))
-        .cache()
     }
-    cent
+    // the FINAL codebook has two consumers (the encode collect inside
+    // withCell and the per-query LUT crossJoin) — cache the K rows
+    cent.cache()
   }
 
   /** Product quantization + asymmetric-distance recall audit (Jégou,
