@@ -2930,6 +2930,27 @@ object VectorQueries {
       .transform(graft.Q.presentSorted(_, "q_id"))
   }
 
+  /** Serving-THROUGHPUT leg for the tuned-config receipts: beam-serve a
+    * query load of `nQ` probes (vec_id < nQ) over `edges` and return
+    * per-query visited counts — no exact brute-force leg, because at
+    * fleet-scale query loads the O(queries × corpus) exact audit would
+    * dwarf the serving cost it is auditing. Recall stays audited by
+    * [[clAudit]] on its fixed probe set; this measures what the SERVER
+    * pays per query (visited nodes) and how long the load takes
+    * (ClServeProbe times it).
+    */
+  private[graft] def clServeLoad(s: SparkSession, dir: String, edges: DataFrame,
+                                 beam: Int, hops: Int, nQ: Long): DataFrame = {
+    val cl = clEn(s, dir)
+    val lo2 = cl.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    require(lo2.length == 2, "serve load needs ≥2 embeddings")
+    val probes = cl.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
+    beamVisited(probes, cl, edges, lo2(0), lo2(1), beam, hops)
+      .groupBy("q_id").agg(count(lit(1)).as("n_visited"))
+  }
+
   /** Graph ANN at a USEFUL operating point (the q160/q161 machinery
     * demonstrated honest-but-low recall ≈ 0.1 on the deliberately
     * structureless uniform corpus): same NN-descent build + beam
