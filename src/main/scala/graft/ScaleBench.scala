@@ -26,7 +26,14 @@ object ScaleBench {
     * for the 100x probe. Decorrelation composes two independent
     * substitution alphabets for text (10 x 10 = 100 distinct maps) and
     * rotation x sign-flip patterns for embeddings (64 x flips), so no
-    * two copies share a transform up to 100x.
+    * two copies share a transform up to 100x. The 1000x probe (round
+    * 12) adds a THIRD text dimension: the hundreds digit rotates the
+    * combined 20-letter alphabet by 2*(k/100). The image of the first
+    * 10-letter block under that rotation is a distinct 20-cycle
+    * interval per digit, so the composite permutation uniquely encodes
+    * (k%10, k/10%10, k/100) — 1000 distinct maps, and k<100 keeps the
+    * identity so the 10x/100x corpora are byte-identical to prior
+    * rounds' artifacts.
     */
   private val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val alphabet = "etaoinsrhl"
@@ -79,8 +86,11 @@ object ScaleBench {
       writeCommitted((0 until Copies).map { k =>
         val t1 = if (k % 10 == 0) col("text")
           else translate(col("text"), alphabet, rotated(alphabet, k % 10))
-        val t2 = if (k / 10 == 0) t1
-          else translate(t1, alphabet2, rotated(alphabet2, k / 10))
+        val t2 = if ((k / 10) % 10 == 0) t1
+          else translate(t1, alphabet2, rotated(alphabet2, (k / 10) % 10))
+        val ab = alphabet + alphabet2
+        val t3 = if (k / 100 == 0) t2
+          else translate(t2, ab, rotated(ab, 2 * (k / 100)))
         docs.select(
           (col("doc_id") + lit(k * nD)).as("doc_id"),
           t2.as("text"),
