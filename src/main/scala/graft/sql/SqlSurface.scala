@@ -184,6 +184,24 @@ object SqlSurface {
       SELECT seq, sym, ofi_l1, SUM(ofi_l1) OVER $runSql AS ofi_cum
       FROM o ORDER BY seq"""),
 
+    "q14_ofi_event" ->
+      d(s"""WITH lagged AS (
+        SELECT *, ${BookSql.lagLayer}
+        FROM book WINDOW w AS $winSql
+      ),
+      o AS (SELECT seq, sym, ${BookSql.ofiEvent} AS ofi_event FROM lagged)
+      SELECT seq, sym, ofi_event, SUM(ofi_event) OVER $runSql AS ofi_event_cum
+      FROM o ORDER BY seq"""),
+
+    "q15_ofi_lobster" ->
+      d(s"""WITH lagged AS (
+        SELECT *, ${BookSql.lagLayer}
+        FROM book WINDOW w AS $winSql
+      ),
+      o AS (SELECT seq, sym, ${BookSql.ofiLobster} AS ofi_lob FROM lagged)
+      SELECT seq, sym, ofi_lob, SUM(ofi_lob) OVER $runSql AS ofi_lob_cum
+      FROM o ORDER BY seq"""),
+
     "q17_realized_variance" ->
       d(s"""WITH m AS (SELECT seq, sym, ${BookSql.mid} AS mid FROM book),
       p AS (SELECT seq, sym, 100.0::DOUBLE + mid / 100.0::DOUBLE AS px FROM m),
