@@ -168,10 +168,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("q54: cell assignment argmin combines map-side (no per-vector window sort)") {
+  test("q54: cell assignment is a literal-centroid projection (no shuffle, no window)") {
+    // round 12: the assignment argmin compiles to least() over K
+    // collected-centroid structs — a pure projection. The plan must show
+    // the least-struct kernel chain and contain NO per-vector ranking
+    // window and NO assignment groupBy-exchange (the only exchanges left
+    // are the per-dim mean + search legs).
     val p = plan("q54_kmeans_ivf")
-    assert(p.contains("partial_min") || p.contains("partial min"),
-      "min(struct(d2, cid)) must partial-aggregate before the shuffle")
+    assert(p.contains("least(") && p.contains("dec_dot8"),
+      "assignment must be the least(struct(d2, cid)) literal-centroid projection")
+    assert(!p.toLowerCase.contains("windowspecdefinition(vec_id"),
+      "no per-vector ranking window may replace the projection argmin")
   }
 
   test("q77: semantic-dedup pairs form only inside a cell — equi join, no all-pairs") {
