@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
+
+/** Structural-cost runner: executes one catalog query and prints
+  * LOAD-ROBUST metrics — summed executor CPU time, shuffle read/write
+  * bytes, and stage count — alongside the wall time.
+  *
+  * Purpose (round 12): wall-clock on this box swings ±2× under ambient
+  * external load (PERF.md round index), which makes A/B-ing a plan
+  * rewrite by wall alone impossible. Executor CPU and shuffle volume
+  * are (nearly) load-invariant, so a rewrite is judged by: CPU parity
+  * or better, shuffle bytes/exchange count down, stages down — wall is
+  * corroborating evidence only. The q159 round-12 rewrite was
+  * adjudicated exactly this way (CPU 29.8 vs 29.4 s parity, stages
+  * 57→44, wall 13.0→7.2 under equal load).
+  *
+  * Usage: `sbt "runMain graft.PlanCost <queryName>"` (SPARK_GRAFT_SF_DIR
+  * selects the scale, default sf0.1; warmup on sf0.001 is excluded).
+  */
+object PlanCost {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = Tables.localSession(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+    val cpu = new AtomicLong(); val sw = new AtomicLong()
+    val sr = new AtomicLong(); val stages = new AtomicLong()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val m = sc.stageInfo.taskMetrics
+        cpu.addAndGet(m.executorCpuTime)
+        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        stages.incrementAndGet(); ()
+      }
+    })
+    val q = SparkEntry.catalog.find(_.name == name)
+      .getOrElse(sys.error(s"unknown query: $name"))
+    // JIT/codegen warmup on the smallest SF (not counted: reset after)
+    q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    cpu.set(0); sw.set(0); sr.set(0); stages.set(0)
+    val t0 = System.nanoTime()
+    q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${cpu.get / 1e9}%.2f,"shuffle_write_mb":${sw.get / 1e6}%.1f,"shuffle_read_mb":${sr.get / 1e6}%.1f,"stages":${stages.get}}""")
+    spark.stop()
+  }
+}
