@@ -612,6 +612,26 @@ object VectorQueries {
   private def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
     withCell(emb, cent).select("vec_id", "cell")
 
+  /** One Lloyd update from a cell-assigned frame: per-cell per-dim
+    * exact-decimal means as `dim` agg COLUMNS over one partial-aggregable
+    * groupBy(cell) — K·dim decimal sums + one count cross the exchange,
+    * never exploded rows. Values identical to the posexplode formulation
+    * it replaced (same `round(x, 8)`-grid decimal sums over the same cast
+    * doubles; the per-cell count equals the old per-(cell, pos) count on
+    * fixed-width embeddings, which every corpus here has).
+    */
+  private def lloydMeans(assigned: DataFrame, dim: Int): DataFrame = {
+    val aggs = (1 to dim).map { i =>
+      (Exact.sumExactFast(element_at(col("embedding"), i).cast("double"), 8)
+        / count(lit(1))).as(s"_c$i")
+    }
+    assigned.groupBy(col("cell").as("cid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("cid"),
+        array((1 to dim).map(i => col(s"_c$i")): _*).as("cvec"))
+      .withColumn("cnorm2", expr(cnorm2Expr))
+  }
+
   /** IVF over LEARNED k-means centroids (q44/q52's per-label cells kept
     * as the deterministic fallback): seeded init — the K vectors with
     * smallest md5("seed#" ∥ vec_id), a distributed top-K (TakeOrdered),
@@ -644,18 +664,15 @@ object VectorQueries {
         import sess.implicits._
         seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
       }
+      val dim = seedVecs.head._2.length
       for (_ <- 1 to LloydRounds) {
-        // withCell is a projection, so the per-dim mean is the round's
-        // ONLY exchange (≤ K·dim groups, partial-aggregable) — no
-        // assignment shuffle, no join-back (round 12)
-        val perDim = withCell(emb, cent)
-          .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-          .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
-          .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
-        cent = perDim.groupBy(col("cell").as("cid"))
-          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-            t => t.getField("c")).as("cvec"))
-          .withColumn("cnorm2", expr(cnorm2Expr))
+        // withCell is a projection, so the round is ONE partial-aggregable
+        // groupBy(cell) exchange of K rows × dim decimal sums — no
+        // assignment shuffle, no join-back, no posexplode row blow-up,
+        // no second collect_list pass (round 12). Per-dim mean values are
+        // unchanged: same decimal-exact sums over the same cast doubles,
+        // same per-cell count (fixed-width embeddings).
+        cent = lloydMeans(withCell(emb, cent), dim)
         // no cache needed: the next round COLLECTS cent (K rows) inside
         // withCell, so each round's plan starts from literals and the
         // Lloyd lineage cannot nest
@@ -1016,17 +1033,11 @@ object VectorQueries {
       import sess.implicits._
       seedVecs.toDF("cid", "cvec").withColumn("cnorm2", expr(cnorm2Expr))
     }
+    val dim = seedVecs.head._2.length
     for (_ <- 1 to rounds) {
-      // one exchange per round (the ≤ K·dim per-dim mean): assignment is
-      // withCell's literal-centroid projection, no join-back (round 12)
-      val perDim = withCell(sub, cent)
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
-        .groupBy(col("cell"), (col("pos0") + lit(1)).cast("long").as("pos"))
-        .agg((Exact.sumExactFast(col("x").cast("double"), 8) / count(lit(1))).as("c"))
-      cent = perDim.groupBy(col("cell").as("cid"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-          t => t.getField("c")).as("cvec"))
-        .withColumn("cnorm2", expr(cnorm2Expr))
+      // one groupBy(cell) exchange per round, per-dim decimal sums as agg
+      // columns — see the q54 loop comment (round 12)
+      cent = lloydMeans(withCell(sub, cent), dim)
     }
     // the FINAL codebook has two consumers (the encode collect inside
     // withCell and the per-query LUT crossJoin) — cache the K rows
