@@ -27,13 +27,25 @@ object PlanCost {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     val cpu = new AtomicLong(); val sw = new AtomicLong()
     val sr = new AtomicLong(); val stages = new AtomicLong()
+    // SPARK_GRAFT_PLANCOST_STAGES=1 → also print one line per completed
+    // stage (cpu, shuffle, rows, name) to stderr: the per-stage view that
+    // locates WHICH subplan burns the CPU the summary reports.
+    val perStage = sys.env.get("SPARK_GRAFT_PLANCOST_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val m = sc.stageInfo.taskMetrics
         cpu.addAndGet(m.executorCpuTime)
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        stages.incrementAndGet(); ()
+        stages.incrementAndGet()
+        if (perStage)
+          System.err.println(f"[stage ${sc.stageInfo.stageId}%4d] " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.2fs " +
+            f"in=${m.inputMetrics.recordsRead}%9d " +
+            f"sr=${m.shuffleReadMetrics.recordsRead}%9d " +
+            f"sw=${m.shuffleWriteMetrics.recordsWritten}%9d  " +
+            sc.stageInfo.name.take(100))
+        ()
       }
     })
     val q = SparkEntry.catalog.find(_.name == name)
