@@ -257,6 +257,16 @@ object SqlSurface {
       FROM (SELECT doc_id, shingle_agg(text, 8) AS sa FROM documents)
       ORDER BY doc_id""",
 
+    "q31_minhash_signatures" ->
+      s"""SELECT doc_id, mh0, mh1, mh2, mh3,
+        md5(CAST(concat(mh0, mh1, mh2, mh3) AS BINARY)) AS band
+      FROM (SELECT doc_id,
+              element_at(sig, 1) AS mh0, element_at(sig, 2) AS mh1,
+              element_at(sig, 3) AS mh2, element_at(sig, 4) AS mh3
+            FROM (SELECT doc_id, minhash_spans(text, 8, 0) AS sig
+                  FROM documents))
+      ORDER BY doc_id""",
+
     "q176_ohlc_bars" ->
       d(s"""WITH m AS (
         SELECT sym, seq, ts_us div 3600000000 AS bar, ${BookSql.mid} AS mid,
