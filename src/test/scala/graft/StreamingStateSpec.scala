@@ -687,4 +687,58 @@ class StreamingStateSpec extends SparkTestBase {
     assert(bars(("A", 2L)).nTicks === 1L && bars(("B", 0L)).nTicks === 1L)
     assert(bars.keySet === Set(("A", 0L), ("A", 1L), ("A", 2L), ("B", 0L)))
   }
+
+  test("watermarked OHLC with no late data converges to the batch q176 bars") {
+    import StreamingMetrics.{WmBarOut, WmTick}
+    // the real book feed with its event times; lateness = the feed's full
+    // span + a bar, so NOTHING can drop, and per-sym sentinel heartbeats
+    // past the horizon flush every real bar
+    val base = graft.book.SyntheticBook
+      .fromEvents(Tables(spark, "/root/testdata/sf0.001", "events"), 5)
+      .withColumn("mid", graft.book.BookMetrics.mid(col("best_bid"), col("best_ask")))
+      .filter(col("mid").isNotNull)
+      .select(col("sym"), col("seq"), col("ts_us").as("tsUs"), col("mid"),
+        (coalesce(col("bid1_size"), lit(0.0)) + coalesce(col("ask1_size"), lit(0.0)))
+          .cast("long").as("vol"))
+      .as[WmTick].collect().toSeq.sortBy(_.seq)
+    val barUs = 3600000000L
+    val maxTs = base.map(_.tsUs).max
+    val lateness = (maxTs - base.map(_.tsUs).min) + barUs
+    val flushTs = maxTs + lateness + 2 * barUs
+    val maxSeq = base.map(_.seq).max
+    val sentinels = base.map(_.sym).distinct.sorted.zipWithIndex.map {
+      case (s, i) => WmTick(s, maxSeq + 1 + i, flushTs, 0.0, 0L)
+    }
+    val all = base ++ sentinels
+    val sentinelBar = Math.floorDiv(flushTs, barUs)
+
+    val dir = Files.createTempDirectory("wmohlcb")
+    val parts = slices(all, Seq(all.size / 3, 2 * all.size / 3))
+    landDf(dir, "b1.parquet", parts.head.toDF())
+    val stream = spark.readStream.schema(Seq.empty[WmTick].toDF().schema)
+      .parquet(dir.toString).as[WmTick]
+    val q = StreamingMetrics
+      .streamOhlcBarsWatermarked(stream, barUs = barUs, latenessUs = lateness)
+      .writeStream.outputMode("append").format("memory").queryName("wmohlc_eq").start()
+    val rows = try {
+      q.processAllAvailable()
+      parts.tail.zipWithIndex.foreach { case (p, i) =>
+        landDf(dir, s"b${i + 2}.parquet", p.toDF())
+        q.processAllAvailable()
+      }
+      spark.table("wmohlc_eq").as[WmBarOut].collect().toSeq
+    } finally q.stop()
+
+    assert(!rows.exists(_.isDrop), "no tick may drop under span-wide lateness")
+    val got = rows.filterNot(_.bar == sentinelBar)
+      .map(o => (o.sym, o.bar) ->
+        (o.open, o.high, o.low, o.close, o.nTicks, o.l1Volume, o.barVwap)).toMap
+    val batch = SparkEntry.queries("q176_ohlc_bars")(spark, "/root/testdata/sf0.001")
+    val expect = batch.collect().map(r => (r.getAs[String]("sym"), r.getAs[Long]("bar")) ->
+      (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+        r.getAs[Double]("close"), r.getAs[Long]("n_ticks"), r.getAs[Long]("l1_volume"),
+        Option(r.getAs[java.lang.Double]("bar_vwap")).map(_.doubleValue()))).toMap
+    batch.unpersist()
+    assert(got === expect, "watermarked bars diverged from batch q176")
+  }
 }
