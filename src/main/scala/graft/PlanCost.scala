@@ -33,6 +33,10 @@ object PlanCost {
     val perStage = sys.env.get("SPARK_GRAFT_PLANCOST_STAGES").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        // failed/retried attempts would double-count CPU and shuffle —
+        // exactly the load-robust metrics this tool adjudicates with —
+        // so only the successful attempt of each stage accumulates
+        if (sc.stageInfo.failureReason.isDefined) return
         val m = sc.stageInfo.taskMetrics
         cpu.addAndGet(m.executorCpuTime)
         sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)

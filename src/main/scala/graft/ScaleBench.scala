@@ -93,7 +93,7 @@ object ScaleBench {
           else translate(t2, ab, rotated(ab, 2 * (k / 100)))
         docs.select(
           (col("doc_id") + lit(k * nD)).as("doc_id"),
-          t2.as("text"),
+          t3.as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _), s"$outDir/documents.parquet")
     }

@@ -2,6 +2,7 @@ package graft.sql
 
 import graft.Tables
 import graft.book.{BookSql, SyntheticBook}
+import graft.impact.Impact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** User-facing Spark-SQL surface for the engine.

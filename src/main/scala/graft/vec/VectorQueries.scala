@@ -603,7 +603,11 @@ object VectorQueries {
           array(cvec.map(lit(_)): _*))).as("d2"),
         lit(cid).as("cid"))
     }
-    emb.withColumn("cell", least(cands: _*).getField("cid"))
+    // Spark's least() requires >= 2 args; a 1-centroid codebook assigns
+    // every vector to that single cell directly
+    val cell =
+      if (cands.length == 1) lit(cs.head._1) else least(cands: _*).getField("cid")
+    emb.withColumn("cell", cell)
   }
 
   /** (vec_id, cell) view of [[withCell]] — kept for callers that join
