@@ -20,48 +20,69 @@ import java.util.concurrent.atomic.AtomicLong
   * selects the scale, default sf0.1; warmup on sf0.001 is excluded).
   */
 object PlanCost {
+
+  /** The accumulating listener, extracted so its failed-attempt skip
+    * rule is unit-testable (PlanCostSpec drives it with a re-delivered
+    * StageCompleted event carrying a failureReason).
+    */
+  final class CostListener(perStage: Boolean = false) extends SparkListener {
+    val cpu = new AtomicLong(); val sw = new AtomicLong()
+    val sr = new AtomicLong(); val stages = new AtomicLong()
+
+    def reset(): Unit = { cpu.set(0); sw.set(0); sr.set(0); stages.set(0) }
+
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      // failed/retried attempts would double-count CPU and shuffle —
+      // exactly the load-robust metrics this tool adjudicates with —
+      // so only the successful attempt of each stage accumulates.
+      // Caveat (logged loudly): a retried stage REUSES shuffle output
+      // of tasks that succeeded inside the failed attempt, so skipping
+      // it undercounts — a run that printed this warning is not
+      // comparable against a retry-free run.
+      if (sc.stageInfo.failureReason.isDefined) {
+        System.err.println(s"[plancost] WARNING: stage ${sc.stageInfo.stageId} " +
+          s"attempt ${sc.stageInfo.attemptNumber} failed and was excluded from " +
+          "the totals; CPU/shuffle of its succeeded tasks is NOT counted — " +
+          "this run is not comparable to retry-free runs")
+        return
+      }
+      val m = sc.stageInfo.taskMetrics
+      cpu.addAndGet(m.executorCpuTime)
+      sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      stages.incrementAndGet()
+      if (perStage)
+        System.err.println(f"[stage ${sc.stageInfo.stageId}%4d] " +
+          f"cpu=${m.executorCpuTime / 1e9}%7.2fs " +
+          f"in=${m.inputMetrics.recordsRead}%9d " +
+          f"sr=${m.shuffleReadMetrics.recordsRead}%9d " +
+          f"sw=${m.shuffleWriteMetrics.recordsWritten}%9d  " +
+          sc.stageInfo.name.take(100))
+      ()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.localSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
-    val cpu = new AtomicLong(); val sw = new AtomicLong()
-    val sr = new AtomicLong(); val stages = new AtomicLong()
     // SPARK_GRAFT_PLANCOST_STAGES=1 → also print one line per completed
     // stage (cpu, shuffle, rows, name) to stderr: the per-stage view that
     // locates WHICH subplan burns the CPU the summary reports.
-    val perStage = sys.env.get("SPARK_GRAFT_PLANCOST_STAGES").contains("1")
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        // failed/retried attempts would double-count CPU and shuffle —
-        // exactly the load-robust metrics this tool adjudicates with —
-        // so only the successful attempt of each stage accumulates
-        if (sc.stageInfo.failureReason.isDefined) return
-        val m = sc.stageInfo.taskMetrics
-        cpu.addAndGet(m.executorCpuTime)
-        sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        stages.incrementAndGet()
-        if (perStage)
-          System.err.println(f"[stage ${sc.stageInfo.stageId}%4d] " +
-            f"cpu=${m.executorCpuTime / 1e9}%7.2fs " +
-            f"in=${m.inputMetrics.recordsRead}%9d " +
-            f"sr=${m.shuffleReadMetrics.recordsRead}%9d " +
-            f"sw=${m.shuffleWriteMetrics.recordsWritten}%9d  " +
-            sc.stageInfo.name.take(100))
-        ()
-      }
-    })
+    val acc = new CostListener(
+      perStage = sys.env.get("SPARK_GRAFT_PLANCOST_STAGES").contains("1"))
+    spark.sparkContext.addSparkListener(acc)
     val q = SparkEntry.catalog.find(_.name == name)
       .getOrElse(sys.error(s"unknown query: $name"))
     // JIT/codegen warmup on the smallest SF (not counted: reset after)
     q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
-    cpu.set(0); sw.set(0); sr.set(0); stages.set(0)
+    acc.reset()
     val t0 = System.nanoTime()
     q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
     val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${cpu.get / 1e9}%.2f,"shuffle_write_mb":${sw.get / 1e6}%.1f,"shuffle_read_mb":${sr.get / 1e6}%.1f,"stages":${stages.get}}""")
+    println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${acc.cpu.get / 1e9}%.2f,"shuffle_write_mb":${acc.sw.get / 1e6}%.1f,"shuffle_read_mb":${acc.sr.get / 1e6}%.1f,"stages":${acc.stages.get}}""")
     spark.stop()
   }
 }

@@ -2,7 +2,6 @@ package graft.sql
 
 import graft.Tables
 import graft.book.{BookSql, SyntheticBook}
-import graft.impact.Impact
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** User-facing Spark-SQL surface for the engine.
@@ -43,9 +42,87 @@ object SqlSurface {
       Tables(spark, sfDir, t).createOrReplaceTempView(t)
     }
     graft.functions.TextKernels.ensureRegistered(spark)
+    graft.functions.DeepBookAgg.ensureRegistered(spark)
+    graft.functions.RollingHash.ensureRegistered(spark)
+    graft.functions.ExactTopK.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
+    // dedup_components is NOT registered here: its first materialization
+    // runs the whole LSH + CC machinery, which a q01 user never needs —
+    // [[run]] registers it on demand (or call [[registerDedupComponents]]
+    // directly before issuing your own dedup SQL).
   }
+
+  /** Register `dedup_components(doc_id, group_id)` (memoized per
+    * session + sfDir; see [[dedupComponents]]).
+    */
+  def registerDedupComponents(spark: SparkSession, sfDir: String): Unit =
+    dedupComponents(spark, sfDir).createOrReplaceTempView("dedup_components")
+
+  /** MinHash-LSH verified near-dup EDGES, written in plain Spark SQL over
+    * the registered kernels (`minhash_spans` signatures → 4×4 banding →
+    * hot-bucket-guarded band self-join → exact `shingle_overlap` Jaccard
+    * ≥ 0.8) — the SQL spelling of `TextQueries.dedupCandidates/
+    * scoredPairs`, step for step, including the ≤256 hot-bucket star
+    * fallback.
+    */
+  private val dedupEdgeSql: String = {
+    val bandCols = (0 to 3).map { k =>
+      val parts = (1 to 4).map(j => s"element_at(sig, ${4 * k + j})").mkString(", ")
+      s"md5(CAST(concat($parts) AS BINARY)) AS b$k"
+    }.mkString(",\n        ")
+    s"""WITH sig AS (
+      SELECT doc_id, minhash_spans(text, 8, 4) AS sig FROM documents
+    ), bh4 AS (
+      SELECT doc_id,
+        $bandCols
+      FROM sig
+    ), bands AS (
+      SELECT doc_id, band_idx, bh,
+        COUNT(*) OVER (PARTITION BY band_idx, bh) AS bsz,
+        MIN(doc_id) OVER (PARTITION BY band_idx, bh) AS bmin
+      FROM bh4 LATERAL VIEW posexplode(array(b0, b1, b2, b3)) AS band_idx, bh
+    ), cand AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE a.bsz <= 256
+        UNION ALL
+        SELECT bmin, doc_id FROM bands WHERE bsz > 256 AND doc_id != bmin
+      )
+    ), scored AS (
+      SELECT c.id_a, c.id_b, shingle_overlap(a.text, b.text, 8) AS ov
+      FROM cand c
+      JOIN documents a ON a.doc_id = c.id_a
+      JOIN documents b ON b.doc_id = c.id_b
+    )
+    SELECT id_a, id_b FROM scored
+    WHERE ov.n_union > 0 AND CAST(ov.n_inter AS DOUBLE) / ov.n_union >= 0.8D"""
+  }
+
+  /** `dedup_components(doc_id, group_id)` — the q48/q51 group labels for
+    * the SQL surface. The verified edge set is computed by
+    * [[dedupEdgeSql]] (pure SQL over the kernels); the one step SQL
+    * cannot express is the transitive closure — Spark 4's recursive CTEs
+    * support UNION ALL only, which never terminates on a cyclic edge
+    * relation — so that single step runs through the engine's
+    * distributed alternating-star connected components, exactly as the
+    * DataFrame catalog path does. Memoized + checkpointed per
+    * (session, sfDir): two longs per doc, no executor storage pinned.
+    */
+  private def dedupComponents(spark: SparkSession, sfDir: String): DataFrame =
+    graft.util.SessionMemo.getOrCompute(spark, s"sql-dedup-components:$sfDir") {
+      val edges = spark.sql(dedupEdgeSql)
+      val (labels, _) = graft.graph.ConnectedComponents.label(
+        edges, Tables(spark, sfDir, "documents").select("doc_id"))
+      graft.util.Ckpt.ensureDir(spark.sparkContext)
+      val out = labels.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("comp").as("group_id")).checkpoint()
+      labels.unpersist()
+      out
+    }
 
   /** DuckDB literal-cast spelling → Spark double-literal suffix. The
     * fragments only ever use `::DOUBLE` on numeric literals.
@@ -268,6 +345,158 @@ object SqlSurface {
                   FROM documents))
       ORDER BY doc_id""",
 
+    "q07_customer_running_spend" ->
+      s"""SELECT o_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+        o_totalprice,
+        CAST(ROW_NUMBER() OVER w AS BIGINT) AS order_seq,
+        CAST(SUM(CAST(ROUND(o_totalprice, 2) AS DECIMAL(38,2)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      ORDER BY o_custkey, order_seq""",
+
+    "q08_events_minute_agg" ->
+      s"""SELECT (ts div 1000) div 60000000 AS minute, event_type,
+        COUNT(*) AS n,
+        ${sumFast("value", 2)} AS sum_value,
+        MIN(value) AS min_value, MAX(value) AS max_value
+      FROM events
+      GROUP BY (ts div 1000) div 60000000, event_type
+      ORDER BY minute, event_type""",
+
+    "q09_events_sessionize" ->
+      s"""WITH ev AS (
+        SELECT user_id, event_id, ts div 1000 AS ts_us, value FROM events
+      ), flagged AS (
+        SELECT *, CASE WHEN ts_us - LAG(ts_us, 1) OVER w IS NULL
+                         OR ts_us - LAG(ts_us, 1) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      ), sessions AS (
+        SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM flagged
+      )
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_end_us,
+        ${sumFast("value", 2)} AS session_value
+      FROM sessions
+      GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""",
+
+    // reset-on-gap realized variance as one WINDOW chain: the gap-group
+    // id is itself a running window count, then the RV window partitions
+    // by (sym, gap_grp) — no intermediate materialization needed.
+    "q18_rv_reset_on_gap" ->
+      d(s"""WITH m AS (SELECT seq, sym, ${BookSql.mid} AS mid FROM book),
+      p AS (SELECT seq, sym, 100.0::DOUBLE + mid / 100.0::DOUBLE AS px FROM m),
+      r AS (
+        SELECT seq, sym, px,
+          CASE WHEN px > 0 AND LAG(px, 1) OVER w > 0
+               THEN px / LAG(px, 1) OVER w - 1 END AS ret
+        FROM p WINDOW w AS $winSql
+      ),
+      g AS (
+        SELECT *, COUNT(CASE WHEN ret IS NULL THEN 1 END) OVER $runSql AS gap_grp
+        FROM r
+      )
+      SELECT seq, sym, ret, gap_grp,
+        CASE WHEN ret IS NOT NULL AND COUNT(ret) OVER f = 20
+             THEN CAST(SUM(CAST(ROUND(ret * ret, 12) AS DECIMAL(38,12))) OVER f AS DOUBLE) END AS rv20
+      FROM g
+      WINDOW f AS (PARTITION BY sym, gap_grp ORDER BY seq ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+      ORDER BY seq"""),
+
+    // ladder walk through the native deep_book_agg kernel (one compiled
+    // fold per side): skip-blank flavor on the raw ladder, stop-at-first-
+    // blank/zero flavor on the chain-masked ladder — masking a level to
+    // NULL once any level above it is blank/zero makes the kernel's
+    // skip semantics reproduce the stop walk exactly (Impact.withStopMask
+    // is the Column-side twin of the mask below).
+    "q22_book_walk" -> {
+      def ladder(side: String, maskStop: Boolean): String =
+        (1 to D).map { k =>
+          val chain = (1 to k).map(j =>
+            s"$side${j}_price IS NOT NULL AND $side${j}_size IS NOT NULL AND $side${j}_size > 0")
+            .mkString(" AND ")
+          if (maskStop)
+            s"named_struct('price', CASE WHEN $chain THEN $side${k}_price END, " +
+              s"'size', CASE WHEN $chain THEN $side${k}_size END)"
+          else
+            s"named_struct('price', $side${k}_price, 'size', $side${k}_size)"
+        }.mkString("array(", ", ", ")")
+      s"""WITH arr AS (
+        SELECT seq, sym,
+          ${ladder("bid", maskStop = false)} AS bids,
+          ${ladder("ask", maskStop = false)} AS asks,
+          ${ladder("ask", maskStop = true)} AS stop_asks
+        FROM book
+      ), m AS (
+        SELECT seq, sym,
+          deep_book_agg(bids, asks, CAST(3.7 AS DOUBLE)) AS w,
+          deep_book_agg(bids, stop_asks, CAST(3.7 AS DOUBLE)) AS sw
+        FROM arr
+      )
+      SELECT seq, sym,
+        w.walk_filled AS filled,
+        CASE WHEN w.walk_filled > 0 THEN w.walk_cost / w.walk_filled END AS walk_vwap,
+        w.walk_touched AS levels_touched,
+        sw.walk_filled AS stop_filled,
+        CASE WHEN sw.walk_filled > 0 THEN sw.walk_cost / sw.walk_filled END AS stop_walk_vwap,
+        sw.walk_touched AS stop_levels_touched
+      FROM m ORDER BY seq"""
+    },
+
+    // MinHash-LSH dedup over the on-demand dedup_components view: the
+    // candidate generation + Jaccard verify run as SQL over the
+    // minhash_spans / shingle_overlap kernels (see dedupEdgeSql); only
+    // the transitive closure itself comes from the engine's distributed
+    // connected components.
+    "q48_minhash_lsh_dedup" ->
+      s"""SELECT c.doc_id, c.group_id,
+        CAST(c.doc_id = c.group_id AS INT) AS is_kept, gs.group_size
+      FROM dedup_components c
+      JOIN (SELECT group_id, COUNT(*) AS group_size
+            FROM dedup_components GROUP BY group_id) gs
+        USING (group_id)
+      ORDER BY doc_id""",
+
+    "q51_dedup_keep_longest" ->
+      s"""WITH scored AS (
+        SELECT c.doc_id, c.group_id, d.n_chars
+        FROM dedup_components c JOIN documents d USING (doc_id)
+      ), best AS (
+        SELECT group_id, MAX(n_chars) AS best_chars FROM scored GROUP BY group_id
+      ), keep AS (
+        SELECT s.group_id, MIN(s.doc_id) AS keep_id
+        FROM scored s JOIN best b
+          ON b.group_id = s.group_id AND s.n_chars = b.best_chars
+        GROUP BY s.group_id
+      )
+      SELECT s.doc_id, s.group_id, s.n_chars, k.keep_id,
+        CAST(s.doc_id = k.keep_id AS INT) AS is_kept
+      FROM scored s JOIN keep k USING (group_id)
+      ORDER BY s.doc_id""",
+
+    // Rabin–Karp fingerprinting through the native rolling_hash kernel.
+    "q53_rolling_fingerprint" ->
+      s"""SELECT doc_id, rh.doc_fp AS doc_fp,
+        CAST(size(rh.wins) AS BIGINT) AS n_windows,
+        CAST(size(array_distinct(rh.wins)) AS BIGINT) AS n_distinct_win
+      FROM (SELECT doc_id, rolling_hash(text, 8, 131, 1000000007) AS rh FROM documents)
+      ORDER BY doc_id""",
+
+    // exact per-group top-k through the native exact_topk typed aggregate
+    // (map-side combinable O(k) buffers, SQL-callable).
+    "q56_topk_typed_agg" ->
+      s"""WITH t AS (
+        SELECT o_orderpriority, exact_topk(o_totalprice, 5) AS topk
+        FROM orders GROUP BY o_orderpriority
+      )
+      SELECT o_orderpriority, CAST(pos0 + 1 AS BIGINT) AS rnk, price
+      FROM t LATERAL VIEW posexplode(topk) AS pos0, price
+      ORDER BY o_orderpriority, rnk""",
+
     "q176_ohlc_bars" ->
       d(s"""WITH m AS (
         SELECT sym, seq, ts_us div 3600000000 AS bar, ${BookSql.mid} AS mid,
@@ -292,6 +521,8 @@ object SqlSurface {
   /** Run one surface query end-to-end: register views, execute the text. */
   def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     registerViews(spark, sfDir)
+    if (texts(name).contains("dedup_components"))
+      registerDedupComponents(spark, sfDir)
     spark.sql(texts(name))
   }
 }

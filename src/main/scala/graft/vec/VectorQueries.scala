@@ -592,10 +592,11 @@ object VectorQueries {
     * shuffles now; each round's plan starts from literals, so the Lloyd
     * lineage never nests either.
     */
-  private def withCell(emb: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def withCell(emb: DataFrame, cent: DataFrame): DataFrame = {
     val cs = cent.select("cid", "cvec", "cnorm2").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
       .sortBy(_._1)
+    require(cs.nonEmpty, "withCell needs at least one centroid (empty codebook frame)")
     require(cs.length <= 256, s"withCell is for driver-bounded codebooks, got ${cs.length}")
     val cands = cs.map { case (cid, cvec, cn2) =>
       struct(

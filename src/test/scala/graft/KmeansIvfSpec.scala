@@ -41,6 +41,30 @@ class KmeansIvfSpec extends SparkTestBase {
     }
   }
 
+  test("withCell: a 1-centroid codebook assigns every vector to that cell") {
+    // round 13's least() guard: Spark's least() needs >= 2 args, so a
+    // K=1 codebook must bypass it (pre-fix this threw at analysis time)
+    graft.functions.DecDot8.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(-3.0, 0.5)), (3L, Seq(0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val cent = Seq((7L, Seq(0.5, 0.5), 0.5)).toDF("cid", "cvec", "cnorm2")
+    val out = VectorQueries.withCell(emb, cent).select("vec_id", "cell").collect()
+    assert(out.length === 3)
+    assert(out.forall(_.getLong(1) === 7L), "every vector must land in the single cell")
+  }
+
+  test("withCell: an empty codebook frame fails loudly, not with an analysis error") {
+    graft.functions.DecDot8.ensureRegistered(spark)
+    import spark.implicits._
+    val emb = Seq((1L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    val cent = Seq.empty[(Long, Seq[Double], Double)].toDF("cid", "cvec", "cnorm2")
+    val e = intercept[IllegalArgumentException] {
+      VectorQueries.withCell(emb, cent)
+    }
+    assert(e.getMessage.contains("at least one centroid"))
+  }
+
   test("q167 greedy k-center: radius sequence non-increasing, picks distinct") {
     val df = SparkEntry.queries("q167_kcenter_coreset")(spark, "/root/testdata/sf0.001")
     val rows = df.collect().toIndexedSeq.sortBy(_.getAs[Long]("round"))
