@@ -617,7 +617,8 @@ object StreamingMetrics {
   case class WmBarOut(sym: String, bar: Long, isDrop: Boolean,
                       open: Double, high: Double, low: Double, close: Double,
                       nTicks: Long, l1Volume: Long, barVwap: Option[Double],
-                      nLateAccepted: Long, dropSeq: Option[Long])
+                      nLateAccepted: Long, dropSeq: Option[Long],
+                      isFinalOnTimeout: Boolean = false)
 
   /** Event-time OHLC bars with an EXPLICIT lateness horizon and a
     * late-data audit — the watermark-semantics extension of
@@ -649,23 +650,38 @@ object StreamingMetrics {
     * cut (StreamingStateSpec pins it with randomized cuts) — the
     * determinism the batch≡stream equality harness needs. State per
     * symbol is the open-bar map, bounded by `lateness/barUs + 1` bars,
-    * never by stream length. Bars still open at stream end never emit
-    * (feed a flush tick past the horizon, as a real feed's heartbeat
-    * would).
+    * never by stream length.
+    *
+    * End-of-stream finalize (round 14, advice item 6): with the default
+    * `flushTimeoutMs = 0` bars still open at stream end never emit (feed
+    * a flush tick past the horizon, as a real feed's heartbeat would).
+    * With `flushTimeoutMs > 0` the operator arms a processing-time
+    * timeout per symbol; when a symbol sees no data for that long, its
+    * open bars emit ONCE, flagged `isFinalOnTimeout = true`, and the
+    * symbol's state clears (a feed outage no longer silently holds
+    * data). The flushed row VALUES are cut-invariant (the open-bar state
+    * at any data prefix is), only their emission time is wall-clock —
+    * the audit flag is what lets a consumer segregate the two
+    * determinism classes.
     */
   def streamOhlcBarsWatermarked(ticks: Dataset[WmTick],
                                 barUs: Long = 3600000000L,
-                                latenessUs: Long = 1800000000L): Dataset[WmBarOut] = {
+                                latenessUs: Long = 1800000000L,
+                                flushTimeoutMs: Long = 0L): Dataset[WmBarOut] = {
     implicit val outEnc: Encoder[WmBarOut] = Encoders.product[WmBarOut]
     implicit val stEnc: Encoder[WmSymState] = Encoders.product[WmSymState]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val timeoutConf =
+      if (flushTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     ticks.groupByKey(_.sym)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (sym: String, it: Iterator[WmTick], state: GroupState[WmSymState]) =>
           var st = state.getOption
             .getOrElse(WmSymState(Long.MinValue, Map.empty, Map.empty))
           val out = scala.collection.mutable.ArrayBuffer[WmBarOut]()
-          def barRow(b: Long, bs: BarState, late: Long): WmBarOut = {
+          def barRow(b: Long, bs: BarState, late: Long,
+                     onTimeout: Boolean = false): WmBarOut = {
             val vwap =
               if (bs.vol > 0)
                 Some(new java.math.BigDecimal(
@@ -673,8 +689,18 @@ object StreamingMetrics {
                   .doubleValue() / bs.vol)
               else None
             WmBarOut(sym, b, isDrop = false, bs.open, bs.high, bs.low,
-              bs.close, bs.nTicks, bs.vol, vwap, late, None)
+              bs.close, bs.nTicks, bs.vol, vwap, late, None, onTimeout)
           }
+          if (flushTimeoutMs > 0 && state.hasTimedOut) {
+            // feed went quiet: flush every still-open bar exactly once,
+            // flagged, and clear the key's state (a restart after the
+            // flush begins a fresh horizon, like a reconnected feed)
+            val flushed = st.bars.toSeq.sortBy(_._1).map { case (b, bs) =>
+              barRow(b, bs, st.lateAccepted.getOrElse(b, 0L), onTimeout = true)
+            }
+            state.remove()
+            flushed.iterator
+          } else {
           it.toSeq.sortBy(_.seq).foreach { t =>
             val bar = Math.floorDiv(t.tsUs, barUs)
             val barEnd = (bar + 1L) * barUs
@@ -715,7 +741,9 @@ object StreamingMetrics {
             }
           }
           state.update(st)
+          if (flushTimeoutMs > 0) state.setTimeoutDuration(flushTimeoutMs)
           out.iterator
+          }
       }
   }
 
@@ -788,6 +816,237 @@ object StreamingMetrics {
           // keys present in the trigger, so the ring is never empty here)
           ring.lastOption.foreach(b => out += row(b, fin = false))
           out.iterator
+      }
+  }
+
+  case class WmVpinTick(sym: String, seq: Long, tsUs: Long, mid: Double, vol: Long)
+  case class WmVpinState(maxTs: Long, buf: Seq[WmVpinTick],
+                         dir: Int, prevMid: Double, cum: Long, ring: Seq[VpinBucket])
+  case class WmVpinOut(sym: String, bucket: Long, buyVol: Long, sellVol: Long,
+                       imbalance: Long, bucketVol: Long, vpinPermille: Option[Long],
+                       isDrop: Boolean, dropSeq: Option[Long],
+                       isFinalOnTimeout: Boolean)
+
+  /** Watermarked streaming VPIN — [[streamVpin]] with a DATA-DEFINED
+    * lateness horizon and a drop audit (round 14, advice item 8).
+    *
+    * VPIN is inherently SEQUENTIAL (tick-rule direction and cumulative
+    * volume both depend on processing order), so out-of-order arrival
+    * cannot be merged bar-style — it must be REORDERED. Per symbol the
+    * state carries a reorder buffer: an arriving tick is
+    *
+    *   - DROPPED (audit row, `isDrop = true`, `dropSeq` = the tick) when
+    *     its event time is already behind the drained frontier
+    *     (`tsUs + lateness < maxTs` at arrival — its slot in the
+    *     event-time order was folded and can't be reopened);
+    *   - otherwise BUFFERED; the running max event time plays the
+    *     watermark, and every buffered tick whose horizon has passed
+    *     (`tsUs + lateness < maxTs`) drains — in (tsUs, seq) order —
+    *     through exactly [[streamVpin]]'s fold (carried direction +
+    *     previous mid, cumulative-volume bucketing, ≤5-bucket ring), a
+    *     bucket's final row emitting the moment its successor opens.
+    *
+    * Both rules are strict (`<`), so equal-max-ts ticks are never
+    * dropped or force-drained — a lateness of 0 on an in-order feed
+    * accepts everything. Every decision is a function of the seq-ordered
+    * tick sequence alone → the emitted row SET is micro-batch-cut
+    * invariant; buffer size is bounded by the ticks inside one lateness
+    * window, never by stream length. With `flushTimeoutMs > 0`, a
+    * symbol going quiet for that long force-drains its buffer and emits
+    * the still-open bucket, all flagged `isFinalOnTimeout = true`, then
+    * clears state (same contract as [[streamOhlcBarsWatermarked]]).
+    */
+  def streamVpinWatermarked(ticks: Dataset[WmVpinTick], v: Long = 256L,
+                            latenessUs: Long = 0L,
+                            flushTimeoutMs: Long = 0L): Dataset[WmVpinOut] = {
+    implicit val outEnc: Encoder[WmVpinOut] = Encoders.product[WmVpinOut]
+    implicit val stEnc: Encoder[WmVpinState] = Encoders.product[WmVpinState]
+    val timeoutConf =
+      if (flushTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    ticks.groupByKey(_.sym)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
+        (sym: String, it: Iterator[WmVpinTick], state: GroupState[WmVpinState]) =>
+          var st = state.getOption
+            .getOrElse(WmVpinState(Long.MinValue, Seq.empty, 1, Double.NaN, 0L, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WmVpinOut]
+          def row(ring: Seq[VpinBucket], bk: VpinBucket, onTimeout: Boolean): WmVpinOut = {
+            val window = ring.filter(_.bucket <= bk.bucket).takeRight(5)
+            val winImb = window.map(b => math.abs(b.buy - b.sell)).sum
+            val winVol = window.map(b => b.buy + b.sell).sum
+            WmVpinOut(sym, bk.bucket, bk.buy, bk.sell, math.abs(bk.buy - bk.sell),
+              bk.buy + bk.sell,
+              if (winVol > 0) Some(1000L * winImb / winVol) else None,
+              isDrop = false, None, onTimeout)
+          }
+          // streamVpin's fold, one tick at a time over the mutable state
+          def fold(t: WmVpinTick, onTimeout: Boolean): Unit = {
+            if (!st.prevMid.isNaN) {
+              if (t.mid > st.prevMid) st = st.copy(dir = 1)
+              else if (t.mid < st.prevMid) st = st.copy(dir = -1)
+            }
+            st = st.copy(prevMid = t.mid)
+            val bucket = st.cum / v
+            st = st.copy(cum = st.cum + t.vol)
+            st.ring.lastOption match {
+              case Some(b) if b.bucket == bucket =>
+                st = st.copy(ring = st.ring.init :+
+                  (if (st.dir == 1) b.copy(buy = b.buy + t.vol)
+                   else b.copy(sell = b.sell + t.vol)))
+              case last =>
+                // the previous bucket is final: emit while the ring still
+                // ends at it (its own trailing-5 window)
+                last.foreach(b => out += row(st.ring, b, onTimeout))
+                st = st.copy(ring = (st.ring :+ VpinBucket(bucket,
+                  if (st.dir == 1) t.vol else 0L,
+                  if (st.dir == 1) 0L else t.vol)).takeRight(5))
+            }
+          }
+          def drain(all: Boolean, onTimeout: Boolean): Unit = {
+            val (safe, hold) =
+              if (all) (st.buf, Seq.empty[WmVpinTick])
+              else st.buf.partition(t => t.tsUs + latenessUs < st.maxTs)
+            safe.sortBy(t => (t.tsUs, t.seq)).foreach(fold(_, onTimeout))
+            st = st.copy(buf = hold)
+          }
+          if (flushTimeoutMs > 0 && state.hasTimedOut) {
+            drain(all = true, onTimeout = true)
+            st.ring.lastOption.foreach(b => out += row(st.ring, b, onTimeout = true))
+            state.remove()
+            out.iterator
+          } else {
+            it.toSeq.sortBy(_.seq).foreach { t =>
+              if (t.tsUs + latenessUs < st.maxTs)
+                out += WmVpinOut(sym, -1L, 0L, 0L, 0L, 0L, None,
+                  isDrop = true, Some(t.seq), isFinalOnTimeout = false)
+              else {
+                st = st.copy(buf = st.buf :+ t)
+                if (t.tsUs > st.maxTs) st = st.copy(maxTs = t.tsUs)
+                drain(all = false, onTimeout = false)
+              }
+            }
+            state.update(st)
+            if (flushTimeoutMs > 0) state.setTimeoutDuration(flushTimeoutMs)
+            out.iterator
+          }
+      }
+  }
+
+  case class WmLinkRow(dKey: Long, seq: Long, tsUs: Long, dtitle: String)
+  case class WmLinkAgg(dKey: Long, tsUs: Long, bestJw: Double, matchKey: Long, nCand: Long)
+  case class WmLinkState(maxTs: Long, open: Seq[WmLinkAgg])
+  case class WmLinkOut(dKey: Long, matchKey: Long, bestJw: Double, nCand: Long,
+                       selfMatch: Boolean, strong: Boolean,
+                       isDrop: Boolean, dropCKey: Option[Long],
+                       isFinalOnTimeout: Boolean)
+
+  /** Watermarked streaming record linkage — [[streamLinkage]] with a
+    * DATA-DEFINED lateness horizon, FINAL-once emission and a drop audit
+    * (round 14, advice item 8).
+    *
+    * [[streamLinkage]] re-emits a dirty key's running best every trigger
+    * that touches it; this twin instead emits each key's best-match row
+    * EXACTLY ONCE — when the horizon passes its event time — which is
+    * the append-only contract a downstream sink wants. The stateful
+    * stage is keyed by a SHARD of the dirty key space (the per-key
+    * grouping of the running-best twin can't see a cross-key watermark);
+    * within a shard the running max candidate event time plays the
+    * watermark:
+    *
+    *   - a candidate row whose dirty record's event time is already
+    *     finalized (`tsUs + lateness < maxTs` at arrival) is DROPPED
+    *     with an audit row (`isDrop = true`, `dropCKey` = the clean
+    *     candidate) — late re-deliveries are observable, never silently
+    *     merged into an already-emitted best;
+    *   - otherwise it merges into the key's open best (same tie-breaks
+    *     as the batch q169: jw desc, clean key asc; candidate dedup
+    *     within the trigger group);
+    *   - an open key FINALIZES (emits once, leaves state) as soon as
+    *     `maxTs` passes `tsUs + lateness`.
+    *
+    * Processing order inside a trigger is (seq, cKey) — `seq` is the
+    * dirty stream's total arrival order, IN the data, exactly as in
+    * [[streamOhlcBarsWatermarked]] — so every drop/merge/finalize
+    * decision is a pure function of the seq-ordered row sequence and the
+    * emitted row SET is micro-batch-cut invariant (given the twin's
+    * delivery contract: a dirty record's candidates arrive in its own
+    * micro-batch, as the stream-static join guarantees).
+    * State per shard is bounded by the dirty records inside
+    * one lateness window. `flushTimeoutMs > 0` force-finalizes a quiet
+    * shard's open keys, flagged `isFinalOnTimeout = true`.
+    */
+  def streamLinkageWatermarked(dirty: Dataset[WmLinkRow],
+                               clean: org.apache.spark.sql.DataFrame,
+                               latenessUs: Long = 0L,
+                               flushTimeoutMs: Long = 0L,
+                               nShards: Int = 16): Dataset[WmLinkOut] = {
+    graft.functions.JaroWinkler.ensureRegistered(dirty.sparkSession)
+    implicit val outEnc: Encoder[WmLinkOut] = Encoders.product[WmLinkOut]
+    implicit val stEnc: Encoder[WmLinkState] = Encoders.product[WmLinkState]
+    // the same pass-tagged multi-blocking + bit-exact jaro_winkler verify
+    // as streamLinkage, with the dirty record's event time carried
+    val cand = dirty
+      .select(col("dKey"), col("seq"), col("tsUs"), col("dtitle"),
+        explode(array(expr("concat('p:', substring(dtitle, 1, 3))"),
+          expr("concat('s:', right(dtitle, 3))"))).as("bk"))
+      .join(clean.select(col("c_key").as("cKey"), col("title"),
+        explode(array(expr("concat('p:', substring(title, 1, 3))"),
+          expr("concat('s:', right(title, 3))"))).as("bk")), "bk")
+      .select(col("dKey"), col("seq"), col("tsUs"), col("cKey"),
+        expr("jaro_winkler(title, dtitle)").as("jw"))
+    cand.groupByKey(r => Math.floorMod(r.getAs[Long]("dKey"), nShards.toLong))(
+      Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append,
+        if (flushTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[org.apache.spark.sql.Row], state: GroupState[WmLinkState]) =>
+          var st = state.getOption.getOrElse(WmLinkState(Long.MinValue, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[WmLinkOut]
+          def finalRow(a: WmLinkAgg, onTimeout: Boolean): WmLinkOut =
+            WmLinkOut(a.dKey, a.matchKey, a.bestJw, a.nCand,
+              a.matchKey == a.dKey, a.bestJw >= 0.88,
+              isDrop = false, None, onTimeout)
+          if (flushTimeoutMs > 0 && state.hasTimedOut) {
+            val flushed = st.open.sortBy(_.dKey).map(finalRow(_, onTimeout = true))
+            state.remove()
+            flushed.iterator
+          } else {
+            val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+            it.toSeq
+              .map(r => (r.getAs[Long]("dKey"), r.getAs[Long]("seq"),
+                r.getAs[Long]("tsUs"), r.getAs[Long]("cKey"), r.getAs[Double]("jw")))
+              .sortBy { case (_, seq, _, c, _) => (seq, c) }
+              .foreach { case (dKey, _, tsUs, cKey, jw) =>
+                if (seen.add((dKey, cKey))) { // both passes can surface the pair
+                  if (tsUs + latenessUs < st.maxTs)
+                    out += WmLinkOut(dKey, -1L, -1.0, 0L, selfMatch = false,
+                      strong = false, isDrop = true, Some(cKey),
+                      isFinalOnTimeout = false)
+                  else {
+                    val idx = st.open.indexWhere(_.dKey == dKey)
+                    if (idx < 0)
+                      st = st.copy(open = st.open :+
+                        WmLinkAgg(dKey, tsUs, jw, cKey, 1L))
+                    else {
+                      val a = st.open(idx)
+                      val better = jw > a.bestJw || (jw == a.bestJw && cKey < a.matchKey)
+                      st = st.copy(open = st.open.updated(idx, a.copy(
+                        bestJw = if (better) jw else a.bestJw,
+                        matchKey = if (better) cKey else a.matchKey,
+                        nCand = a.nCand + 1L)))
+                    }
+                    if (tsUs > st.maxTs) st = st.copy(maxTs = tsUs)
+                    val (done, open) =
+                      st.open.partition(a => a.tsUs + latenessUs < st.maxTs)
+                    done.sortBy(_.dKey).foreach(a => out += finalRow(a, onTimeout = false))
+                    st = st.copy(open = open)
+                  }
+                }
+              }
+            state.update(st)
+            if (flushTimeoutMs > 0) state.setTimeoutDuration(flushTimeoutMs)
+            out.iterator
+          }
       }
   }
 

@@ -77,6 +77,60 @@ def main() -> int:
     except Exception as e:  # q51 dump absent -> partial audit
         print(f"SKIP q51: {e}", flush=True)
 
+    # check 10 (round 14): SAMPLED EXACT-CC ORACLE. The full 5M-doc DuckDB
+    # mirror is infeasible (superlinear recursive-CTE CC), but a ~50k-doc
+    # sample CLOSED UNDER THE ENGINE'S GROUPS is not: run the exact q48
+    # oracle SQL (signatures -> banding -> hot-bucket-capped candidates ->
+    # Jaccard verify -> recursive-CTE CC) on just the sampled documents and
+    # compare labels row-for-row. Group-closure means every sampled group's
+    # members are all present, so a SPLIT (engine group not actually
+    # connected by verified edges) or a MERGE (edge between engine groups
+    # the engine missed) both surface as row mismatches. Half the budget
+    # goes to multi-doc groups, half to singletons, both hash-ordered
+    # (deterministic). Caveat: a sample-level bucket can fall back under
+    # the 256 hot-bucket cap and form all-pairs where the full corpus used
+    # star pairs — extra edges can only show up as a MERGE mismatch, so a
+    # green check is still a one-sided proof of no missing connectivity.
+    try:
+        import json, os
+        with open(os.path.join(dump, "oracle_sql.json")) as f:
+            q48_sql = json.load(f)["q48_minhash_lsh_dedup"]
+        con.execute("""CREATE TABLE gsz AS
+            SELECT group_id, count(*) c FROM g48 GROUP BY group_id""")
+        con.execute("""CREATE TABLE pick AS
+            WITH multi AS (SELECT group_id, sum(c) OVER (ORDER BY hash(group_id)) s
+                           FROM gsz WHERE c > 1),
+                 single AS (SELECT group_id, sum(c) OVER (ORDER BY hash(group_id)) s
+                            FROM gsz WHERE c = 1)
+            SELECT group_id FROM multi WHERE s <= 40000
+            UNION ALL SELECT group_id FROM single WHERE s <= 10000""")
+        con.execute("""CREATE TABLE samp AS
+            SELECT doc_id FROM g48 WHERE group_id IN (SELECT group_id FROM pick)""")
+        nsamp, nmulti = con.execute(
+            "SELECT (SELECT count(*) FROM samp), (SELECT count(*) FROM g48 WHERE "
+            "group_id IN (SELECT group_id FROM pick) AND group_size > 1)").fetchone()
+        print(f"     sampled-CC oracle: {nsamp} docs ({nmulti} in multi-doc groups)",
+              flush=True)
+        # the q48 oracle references `documents`; point it at the sample
+        con.execute("CREATE TABLE sdocs AS SELECT d.* FROM docs d JOIN samp USING (doc_id)")
+        con.execute("CREATE VIEW documents AS SELECT * FROM sdocs")
+        import time
+        t0 = time.time()
+        con.execute(f"CREATE TABLE oracle48 AS {q48_sql}")
+        print(f"     oracle CC wall: {time.time() - t0:.1f}s", flush=True)
+        check("q48 sampled exact-CC oracle (labels row-for-row)",
+              "SELECT (SELECT count(*) FROM ("
+              " SELECT doc_id, group_id, is_kept, group_size FROM oracle48 EXCEPT"
+              " SELECT doc_id, group_id, is_kept, group_size FROM g48"
+              "  WHERE doc_id IN (SELECT doc_id FROM samp))) +"
+              "(SELECT count(*) FROM ("
+              " SELECT doc_id, group_id, is_kept, group_size FROM g48"
+              "  WHERE doc_id IN (SELECT doc_id FROM samp) EXCEPT"
+              " SELECT doc_id, group_id, is_kept, group_size FROM oracle48))", 0)
+    except Exception as e:
+        fails += 1
+        print(f"FAIL sampled-CC oracle: {e}", flush=True)
+
     print(f"\n{'ALL OK' if fails == 0 else str(fails) + ' FAILURES'}")
     return 1 if fails else 0
 
