@@ -1,6 +1,18 @@
 ThisBuild / scalaVersion := "2.13.17"
 ThisBuild / version := "0.1.0"
+ThisBuild / organization := "graft"
 name := "marketmicrostructuretoolkitspark"
+// Library packaging: `sbt publishLocal` installs
+//   graft %% marketmicrostructuretoolkitspark % 0.1.0
+// into ~/.ivy2/local (offline-safe). Spark itself is an unmanaged
+// (cluster-provided) dependency, so the published pom correctly carries
+// no Spark coordinates — consumers add their own Spark, as with any
+// Spark library.
+Compile / doc / scalacOptions ++= Seq(
+  "-doc-title", "market-microstructure-toolkit-spark",
+  "-doc-version", "0.1.0")
+// tests and probe mains are not part of the published artifact surface
+Compile / packageDoc / publishArtifact := true
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):
 unmanagedBase := file("/opt/spark/jars")
 // Test-only deps resolve from the pre-warmed coursier cache; anything

@@ -1,0 +1,74 @@
+package graft.vec
+
+/** Extreme-scale graph-ANN BUILD receipt — the round-12 carryover the
+  * serving-load receipt ([[ClServeProbe]]) deliberately left open: build
+  * the full clustered-corpus k-NN graph at the 1000× scale (2 M vectors)
+  * with the IVF-sharded NN-descent ([[ShardedGraphBuild]]) and audit the
+  * recall it serves, against the [[VectorQueries.tunedConfig]] law's
+  * extrapolation for this corpus size.
+  *
+  * Two configs are in play:
+  *   - the BUILD runs at the law's config for the coarse-SUBCELL size
+  *     (n / coarseK): sharded init means each node's neighborhood search
+  *     is an in-subcell problem, so the subcell degree suffices;
+  *   - the SERVE audit runs at the law's extrapolated beam/hops for the
+  *     LABEL-cell size (n / labelCells) — the exploration budget the
+  *     unsharded law would demand at this scale; this is the comparison
+  *     point the receipt reports recall against.
+  *
+  * Usage:
+  *   sbt "runMain graft.vec.ShardedBuildProbe <embeddingsDir> \
+  *        [labelCells=10] [coarseK=64] [sample=16] [kAlt=8]"
+  * Prints one JSON line; wall times are honest (includes centroid
+  * training, assignment, build, checkpoint I/O).
+  */
+object ShardedBuildProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: ShardedBuildProbe <embeddingsDir> [labelCells] [coarseK] [sample] [kAlt]")
+    val dir = args(0)
+    val labelCells = if (args.length > 1) args(1).toInt else 10
+    val coarseK = if (args.length > 2) args(2).toInt else 64
+    val sample = if (args.length > 3) args(3).toInt else 16
+    val kAlt = if (args.length > 4) args(4).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.Tables.localSession(cpus)
+
+    val cl = VectorQueries.clEn(spark, dir)
+    val n = cl.count()
+    val sub = VectorQueries.tunedConfig(n, coarseK)     // build config
+    val glob = VectorQueries.tunedConfig(n, labelCells) // serve/audit config
+
+    val t0 = System.nanoTime()
+    val cent = ShardedGraphBuild.coarseCentroids(
+      cl, coarseK, math.max(1, (n / 100000L).toInt), 2)
+    val tCent = (System.nanoTime() - t0) / 1e9
+
+    val t1 = System.nanoTime()
+    val edges = ShardedGraphBuild.buildSharded(
+      cl, cent, sub.degree, kAlt, sub.rounds, sample)
+    val serve = ShardedGraphBuild.servingGraph(cl, edges, n, sub.degree)
+    val nEdges = serve.count()
+    val tBuild = (System.nanoTime() - t1) / 1e9
+
+    // recall floor: the standard 32-probe exact audit, served at the
+    // law's extrapolated exploration budget for this corpus size
+    val t2 = System.nanoTime()
+    val audit = VectorQueries.clAudit(spark, dir, serve,
+      glob.beam, glob.hops, 6).collect()
+    val tAudit = (System.nanoTime() - t2) / 1e9
+    val recall = audit.map(_.getAs[Double]("recall_k")).sum / audit.length
+    val top1 = audit.map(_.getAs[Int]("top1_match").toDouble).sum / audit.length
+    val meanV = audit.map(_.getAs[Long]("n_visited").toDouble).sum / audit.length
+
+    println(f"""{"probe":"sharded_build","dir":"$dir","n":$n,""" +
+      f""""label_cells":$labelCells,"coarse_k":$coarseK,"sample":$sample,"k_alt":$kAlt,""" +
+      f""""build_config":[${sub.degree},${sub.rounds}],""" +
+      f""""serve_config":[${glob.beam},${glob.hops}],""" +
+      f""""centroid_sec":$tCent%.1f,"build_sec":$tBuild%.1f,"audit_sec":$tAudit%.1f,""" +
+      f""""serving_edges":$nEdges,""" +
+      f""""recall_at_6":$recall%.4f,"top1":$top1%.4f,""" +
+      f""""mean_visited":$meanV%.1f,"visited_frac":${meanV / n}%.5f}""")
+    spark.stop()
+  }
+}

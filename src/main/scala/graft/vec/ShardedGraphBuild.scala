@@ -1,0 +1,247 @@
+package graft.vec
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF-sharded NN-descent graph build — the extreme-scale (1000×-corpus,
+  * 2 M vector) path the plain [[VectorQueries.buildNdEdges]] build can't
+  * afford. Three changes, each attacking one term of the plain build's
+  * cost:
+  *
+  *   1. '''Coarse-cell sharded init''' (the IVF idea, on the q54
+  *      machinery): vectors are assigned to ≤ 256 learned k-means cells
+  *      by a literal-centroid projection (zero shuffle), and each node's
+  *      initial candidate draws come from ITS OWN CELL — geometrically
+  *      close by construction — instead of uniformly across the corpus.
+  *      Random-init NN-descent spends its first rounds just recovering
+  *      locality; in-cell init starts there, so the law's round count
+  *      converges at far lower proposal budgets.
+  *   2. '''Cross-cell boundary stitch''': every node also draws `kAlt`
+  *      candidates from its RUNNER-UP cell (the 2nd-nearest centroid —
+  *      exactly the nodes for which the cell boundary cuts through their
+  *      true neighborhood). Neighbor-of-neighbor rounds then propagate
+  *      these seam edges, so the final graph is NOT a disjoint union of
+  *      per-cell islands.
+  *   3. '''Deterministic proposal sampling''' (the ρ-sampling of Dong et
+  *      al.'s original NN-descent, WWW 2011 §2.3): each refinement round
+  *      samples ≤ `sample` adjacency rows per node (48-bit md5 rank —
+  *      portable, partition-invariant) before the pivot-local self-join,
+  *      bounding the round at O(N·sample²) proposals instead of
+  *      O(N·(2·degree)²). At the 1000× operating point (degree 34) that
+  *      is a ~18× proposal cut per round.
+  *
+  * Everything is hash-derived and ordered-double-fold scored, so the
+  * built graph — like the q160 graph — is bit-identical across engines,
+  * partitionings and reruns; the spec pins exact recall values rather
+  * than statistical floors.
+  *
+  * Scale shape: the only driver-side data are the ≤ 256 centroids and
+  * the ≤ 256-row cell-size map. Per round: one O(N·degree) adjacency
+  * shuffle keyed by src (the sampling window), one O(N·sample)
+  * embedding-attach join, one O(N·sample²) proposal exchange carrying 3
+  * scalars per row, one per-node top-K window. Never all-pairs; no
+  * data-sized collect.
+  *
+  * Reference analog: nearest-neighbor retrieval in
+  * /root/reference/src/market_microstructure_toolkit/analysis.py
+  * (pairwise similarity scans), re-expressed as the sharded distributed
+  * graph build a 100 TB embedding corpus requires.
+  */
+object ShardedGraphBuild {
+
+  /** 48-bit md5 hash of `tag ∥ a ∥ '#' ∥ b` — the catalog's portable
+    * deterministic hash (the [[VectorQueries.initPairsOver]] fold).
+    */
+  private def h48(tag: String, a: Column, b: Column): Column =
+    conv(substring(md5(concat(lit(tag), a.cast("string"), lit("#"),
+      b.cast("string")).cast("binary")), 1, 12), 16, 10).cast("long")
+
+  /** Nearest (+ optional runner-up) centroid ids as a PURE PROJECTION
+    * over ≤ 256 literal centroids — the [[VectorQueries.withCell]]
+    * shape, but scored with the compiled ordered-double kernel
+    * (`ord_dot`) instead of the exact-decimal one: the sharded build is
+    * audited by recall, not hash-matched to a DuckDB mirror, and the
+    * double kernel is ~10× cheaper on the 2 M-row assignment pass.
+    * Ties (equal d2) break toward the smaller cid via the struct's
+    * lexicographic order; `array_sort` over the K candidate structs
+    * yields best and runner-up in one pass.
+    */
+  private[graft] def assignOrd(emb: DataFrame, cent: DataFrame,
+                               second: Boolean = false): DataFrame = {
+    graft.functions.OrdDot.ensureRegistered(emb.sparkSession)
+    val cs = cent.select("cid", "cvec").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    require(cs.nonEmpty, "assignOrd needs at least one centroid")
+    require(cs.length <= 256,
+      s"assignOrd is for driver-bounded codebooks, got ${cs.length}")
+    val cands = cs.map { case (cid, cvec) =>
+      // centroid norm on the driver (K scalars) — deterministic left fold
+      val cn2 = cvec.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(cn2) - lit(2.0) * call_function("ord_dot", col("embedding"),
+          array(cvec.map(lit(_)): _*))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    if (cs.length == 1) {
+      // a 1-centroid codebook has no runner-up: the stitch degenerates
+      // to extra in-cell draws, which is the correct limit
+      val w = emb.withColumn("cell", lit(cs.head._1))
+      if (second) w.withColumn("cell2", col("cell")) else w
+    } else if (!second) {
+      emb.withColumn("cell", least(cands: _*).getField("cid"))
+    } else {
+      val sorted = array_sort(array(cands: _*))
+      emb.withColumn("_sc", sorted)
+        .withColumn("cell", element_at(col("_sc"), 1).getField("cid"))
+        .withColumn("cell2", element_at(col("_sc"), 2).getField("cid"))
+        .drop("_sc")
+    }
+  }
+
+  /** Coarse centroids trained on a deterministic hash-sample (standard
+    * IVF practice — centroids need the corpus's geometry, not its
+    * cardinality): seeds are the `k` smallest md5("sgc-seed#" ∥ vec_id)
+    * rows (distributed top-K, no global shuffle), then `lloydRounds`
+    * Lloyd iterations over the 1-in-`sampleMod` hash-sample only, means
+    * via the exact-decimal [[VectorQueries.lloydMeans]]. Returns
+    * (cid, cvec, cnorm2), K ≤ 256 rows.
+    */
+  def coarseCentroids(en: DataFrame, k: Int, sampleMod: Int,
+                      lloydRounds: Int): DataFrame = {
+    require(k >= 1 && k <= 256, s"coarse codebook must be 1..256, got $k")
+    val s = en.sparkSession
+    // lloydMeans' cnorm2 rides the exact-decimal kernel
+    graft.functions.DecDot8.ensureRegistered(s)
+    import s.implicits._
+    val sample = (if (sampleMod <= 1) en
+      else en.filter(h48("sgs#", col("vec_id"), lit(0)) % sampleMod === 0))
+      .select(col("vec_id"), col("embedding"))
+    val seeds = sample
+      .withColumn("h", md5(concat(lit("sgc-seed#"),
+        col("vec_id").cast("string")).cast("binary")))
+      .orderBy(col("h"), col("vec_id")).limit(k)
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("cvec"))
+      .collect().toIndexedSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](0)) }
+    require(seeds.nonEmpty, "coarseCentroids: empty embeddings sample")
+    val dim = seeds.head._2.length
+    var cent = seeds.toDF("cid", "cvec")
+    for (_ <- 1 to lloydRounds)
+      cent = VectorQueries.lloydMeans(assignOrd(sample, cent), dim)
+    cent
+  }
+
+  /** The sharded build: in-cell + runner-up-cell deterministic init,
+    * then `rounds` sampled NN-descent refinements over the union.
+    * Returns the directed (src, nbr, d2) graph, ≤ `k` out-edges per
+    * node, reliably checkpointed (the [[VectorQueries.buildNdEdges]]
+    * lineage contract).
+    *
+    * @param en     (vec_id, embedding, n2) — [[VectorQueries.clEn]] or
+    *               any frame with ordered-fold norms attached
+    * @param cent   coarse codebook (cid, cvec[, cnorm2]), ≤ 256 rows
+    * @param k      graph out-degree
+    * @param kAlt   boundary-stitch draws into the runner-up cell
+    * @param rounds sampled refinement rounds
+    * @param sample per-node adjacency sample size per round (Dong's ρ·K)
+    */
+  def buildSharded(en: DataFrame, cent: DataFrame, k: Int, kAlt: Int,
+                   rounds: Int, sample: Int): DataFrame = {
+    val s = en.sparkSession
+    VectorQueries.ensureCkptDir(s)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val assigned = assignOrd(en.select("vec_id", "embedding"), cent, second = true)
+
+    // in-cell contiguous index (r ∈ [0, cellSize)): the draw target
+    // space. One window per cell — ≤ 256 partitions, each a linear pass.
+    val idx = assigned
+      .select(col("vec_id"), col("cell"), col("cell2"))
+      .withColumn("r",
+        row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+          .cast("long") - 1)
+      .persist(lvl)
+
+    // cell sizes as a ≤ 256-entry literal map (driver-bounded by the
+    // codebook contract) — draws modulo their TARGET cell's size
+    val sz = idx.groupBy("cell").agg(count(lit(1)).as("csz")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val szMap = map(sz.flatMap { case (c, n) => Seq(lit(c), lit(n)) }: _*)
+
+    def draws(tag: String, target: Column, nDraws: Int): DataFrame =
+      idx.select(col("vec_id").as("src"), target.as("tc"))
+        .withColumn("csz", element_at(szMap, col("tc")))
+        // a runner-up cell can be EMPTY (no vector won it) — no draw
+        .filter(col("csz").isNotNull)
+        .withColumn("j", explode(expr(s"sequence(1, $nDraws)")))
+        .withColumn("rr", h48(tag, col("src"), col("j")) % col("csz"))
+        .select("src", "tc", "rr")
+
+    val inDraws = draws("sgi#", col("cell"), k)
+    val pairs = (if (kAlt > 0) inDraws.union(draws("sga#", col("cell2"), kAlt))
+                 else inDraws)
+      .join(idx.select(col("cell").as("tc"), col("r").as("rr"),
+        col("vec_id").as("nbr")), Seq("tc", "rr"))
+      .select("src", "nbr")
+      .filter(col("nbr") =!= col("src"))
+    val init = VectorQueries.dedupBySrc(pairs)
+
+    // exact squared L2 over a (src, nbr) pair frame: two linear hash
+    // joins on vec_id, ordered-fold dots (the buildNdEdges recipe)
+    def withD2(p: DataFrame): DataFrame =
+      p.join(en.select(col("vec_id").as("src"), col("embedding").as("ae"),
+          col("n2").as("an2")), "src")
+        .join(en.select(col("vec_id").as("nbr"), col("embedding").as("be"),
+          col("n2").as("bn2")), "nbr")
+        .select(col("src"), col("nbr"),
+          (col("an2") + col("bn2") -
+            lit(2.0) * expr(VectorQueries.dotOrdExpr("ae", "be"))).as("d2"))
+
+    val wK = Window.partitionBy("src").orderBy(col("d2"), col("nbr"))
+    // checkpoint per generation — truncates the multiply-referenced
+    // round lineage (the buildNdEdges/ConnectedComponents contract)
+    var edges = withD2(init)
+      .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+      .drop("rn").checkpoint()
+
+    for (r <- 1 to rounds) {
+      val adj = edges.select("src", "nbr")
+        .union(edges.select(col("nbr").as("src"), col("src").as("nbr")))
+      // deterministic ρ-sample: md5 rank per node, fresh tag per round
+      val wS = Window.partitionBy("src").orderBy(col("hs"), col("nbr"))
+      val sampled = adj
+        .withColumn("hs", h48(s"sgr$r#", col("src"), col("nbr")))
+        .withColumn("rs", row_number().over(wS)).filter(col("rs") <= sample)
+        .select("src", "nbr")
+      // pivot-local scoring (the buildNdEdges shape): embeddings attach
+      // to the O(N·sample) adjacency, only d2 scalars ride the
+      // O(N·sample²) proposal exchange
+      val adjE = sampled.join(en.select(col("vec_id").as("nbr"),
+        col("embedding").as("ne"), col("n2").as("nn2")), "nbr")
+      val prop = adjE.as("x")
+        .join(adjE.as("y"),
+          col("x.src") === col("y.src") && col("x.nbr") =!= col("y.nbr"))
+        .select(col("x.nbr").as("src"), col("y.nbr").as("nbr"),
+          (col("x.nn2") + col("y.nn2") -
+            lit(2.0) * expr(VectorQueries.dotOrdExpr("x.ne", "y.ne"))).as("d2"))
+        .filter(col("src") =!= col("nbr"))
+      edges = prop.union(edges.select("src", "nbr", "d2"))
+        .groupBy("src", "nbr").agg(min(col("d2")).as("d2"))
+        .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
+        .drop("rn").checkpoint()
+    }
+    idx.unpersist()
+    edges
+  }
+
+  /** Serving graph: refined sharded edges ∪ `kRand` global random links
+    * per node — the q168 recipe; the random links are the small-world
+    * ingredient that keeps a sharded graph navigable ACROSS cells from a
+    * fixed entry point.
+    */
+  def servingGraph(en: DataFrame, edges: DataFrame, n: Long,
+                   kRand: Int): DataFrame =
+    VectorQueries.dedupBySrc(edges.select("src", "nbr")
+        .union(VectorQueries.initPairsOver(en, n, kRand)))
+      .checkpoint()
+}

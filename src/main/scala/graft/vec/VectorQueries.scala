@@ -52,14 +52,14 @@ object VectorQueries {
   // CPU than the decimal recipe as an HOF, another ~10× as the compiled
   // ord_dot kernel (functions.OrdDot — identical IEEE add sequence,
   // registered by Tables()). Used on the hot pairwise paths (q39, q160).
-  private def dotOrdExpr(a: String, b: String): String =
+  private[vec] def dotOrdExpr(a: String, b: String): String =
     s"ord_dot($a, $b)"
 
   private def dotOrdSql(a: String, b: String): String =
     s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($a, $b), p -> " +
       "CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
 
-  private def norm2OrdExpr(a: String): String =
+  private[vec] def norm2OrdExpr(a: String): String =
     s"ord_dot($a, $a)"
 
   private def norm2OrdSql(a: String): String =
@@ -373,7 +373,7 @@ object VectorQueries {
 
   private val xcDotExpr = "dec_dot8(embedding, cvec)"
 
-  private def ensureCkptDir(s: SparkSession): Unit =
+  private[vec] def ensureCkptDir(s: SparkSession): Unit =
     graft.util.Ckpt.ensureDir(s.sparkContext)
 
   /** (vec_id, clabel, crn): every vector's per-label centroid cells
@@ -625,7 +625,7 @@ object VectorQueries {
     * doubles; the per-cell count equals the old per-(cell, pos) count on
     * fixed-width embeddings, which every corpus here has).
     */
-  private def lloydMeans(assigned: DataFrame, dim: Int): DataFrame = {
+  private[vec] def lloydMeans(assigned: DataFrame, dim: Int): DataFrame = {
     val aggs = (1 to dim).map { i =>
       (Exact.sumExactFast(element_at(col("embedding"), i).cast("double"), 8)
         / count(lit(1))).as(s"_c$i")
@@ -1937,7 +1937,7 @@ object VectorQueries {
     * clusters (the navigable-small-world ingredient HNSW bakes into
     * its upper layers), so serving unions them with the learned edges.
     */
-  private def initPairsOver(en: DataFrame, n: Long, k: Int): DataFrame =
+  private[vec] def initPairsOver(en: DataFrame, n: Long, k: Int): DataFrame =
     en.select(col("vec_id").as("src"),
         explode(expr(s"transform(sequence(1, $k), j -> " +
           "CAST(conv(substr(md5(CAST(concat('nd#', CAST(vec_id AS STRING), '#', " +
@@ -1949,7 +1949,7 @@ object VectorQueries {
     * window (and every broadcast-preserved join between them) reuses —
     * a (src, nbr)-keyed distinct would add a second exchange.
     */
-  private def dedupBySrc(pairs: DataFrame): DataFrame =
+  private[vec] def dedupBySrc(pairs: DataFrame): DataFrame =
     pairs.groupBy("src").agg(collect_set(col("nbr")).as("ns"))
       .select(col("src"), explode(col("ns")).as("nbr"))
 
@@ -2862,7 +2862,7 @@ object VectorQueries {
     * float element to double, multiply by 0.25 and add the identically
     * derived offset.
     */
-  private def clEn(s: SparkSession, dir: String): DataFrame =
+  private[graft] def clEn(s: SparkSession, dir: String): DataFrame =
     graft.util.SessionMemo.getOrCompute(s, s"cl-en:$dir") {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"),
