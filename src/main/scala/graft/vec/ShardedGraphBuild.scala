@@ -170,8 +170,10 @@ object ShardedGraphBuild {
 
     def draws(tag: String, target: Column, nDraws: Int): DataFrame =
       idx.select(col("vec_id").as("src"), target.as("tc"))
-        .withColumn("csz", element_at(szMap, col("tc")))
-        // a runner-up cell can be EMPTY (no vector won it) — no draw
+        // try_element_at, not element_at: ANSI mode is ON and a
+        // runner-up cell can be EMPTY (no vector won that centroid) —
+        // the lookup must yield null-and-drop, not MAP_KEY_DOES_NOT_EXIST
+        .withColumn("csz", try_element_at(szMap, col("tc")))
         .filter(col("csz").isNotNull)
         .withColumn("j", explode(expr(s"sequence(1, $nDraws)")))
         .withColumn("rr", h48(tag, col("src"), col("j")) % col("csz"))

@@ -74,6 +74,26 @@ class ShardedGraphSpec extends SparkTestBase {
     assert(cells.length === 1 && cells(0).getLong(0) === cells(0).getLong(1))
   }
 
+  test("empty runner-up cell drops its draws instead of raising (ANSI map lookup)") {
+    // hand the build a codebook whose second centroid is so remote that
+    // NO vector assigns to it — every node's runner-up is then the empty
+    // cell, and under ANSI mode a plain element_at(map, key) on the
+    // cell-size map would raise MAP_KEY_DOES_NOT_EXIST mid-build
+    val s = spark
+    import s.implicits._
+    val far = Seq((0L, Seq.fill(64)(0.5)), (1L, Seq.fill(64)(1.0e9)))
+      .toDF("cid", "cvec")
+    val edges = ShardedGraphBuild.buildSharded(cl, far, k = 6, kAlt = 3,
+      rounds = 0, sample = 4)
+    assert(edges.count() > 0)
+    val assigned = ShardedGraphBuild.assignOrd(
+      cl.select("vec_id", "embedding"), far, second = true)
+    assert(assigned.filter(col("cell") === 1L).count() === 0,
+      "the remote centroid must win nothing for this test to bite")
+    assert(assigned.filter(col("cell2") === 1L).count() > 0,
+      "every node's runner-up must be the empty cell")
+  }
+
   test("sampled refinement never regresses a neighbor list (monotone d2)") {
     // per-node comparison, restricted to nodes with FULL k-lists in both
     // builds: a short init list (hash-draw collisions) may legitimately
