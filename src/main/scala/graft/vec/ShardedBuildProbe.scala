@@ -18,19 +18,25 @@ package graft.vec
   *
   * Usage:
   *   sbt "runMain graft.vec.ShardedBuildProbe <embeddingsDir> \
-  *        [labelCells=10] [coarseK=64] [sample=16] [kAlt=8]"
-  * Prints one JSON line; wall times are honest (includes centroid
-  * training, assignment, build, checkpoint I/O).
+  *        [labelCells=10] [coarseK=64] [sample=16] [kAlt=8] [rounds=0]"
+  * rounds=0 means "the law's round count" — but the law's rounds were
+  * tuned for FULL-proposal refinement; ρ-sampled rounds carry ~18× fewer
+  * proposals each, so the sampled build wants more of them (Dong et al.
+  * report 4–6 iterations at the 1M scale). Prints one JSON line; wall
+  * times are honest (includes centroid training, assignment, build,
+  * checkpoint I/O). `graph_recall_at_6` is the BUILD-quality meter
+  * (exact top-6 present among out-edges), `recall_at_6` the SERVED one.
   */
 object ShardedBuildProbe {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ShardedBuildProbe <embeddingsDir> [labelCells] [coarseK] [sample] [kAlt]")
+      "usage: ShardedBuildProbe <embeddingsDir> [labelCells] [coarseK] [sample] [kAlt] [rounds]")
     val dir = args(0)
     val labelCells = if (args.length > 1) args(1).toInt else 10
     val coarseK = if (args.length > 2) args(2).toInt else 64
     val sample = if (args.length > 3) args(3).toInt else 16
     val kAlt = if (args.length > 4) args(4).toInt else 8
+    val roundsArg = if (args.length > 5) args(5).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val spark = graft.Tables.localSession(cpus)
 
@@ -44,12 +50,17 @@ object ShardedBuildProbe {
       cl, coarseK, math.max(1, (n / 100000L).toInt), 2)
     val tCent = (System.nanoTime() - t0) / 1e9
 
+    val rounds = if (roundsArg > 0) roundsArg else sub.rounds
     val t1 = System.nanoTime()
     val edges = ShardedGraphBuild.buildSharded(
-      cl, cent, sub.degree, kAlt, sub.rounds, sample)
+      cl, cent, sub.degree, kAlt, rounds, sample)
     val serve = ShardedGraphBuild.servingGraph(cl, edges, n, sub.degree)
     val nEdges = serve.count()
     val tBuild = (System.nanoTime() - t1) / 1e9
+
+    // build-quality meter: is the exact neighborhood IN the graph?
+    val gRec = ShardedGraphBuild.graphRecall(cl, edges, 32, 6)
+      .agg(org.apache.spark.sql.functions.avg("graph_recall")).first().getDouble(0)
 
     // recall floor: the standard 32-probe exact audit, served at the
     // law's extrapolated exploration budget for this corpus size
@@ -63,7 +74,7 @@ object ShardedBuildProbe {
 
     println(f"""{"probe":"sharded_build","dir":"$dir","n":$n,""" +
       f""""label_cells":$labelCells,"coarse_k":$coarseK,"sample":$sample,"k_alt":$kAlt,""" +
-      f""""build_config":[${sub.degree},${sub.rounds}],""" +
+      f""""build_config":[${sub.degree},$rounds],"graph_recall_at_6":$gRec%.4f,""" +
       f""""serve_config":[${glob.beam},${glob.hops}],""" +
       f""""centroid_sec":$tCent%.1f,"build_sec":$tBuild%.1f,"audit_sec":$tAudit%.1f,""" +
       f""""serving_edges":$nEdges,""" +

@@ -236,6 +236,37 @@ object ShardedGraphBuild {
     edges
   }
 
+  /** Graph recall diagnostic: what fraction of each probe's EXACT top-k
+    * neighbors (brute force over the full corpus — the meter, bounded by
+    * the ≤ nProbes broadcast) appear among its OUT-edges in `edges`.
+    * Separates BUILD quality (is the neighborhood in the graph at all?)
+    * from SERVING exploration (does the beam find it?) — when serve
+    * recall is low, this is the first question.
+    */
+  def graphRecall(en: DataFrame, edges: DataFrame, nProbes: Int,
+                  k: Int): DataFrame = {
+    val probes = en.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val exact = broadcast(probes)
+      .join(en.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * expr(VectorQueries.dotOrdExpr("qe", "ce"))).as("d2"))
+      .withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("re") <= k)
+    val hits = exact.select(col("q_id"), col("c_id"))
+      .join(edges.select(col("src").as("q_id"), col("nbr").as("c_id")),
+        Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    probes.select("q_id").join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(k))
+          .as("graph_recall"))
+  }
+
   /** Serving graph: refined sharded edges ∪ `kRand` global random links
     * per node — the q168 recipe; the random links are the small-world
     * ingredient that keeps a sharded graph navigable ACROSS cells from a

@@ -3105,7 +3105,157 @@ object VectorQueries {
     ORDER BY q_id"""
     })
 
+  // --------------------------------------------------------------- q182
+  private val SgCells = 4  // coarse codebook size at the gate scale
+  private val SgLloyd = 2  // Lloyd rounds for the coarse centroids
+  private val SgK = 6      // graph out-degree
+  private val SgAlt = 2    // runner-up-cell boundary-stitch draws
+  private val SgRounds = 1 // sampled refinement rounds
+  private val SgSample = 6 // per-node adjacency sample per round
+
+  /** IVF-sharded NN-descent graph build ([[ShardedGraphBuild]]) as an
+    * ORACLE-GATED operator: the full pipeline — coarse k-means centroids
+    * (md5-seeded, decimal-exact Lloyd means), cell + runner-up
+    * assignment (ordered-double literal-centroid projection), in-cell +
+    * boundary-stitch init draws, one ρ-sampled refinement round — with
+    * the resulting (src, nbr, d2) graph compared EDGE-FOR-EDGE
+    * (d2 bit-exact) against a DuckDB mirror that unrolls every stage.
+    * The 2 M-vector receipt (receipts/sharded_build_1000x.json) runs the
+    * same code at the law configs; this pins its semantics at gate
+    * scale the way q160 pins the plain build.
+    *
+    * Reference analog: nearest-neighbor retrieval in
+    * /root/reference/src/market_microstructure_toolkit/analysis.py
+    * (pairwise similarity scans), re-expressed as the sharded
+    * distributed graph build a 100 TB embedding corpus requires.
+    */
+  val q182 = Q("q182_sharded_nn_descent",
+    (s, dir) => {
+      val en = ndEn(s, dir)
+      val cent = ShardedGraphBuild.coarseCentroids(
+        en.select("vec_id", "embedding"), SgCells, 1, SgLloyd)
+      ShardedGraphBuild.buildSharded(en, cent, SgK, SgAlt, SgRounds, SgSample)
+        .transform(graft.Q.presentSorted(_, "src", "nbr"))
+    },
+    Some {
+      // 48-bit md5 fold (the q160 hashFold, tag/args parameterized);
+      // inner lambda var hi, not i/j — those name outer columns
+      def hFold(arg: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), hi -> " +
+          s"CAST(strpos('0123456789abcdef', substr(md5($arg), hi, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      // ordered-double dot of an embedding against a centroid LIST —
+      // the assignOrd ord_dot mirror (left fold, same IEEE order)
+      def dotList(e: String, cv: String) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($e, $cv), p -> " +
+          "CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
+      // one Lloyd generation: pos-form centroids -> ordered list form +
+      // the driver-side left-fold norm -> double-fold rank-1 assignment
+      def cvSql(i: Int) =
+        s"""cv_$i AS (
+      SELECT cid, list(c ORDER BY pos) AS cv,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(c ORDER BY pos), v -> v * v)),
+          (acc, x) -> acc + x) AS cn2
+      FROM cent_$i GROUP BY cid
+    )"""
+      def asgSql(i: Int) =
+        s"""asg_$i AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${dotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+        FROM embeddings e CROSS JOIN cv_$i t) WHERE crn = 1
+    )"""
+      def centSql(i: Int) =
+        s"""cent_$i AS (
+      SELECT a.cell AS cid, u.pos, (${graft.Exact.sumExactSql("u.x", 8)} / COUNT(*)) AS c
+      FROM ux u JOIN asg_${i - 1} a USING (vec_id) GROUP BY a.cell, u.pos
+    )"""
+      val lloyd = (1 to SgLloyd)
+        .map(i => s"${centSql(i)}, ${cvSql(i)}, ${asgSql(i)}").mkString(", ")
+      def drawSql(name: String, tag: String, cellCol: String, nDraws: Int) =
+        s"""$name AS (
+      SELECT i.vec_id AS src, i.$cellCol AS tc,
+        (${hFold(s"'$tag' || CAST(i.vec_id AS VARCHAR) || '#' || CAST(js.j AS VARCHAR)")} % s.c) AS rr
+      FROM idx i JOIN csz s ON s.cell = i.$cellCol
+      CROSS JOIN (SELECT unnest(generate_series(1, $nDraws)) AS j) js
+    )"""
+      // the sampled refinement round: UNION ALL adjacency (duplicates
+      // occupy sample slots exactly as in the engine), md5-ranked
+      // per-node sample, pivot self-join proposals, distinct-with-known
+      // union, fresh d2 (pure function of the pair), per-node top-K
+      def roundSql(r: Int): String = {
+        val in = s"d${r - 1}"
+        s"""adj$r AS (
+      SELECT src, nbr FROM $in UNION ALL SELECT nbr AS src, src AS nbr FROM $in
+    ), samp$r AS (
+      SELECT src, nbr FROM (
+        SELECT src, nbr, ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+          ${hFold(s"'sgr$r#' || CAST(src AS VARCHAR) || '#' || CAST(nbr AS VARCHAR)")} ASC, nbr ASC) AS rs
+        FROM adj$r) WHERE rs <= $SgSample
+    ), cd$r AS (
+      SELECT DISTINCT src, nbr FROM (
+        SELECT x.nbr AS src, y.nbr AS nbr
+        FROM samp$r x JOIN samp$r y ON x.src = y.src AND x.nbr != y.nbr
+        UNION ALL SELECT src, nbr FROM $in
+      ) WHERE src != nbr
+    ), dd$r AS (
+      SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM cd$r p JOIN en2 a ON a.vec_id = p.src JOIN en2 b ON b.vec_id = p.nbr
+    ), d$r AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd$r
+      ) WHERE rn <= $SgK
+    )"""
+      }
+      s"""WITH ux AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY md5('sgc-seed#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings
+    ), cent_0 AS (
+      SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
+      FROM ux u JOIN sd s USING (vec_id) WHERE s.cid < $SgCells
+    ), ${cvSql(0)}, ${asgSql(0)}, $lloyd, asgf AS (
+      SELECT vec_id,
+        MIN(CASE WHEN crn = 1 THEN cid END) AS cell,
+        MIN(CASE WHEN crn = 2 THEN cid END) AS cell2
+      FROM (
+        SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${dotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+        FROM embeddings e CROSS JOIN cv_$SgLloyd t) WHERE crn <= 2
+      GROUP BY vec_id
+    ), idx AS (
+      SELECT vec_id, cell, cell2,
+        ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) - 1 AS r
+      FROM asgf
+    ), csz AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS c FROM idx GROUP BY cell
+    ), ${drawSql("ind", "sgi#", "cell", SgK)},
+    ${drawSql("alt", "sga#", "cell2", SgAlt)},
+    e0 AS (
+      SELECT DISTINCT d.src, t.vec_id AS nbr
+      FROM (SELECT * FROM ind UNION ALL SELECT * FROM alt) d
+      JOIN idx t ON t.cell = d.tc AND t.r = d.rr
+      WHERE t.vec_id != d.src
+    ), en2 AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), dd0 AS (
+      SELECT p.src, p.nbr, a.n2 + b.n2 - 2.0::DOUBLE * ${dotOrdSql("a.embedding", "b.embedding")} AS d2
+      FROM e0 p JOIN en2 a ON a.vec_id = p.src JOIN en2 b ON b.vec_id = p.nbr
+    ), d0 AS MATERIALIZED (
+      SELECT src, nbr, d2 FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY src ORDER BY d2, nbr) AS rn FROM dd0
+      ) WHERE rn <= $SgK
+    ), ${(1 to SgRounds).map(roundSql).mkString(",\n    ")}
+    SELECT src, nbr, d2 FROM d$SgRounds ORDER BY src, nbr"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
-      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167, q168)
+      q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167, q168,
+      q182)
 }
