@@ -72,6 +72,17 @@ object ShardedBuildProbe {
     val top1 = audit.map(_.getAs[Int]("top1_match").toDouble).sum / audit.length
     val meanV = audit.map(_.getAs[Long]("n_visited").toDouble).sum / audit.length
 
+    // hybrid serve: beam routing ∪ exhaustive 2-probe cell scan (the
+    // q44/q52 IVF leg) — local completeness on concentrated-distance
+    // in-cluster geometry, still sublinear per query
+    val t3 = System.nanoTime()
+    val hyb = ShardedGraphBuild.hybridAudit(cl, serve, cent,
+      glob.beam, glob.hops, 6).collect()
+    val tHyb = (System.nanoTime() - t3) / 1e9
+    val hRecall = hyb.map(_.getAs[Double]("recall_k")).sum / hyb.length
+    val hTop1 = hyb.map(_.getAs[Int]("top1_match").toDouble).sum / hyb.length
+    val hScored = hyb.map(_.getAs[Long]("n_scored").toDouble).sum / hyb.length
+
     println(f"""{"probe":"sharded_build","dir":"$dir","n":$n,""" +
       f""""label_cells":$labelCells,"coarse_k":$coarseK,"sample":$sample,"k_alt":$kAlt,""" +
       f""""build_config":[${sub.degree},$rounds],"graph_recall_at_6":$gRec%.4f,""" +
@@ -79,7 +90,10 @@ object ShardedBuildProbe {
       f""""centroid_sec":$tCent%.1f,"build_sec":$tBuild%.1f,"audit_sec":$tAudit%.1f,""" +
       f""""serving_edges":$nEdges,""" +
       f""""recall_at_6":$recall%.4f,"top1":$top1%.4f,""" +
-      f""""mean_visited":$meanV%.1f,"visited_frac":${meanV / n}%.5f}""")
+      f""""mean_visited":$meanV%.1f,"visited_frac":${meanV / n}%.5f,""" +
+      f""""hybrid_sec":$tHyb%.1f,"hybrid_recall_at_6":$hRecall%.4f,""" +
+      f""""hybrid_top1":$hTop1%.4f,"hybrid_mean_scored":$hScored%.1f,""" +
+      f""""hybrid_scored_frac":${hScored / n}%.5f}""")
     spark.stop()
   }
 }

@@ -277,4 +277,74 @@ object ShardedGraphBuild {
     VectorQueries.dedupBySrc(edges.select("src", "nbr")
         .union(VectorQueries.initPairsOver(en, n, kRand)))
       .checkpoint()
+
+  /** Hybrid serve audit — beam routing ∪ exhaustive scan of each probe's
+    * OWN coarse cell and runner-up cell (the q44/q52 IVF probe, SPANN/
+    * DiskANN-style): on geometry whose IN-cluster structure is
+    * high-intrinsic-dimension (distance concentration — the clustered
+    * corpus is uniform inside each label cluster), graph edges alone
+    * cannot hold exact-top-k recall at ~1 % visited; the 2-probe cell
+    * scan restores LOCAL completeness exactly (every true neighbor
+    * inside the probe's cell or runner-up is scored) while staying
+    * sublinear: ~2·N/K extra candidates per query, independent of hops.
+    * Returns the clAudit frame plus `n_scored` (beam-visited ∪
+    * cell-scanned — the true per-query serving cost).
+    */
+  def hybridAudit(en: DataFrame, edges: DataFrame, cent: DataFrame,
+                  beam: Int, hops: Int, rk: Int,
+                  nProbes: Int = 32): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val asg = assignOrd(en.select("vec_id", "embedding"), cent, second = true)
+      .select("vec_id", "cell", "cell2")
+    val lo2 = en.select("vec_id").orderBy("vec_id").limit(2)
+      .collect().map(_.getLong(0))
+    require(lo2.length == 2, "hybrid audit needs >= 2 embeddings")
+    val probes = en.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("n2").as("qn2"))
+    val pcells = probes.join(asg.select(col("vec_id").as("q_id"),
+      col("cell").as("pcell"), col("cell2").as("pcell2")), "q_id")
+    // IVF leg: score every member of the probe's cell ∪ runner-up cell
+    val ivf = broadcast(pcells)
+      .join(en.join(asg, "vec_id")
+          .select(col("vec_id").as("node"), col("cell").as("ncell"),
+            col("embedding").as("ce"), col("n2").as("cn2")),
+        (col("ncell") === col("pcell") || col("ncell") === col("pcell2")) &&
+          col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * expr(VectorQueries.dotOrdExpr("qe", "ce"))).as("d2"))
+    // beam leg: the q168 serving traversal over the same graph
+    val beamV = VectorQueries.beamVisited(probes, en, edges,
+      lo2(0), lo2(1), beam, hops)
+    val visited = beamV.union(ivf)
+      .groupBy("q_id", "node").agg(min(col("d2")).as("d2"))
+    val wB = Window.partitionBy("q_id").orderBy(col("d2"), col("node"))
+    val chosen = visited.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= rk).cache()
+    val nsc = visited.groupBy("q_id").agg(count(lit(1)).as("n_scored"))
+    val exact = broadcast(probes)
+      .join(en.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("n2").as("cn2")), col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * expr(VectorQueries.dotOrdExpr("qe", "ce"))).as("d2"))
+      .withColumn("re", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d2"), col("c_id"))))
+      .filter(col("re") <= rk).cache()
+    val hits = exact.select(col("q_id"), col("c_id"))
+      .join(chosen.select(col("q_id"), col("node").as("c_id")), Seq("q_id", "c_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n_hit"))
+    val e1 = exact.filter(col("re") === 1)
+      .select(col("q_id"), col("c_id").as("exact_top1"))
+    val g1 = chosen.filter(col("rk") === 1)
+      .select(col("q_id"), col("node").as("hybrid_top1"))
+    e1.join(g1, "q_id").join(nsc, "q_id").join(hits, Seq("q_id"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .select(col("q_id"), col("exact_top1"), col("hybrid_top1"),
+        (col("hybrid_top1") === col("exact_top1")).cast("int").as("top1_match"),
+        col("n_hit"),
+        (col("n_hit").cast("double") / lit(rk)).as("recall_k"),
+        col("n_scored"))
+  }
 }

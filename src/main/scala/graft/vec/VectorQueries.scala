@@ -2207,7 +2207,7 @@ object VectorQueries {
     * (q_id, node, d2). Each hop joins the data-sized edge table against
     * a broadcast bounded frontier — never the reverse.
     */
-  private def beamVisited(probeEmb: DataFrame, enGraph: DataFrame,
+  private[vec] def beamVisited(probeEmb: DataFrame, enGraph: DataFrame,
                           edges: DataFrame, e0: Long, e1: Long,
                           beam: Int = BsBeam, hops: Int = BsHops): DataFrame = {
     def score(pairs: DataFrame): DataFrame =

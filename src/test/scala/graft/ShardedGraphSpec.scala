@@ -63,6 +63,27 @@ class ShardedGraphSpec extends SparkTestBase {
     assert(top1 >= 0.90, f"top-1 $top1%.4f below the 0.90 floor")
   }
 
+  test("hybrid serve (beam ∪ 2-probe cell scan) dominates beam-only recall") {
+    val edges = buildOnce()
+    val n = cl.count()
+    val serve = ShardedGraphBuild.servingGraph(cl, edges, n, kRand = 8)
+    val beamOnly = VectorQueries.clAudit(spark, dir, serve,
+      beam = 12, hops = 4, rk = 6).collect()
+    val hyb = ShardedGraphBuild.hybridAudit(cl, serve, cent,
+      beam = 12, hops = 4, rk = 6).collect()
+    val rBeam = beamOnly.map(_.getAs[Double]("recall_k")).sum / beamOnly.length
+    val rHyb = hyb.map(_.getAs[Double]("recall_k")).sum / hyb.length
+    val top1 = hyb.map(_.getAs[Int]("top1_match").toDouble).sum / hyb.length
+    info(f"recall@6 beam-only=$rBeam%.4f hybrid=$rHyb%.4f hybrid-top1=$top1%.4f")
+    assert(hyb.length === 32)
+    assert(rHyb >= rBeam - 1e-12,
+      "adding the exhaustive own-cell scan must never lose recall")
+    assert(rHyb >= 0.95, f"hybrid recall@6 $rHyb%.4f below the 0.95 floor")
+    assert(top1 === 1.0,
+      "top-1 must be exact: the true nearest neighbor is either in the " +
+        "probe's cell/runner-up (scanned exactly) or found by the beam here")
+  }
+
   test("K=1 codebook degenerates cleanly: stitch folds into in-cell draws") {
     val c1 = ShardedGraphBuild.coarseCentroids(cl, 1, 1, 1)
     val edges = ShardedGraphBuild.buildSharded(cl, c1, k = 6, kAlt = 2,
