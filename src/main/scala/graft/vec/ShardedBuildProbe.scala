@@ -51,10 +51,16 @@ object ShardedBuildProbe {
     val tCent = (System.nanoTime() - t0) / 1e9
 
     val rounds = if (roundsArg > 0) roundsArg else sub.rounds
+    // SPARK_GRAFT_SG_DEGREE overrides the law degree: the hybrid-serve
+    // frontier points only need the graph for ROUTING (the cell scan
+    // provides local completeness), and a lower degree keeps the build's
+    // spill inside this box's ~95 G usable disk at small coarseK
+    val degree = sys.env.get("SPARK_GRAFT_SG_DEGREE")
+      .map(_.toInt).getOrElse(sub.degree)
     val t1 = System.nanoTime()
     val edges = ShardedGraphBuild.buildSharded(
-      cl, cent, sub.degree, kAlt, rounds, sample)
-    val serve = ShardedGraphBuild.servingGraph(cl, edges, n, sub.degree)
+      cl, cent, degree, kAlt, rounds, sample)
+    val serve = ShardedGraphBuild.servingGraph(cl, edges, n, degree)
     val nEdges = serve.count()
     val tBuild = (System.nanoTime() - t1) / 1e9
 
@@ -85,7 +91,7 @@ object ShardedBuildProbe {
 
     println(f"""{"probe":"sharded_build","dir":"$dir","n":$n,""" +
       f""""label_cells":$labelCells,"coarse_k":$coarseK,"sample":$sample,"k_alt":$kAlt,""" +
-      f""""build_config":[${sub.degree},$rounds],"graph_recall_at_6":$gRec%.4f,""" +
+      f""""build_config":[$degree,$rounds],"graph_recall_at_6":$gRec%.4f,""" +
       f""""serve_config":[${glob.beam},${glob.hops}],""" +
       f""""centroid_sec":$tCent%.1f,"build_sec":$tBuild%.1f,"audit_sec":$tAudit%.1f,""" +
       f""""serving_edges":$nEdges,""" +
