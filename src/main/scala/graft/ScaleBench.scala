@@ -42,6 +42,30 @@ object ScaleBench {
   private def rotated(a: String, k: Int): String =
     a.drop(k % a.length) + a.take(k % a.length)
 
+  /** The composite text permutation copy `k` applies, as a pure char
+    * map over the 20-letter domain — the driver-side twin of the three
+    * `translate` stages in [[gen]], built from the SAME alphabet/rotation
+    * values. Exists so ScaleBenchGenSpec can pin the corpus-design
+    * invariants (1000 distinct permutations; k < 100 leaves the third
+    * stage an identity) — the round-12 t3-transcription bug class — and
+    * verify the map against the actual column ops.
+    */
+  private[graft] def textPermutation(k: Int): Map[Char, Char] = {
+    def tmap(from: String, to: String): Map[Char, Char] = from.zip(to).toMap
+    val m1 = if (k % 10 == 0) Map.empty[Char, Char]
+      else tmap(alphabet, rotated(alphabet, k % 10))
+    val m2 = if ((k / 10) % 10 == 0) Map.empty[Char, Char]
+      else tmap(alphabet2, rotated(alphabet2, (k / 10) % 10))
+    val ab = alphabet + alphabet2
+    val m3 = if (k / 100 == 0) Map.empty[Char, Char]
+      else tmap(ab, rotated(ab, 2 * (k / 100)))
+    ab.map { c =>
+      val c1 = m1.getOrElse(c, c)
+      val c2 = m2.getOrElse(c1, c1)
+      c -> m3.getOrElse(c2, c2)
+    }.toMap
+  }
+
   private def delRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
     f.delete(); ()
