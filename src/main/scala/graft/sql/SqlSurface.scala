@@ -45,6 +45,8 @@ object SqlSurface {
     graft.functions.DeepBookAgg.ensureRegistered(spark)
     graft.functions.RollingHash.ensureRegistered(spark)
     graft.functions.ExactTopK.ensureRegistered(spark)
+    graft.functions.DecDot8.ensureRegistered(spark)
+    graft.functions.OrdDot.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -148,6 +150,36 @@ object SqlSurface {
     * catalog output row-for-row.
     */
   val texts: Map[String, String] = Map(
+    // ---- vec family: the exact-decimal kernel from plain SQL --------
+    "q34_embedding_stats" ->
+      s"""SELECT vec_id, label,
+        CAST(size(embedding) AS BIGINT) AS dim,
+        dec_dot8(embedding, embedding) AS norm2,
+        sqrt(dec_dot8(embedding, embedding)) AS norm,
+        CAST(aggregate(embedding, CAST(0 AS DECIMAL(30,8)), (acc, x) ->
+          CAST(acc + CAST(round(CAST(x AS DOUBLE), 8) AS DECIMAL(30,8)) AS DECIMAL(30,8))) AS DOUBLE) AS comp_sum,
+        CAST(array_min(embedding) AS DOUBLE) AS comp_min,
+        CAST(array_max(embedding) AS DOUBLE) AS comp_max
+      FROM embeddings ORDER BY vec_id""",
+
+    "q36_knn_bruteforce" ->
+      s"""WITH en AS (
+        SELECT vec_id, embedding, dec_dot8(embedding, embedding) AS n2 FROM embeddings
+      ), p AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+          dec_dot8(q.embedding, c.embedding) AS dot
+        FROM en q JOIN en c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), sc AS (
+        SELECT q_id, c_id,
+          CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+        FROM p
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rnk FROM sc
+      )
+      SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos_sim
+      FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         ${sumFast("l_quantity", 2)} AS sum_qty,
