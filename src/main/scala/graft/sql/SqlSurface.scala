@@ -180,6 +180,69 @@ object SqlSurface {
       SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos_sim
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
 
+    // ---- impact family: schedule + ladder walk + fees, in plain SQL --
+    // (the unrolled walk CTEs come from Impact.walkLayersSql — the SAME
+    // fragment source as the DuckDB oracle mirror, dialect-translated by
+    // d(); schedule spelled with Spark's DIV + LATERAL VIEW explode)
+    "q23_impact_twap_slices" -> d(s"""WITH bn AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY seq) AS rn,
+               COUNT(*) OVER (PARTITION BY sym) AS n
+        FROM book
+      ), sn AS (SELECT DISTINCT sym, n FROM bn),
+      sched AS (
+        SELECT sym, n, i, (i * (n - 1)) DIV 19 AS pos
+        FROM sn LATERAL VIEW explode(sequence(CAST(0 AS BIGINT), CAST(19 AS BIGINT))) t AS i
+      ), sl AS (
+        SELECT b.*, s.i,
+          CASE WHEN s.i = 19 THEN 50.0::DOUBLE - (50.0::DOUBLE / 20.0::DOUBLE) * 19
+               ELSE 50.0::DOUBLE / 20.0::DOUBLE END AS slice_target
+        FROM bn b JOIN sched s ON b.sym = s.sym AND b.rn - 1 = s.pos
+      ),
+      ${graft.impact.Impact.walkLayersSql("sl", "ask", "slice_target", 5)},
+      tw AS (SELECT *, ${BookSql.mid} AS mid,
+               walk_vwap * (1.0::DOUBLE + 5.0::DOUBLE / 10000.0::DOUBLE) AS slice_vwap_fee
+             FROM walked),
+      tw2 AS (SELECT *,
+               CASE WHEN mid != 0 THEN 10000.0::DOUBLE * (slice_vwap_fee / mid - 1) END AS slip_bps
+              FROM tw)
+      SELECT sym, i, seq, slice_target, filled, walk_vwap, slice_vwap_fee,
+             levels_touched, slip_bps
+      FROM tw2 ORDER BY sym, i"""),
+
+    "q24_impact_twap_summary" -> d(s"""WITH bn AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY sym ORDER BY seq) AS rn,
+               COUNT(*) OVER (PARTITION BY sym) AS n
+        FROM book
+      ), sn AS (SELECT DISTINCT sym, n FROM bn),
+      sched AS (
+        SELECT sym, n, i, (i * (n - 1)) DIV 19 AS pos
+        FROM sn LATERAL VIEW explode(sequence(CAST(0 AS BIGINT), CAST(19 AS BIGINT))) t AS i
+      ), sl AS (
+        SELECT b.*, s.i,
+          CASE WHEN s.i = 19 THEN 50.0::DOUBLE - (50.0::DOUBLE / 20.0::DOUBLE) * 19
+               ELSE 50.0::DOUBLE / 20.0::DOUBLE END AS slice_target
+        FROM bn b JOIN sched s ON b.sym = s.sym AND b.rn - 1 = s.pos
+      ),
+      ${graft.impact.Impact.walkLayersSql("sl", "ask", "slice_target", 5)},
+      tw2 AS (SELECT *, ${BookSql.mid} AS mid FROM walked),
+      summary AS (
+        SELECT sym, COUNT(*) AS n_slices,
+          ${sumFast("filled", 6)} AS filled_qty,
+          ${sumFast("cost5", 6)} AS notional,
+          CAST(SUM(levels_touched) AS DOUBLE) / COUNT(*) AS avg_levels
+        FROM tw2 GROUP BY sym),
+      oc AS (
+        SELECT sym, min_by(mid, seq) AS mid_open, max_by(mid, seq) AS mid_close
+        FROM tw2 WHERE mid IS NOT NULL GROUP BY sym),
+      j AS (
+        SELECT s.*, oc.mid_open, oc.mid_close,
+          CASE WHEN filled_qty > 0 THEN notional / filled_qty END AS exec_vwap
+        FROM summary s JOIN oc USING (sym))
+      SELECT sym, n_slices, filled_qty, notional, exec_vwap, avg_levels, mid_open, mid_close,
+        CASE WHEN mid_open != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_open - 1) END AS slip_open_bps,
+        CASE WHEN mid_close != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_close - 1) END AS slip_close_bps
+      FROM j ORDER BY sym"""),
+
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         ${sumFast("l_quantity", 2)} AS sum_qty,
