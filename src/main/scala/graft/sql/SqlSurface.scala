@@ -47,6 +47,7 @@ object SqlSurface {
     graft.functions.ExactTopK.ensureRegistered(spark)
     graft.functions.DecDot8.ensureRegistered(spark)
     graft.functions.OrdDot.ensureRegistered(spark)
+    graft.functions.LshBandCodes.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -131,6 +132,13 @@ object SqlSurface {
     */
   private def d(frag: String): String = frag.replace("::DOUBLE", "D")
 
+  /** Quote a raw regex/string as a Spark-SQL single-quoted literal
+    * (Spark's default escapedStringLiterals=false processes backslash
+    * escapes, so backslashes and quotes double).
+    */
+  private def sq(raw: String): String =
+    "'" + raw.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   // Spark-SQL spellings of the Exact.*Fast aggregation recipe (the same
   // registered kernels the Column builders call via call_function).
   private def sumFast(term: String, scale: Int): String =
@@ -179,6 +187,63 @@ object SqlSurface {
       )
       SELECT q_id, CAST(rnk AS BIGINT) AS rnk, c_id, cos_sim
       FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+
+    "q35_label_centroids" ->
+      s"""SELECT label, CAST(pos0 + 1 AS BIGINT) AS pos, COUNT(*) AS n,
+        (${sumFast("CAST(x AS DOUBLE)", 8)} / COUNT(*)) AS centroid
+      FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos0, x
+      GROUP BY label, CAST(pos0 + 1 AS BIGINT)
+      ORDER BY label, pos""",
+
+    // random-hyperplane LSH: 8 deterministic integer hyperplanes, bucket
+    // bit i = sign of the exact decimal dot with plane i (the aggregate/
+    // transform folds are plain Spark SQL higher-order functions)
+    "q37_lsh_buckets" -> {
+      def plane(i: Int): String =
+        s"CAST(aggregate(transform(sequence(1, size(embedding)), j -> " +
+          s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
+          s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
+          s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE) AS h$i"
+      val bucket = (0 to 7).map(i => s"CASE WHEN h$i > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      s"""WITH h AS (
+        SELECT vec_id, label,
+          ${(0 to 7).map(plane).mkString(",\n          ")}
+        FROM embeddings
+      ), b AS (
+        SELECT vec_id, label, CAST($bucket AS BIGINT) AS bucket FROM h
+      )
+      SELECT vec_id, label, bucket, COUNT(*) OVER (PARTITION BY bucket) AS n_in_bucket
+      FROM b ORDER BY vec_id"""
+    },
+
+    // banded-LSH embedding near-dup: band codes from the native
+    // lsh_band_codes kernel, hot-bucket row_number cap, per-band
+    // equi-self-join (no all-pairs product), exact ordered-dot verify
+    "q39_embedding_neardup" ->
+      s"""WITH eb AS (
+        SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
+               lsh_band_codes(embedding, 4, 8) AS codes
+        FROM embeddings
+      ), bands AS (
+        SELECT vec_id, band_idx, code,
+          ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+        FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+      ), v AS (
+        SELECT c.id_a, c.id_b, c.n_bands,
+          CASE WHEN ea.n2 > 0 AND e2.n2 > 0
+               THEN ord_dot(ea.embedding, e2.embedding) / (sqrt(ea.n2) * sqrt(e2.n2)) END AS cos_sim
+        FROM cand c
+        JOIN eb ea ON ea.vec_id = c.id_a
+        JOIN eb e2 ON e2.vec_id = c.id_b
+      )
+      SELECT id_a, id_b, n_bands, cos_sim FROM v
+      WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
 
     // ---- impact family: schedule + ladder walk + fees, in plain SQL --
     // (the unrolled walk CTEs come from Impact.walkLayersSql — the SAME
@@ -242,6 +307,77 @@ object SqlSurface {
         CASE WHEN mid_open != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_open - 1) END AS slip_open_bps,
         CASE WHEN mid_close != 0 THEN 10000.0::DOUBLE * (exec_vwap / mid_close - 1) END AS slip_close_bps
       FROM j ORDER BY sym"""),
+
+    // ---- as-of family: the scalable union + running-last trick in
+    // plain SQL (one sort per pass, no N×S join — the 100 TB shape)
+    "q25_asof_match" ->
+      d(s"""WITH bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
+      sched AS (SELECT sym, seq AS sched_seq, ts_us + 15000000 AS t FROM bm WHERE seq % 100 = 0),
+      tagged AS (
+        SELECT sym, ts_us AS ts, 0 AS is_q, seq AS ord,
+               named_struct('seq', seq, 'mid', mid) AS bk,
+               CAST(NULL AS BIGINT) AS sched_seq
+        FROM bm
+        UNION ALL
+        SELECT sym, t, 1, sched_seq,
+               CAST(NULL AS STRUCT<seq: BIGINT, mid: DOUBLE>), sched_seq
+        FROM sched
+      ),
+      m AS (
+        SELECT *, LAST(bk) IGNORE NULLS OVER (PARTITION BY sym
+          ORDER BY ts, is_q, ord
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mm
+        FROM tagged
+      )
+      SELECT sym, sched_seq, ts AS t, mm.seq AS matched_seq, mm.mid AS matched_mid
+      FROM m WHERE is_q = 1 ORDER BY sym, sched_seq"""),
+
+    // nearest-|ts−t| as-of (AsOf.nearest semantics: forward wins an exact
+    // two-sided tie, last row of an equal-ts run wins within a side):
+    // ascending pass for the backward candidate, descending pass for the
+    // strictly-forward candidate, O(1) distance compare per probe
+    "q49_asof_nearest" ->
+      d(s"""WITH bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
+      wn AS (SELECT sym, seq, ts_us,
+               LEAD(ts_us, 1) OVER (PARTITION BY sym ORDER BY seq) AS next_ts
+             FROM bm),
+      probes AS (
+        SELECT sym, seq * 3 AS probe_id, ts_us AS t FROM wn WHERE seq % 100 = 0
+        UNION ALL
+        SELECT sym, seq * 3 + 1, ts_us + ((next_ts - ts_us) DIV 2)
+        FROM wn WHERE seq % 100 = 0 AND next_ts IS NOT NULL
+        UNION ALL
+        SELECT sym, seq * 3 + 2, ts_us + 15000 FROM wn WHERE seq % 100 = 0
+      ),
+      tagged AS (
+        SELECT sym, ts_us AS ts, 0 AS is_q, seq AS ord,
+               named_struct('ord', seq, 'mts', ts_us, 'mid', mid) AS bk,
+               CAST(NULL AS BIGINT) AS probe_id
+        FROM bm
+        UNION ALL
+        SELECT sym, t, 1, probe_id,
+               CAST(NULL AS STRUCT<ord: BIGINT, mts: BIGINT, mid: DOUBLE>), probe_id
+        FROM probes
+      ),
+      m AS (
+        SELECT *,
+          LAST(bk) IGNORE NULLS OVER (PARTITION BY sym
+            ORDER BY ts ASC, is_q ASC, ord ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS back,
+          LAST(bk) IGNORE NULLS OVER (PARTITION BY sym
+            ORDER BY ts DESC, is_q DESC, ord ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fwd
+        FROM tagged
+      ),
+      sel AS (
+        SELECT sym, probe_id, ts AS t,
+          CASE WHEN back IS NULL OR (fwd IS NOT NULL AND fwd.mts - ts <= ts - back.mts)
+               THEN fwd ELSE back END AS mm
+        FROM m WHERE is_q = 1
+      )
+      SELECT sym, probe_id, t, mm.ord AS matched_seq, mm.mts AS matched_ts,
+             mm.mid AS matched_mid, abs(mm.mts - t) AS dist
+      FROM sel ORDER BY sym, probe_id"""),
 
     "q01_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
@@ -375,6 +511,93 @@ object SqlSurface {
       SELECT seq, sym, ofi_lob, SUM(ofi_lob) OVER $runSql AS ofi_lob_cum
       FROM o ORDER BY seq"""),
 
+    "q16_ofi_depth_k" -> {
+      val bidSum = (1 to D).map(k => s"COALESCE(bid${k}_size, 0.0::DOUBLE)").mkString(" + ")
+      val askSum = (1 to D).map(k => s"COALESCE(ask${k}_size, 0.0::DOUBLE)").mkString(" + ")
+      d(s"""WITH sums AS (
+        SELECT seq, sym,
+          $bidSum AS bid_sz_k,
+          $askSum AS ask_sz_k,
+          COALESCE(${BookSql.notionalDepth("bid", D)}, 0.0::DOUBLE) AS bid_ntl_k,
+          COALESCE(${BookSql.notionalDepth("ask", D)}, 0.0::DOUBLE) AS ask_ntl_k
+        FROM book
+      ),
+      deltas AS (
+        SELECT seq, sym,
+          COALESCE((bid_sz_k - LAG(bid_sz_k, 1) OVER w) - (ask_sz_k - LAG(ask_sz_k, 1) OVER w), 0.0::DOUBLE) AS ofi_size_k,
+          COALESCE((bid_ntl_k - LAG(bid_ntl_k, 1) OVER w) - (ask_ntl_k - LAG(ask_ntl_k, 1) OVER w), 0.0::DOUBLE) AS ofi_ntl_k
+        FROM sums WINDOW w AS $winSql
+      )
+      SELECT seq, sym, ofi_size_k,
+        SUM(ofi_size_k) OVER $runSql AS ofi_size_k_cum,
+        ofi_ntl_k,
+        CAST(SUM(CAST(ROUND(ofi_ntl_k, 6) AS DECIMAL(38,6))) OVER $runSql AS DOUBLE) AS ofi_ntl_k_cum
+      FROM deltas ORDER BY seq""")
+    },
+
+    // closed-form Pearson over exact decimal window sums (not the
+    // built-in corr aggregate): bit-deterministic and immune to the
+    // ANSI divide-by-zero on zero-variance windows
+    "q19_rolling_corr_ofi_ret" -> {
+      def dsum(t: String, sc: Int) =
+        s"CAST(SUM(CAST(ROUND($t, $sc) AS DECIMAL(38,$sc))) OVER f AS DOUBLE)"
+      val n = "CAST(COUNT(xm) OVER f AS DOUBLE)"
+      val sx = dsum("xm", 6); val sy = dsum("ym", 12)
+      val sxy = dsum("xm * ym", 12); val sxx = dsum("xm * xm", 6); val syy = dsum("ym * ym", 14)
+      val varx = s"($n * $sxx - $sx * $sx)"
+      val vary = s"($n * $syy - $sy * $sy)"
+      d(s"""WITH m AS (SELECT seq, sym, ${BookSql.mid} AS mid FROM book),
+      p AS (SELECT seq, sym, 100.0::DOUBLE + mid / 100.0::DOUBLE AS px FROM m),
+      r AS (
+        SELECT seq, sym, px,
+          CASE WHEN px > 0 AND LAG(px, 1) OVER w > 0
+               THEN px / LAG(px, 1) OVER w - 1 END AS ret
+        FROM p WINDOW w AS $winSql
+      ),
+      lg AS (
+        SELECT r.seq, r.sym, r.ret, b.bid1_price, b.bid1_size, b.ask1_price, b.ask1_size,
+               LAG(b.bid1_price, 1) OVER w AS pb, LAG(b.bid1_size, 1) OVER w AS sb,
+               LAG(b.ask1_price, 1) OVER w AS pa, LAG(b.ask1_size, 1) OVER w AS sa
+        FROM r JOIN book b USING (seq, sym) WINDOW w AS (PARTITION BY r.sym ORDER BY r.seq)
+      ),
+      o AS (SELECT seq, sym, ret, ${BookSql.ofiLobster} AS ofi_lob FROM lg),
+      pm AS (
+        SELECT seq, sym,
+          CASE WHEN ofi_lob IS NOT NULL AND ret IS NOT NULL THEN ofi_lob END AS xm,
+          CASE WHEN ofi_lob IS NOT NULL AND ret IS NOT NULL THEN ret END AS ym
+        FROM o
+      )
+      SELECT seq, sym,
+        CASE WHEN $n >= 2 AND $varx > 0 AND $vary > 0
+             THEN ($n * $sxy - $sx * $sy) / (sqrt($varx) * sqrt($vary)) END AS corr30
+      FROM pm
+      WINDOW f AS (PARTITION BY sym ORDER BY seq ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+      ORDER BY seq""")
+    },
+
+    "q20_depth_curve" -> {
+      val branches = (1 to D).flatMap(k => Seq(
+        s"SELECT 'bid' AS side, $k AS level, bid${k}_size AS size FROM book",
+        s"SELECT 'ask' AS side, $k AS level, ask${k}_size AS size FROM book")).mkString("\n        UNION ALL ")
+      s"""WITH tidy AS (
+        $branches
+      ),
+      curve AS (
+        SELECT side, level, COUNT(size) AS n_obs,
+          (${sumFast("size", 2)} / COUNT(size)) AS avg_size
+        FROM tidy GROUP BY side, level
+      )
+      SELECT side, level, n_obs, avg_size,
+        avg_size - LAG(avg_size, 1) OVER (PARTITION BY side ORDER BY level) AS davg
+      FROM curve ORDER BY side, level"""
+    },
+
+    "q21_spread_histogram" ->
+      d(s"""WITH x AS (SELECT ${BookSql.relSpreadBpsVector} AS sbps FROM book)
+      SELECT CAST(floor(sbps / 2.5::DOUBLE) AS BIGINT) AS bin, COUNT(*) AS n
+      FROM x WHERE sbps IS NOT NULL
+      GROUP BY bin ORDER BY bin"""),
+
     "q17_realized_variance" ->
       d(s"""WITH m AS (SELECT seq, sym, ${BookSql.mid} AS mid FROM book),
       p AS (SELECT seq, sym, 100.0::DOUBLE + mid / 100.0::DOUBLE AS px FROM m),
@@ -417,6 +640,52 @@ object SqlSurface {
              ELSE 0.0D END AS quality_score
       FROM r ORDER BY doc_id""",
 
+    "q28_lang_id" -> {
+      def occ(w: String): String = {
+        val padded = "concat(' ', lower(text), ' ')"
+        val pat = s" $w "
+        s"CAST((length($padded) - length(regexp_replace($padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
+      }
+      val scores = graft.text.TextMetrics.langMarkers.map { case (l, words) =>
+        words.map(occ).mkString(" + ") + s" AS s_$l"
+      }.mkString(",\n          ")
+      s"""WITH sc AS (
+        SELECT doc_id, lang,
+          $scores
+        FROM documents
+      )
+      SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang,
+        CAST(CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END = lang AS INT) AS is_match
+      FROM sc ORDER BY doc_id"""
+    },
+
+    // whole SimHash per document through the native shingle_agg kernel
+    "q32_simhash" ->
+      s"""SELECT doc_id, sa.n_distinct AS n_shingles, sa.simhash AS simhash
+      FROM (SELECT doc_id, shingle_agg(text, 8) AS sa FROM documents)
+      ORDER BY doc_id""",
+
+    // adjacent-pair n-gram Jaccard through the native shingle_overlap
+    // kernel (hash-set intersection per pair, O(len))
+    "q33_ngram_jaccard_pairs" ->
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+      p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               shingle_overlap(a.text, b.text, 8) AS ov
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1)
+      SELECT id_a, id_b, ov.n_inter AS n_inter, ov.n_union AS n_union,
+        CASE WHEN ov.n_union > 0 THEN CAST(ov.n_inter AS DOUBLE) / ov.n_union END AS jaccard
+      FROM p ORDER BY id_a""",
+
     "q29_exact_dedup" ->
       s"""SELECT md5(CAST(text AS BINARY)) AS fp, COUNT(*) AS n_docs,
         MIN(doc_id) AS keep_id, SUM(n_chars) AS total_chars
@@ -439,6 +708,66 @@ object SqlSurface {
             FROM (SELECT doc_id, minhash_spans(text, 8, 0) AS sig
                   FROM documents))
       ORDER BY doc_id""",
+
+    "q10_top_orders_per_customer" ->
+      s"""SELECT o_custkey, rk, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk
+        FROM orders
+      )
+      WHERE rk <= 3
+      ORDER BY o_custkey, rk""",
+
+    "q38_events_json_topk" ->
+      s"""SELECT event_type, rk, event_id, k_val FROM (
+        SELECT event_type, event_id, k_val,
+          CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+            ORDER BY k_val DESC, event_id) AS BIGINT) AS rk
+        FROM (
+          SELECT event_type, event_id,
+            CASE WHEN regexp_extract(props, '"k":\\\\s*(\\\\d+)', 1) != ''
+                 THEN CAST(regexp_extract(props, '"k":\\\\s*(\\\\d+)', 1) AS BIGINT) END AS k_val
+          FROM events))
+      WHERE rk <= 20
+      ORDER BY event_type, rk""",
+
+    // the salted two-phase aggregation's contract is bit-identity with
+    // the direct decimal aggregation — which is exactly this text
+    "q41_salted_user_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+        ${sumFast("value", 2)} AS sum_value
+      FROM events GROUP BY user_id ORDER BY user_id""",
+
+    "q43_cube_lineitem" ->
+      s"""SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+        COALESCE(l_linestatus, 'ALL') AS lstatus,
+        COUNT(*) AS n, ${sumFast("l_quantity", 2)} AS sum_qty
+      FROM lineitem
+      GROUP BY CUBE(l_returnflag, l_linestatus)
+      ORDER BY rflag, lstatus""",
+
+    "q45_promo_revenue_share" ->
+      s"""WITH g AS (
+        SELECT p_brand, COUNT(*) AS n_items,
+          ${sumFastR(disc, 4, 2)} AS revenue,
+          ${sumFastR(s"CASE WHEN p_type LIKE 'PROMO%' THEN $disc ELSE CAST(0.0 AS DOUBLE) END", 4, 2)} AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand)
+      SELECT p_brand, n_items, revenue, promo_revenue,
+        CASE WHEN revenue != 0 THEN promo_revenue / revenue END AS promo_share
+      FROM g ORDER BY p_brand""",
+
+    // static-value-list pivot (the form that survives at scale; a dynamic
+    // pivot needs a driver-side distinct pass) spelled as conditional aggs
+    "q46_pivot_status" ->
+      s"""SELECT l_returnflag,
+        COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS F_n,
+        ${sumFast("CASE WHEN l_linestatus = 'F' THEN l_quantity END", 2)} AS F_qty,
+        COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS O_n,
+        ${sumFast("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS O_qty
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "q07_customer_running_spend" ->
       s"""SELECT o_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
@@ -572,6 +901,92 @@ object SqlSurface {
         CAST(s.doc_id = k.keep_id AS INT) AS is_kept
       FROM scored s JOIN keep k USING (group_id)
       ORDER BY s.doc_id""",
+
+    // native session_window (event-time session aggregation) from SQL
+    "q55_session_window_native" ->
+      s"""WITH ev AS (
+        SELECT user_id, timestamp_micros(ts div 1000) AS ts_t, value FROM events
+      )
+      SELECT user_id,
+        unix_micros(session_window.start) AS session_start_us,
+        unix_micros(session_window.`end`) AS session_end_us,
+        COUNT(*) AS n_events,
+        ${sumFast("value", 2)} AS session_value
+      FROM ev GROUP BY user_id, session_window(ts_t, '30 minutes')
+      ORDER BY user_id, session_start_us""",
+
+    // GPT-2-style BPE pre-tokenizer split + per-class counts, all as
+    // higher-order array functions over one regexp_extract_all pass
+    "q57_bpe_tokens" -> {
+      val bpe = graft.text.TextQueries.bpePat
+      def cnt(pat: String, as: String) =
+        s"CAST(size(filter(toks, t -> t RLIKE ${sq(pat)})) AS BIGINT) AS $as"
+      s"""WITH tk AS (
+        SELECT doc_id, lang, length(text) AS n_chars,
+          regexp_extract_all(text, ${sq(bpe)}, 0) AS toks
+        FROM documents
+      ), c AS (
+        SELECT doc_id, lang, n_chars,
+          CAST(size(toks) AS BIGINT) AS n_bpe_tokens,
+          ${cnt("^ ?\\p{L}+$", "n_word")},
+          ${cnt("^ ?\\p{N}+$", "n_number")},
+          ${cnt("^ ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+$", "n_punct")},
+          ${cnt("^'(?:s|t|re|ve|m|ll|d)$", "n_contraction")},
+          ${cnt("^[ \\t\\n\\x0B\\f\\r]+$", "n_ws")},
+          CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM tk
+      )
+      SELECT doc_id, lang, n_bpe_tokens, n_word, n_number, n_punct,
+        n_contraction, n_ws, n_distinct,
+        CASE WHEN n_bpe_tokens > 0 THEN CAST(n_chars AS DOUBLE) / n_bpe_tokens END AS avg_token_chars
+      FROM c ORDER BY doc_id"""
+    },
+
+    // tf-idf top terms: integer-scaled idf keeps the score exact
+    "q61_tfidf_topterms" ->
+      s"""WITH t AS (
+        SELECT doc_id, explode(split(trim(lower(text)), ${sq("\\s+")})) AS term FROM documents
+      ), tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM t WHERE term != '' GROUP BY doc_id, term
+      ), df AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), n AS (
+        SELECT COUNT(*) AS n_docs FROM documents
+      ), sc AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          (n.n_docs * 1000000) div df.df AS idf_scaled,
+          tf.tf * ((n.n_docs * 1000000) div df.df) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+      ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rk
+        FROM sc
+      )
+      SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
+      ORDER BY doc_id, rk""",
+
+    // KMV distinct-count sketch beside its exact companion, through the
+    // shingle_hash48 + exact_topk kernels
+    "q84_kmv_distinct" ->
+      s"""WITH hv AS (
+        SELECT DISTINCT source, v
+        FROM (SELECT source, explode(shingle_hash48(text, 8)) AS v FROM documents)
+      ), g AS (
+        SELECT source, COUNT(*) AS n_exact,
+          exact_topk(CAST(-v AS DOUBLE), 64) AS topneg
+        FROM hv GROUP BY source
+      ), k AS (
+        SELECT source, n_exact,
+          CASE WHEN size(topneg) >= 64
+               THEN CAST(-element_at(topneg, 64) AS BIGINT) END AS v_k
+        FROM g
+      ), e AS (
+        SELECT source, n_exact, v_k,
+          CAST((63 * 281474976710656) div v_k AS BIGINT) AS kmv_est
+        FROM k
+      )
+      SELECT source, n_exact, v_k, kmv_est,
+        abs(kmv_est - n_exact) * 1000 div n_exact AS err_permille
+      FROM e ORDER BY source""",
 
     // Rabin–Karp fingerprinting through the native rolling_hash kernel.
     "q53_rolling_fingerprint" ->
