@@ -942,6 +942,151 @@ object SqlSurface {
       FROM c ORDER BY doc_id"""
     },
 
+    // Gopher-style repetition quality gate: line-dup, top-bigram
+    // occupancy, and trigram-dup fractions from one tokenize pass
+    "q58_repetition_quality" -> {
+      val toksExpr = s"split(trim(lower(text)), ${sq("\\s+")})"
+      s"""WITH base AS (
+        SELECT doc_id, text, split(text, ${sq("\\n")}) AS lines, $toksExpr AS toks
+        FROM documents
+      ), b2 AS (
+        SELECT doc_id, text, toks,
+          CAST(size(lines) AS BIGINT) AS n_lines,
+          CAST(size(array_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(toks) AS BIGINT) END AS n_words
+        FROM base
+      ), b3 AS (
+        SELECT doc_id, n_lines, n_distinct_lines, n_words,
+          CASE WHEN n_words >= 3
+               THEN transform(sequence(0, size(toks) - 3), i ->
+                 concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+               ELSE CAST(array() AS ARRAY<STRING>) END AS tri
+        FROM b2
+      ), b4 AS (
+        SELECT doc_id, n_lines, n_distinct_lines, n_words,
+          CAST(size(tri) AS BIGINT) AS n_tri,
+          CAST(size(array_distinct(tri)) AS BIGINT) AS n_distinct_tri
+        FROM b3
+      ), bi AS (
+        SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams FROM (
+          SELECT doc_id, gram, COUNT(*) AS cnt
+          FROM (SELECT doc_id, explode(transform(sequence(0, size(toks) - 2), i ->
+                  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))) AS gram
+                FROM b2 WHERE n_words >= 2)
+          GROUP BY doc_id, gram)
+        GROUP BY doc_id
+      ), j AS (
+        SELECT b.doc_id, b.n_words,
+          1.0D - CAST(b.n_distinct_lines AS DOUBLE) / b.n_lines AS dup_line_frac,
+          CASE WHEN bi.n_bigrams IS NOT NULL
+               THEN CAST(bi.top_bigram_cnt AS DOUBLE) / bi.n_bigrams END AS top2gram_frac,
+          CASE WHEN b.n_tri > 0
+               THEN 1.0D - CAST(b.n_distinct_tri AS DOUBLE) / b.n_tri END AS dup3gram_frac
+        FROM b4 b LEFT JOIN bi ON bi.doc_id = b.doc_id
+      ), f AS (
+        SELECT *,
+          CAST(dup_line_frac > 0.30D AS INT) AS fail_dup_lines,
+          COALESCE(CAST(top2gram_frac > 0.20D AS INT), 0) AS fail_top2gram,
+          COALESCE(CAST(dup3gram_frac > 0.60D AS INT), 0) AS fail_dup3gram
+        FROM j
+      )
+      SELECT doc_id, n_words, dup_line_frac, top2gram_frac, dup3gram_frac,
+        fail_dup_lines, fail_top2gram, fail_dup3gram,
+        CAST(fail_dup_lines + fail_top2gram + fail_dup3gram = 0 AS INT) AS quality_pass
+      FROM f ORDER BY doc_id"""
+    },
+
+    // deterministic hash split: train/val/test by (doc_id·φ) % 1000
+    "q60_dataset_split" ->
+      s"""WITH a AS (
+        SELECT *,
+          CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_tokens
+        FROM documents
+      )
+      SELECT split, COUNT(*) AS n_docs,
+        SUM(n_chars) AS total_chars,
+        SUM(n_tokens) AS total_tokens,
+        COUNT(DISTINCT lang) AS n_langs,
+        MIN(doc_id) AS min_doc_id
+      FROM a GROUP BY split ORDER BY split""",
+
+    // per-language mixture sampling at deterministic hash rates
+    "q63_mixture_sample" ->
+      s"""WITH a AS (
+        SELECT lang,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_tokens,
+          CASE WHEN lang = 'en' THEN CAST(500 AS BIGINT)
+               WHEN lang IN ('de', 'fr', 'es') THEN CAST(250 AS BIGINT)
+               ELSE CAST(100 AS BIGINT) END AS rate_permille,
+          CAST((doc_id * 2654435761) % 1000 <
+            CASE WHEN lang = 'en' THEN 500
+                 WHEN lang IN ('de', 'fr', 'es') THEN 250
+                 ELSE 100 END AS INT) AS kept
+        FROM documents
+      )
+      SELECT lang, COUNT(*) AS n_total,
+        SUM(kept) AS n_kept,
+        SUM(kept * n_tokens) AS kept_tokens,
+        MAX(rate_permille) AS rate_permille,
+        1000 * SUM(kept) div COUNT(1) AS realized_permille
+      FROM a GROUP BY lang ORDER BY lang""",
+
+    // token-budget prefix selection: hash-ordered running sum (the
+    // catalog runs this as a distributed two-pass prefix sum; the SQL
+    // spelling is the single ordered window with identical semantics)
+    "q74_token_budget" ->
+      s"""WITH tk AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_tokens,
+          (doc_id * 2654435761) % 1000000007 AS p
+        FROM documents
+      ), o AS (
+        SELECT doc_id, n_tokens,
+          COALESCE(SUM(n_tokens) OVER (ORDER BY p, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), CAST(0 AS BIGINT)) AS tok_start
+        FROM tk
+      )
+      SELECT doc_id, n_tokens, tok_start,
+        CASE WHEN tok_start < 10000 THEN 1 ELSE 0 END AS selected
+      FROM o ORDER BY doc_id""",
+
+    // cross-source trigram Jaccard overlap (distinct grams per source,
+    // equi-join on gram — never source×source rows)
+    "q79_source_overlap" ->
+      s"""WITH base AS (
+        SELECT source, split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE size(split(trim(lower(text)), ${sq("\\s+")})) END AS nw
+        FROM documents
+      ), tri AS (
+        SELECT DISTINCT source, gram FROM (
+          SELECT source, explode(transform(sequence(0, nw - 3), i ->
+            concat_ws(' ', element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))) AS gram
+          FROM base WHERE nw >= 3)
+      ), sz AS (
+        SELECT source, COUNT(*) AS n_grams FROM tri GROUP BY source
+      ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+        FROM tri a JOIN tri b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY a.source, b.source
+      ), jj AS (
+        SELECT sa.source AS source_a, sb.source AS source_b,
+          sa.n_grams AS n_a, sb.n_grams AS n_b,
+          COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS n_inter
+        FROM sz sa JOIN sz sb ON sa.source < sb.source
+        LEFT JOIN inter i ON i.source_a = sa.source AND i.source_b = sb.source
+      )
+      SELECT source_a, source_b, n_a, n_b, n_inter,
+        CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
+      FROM jj ORDER BY source_a, source_b""",
+
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
       s"""WITH t AS (
@@ -963,6 +1108,135 @@ object SqlSurface {
       )
       SELECT doc_id, rk, term, tf, df, score FROM r WHERE rk <= 3
       ORDER BY doc_id, rk""",
+
+    // train/val/test leakage audit over the near-dup groups (the
+    // on-demand dedup_components view supplies the group labels)
+    "q73_split_leakage" ->
+      s"""WITH fl AS (
+        SELECT doc_id,
+          CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents
+      ), g AS (
+        SELECT c.group_id, COUNT(*) AS n_members,
+          SUM(CASE WHEN f.split = 'train' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_train,
+          SUM(CASE WHEN f.split = 'val' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_val,
+          SUM(CASE WHEN f.split = 'test' THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS n_test,
+          COUNT(DISTINCT f.split) AS n_splits
+        FROM dedup_components c JOIN fl f USING (doc_id)
+        GROUP BY c.group_id
+      )
+      SELECT group_id, n_members, n_train, n_val, n_test,
+        CAST(n_splits > 1 AS INT) AS leaked
+      FROM g WHERE n_members > 1 ORDER BY group_id""",
+
+    // BM25 top-k: integer fixed-point scoring (k1=1.2 b=0.75 as exact
+    // rationals), query-term pruning BEFORE any shuffle
+    "q86_bm25_topk" ->
+      s"""WITH qt AS (
+        SELECT query_id, term FROM VALUES (1, 'table'), (1, 'scan'), (2, 'spark'),
+          (2, 'query'), (3, 'merge'), (3, 'batch') AS t(query_id, term)
+      ), base AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
+        FROM documents
+      ), dld AS (
+        SELECT doc_id, tk, CAST(size(tk) AS BIGINT) AS dl FROM base
+      ), scal AS (
+        SELECT SUM(dl) AS big_d, COUNT(*) AS n_docs FROM dld
+      ), tok AS (
+        SELECT doc_id, dl, term
+        FROM (SELECT doc_id, dl, explode(tk) AS term FROM dld)
+        WHERE term IN (SELECT DISTINCT term FROM qt)
+      ), tf AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok GROUP BY term, doc_id, dl
+      ), dft AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), scored AS (
+        SELECT q.query_id, f.doc_id,
+          ((s.n_docs * 1000000) div d.df) *
+            ((44 * f.tf * s.big_d * 1000) div
+             (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs)) AS term_score
+        FROM tf f JOIN dft d USING (term) CROSS JOIN scal s JOIN qt q ON q.term = f.term
+      ), byq AS (
+        SELECT query_id, doc_id, SUM(term_score) AS score, COUNT(*) AS n_terms_hit
+        FROM scored GROUP BY query_id, doc_id
+      ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
+        FROM byq
+      )
+      SELECT query_id, rnk, doc_id, score, n_terms_hit
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // tokenizer fertility per language: BPE tokens vs words/chars/bytes
+    "q93_tokenizer_fertility" ->
+      s"""WITH tk AS (
+        SELECT lang,
+          CAST(size(regexp_extract_all(text, ${sq(graft.text.TextQueries.bpePat)}, 0)) AS BIGINT) AS n_tokens,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_words,
+          CAST(length(text) AS BIGINT) AS n_chars,
+          CAST(octet_length(text) AS BIGINT) AS n_bytes
+        FROM documents
+      ), g AS (
+        SELECT lang, COUNT(*) AS n_docs,
+          SUM(n_words) AS sum_words, SUM(n_tokens) AS sum_tokens,
+          SUM(n_chars) AS sum_chars, SUM(n_bytes) AS sum_bytes
+        FROM tk GROUP BY lang
+      )
+      SELECT lang, n_docs, sum_words, sum_tokens, sum_chars, sum_bytes,
+        CASE WHEN sum_words > 0 THEN CAST(sum_tokens AS DOUBLE) / sum_words END AS fertility,
+        CASE WHEN sum_tokens > 0 THEN CAST(sum_chars AS DOUBLE) / sum_tokens END AS chars_per_token,
+        CASE WHEN sum_tokens > 0 THEN CAST(sum_bytes AS DOUBLE) / sum_tokens END AS bytes_per_token
+      FROM g ORDER BY lang""",
+
+    // PMI collocations at integer fixed-point (log-free on purpose)
+    "q97_pmi_collocations" ->
+      s"""WITH tk AS (
+        SELECT split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE size(split(trim(lower(text)), ${sq("\\s+")})) END AS nw
+        FROM documents
+      ), bg AS (
+        SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS c12 FROM (
+          SELECT explode(transform(sequence(0, nw - 2), i ->
+            named_struct('w1', element_at(tk, i + 1), 'w2', element_at(tk, i + 2)))) AS bg
+          FROM tk WHERE nw >= 2)
+        GROUP BY bg.w1, bg.w2
+      ), m AS (
+        SELECT w1, w2, c12,
+          SUM(c12) OVER (PARTITION BY w1) AS c1,
+          SUM(c12) OVER (PARTITION BY w2) AS c2,
+          SUM(c12) OVER () AS n_big
+        FROM bg
+      )
+      SELECT w1, w2, c12, c1, c2,
+        (((c12 * n_big) div c1) * 1000000) div c2 AS pmi_scaled
+      FROM m WHERE c12 >= 5
+      ORDER BY pmi_scaled DESC, w1, w2 LIMIT 50""",
+
+    // truncation-loss curve: 4 candidate context lengths vs token mass
+    "q98_truncation_curve" ->
+      s"""WITH nt AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_toks
+        FROM documents
+      ), x AS (
+        SELECT n_toks, explode(array(128L, 256L, 512L, 1024L)) AS ctx FROM nt
+      ), agg AS (
+        SELECT ctx, COUNT(*) AS n_docs,
+          SUM(CASE WHEN n_toks > ctx THEN 1L ELSE 0L END) AS n_truncated,
+          SUM(least(n_toks, ctx)) AS toks_kept,
+          SUM(greatest(n_toks - ctx, 0L)) AS toks_lost
+        FROM x GROUP BY ctx
+      )
+      SELECT ctx, n_docs, n_truncated, toks_kept, toks_lost,
+        CASE WHEN toks_kept + toks_lost > 0
+             THEN CAST(toks_lost AS DOUBLE) / (toks_kept + toks_lost) END AS loss_frac
+      FROM agg ORDER BY ctx""",
 
     // KMV distinct-count sketch beside its exact companion, through the
     // shingle_hash48 + exact_topk kernels
