@@ -827,6 +827,237 @@ object SqlSurface {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
 
+    // ---- events analytics family -------------------------------------
+    "q132_event_transitions" ->
+      s"""WITH seq AS (
+        SELECT user_id, event_type,
+          LEAD(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts div 1000, event_id) AS to_type
+        FROM events
+      ), trans AS (
+        SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY event_type, to_type
+      ), marg AS (
+        SELECT from_type, SUM(n) AS n_from FROM trans GROUP BY from_type
+      )
+      SELECT t.from_type, t.to_type, t.n,
+        t.n * 1000 div m.n_from AS share_permille,
+        CASE WHEN t.from_type = t.to_type THEN 1L ELSE 0L END AS self_loop
+      FROM trans t JOIN marg m USING (from_type)
+      ORDER BY from_type, to_type""",
+
+    "q136_funnel_conversion" ->
+      s"""WITH ev AS (
+        SELECT user_id, event_type, ts div 1000 AS ts_us FROM events
+      ), s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t2
+        FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t3
+        FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id
+      )
+      SELECT * FROM (
+        SELECT 1L AS step, 'view' AS event_type,
+          (SELECT COUNT(*) FROM s1) AS n_users, 1000L AS conv_permille
+        UNION ALL
+        SELECT 2L, 'click', (SELECT COUNT(*) FROM s2),
+          CASE WHEN (SELECT COUNT(*) FROM s1) > 0
+               THEN (SELECT COUNT(*) FROM s2) * 1000 div (SELECT COUNT(*) FROM s1)
+               ELSE 0L END
+        UNION ALL
+        SELECT 3L, 'purchase', (SELECT COUNT(*) FROM s3),
+          CASE WHEN (SELECT COUNT(*) FROM s2) > 0
+               THEN (SELECT COUNT(*) FROM s3) * 1000 div (SELECT COUNT(*) FROM s2)
+               ELSE 0L END
+      ) ORDER BY step""",
+
+    "q137_retention_cohorts" ->
+      s"""WITH ev AS (
+        SELECT user_id, (ts div 1000) div 86400000000 AS day FROM events
+      ), base AS (SELECT MIN(day) AS day0 FROM ev
+      ), uw AS (
+        SELECT DISTINCT user_id, (day - base.day0) div 7 AS week FROM ev CROSS JOIN base
+      ), cohort AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+      ), csize AS (
+        SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_week
+      )
+      SELECT c.cohort_week, u.week - c.cohort_week AS week_offset,
+        COUNT(*) AS n_active, s.n_cohort,
+        COUNT(*) * 1000 div s.n_cohort AS retention_permille
+      FROM uw u JOIN cohort c ON c.user_id = u.user_id
+      JOIN csize s ON s.cohort_week = c.cohort_week
+      GROUP BY c.cohort_week, u.week - c.cohort_week, s.n_cohort
+      ORDER BY c.cohort_week, week_offset""",
+
+    "q139_last_touch_attribution" ->
+      s"""WITH ev AS (
+        SELECT user_id, event_id, event_type, ts div 1000 AS ts_us FROM events
+      ), attributed AS (
+        SELECT event_type,
+          LAST(CASE WHEN event_type != 'purchase' THEN event_type END) IGNORE NULLS
+            OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM ev
+      ), rolled AS (
+        SELECT COALESCE(touch, 'none') AS touch_type, COUNT(*) AS n_purchases
+        FROM attributed WHERE event_type = 'purchase'
+        GROUP BY COALESCE(touch, 'none')
+      )
+      SELECT touch_type, n_purchases,
+        n_purchases * 1000 div SUM(n_purchases) OVER () AS share_permille
+      FROM rolled ORDER BY touch_type""",
+
+    // exponential half-life recency weights as integer bit shifts
+    "q143_recency_engagement" ->
+      s"""WITH ev AS (
+        SELECT user_id, value, (ts div 1000) div 86400000000 AS day FROM events
+      ), mx AS (SELECT MAX(day) AS day_max FROM ev)
+      SELECT user_id, COUNT(*) AS n_events,
+        SUM(CAST(round(value * 100) AS BIGINT) *
+          (CASE WHEN (mx.day_max - day) div 7 >= 11 THEN 0L
+                ELSE shiftright(1024, CAST((mx.day_max - day) div 7 AS INT)) END)) AS score_fp,
+        SUM(CAST(round(value * 100) AS BIGINT)) AS raw_cents
+      FROM ev CROSS JOIN mx
+      GROUP BY user_id
+      ORDER BY score_fp DESC, user_id LIMIT 15""",
+
+    // burst rule cross-multiplied (cnt·n_prev > 3·sum_prev): no division
+    "q146_hourly_burst_detection" ->
+      s"""WITH hourly AS (
+        SELECT event_type, (ts div 1000) div 3600000000 AS hour, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, (ts div 1000) div 3600000000
+      ), base AS (
+        SELECT event_type, hour, cnt,
+          COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING), 0L) AS sum_prev,
+          COUNT(*) OVER (PARTITION BY event_type ORDER BY hour
+            RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING) AS n_prev
+        FROM hourly
+      )
+      SELECT event_type, hour, cnt, sum_prev, n_prev
+      FROM base
+      WHERE n_prev >= 12 AND cnt * n_prev > 3 * sum_prev
+      ORDER BY event_type, hour""",
+
+    // exact quantiles from SQL: Spark's percentile() computes the same
+    // p·(n−1) interpolation as the engine's distributed ExactQuantile
+    // (the q65 oracle pins that equivalence bit-for-bit)
+    "q65_exact_quantiles" ->
+      s"""SELECT l_returnflag,
+        percentile(l_extendedprice, 0.5D) AS price_p50,
+        percentile(l_extendedprice, 0.95D) AS price_p95,
+        percentile(l_extendedprice, 0.99D) AS price_p99,
+        percentile(l_quantity, 0.5D) AS qty_p50,
+        MIN(l_extendedprice) AS price_min,
+        MAX(l_extendedprice) AS price_max,
+        COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q141_event_value_percentiles" ->
+      s"""SELECT event_type,
+        percentile(value, 0.5D) AS p50,
+        percentile(value, 0.95D) AS p95,
+        percentile(value, 0.99D) AS p99
+      FROM events GROUP BY event_type ORDER BY event_type""",
+
+    // median/MAD robust z-score screen (the outlier rule that survives
+    // the outliers it hunts)
+    "q142_robust_anomaly_screen" ->
+      s"""WITH med AS (
+        SELECT event_type, percentile(value, 0.5D) AS med FROM events GROUP BY event_type
+      ), dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS adev
+        FROM events e JOIN med m USING (event_type)
+      ), mad AS (
+        SELECT event_type, percentile(adev, 0.5D) AS mad FROM dev GROUP BY event_type
+      )
+      SELECT d.event_type, COUNT(*) AS n_events,
+        SUM(CASE WHEN abs(d.value - d.med) > 3.0D * 1.4826D * a.mad THEN 1L ELSE 0L END) AS n_anomalies,
+        SUM(CASE WHEN abs(d.value - d.med) > 3.0D * 1.4826D * a.mad THEN 1L ELSE 0L END)
+          * 1000 div COUNT(*) AS anom_permille,
+        MAX(d.med) AS med, MAX(a.mad) AS mad
+      FROM dev d JOIN mad a USING (event_type)
+      GROUP BY d.event_type ORDER BY d.event_type""",
+
+    // session-basket association rules (support/confidence/lift at
+    // integer permille; the session count rides as a scalar subquery)
+    "q149_session_basket_lift" ->
+      s"""WITH seq AS (
+        SELECT user_id, event_id, event_type, ts div 1000 AS ts_us,
+          CASE WHEN LAG(ts div 1000, 1) OVER
+              (PARTITION BY user_id ORDER BY ts div 1000, event_id) IS NULL
+            OR ts div 1000 - LAG(ts div 1000, 1) OVER
+              (PARTITION BY user_id ORDER BY ts div 1000, event_id) > 1800000000
+          THEN 1L ELSE 0L END AS is_new
+        FROM events
+      ), sess AS (
+        SELECT user_id, event_type,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM seq
+      ), items AS (
+        SELECT DISTINCT user_id, session_id, event_type FROM sess
+      ), ns AS (
+        SELECT COUNT(*) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_id FROM items)
+      ), singles AS (
+        SELECT event_type AS t, COUNT(*) AS n_t FROM items GROUP BY event_type
+      ), pairs AS (
+        SELECT a.event_type AS antecedent, b.event_type AS consequent,
+          COUNT(*) AS n_ab
+        FROM items a JOIN items b
+          ON a.user_id = b.user_id AND a.session_id = b.session_id
+          AND a.event_type != b.event_type
+        GROUP BY a.event_type, b.event_type
+      )
+      SELECT p.antecedent, p.consequent, p.n_ab,
+        p.n_ab * 1000 div ns.n_sessions AS support_permille,
+        p.n_ab * 1000 div sa.n_t AS conf_permille,
+        p.n_ab * ns.n_sessions * 1000 div (sa.n_t * sb.n_t) AS lift_permille
+      FROM pairs p
+      JOIN singles sa ON sa.t = p.antecedent
+      JOIN singles sb ON sb.t = p.consequent
+      CROSS JOIN ns
+      WHERE p.n_ab >= 5
+      ORDER BY p.antecedent, p.consequent""",
+
+    "q152_funnel_latency" ->
+      s"""WITH ev AS (
+        SELECT user_id, event_type, ts div 1000 AS ts_us FROM events
+      ), s1 AS (
+        SELECT user_id, MIN(ts_us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY user_id
+      ), s2 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t2
+        FROM ev e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id
+      ), s3 AS (
+        SELECT e.user_id, MIN(e.ts_us) AS t3
+        FROM ev e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id
+      ), lat AS (
+        SELECT s1.user_id,
+          CAST(s2.t2 - s1.t1 AS DOUBLE) AS to_click,
+          CAST(s3.t3 - s1.t1 AS DOUBLE) AS to_purchase
+        FROM s1 JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      )
+      SELECT * FROM (
+        SELECT 'to_click_us' AS metric,
+          percentile(to_click, 0.5D) AS p50_us,
+          percentile(to_click, 0.9D) AS p90_us
+        FROM lat
+        UNION ALL
+        SELECT 'to_purchase_us',
+          percentile(to_purchase, 0.5D),
+          percentile(to_purchase, 0.9D)
+        FROM lat WHERE to_purchase IS NOT NULL
+      ) ORDER BY metric""",
+
     // reset-on-gap realized variance as one WINDOW chain: the gap-group
     // id is itself a running window count, then the RV window partitions
     // by (sym, gap_grp) — no intermediate materialization needed.
