@@ -1337,6 +1337,128 @@ object SqlSurface {
         CAST(n_inter AS DOUBLE) / (n_a + n_b - n_inter) AS jaccard
       FROM jj ORDER BY source_a, source_b""",
 
+    // per-doc OOV fraction against the corpus top-16 vocabulary
+    "q78_vocab_oov" ->
+      s"""WITH base AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, explode(tk) AS tok FROM base
+      ), vocab AS (
+        SELECT tok, 1 AS in_v FROM (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+        ORDER BY cnt DESC, tok LIMIT 16
+      ), st AS (
+        SELECT t.doc_id, COUNT(*) AS n_toks,
+          SUM(CASE WHEN v.in_v IS NULL THEN 1L ELSE 0L END) AS n_oov
+        FROM tok t LEFT JOIN vocab v ON v.tok = t.tok
+        GROUP BY t.doc_id
+      )
+      SELECT b.doc_id, COALESCE(st.n_toks, 0L) AS n_toks,
+        COALESCE(st.n_oov, 0L) AS n_oov,
+        CASE WHEN st.n_toks > 0 THEN CAST(st.n_oov AS DOUBLE) / st.n_toks END AS oov_frac
+      FROM base b LEFT JOIN st USING (doc_id) ORDER BY b.doc_id""",
+
+    // temperature-mixture weights (√n over the source-ordered exact fold)
+    "q90_mixture_weights" ->
+      s"""WITH cnt AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      ), d AS (
+        SELECT SUM(n_docs) AS n_total,
+          aggregate(transform(array_sort(collect_list(named_struct(
+              'source', source, 'sq', sqrt(CAST(n_docs AS DOUBLE))))), x -> x.sq),
+            CAST(0.0 AS DOUBLE), (a, x) -> a + x) AS denom
+        FROM cnt
+      ), w AS (
+        SELECT c.source, c.n_docs,
+          CAST(c.n_docs AS DOUBLE) / d.n_total AS p_natural,
+          sqrt(CAST(c.n_docs AS DOUBLE)) / d.denom AS w_temp
+        FROM cnt c CROSS JOIN d
+      )
+      SELECT source, n_docs, p_natural, w_temp,
+        CAST(floor(w_temp * 100000) AS BIGINT) AS quota_100k,
+        w_temp / p_natural AS boost
+      FROM w ORDER BY source""",
+
+    // largest-remainder stratified sampling: exact integer quotas, then
+    // a per-source hash-ordered pick
+    "q95_stratified_sample" ->
+      s"""WITH cnt AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+      ), tot AS (
+        SELECT SUM(n_docs) AS n_total, SUM(n_docs) div 5 AS t_target FROM cnt
+      ), wr AS (
+        SELECT c.source,
+          (c.n_docs * t.t_target) div t.n_total AS base,
+          (c.n_docs * t.t_target) % t.n_total AS rem,
+          t.t_target
+        FROM cnt c CROSS JOIN tot t
+      ), quotas AS (
+        SELECT source,
+          base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                      <= t_target - SUM(base) OVER () THEN 1L ELSE 0L END AS quota
+        FROM wr
+      ), ranked AS (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS BIGINT) AS pick_rank
+        FROM documents
+      )
+      SELECT r.doc_id, r.source, r.pick_rank
+      FROM ranked r JOIN quotas q USING (source)
+      WHERE r.pick_rank <= q.quota
+      ORDER BY r.source, r.pick_rank""",
+
+    // release diff: full-outer fingerprint compare of two hash-sliced
+    // corpus snapshots (added / removed / changed / unchanged)
+    "q96_release_diff" ->
+      s"""WITH prev AS (
+        SELECT doc_id, source AS source_p,
+          md5(CASE WHEN (doc_id * 2654435761) % 1000 >= 960
+                   THEN upper(text) ELSE text END) AS fp_prev,
+          CAST(length(text) AS BIGINT) AS len_p
+        FROM documents WHERE (doc_id * 2654435761) % 1000 < 980
+      ), curr AS (
+        SELECT doc_id, source AS source_c, md5(text) AS fp_curr,
+          CAST(length(text) AS BIGINT) AS len_c
+        FROM documents WHERE (doc_id * 2654435761) % 1000 >= 20
+      )
+      SELECT COALESCE(source_c, source_p) AS source,
+        CASE WHEN fp_curr IS NULL THEN 'removed'
+             WHEN fp_prev IS NULL THEN 'added'
+             WHEN fp_prev != fp_curr THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        COUNT(*) AS n_docs,
+        SUM(COALESCE(len_c, len_p)) AS sum_chars
+      FROM prev FULL OUTER JOIN curr USING (doc_id)
+      GROUP BY COALESCE(source_c, source_p),
+        CASE WHEN fp_curr IS NULL THEN 'removed'
+             WHEN fp_prev IS NULL THEN 'added'
+             WHEN fp_prev != fp_curr THEN 'changed'
+             ELSE 'unchanged' END
+      ORDER BY source, status""",
+
+    // per-source cap sweep (top-N by chars kept, at three cap values)
+    "q119_source_cap_sweep" ->
+      s"""WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+      ), caps AS (
+        SELECT explode(array(5L, 10L, 20L)) AS cap
+      )
+      SELECT source, cap,
+        SUM(CASE WHEN rk <= cap THEN 1L ELSE 0L END) AS kept_docs,
+        SUM(CASE WHEN rk <= cap THEN n_chars ELSE 0L END) AS kept_chars,
+        COUNT(*) - SUM(CASE WHEN rk <= cap THEN 1L ELSE 0L END) AS dropped_docs,
+        SUM(CASE WHEN rk <= cap THEN n_chars ELSE 0L END) * 1000
+          div SUM(n_chars) AS share_permille
+      FROM ranked CROSS JOIN caps
+      GROUP BY source, cap
+      ORDER BY source, cap""",
+
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
       s"""WITH t AS (
@@ -1672,6 +1794,126 @@ object SqlSurface {
       SELECT source, n_exact, v_k, kmv_est,
         abs(kmv_est - n_exact) * 1000 div n_exact AS err_permille
       FROM e ORDER BY source""",
+
+    // highest-random-weight (rendezvous) sharding + the 8→9 shard move
+    // audit (only 1/9 of keys should move — the HRW guarantee)
+    "q103_hrw_sharding" -> {
+      def shardExpr(nShards: Int): String =
+        s"array_max(transform(sequence(0, ${nShards - 1}), sh -> " +
+          "struct(md5(concat(cast(doc_id as string), '#', cast(sh as string))) as h, " +
+          "cast(sh as bigint) as sh))).sh"
+      s"""WITH a AS (
+        SELECT doc_id, n_chars,
+          ${shardExpr(8)} AS shard,
+          ${shardExpr(9)} AS shard9
+        FROM documents
+      )
+      SELECT shard, COUNT(*) AS n_docs,
+        SUM(n_chars) AS sum_chars,
+        SUM(CASE WHEN shard9 != shard THEN 1L ELSE 0L END) AS n_moved,
+        CAST(SUM(CASE WHEN shard9 != shard THEN 1L ELSE 0L END) AS DOUBLE) / COUNT(*) AS moved_frac
+      FROM a GROUP BY shard ORDER BY shard"""
+    },
+
+    // canonical-doc ranking inside each dup group: degree-desc, id asc
+    "q104_canonical_rank" ->
+      s"""WITH deg AS (
+        SELECT doc_id, COUNT(*) AS degree FROM (
+          SELECT id_a AS doc_id FROM dedup_edges
+          UNION ALL SELECT id_b AS doc_id FROM dedup_edges
+        ) GROUP BY doc_id
+      ), g AS (
+        SELECT c.doc_id, c.group_id, COALESCE(d.degree, 0L) AS degree,
+          CAST(ROW_NUMBER() OVER (PARTITION BY c.group_id
+            ORDER BY COALESCE(d.degree, 0L) DESC, c.doc_id) AS BIGINT) AS rnk,
+          COUNT(*) OVER (PARTITION BY c.group_id) AS sz
+        FROM dedup_components c LEFT JOIN deg d USING (doc_id)
+      )
+      SELECT group_id, doc_id, degree, rnk,
+        CAST(rnk = 1 AS INT) AS is_canonical,
+        CAST(rnk = 1 AND doc_id != group_id AS INT) AS min_id_disagrees
+      FROM g WHERE sz > 1 ORDER BY group_id, rnk""",
+
+    // 2-D skyline (longest AND most-distinct documents): running-max
+    // window over the distinct point set, join back to docs
+    "q135_skyline_docs" ->
+      s"""WITH pts AS (
+        SELECT doc_id, n_chars AS x, shingle_agg(text, 8).n_distinct AS y FROM documents
+      ), dp AS (
+        SELECT DISTINCT x, y FROM pts
+      ), rm AS (
+        SELECT x, y, MAX(y) OVER (ORDER BY x DESC, y DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rmax
+        FROM dp
+      ), sky AS (
+        SELECT x, y FROM rm WHERE rmax IS NULL OR rmax < y
+      )
+      SELECT p.doc_id, p.x, p.y FROM pts p JOIN sky USING (x, y)
+      ORDER BY p.doc_id""",
+
+    // k-fold assignment balance audit at integer permille skew
+    "q145_kfold_balance" ->
+      s"""WITH base AS (
+        SELECT doc_id, lang, n_chars, (doc_id * 2654435761) % 1009 % 5 AS fold
+        FROM documents
+      ), tot AS (
+        SELECT COUNT(*) AS n_total, SUM(n_chars) AS chars_total FROM base
+      ), fl AS (
+        SELECT fold, lang, COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        FROM base GROUP BY fold, lang
+      )
+      SELECT fold, SUM(n_docs) AS n_docs, SUM(n_chars) AS sum_chars,
+        COUNT(*) AS n_langs,
+        abs(SUM(n_docs) * 5000 div t.n_total - 1000) AS doc_skew_permille,
+        abs(SUM(n_chars) * 5000 div t.chars_total - 1000) AS char_skew_permille
+      FROM fl CROSS JOIN tot t
+      GROUP BY fold, t.n_total, t.chars_total
+      ORDER BY fold""",
+
+    // A/B sample-ratio-mismatch audit: 3σ binomial bound cross-multiplied
+    "q151_ab_srm_audit" ->
+      s"""WITH ev AS (
+        SELECT user_id, value,
+          CASE WHEN (user_id * 2654435761) % 1009 % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+        FROM events
+      ), users AS (
+        SELECT variant, COUNT(*) AS n_users
+        FROM (SELECT DISTINCT variant, user_id FROM ev) GROUP BY variant
+      ), mass AS (
+        SELECT variant, COUNT(*) AS n_events,
+          SUM(CAST(round(value * 100) AS BIGINT)) AS value_cents
+        FROM ev GROUP BY variant
+      ), srm AS (
+        SELECT CASE WHEN
+            (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0L)
+              - COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0L))
+            * (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0L)
+              - COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0L))
+            > 9 * (COALESCE((SELECT n_users FROM users WHERE variant = 'A'), 0L)
+              + COALESCE((SELECT n_users FROM users WHERE variant = 'B'), 0L))
+          THEN 1L ELSE 0L END AS srm_flag
+      )
+      SELECT u.variant, u.n_users, m.n_events, m.value_cents, s.srm_flag
+      FROM users u JOIN mass m USING (variant) CROSS JOIN srm s
+      ORDER BY u.variant""",
+
+    // hash-ordered shard manifest with an order-sensitive content digest
+    "q155_shard_manifest" ->
+      s"""WITH h AS (
+        SELECT doc_id, lang, n_chars,
+          substr(md5(CAST(concat('shard#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12) AS hh
+        FROM documents
+      ), r AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY hh, doc_id) - 1L AS rn FROM h
+      )
+      SELECT rn div 64 AS shard,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        COUNT(DISTINCT lang) AS n_langs,
+        MIN(rn) AS first_rn, MAX(rn) AS last_rn,
+        md5(CAST(concat_ws('', transform(array_sort(collect_list(named_struct('rn', rn, 'hh', hh))),
+          x -> x.hh)) AS BINARY)) AS shard_md5
+      FROM r GROUP BY rn div 64 ORDER BY shard""",
 
     // Rabin–Karp fingerprinting through the native rolling_hash kernel.
     "q53_rolling_fingerprint" ->
