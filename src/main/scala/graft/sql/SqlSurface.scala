@@ -1459,6 +1459,117 @@ object SqlSurface {
       GROUP BY source, cap
       ORDER BY source, cap""",
 
+    // sliding-char-window chunking audit with reproducibility digests
+    "q120_chunk_overlap_audit" ->
+      s"""WITH ks AS (
+        SELECT doc_id, lang, n_chars, text,
+          explode(sequence(0, CAST(CASE WHEN n_chars <= 256 THEN 0
+            ELSE (n_chars - 256 + 191) div 192 END AS INT))) AS k
+        FROM documents
+      ), chunks AS (
+        SELECT doc_id, lang, n_chars, k, substring(text, k * 192 + 1, 256) AS chunk
+        FROM ks
+      ), perdoc AS (
+        SELECT doc_id, lang, n_chars,
+          COUNT(*) AS n_chunks,
+          SUM(length(chunk)) AS cchars,
+          md5(CAST(concat_ws('', transform(array_sort(collect_list(named_struct(
+            'k', k, 'h', md5(CAST(chunk AS BINARY))))), x -> x.h)) AS BINARY)) AS doc_chunks_md5
+        FROM chunks GROUP BY doc_id, lang, n_chars
+      )
+      SELECT lang, COUNT(*) AS n_docs,
+        SUM(n_chunks) AS n_chunks,
+        SUM(cchars) AS chunk_chars,
+        SUM(cchars - n_chars) AS overlap_chars,
+        SUM(cchars - n_chars) * 1000 div SUM(n_chars) AS overlap_permille,
+        md5(CAST(concat_ws('', transform(array_sort(collect_list(named_struct(
+          'doc_id', doc_id, 'h', doc_chunks_md5))), x -> x.h)) AS BINARY)) AS lang_md5
+      FROM perdoc GROUP BY lang ORDER BY lang""",
+
+    // vocabulary-size OOV sweep at 256/1024/4096 ranks
+    "q123_vocab_size_sweep" ->
+      s"""WITH tok AS (
+        SELECT lang, term FROM (
+          SELECT lang, explode(split(text, ' ')) AS term FROM documents
+        ) WHERE term != ''
+      ), vocab AS (
+        SELECT term, rk FROM (
+          SELECT term, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rk
+          FROM (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term)
+        ) WHERE rk <= 4096
+      ), scored AS (
+        SELECT t.lang, COUNT(*) AS n_tokens,
+          SUM(CASE WHEN v.rk IS NULL OR v.rk > 256 THEN 1L ELSE 0L END) AS oov256,
+          SUM(CASE WHEN v.rk IS NULL OR v.rk > 1024 THEN 1L ELSE 0L END) AS oov1024,
+          SUM(CASE WHEN v.rk IS NULL THEN 1L ELSE 0L END) AS oov4096
+        FROM tok t LEFT JOIN vocab v ON v.term = t.term
+        GROUP BY t.lang
+      ), st AS (
+        SELECT lang, n_tokens,
+          stack(3, 256L, oov256, 1024L, oov1024, 4096L, oov4096) AS (v, n_oov)
+        FROM scored
+      )
+      SELECT lang, v, n_tokens, n_oov,
+        n_oov * 1000 div n_tokens AS oov_permille
+      FROM st ORDER BY lang, v""",
+
+    // Heaps-law vocabulary growth at 25/50/75/100% corpus cuts
+    "q124_vocab_growth" ->
+      s"""WITH ranked AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rk,
+          COUNT(*) OVER () AS n
+        FROM documents
+      ), cuts AS (
+        SELECT pct, MAX(doc_id) AS cut_id
+        FROM ranked CROSS JOIN (SELECT explode(array(25L, 50L, 75L, 100L)) AS pct)
+        WHERE rk <= greatest(n * pct div 100, 1L)
+        GROUP BY pct
+      ), tok AS (
+        SELECT doc_id, term FROM (
+          SELECT doc_id, explode(split(text, ' ')) AS term FROM documents
+        ) WHERE term != ''
+      ), firsts AS (
+        SELECT term, MIN(doc_id) AS first_doc FROM tok GROUP BY term
+      ), perdoc AS (
+        SELECT doc_id, COUNT(*) AS n_tok FROM tok GROUP BY doc_id
+      ), agg1 AS (
+        SELECT c.pct, COUNT(p.doc_id) AS n_docs,
+          COALESCE(SUM(p.n_tok), 0L) AS n_tokens
+        FROM cuts c LEFT JOIN perdoc p ON p.doc_id <= c.cut_id
+        GROUP BY c.pct
+      ), agg2 AS (
+        SELECT c.pct, COUNT(f.term) AS vocab_size
+        FROM cuts c LEFT JOIN firsts f ON f.first_doc <= c.cut_id
+        GROUP BY c.pct
+      )
+      SELECT a1.pct, a1.n_docs, a1.n_tokens, a2.vocab_size,
+        a2.vocab_size * 1000 div a1.n_tokens AS type_token_permille
+      FROM agg1 a1 JOIN agg2 a2 USING (pct) ORDER BY pct""",
+
+    // join-cardinality estimator audit (|A|·|B| / max(d_A, d_B) vs truth)
+    "q134_join_card_audit" -> {
+      def per(a: String, ka: String, b: String, kb: String) = s"""(
+        SELECT '$a-$b' AS join_name,
+          (SELECT COUNT(*) FROM $a) AS n_left,
+          (SELECT COUNT(*) FROM $b) AS n_right,
+          (SELECT COUNT(DISTINCT $ka) FROM $a) AS d_left,
+          (SELECT COUNT(DISTINCT $kb) FROM $b) AS d_right,
+          (SELECT COUNT(*) FROM $a) * (SELECT COUNT(*) FROM $b)
+            div greatest((SELECT COUNT(DISTINCT $ka) FROM $a),
+                         (SELECT COUNT(DISTINCT $kb) FROM $b)) AS est_rows,
+          (SELECT COUNT(*) FROM $a JOIN $b ON $a.$ka = $b.$kb) AS actual_rows)"""
+      s"""WITH stats AS (
+        ${per("customer", "c_custkey", "orders", "o_custkey")}
+        UNION ALL
+        ${per("orders", "o_orderkey", "lineitem", "l_orderkey")}
+        UNION ALL
+        ${per("nation", "n_nationkey", "supplier", "s_nationkey")}
+      )
+      SELECT join_name, n_left, n_right, d_left, d_right, est_rows, actual_rows,
+        abs(est_rows - actual_rows) * 1000 div actual_rows AS err_permille
+      FROM stats ORDER BY join_name"""
+    },
+
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
       s"""WITH t AS (
@@ -1770,6 +1881,100 @@ object SqlSurface {
         CASE WHEN toks_kept + toks_lost > 0
              THEN CAST(toks_lost AS DOUBLE) / (toks_kept + toks_lost) END AS loss_frac
       FROM agg ORDER BY ctx""",
+
+    // count-min-sketch heavy hitters audited against exact counts
+    "q109_cms_heavy_hitters" -> {
+      def bucket(r: Int): String =
+        s"CAST(conv(substr(md5(CAST(concat('$r#', token) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 256"
+      s"""WITH counts AS (
+        SELECT token, COUNT(*) AS n_exact FROM (
+          SELECT explode(split(trim(lower(text)), ${sq("\\s+")})) AS token
+          FROM documents WHERE length(trim(text)) > 0
+        ) GROUP BY token
+      ), wb AS (
+        SELECT token, n_exact,
+          ${bucket(0)} AS b0, ${bucket(1)} AS b1,
+          ${bucket(2)} AS b2, ${bucket(3)} AS b3
+        FROM counts
+      ), s0 AS (SELECT b0 AS bkt, SUM(n_exact) AS s0 FROM wb GROUP BY b0),
+      s1 AS (SELECT b1 AS bkt, SUM(n_exact) AS s1 FROM wb GROUP BY b1),
+      s2 AS (SELECT b2 AS bkt, SUM(n_exact) AS s2 FROM wb GROUP BY b2),
+      s3 AS (SELECT b3 AS bkt, SUM(n_exact) AS s3 FROM wb GROUP BY b3),
+      top AS (SELECT * FROM wb ORDER BY n_exact DESC, token LIMIT 50),
+      est AS (
+        SELECT t.token, t.n_exact, least(s0.s0, s1.s1, s2.s2, s3.s3) AS cms_est
+        FROM top t JOIN s0 ON s0.bkt = t.b0 JOIN s1 ON s1.bkt = t.b1
+                   JOIN s2 ON s2.bkt = t.b2 JOIN s3 ON s3.bkt = t.b3
+      )
+      SELECT token, n_exact, cms_est, cms_est - n_exact AS overest,
+        (cms_est - n_exact) * 1000 div n_exact AS err_permille
+      FROM est ORDER BY n_exact DESC, token"""
+    },
+
+    // HyperLogLog register audit: 6-bit index / 42-bit suffix rho,
+    // integer-harmonic estimate beside the exact distinct count
+    "q110_hll_distinct_audit" ->
+      s"""WITH sh AS (
+        SELECT source, explode(shingle_hash48(text, 8)) AS v FROM documents
+      ), regs AS (
+        SELECT source, v % 64 AS idx,
+          MAX(CASE WHEN v div 64 = 0 THEN 43
+                   ELSE 43 - length(bin(v div 64)) END) AS m
+        FROM sh GROUP BY source, v % 64
+      ), hll AS (
+        SELECT source, COUNT(*) AS n_regs,
+          SUM(shiftleft(CAST(1 AS BIGINT), 43 - m)) AS s_present
+        FROM regs GROUP BY source
+      ), ex AS (
+        SELECT source, COUNT(*) AS n_exact
+        FROM (SELECT DISTINCT source, v FROM sh) GROUP BY source
+      )
+      SELECT h.source, ex.n_exact,
+        64L - h.n_regs AS n_empty_regs,
+        h.s_present + (64 - h.n_regs) * 8796093022208 AS s_scaled,
+        3193052135805681664L div (125 * (h.s_present + (64 - h.n_regs) * 8796093022208)) AS hll_est,
+        abs(3193052135805681664L div (125 * (h.s_present + (64 - h.n_regs) * 8796093022208))
+          - ex.n_exact) * 1000 div ex.n_exact AS err_permille
+      FROM hll h JOIN ex USING (source)
+      ORDER BY h.source""",
+
+    // Bloom-filter decontamination screen with the exact FP audit
+    "q112_bloom_decontam" -> {
+      def pos(r: Int): String =
+        s"CAST(conv(substr(md5(CAST(concat('$r#', CAST(v AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 16777216"
+      val posArr = s"array(${(0 to 3).map(pos).mkString(", ")})"
+      s"""WITH sh AS (
+        SELECT doc_id, source, (doc_id * 2654435761) % 1000 < 900 AS is_train,
+          explode(shingle_hash48(text, 8)) AS v
+        FROM documents
+      ), trainv AS (
+        SELECT DISTINCT v FROM sh WHERE is_train
+      ), bits AS (
+        SELECT DISTINCT pos FROM trainv LATERAL VIEW explode($posArr) t AS pos
+      ), ev AS (
+        SELECT DISTINCT doc_id, source, v FROM sh WHERE NOT is_train
+      ), probes AS (
+        SELECT doc_id, source, v, pos FROM ev LATERAL VIEW explode($posArr) t AS pos
+      ), hits AS (
+        SELECT doc_id, v, 1L AS bloom_hit FROM (
+          SELECT p.doc_id, p.v, COUNT(*) AS n_pos
+          FROM probes p JOIN bits b ON b.pos = p.pos
+          GROUP BY p.doc_id, p.v
+        ) WHERE n_pos = 4
+      ), truth AS (
+        SELECT e.doc_id, e.source, e.v, t.true_hit
+        FROM ev e LEFT JOIN (SELECT v, 1L AS true_hit FROM trainv) t USING (v)
+      )
+      SELECT t.source, COUNT(DISTINCT t.doc_id) AS n_eval_docs, COUNT(*) AS n_shingles,
+        SUM(COALESCE(h.bloom_hit, 0L)) AS n_bloom_hits,
+        SUM(COALESCE(t.true_hit, 0L)) AS n_true_hits,
+        SUM(COALESCE(h.bloom_hit, 0L)) - SUM(COALESCE(t.true_hit, 0L)) AS n_false_pos,
+        CASE WHEN COUNT(*) > SUM(COALESCE(t.true_hit, 0L))
+             THEN (SUM(COALESCE(h.bloom_hit, 0L)) - SUM(COALESCE(t.true_hit, 0L))) * 1000
+                  div (COUNT(*) - SUM(COALESCE(t.true_hit, 0L))) END AS fp_permille
+      FROM truth t LEFT JOIN hits h ON h.doc_id = t.doc_id AND h.v = t.v
+      GROUP BY t.source ORDER BY t.source"""
+    },
 
     // KMV distinct-count sketch beside its exact companion, through the
     // shingle_hash48 + exact_topk kernels
