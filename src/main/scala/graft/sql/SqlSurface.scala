@@ -48,6 +48,7 @@ object SqlSurface {
     graft.functions.DecDot8.ensureRegistered(spark)
     graft.functions.OrdDot.ensureRegistered(spark)
     graft.functions.LshBandCodes.ensureRegistered(spark)
+    graft.functions.SynthLadder.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -76,12 +77,17 @@ object SqlSurface {
     * scoredPairs`, step for step, including the ≤256 hot-bucket star
     * fallback.
     */
-  private val dedupEdgeSql: String = {
+  /** The LSH candidate-generation CTE chain (`sig`/`bh4`/`bands`/`cand`)
+    * shared by [[dedupEdgeSql]] and the q102 calibration text: 16-span
+    * MinHash signatures → 4×4 banding → hot-bucket-guarded band
+    * self-join, exactly TextQueries.dedupCandidates.
+    */
+  private val candChainSql: String = {
     val bandCols = (0 to 3).map { k =>
       val parts = (1 to 4).map(j => s"element_at(sig, ${4 * k + j})").mkString(", ")
       s"md5(CAST(concat($parts) AS BINARY)) AS b$k"
     }.mkString(",\n        ")
-    s"""WITH sig AS (
+    s"""sig AS (
       SELECT doc_id, minhash_spans(text, 8, 4) AS sig FROM documents
     ), bh4 AS (
       SELECT doc_id,
@@ -101,7 +107,11 @@ object SqlSurface {
         UNION ALL
         SELECT bmin, doc_id FROM bands WHERE bsz > 256 AND doc_id != bmin
       )
-    ), scored AS (
+    )"""
+  }
+
+  private val dedupEdgeSql: String =
+    s"""WITH $candChainSql, scored AS (
       SELECT c.id_a, c.id_b, shingle_overlap(a.text, b.text, 8) AS ov
       FROM cand c
       JOIN documents a ON a.doc_id = c.id_a
@@ -109,7 +119,6 @@ object SqlSurface {
     )
     SELECT id_a, id_b FROM scored
     WHERE ov.n_union > 0 AND CAST(ov.n_inter AS DOUBLE) / ov.n_union >= 0.8D"""
-  }
 
   /** `dedup_components(doc_id, group_id)` — the q48/q51 group labels for
     * the SQL surface. The verified edge set is computed by
@@ -1753,6 +1762,90 @@ object SqlSurface {
       LEFT JOIN trig t ON t.g = n.g LEFT JOIN wed w ON w.g = n.g
       ORDER BY group_id""",
 
+    // MinHash calibration: per-candidate signature-agreement estimate
+    // beside the TRUE shingle Jaccard (same cand chain as the dedup)
+    "q102_minhash_calibration" -> {
+      val agree = (0 until 16)
+        .map(i => s"CASE WHEN element_at(a.sig, ${i + 1}) = element_at(b.sig, ${i + 1}) THEN 1L ELSE 0L END")
+        .mkString(" + ")
+      s"""WITH $candChainSql, est AS (
+        SELECT c.id_a, c.id_b,
+          $agree AS n_agree,
+          shingle_overlap(da.text, db.text, 8) AS ov
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.id_a
+        JOIN sig b ON b.doc_id = c.id_b
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+      )
+      SELECT id_a, id_b, n_agree,
+        CAST(n_agree AS DOUBLE) / 16 AS est_sim,
+        CAST(ov.n_inter AS DOUBLE) / ov.n_union AS true_sim,
+        abs(CAST(n_agree AS DOUBLE) / 16 - CAST(ov.n_inter AS DOUBLE) / ov.n_union) AS abs_err
+      FROM est WHERE ov.n_union > 0
+      ORDER BY id_a, id_b"""
+    },
+
+    // content-defined chunking (FastCDC-style) + sub-document dedup
+    // through the rolling_hash kernel
+    "q69_cdc_chunk_dedup" ->
+      s"""WITH base AS (
+        SELECT doc_id, text,
+          rolling_hash(text, 8, 131, 1000000007).wins AS wins,
+          length(text) AS n
+        FROM documents
+      ), bd AS (
+        SELECT doc_id, text, n,
+          concat(filter(transform(filter(sequence(1, size(wins)),
+            i -> element_at(wins, i) % 64 = 0), i -> i + 7), p -> p < n), array(n)) AS bounds
+        FROM base
+      ), ck AS (
+        SELECT doc_id, n,
+          CASE WHEN n = 0 THEN array() ELSE transform(sequence(1, size(bounds)), j ->
+            md5(substring(text,
+              CASE WHEN j = 1 THEN 1 ELSE element_at(bounds, j - 1) + 1 END,
+              element_at(bounds, j) - CASE WHEN j = 1 THEN 0 ELSE element_at(bounds, j - 1) END)))
+          END AS chunks
+        FROM bd
+      ), ex AS (
+        SELECT doc_id, CAST(n AS BIGINT) AS n_chars, ch
+        FROM ck LATERAL VIEW OUTER explode(chunks) t AS ch
+      ), freq AS (
+        SELECT ch, COUNT(DISTINCT doc_id) AS ndocs FROM ex WHERE ch IS NOT NULL GROUP BY ch
+      ), agg AS (
+        SELECT e.doc_id, e.n_chars,
+          COUNT(e.ch) AS n_chunks,
+          SUM(CASE WHEN f.ndocs > 1 THEN 1L ELSE 0L END) AS n_shared_chunks
+        FROM ex e LEFT JOIN freq f ON f.ch = e.ch
+        GROUP BY e.doc_id, e.n_chars
+      )
+      SELECT doc_id, n_chars, n_chunks, n_shared_chunks,
+        CASE WHEN n_chunks > 0 THEN n_chars div n_chunks END AS avg_chunk_len,
+        CASE WHEN n_chunks > 0
+             THEN CAST(n_shared_chunks AS DOUBLE) / n_chunks END AS shared_frac
+      FROM agg ORDER BY doc_id""",
+
+    // 64-bit SimHash banded near-dup (16-bit bands — the fleet-scale
+    // geometry the q67 scaladoc names)
+    "q71_simhash64_neardup" ->
+      s"""WITH sig AS (
+        SELECT doc_id, shingle_agg(text, 8).simhash64 AS simhash64 FROM documents
+      ), side AS (
+        SELECT doc_id, simhash64, band, code
+        FROM sig LATERAL VIEW posexplode(
+          transform(sequence(0, 3), b -> shiftright(simhash64, b * 16) & 65535)) t AS band, code
+      ), cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash64 AS sh_a, b.simhash64 AS sh_b, COUNT(*) AS n_bands_shared
+        FROM side a JOIN side b
+          ON a.band = b.band AND a.code = b.code AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.simhash64, b.simhash64
+      )
+      SELECT doc_a, doc_b, n_bands_shared,
+        CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming
+      FROM cand WHERE CAST(bit_count(sh_a ^ sh_b) AS BIGINT) <= 3
+      ORDER BY doc_a, doc_b""",
+
     // train/val/test leakage audit over the near-dup groups (the
     // on-demand dedup_components view supplies the group labels)
     "q73_split_leakage" ->
@@ -2138,6 +2231,48 @@ object SqlSurface {
       SELECT o_orderpriority, CAST(pos0 + 1 AS BIGINT) AS rnk, price
       FROM t LATERAL VIEW posexplode(topk) AS pos0, price
       ORDER BY o_orderpriority, rnk""",
+
+    // bucketed band range-join (probe joins 3 adjacent 1-hour buckets —
+    // an equi-join Catalyst can hash — then the exact band filter)
+    "q47_gap_neighbors_rangejoin" ->
+      d(s"""WITH bm AS (SELECT sym, seq, ts_us, ${BookSql.mid} AS mid FROM book),
+      gaps AS (
+        SELECT sym AS g_sym, seq AS g_seq, ts_us AS g_ts
+        FROM bm WHERE mid IS NULL
+      ), gb AS (
+        SELECT g_sym, g_seq, g_ts, bkt FROM gaps
+        LATERAL VIEW explode(array(g_ts div 3600000000 - 1, g_ts div 3600000000,
+          g_ts div 3600000000 + 1)) t AS bkt
+      ), cands AS (
+        SELECT sym AS c_sym, seq AS c_seq, ts_us AS c_ts,
+          ts_us div 3600000000 AS bkt
+        FROM bm
+      )
+      SELECT g.g_sym AS sym, g.g_seq, g.g_ts,
+        COUNT(c.c_seq) AS n_neighbors,
+        MIN(abs(c.c_ts - g.g_ts)) AS min_dt_us
+      FROM gb g LEFT JOIN cands c
+        ON c.c_sym = g.g_sym AND c.bkt = g.bkt AND c.c_seq != g.g_seq
+        AND abs(c.c_ts - g.g_ts) <= 3600000000
+      GROUP BY g.g_sym, g.g_seq, g.g_ts
+      ORDER BY sym, g.g_seq"""),
+
+    // depth-100 array book metrics: the synth_ladder + deep_book_agg
+    // kernels do the whole ladder build and metric fold per row
+    "q50_deep_book_array" ->
+      s"""WITH m AS (
+        SELECT seq, sym,
+          deep_book_agg(synth_ladder(seq, best_bid, 100, 0),
+                        synth_ladder(seq, best_ask, 100, 1),
+                        CAST(50.0 AS DOUBLE)) AS m
+        FROM book
+      )
+      SELECT seq, sym, m.imbalance_k AS imbalance_k,
+        m.notional_bid_k AS notional_bid_k, m.notional_ask_k AS notional_ask_k,
+        m.slope_bid AS slope_bid, m.slope_ask AS slope_ask,
+        m.walk_filled AS walk_filled, m.walk_cost AS walk_cost,
+        m.walk_touched AS walk_touched
+      FROM m ORDER BY seq""",
 
     "q176_ohlc_bars" ->
       d(s"""WITH m AS (
