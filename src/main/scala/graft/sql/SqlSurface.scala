@@ -836,6 +836,118 @@ object SqlSurface {
       GROUP BY user_id, session_id
       ORDER BY user_id, session_id""",
 
+    // per-key skew planner: log2-sized count buckets + the salt factor
+    "q111_skew_planner" ->
+      s"""WITH pk AS (
+        SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+      ), t AS (
+        SELECT SUM(cnt) AS n_total FROM pk
+      ), b AS (
+        SELECT CAST(length(bin(cnt)) AS BIGINT) AS log2_bucket,
+          COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt
+        FROM pk GROUP BY CAST(length(bin(cnt)) AS BIGINT)
+      )
+      SELECT b.log2_bucket, b.n_keys, b.n_rows,
+        b.n_rows * 1000 div t.n_total AS share_permille,
+        b.max_cnt, (b.max_cnt + 999) div 1000 AS salt_factor
+      FROM b CROSS JOIN t ORDER BY b.log2_bucket""",
+
+    // zone-map pruning simulator: 4 physical layouts × 3 predicates,
+    // block min/max stats decide what a reader would scan
+    "q115_zonemap_pruning" -> {
+      val preds = Seq(
+        ("p_lang_eq", "NOT (lo_lang > 'de' OR hi_lang < 'de')"),
+        ("p_len_range", "NOT (lo_nc > 1000 OR hi_nc < 500)"),
+        ("p_lang_and_len", "NOT (lo_lang > 'de' OR hi_lang < 'de' OR hi_nc < 800)"))
+      val branches = preds.map { case (pname, mustScan) =>
+        s"""SELECT layout, '$pname' AS predicate, n_rows,
+          CASE WHEN $mustScan THEN n_rows ELSE 0L END AS scanned,
+          CASE WHEN $mustScan THEN 0L ELSE 1L END AS skipped_block
+        FROM blocks"""
+      }.mkString("\n        UNION ALL ")
+      s"""WITH d AS (
+        SELECT doc_id, lang, source, n_chars FROM documents
+      ), ranked AS (
+        SELECT *,
+          ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn_nat,
+          ROW_NUMBER() OVER (ORDER BY lang, doc_id) - 1 AS rn_lang,
+          ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS rn_len,
+          ROW_NUMBER() OVER (ORDER BY source, doc_id) - 1 AS rn_src
+        FROM d
+      ), lay AS (
+        SELECT 'natural' AS layout, rn_nat div 32 AS block_id, lang, n_chars FROM ranked
+        UNION ALL SELECT 'by_lang', rn_lang div 32, lang, n_chars FROM ranked
+        UNION ALL SELECT 'by_length', rn_len div 32, lang, n_chars FROM ranked
+        UNION ALL SELECT 'by_source', rn_src div 32, lang, n_chars FROM ranked
+      ), blocks AS (
+        SELECT layout, block_id, COUNT(*) AS n_rows,
+          MIN(lang) AS lo_lang, MAX(lang) AS hi_lang,
+          MIN(n_chars) AS lo_nc, MAX(n_chars) AS hi_nc
+        FROM lay GROUP BY layout, block_id
+      ), pb AS (
+        $branches
+      )
+      SELECT layout, predicate, COUNT(*) AS n_blocks,
+        SUM(skipped_block) AS n_skip_blocks,
+        SUM(scanned) * 1000 div SUM(n_rows) AS scan_permille
+      FROM pb GROUP BY layout, predicate
+      ORDER BY layout, predicate"""
+    },
+
+    // priority (sequential Poisson) sampling with the exact-mass audit
+    "q154_priority_sample_audit" ->
+      s"""WITH d AS (
+        SELECT doc_id, source, n_chars,
+          CAST(conv(substr(md5(CAST(concat('ps#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) + 1 AS u
+        FROM documents
+      ), pr AS (
+        SELECT doc_id, source, n_chars,
+          CAST(n_chars AS DOUBLE) * CAST(281474976710656.0 AS DOUBLE) / CAST(u AS DOUBLE) AS p
+        FROM d
+      ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY p DESC, doc_id) AS rnk
+        FROM pr
+      ), tau AS (
+        SELECT source, p AS tau FROM ranked WHERE rnk = 33
+      ), est AS (
+        SELECT r.source, COUNT(*) AS k_eff, MAX(t.tau) AS tau_p,
+          ${sumFastR("greatest(CAST(r.n_chars AS DOUBLE), COALESCE(t.tau, CAST(0.0 AS DOUBLE)))", 6, 6)} AS est_mass
+        FROM pr r LEFT JOIN tau t ON r.source = t.source
+        WHERE t.tau IS NULL OR r.p > t.tau GROUP BY r.source
+      ), tot AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS true_mass
+        FROM documents GROUP BY source
+      )
+      SELECT e.source, n_docs, k_eff, tau_p, est_mass, true_mass,
+        CAST(ROUND((est_mass - CAST(true_mass AS DOUBLE)) * CAST(1000.0 AS DOUBLE)
+          / CAST(true_mass AS DOUBLE), 0) AS BIGINT) AS err_permille
+      FROM est e JOIN tot USING (source) ORDER BY source""",
+
+    // group-atomic split assignment over the dedup components + the
+    // leakage audit (a group split across splits = leaked)
+    "q156_group_split_assign" ->
+      s"""WITH asg AS (
+        SELECT c.doc_id, c.group_id,
+          CASE WHEN (c.group_id * 2654435761) % 1000 < 800 THEN 'train'
+               WHEN (c.group_id * 2654435761) % 1000 < 900 THEN 'val'
+               ELSE 'test' END AS split,
+          d.n_chars
+        FROM dedup_components c JOIN documents d USING (doc_id)
+      ), aud AS (
+        SELECT SUM(CASE WHEN nsp > 1 THEN 1L ELSE 0L END) AS n_leaked_groups,
+          SUM(CASE WHEN nsp > 1 THEN nm ELSE 0L END) AS n_leaked_docs,
+          SUM(nm) AS total_docs
+        FROM (SELECT group_id, COUNT(DISTINCT split) AS nsp, COUNT(*) AS nm
+              FROM asg GROUP BY group_id)
+      )
+      SELECT split, COUNT(DISTINCT group_id) AS n_groups, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        COUNT(*) * 1000 div a.total_docs AS docs_permille,
+        a.n_leaked_groups, a.n_leaked_docs
+      FROM asg CROSS JOIN aud a
+      GROUP BY split, a.n_leaked_groups, a.n_leaked_docs, a.total_docs
+      ORDER BY split""",
+
     // ---- events analytics family -------------------------------------
     "q132_event_transitions" ->
       s"""WITH seq AS (
@@ -1761,6 +1873,72 @@ object SqlSurface {
       FROM nodes n JOIN ec e ON e.g = n.g
       LEFT JOIN trig t ON t.g = n.g LEFT JOIN wed w ON w.g = n.g
       ORDER BY group_id""",
+
+    // incremental (batch-vs-corpus) near-dedup: ASYMMETRIC band join —
+    // only (new, base) pairs ever form, never corpus×corpus
+    "q64_incremental_dedup" -> {
+      def band(k: Int): String = {
+        val parts = (1 to 4).map(j => s"element_at(sig, ${4 * k + j})").mkString(", ")
+        s"md5(CAST(concat($parts) AS BINARY))"
+      }
+      s"""WITH sig AS (
+        SELECT doc_id, text, minhash_spans(text, 8, 4) AS sig FROM documents
+      ), side AS (
+        SELECT doc_id, text, band_idx, bh
+        FROM sig LATERAL VIEW posexplode(array(
+          ${(0 to 3).map(band).mkString(",\n          ")})) t AS band_idx, bh
+      ), pairs AS (
+        SELECT DISTINCT f.doc_id AS new_id, f.text AS new_text,
+                        b.doc_id AS base_id, b.text AS base_text
+        FROM side f JOIN side b ON f.band_idx = b.band_idx AND f.bh = b.bh
+        WHERE f.doc_id % 5 = 4 AND b.doc_id % 5 < 4
+      ), j AS (
+        SELECT new_id, base_id,
+          CASE WHEN ov.n_union > 0 THEN CAST(ov.n_inter AS DOUBLE) / ov.n_union END AS jaccard
+        FROM (SELECT new_id, base_id, shingle_overlap(new_text, base_text, 8) AS ov FROM pairs)
+      )
+      SELECT new_id, MIN(base_id) AS matched_base_id,
+        MAX(jaccard) AS best_jaccard, COUNT(*) AS n_base_matches
+      FROM j WHERE jaccard >= 0.8D GROUP BY new_id ORDER BY new_id"""
+    },
+
+    // benchmark decontamination: distinct word 5-grams shared with the
+    // (tiny, broadcastable) test split flag train documents
+    "q66_benchmark_decontam" ->
+      s"""WITH base AS (
+        SELECT doc_id,
+          CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split,
+          split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE size(split(trim(lower(text)), ${sq("\\s+")})) END AS nw
+        FROM documents
+      ), g AS (
+        SELECT doc_id, split,
+          CASE WHEN nw >= 5
+               THEN array_distinct(transform(sequence(0, nw - 5), i -> concat_ws(' ',
+                 element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3),
+                 element_at(tk, i + 4), element_at(tk, i + 5))))
+               ELSE CAST(array() AS ARRAY<STRING>) END AS grams
+        FROM base
+      ), bench AS (
+        SELECT DISTINCT gram FROM (SELECT explode(grams) AS gram FROM g WHERE split = 'test')
+      ), tr AS (
+        SELECT doc_id, CAST(size(grams) AS BIGINT) AS n_grams, gram
+        FROM g LATERAL VIEW OUTER explode(grams) t AS gram
+        WHERE split = 'train'
+      ), c AS (
+        SELECT t.doc_id, t.n_grams,
+          SUM(CASE WHEN b.gram IS NOT NULL THEN 1L ELSE 0L END) AS n_contaminated
+        FROM tr t LEFT JOIN bench b ON b.gram = t.gram
+        GROUP BY t.doc_id, t.n_grams
+      )
+      SELECT doc_id, n_grams, n_contaminated,
+        CASE WHEN n_grams > 0
+             THEN CAST(n_contaminated AS DOUBLE) / n_grams END AS contamination_frac,
+        CAST(n_contaminated > 0 AS INT) AS contaminated
+      FROM c ORDER BY doc_id""",
 
     // MinHash calibration: per-candidate signature-agreement estimate
     // beside the TRUE shingle Jaccard (same cand chain as the dedup)
