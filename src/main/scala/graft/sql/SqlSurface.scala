@@ -49,6 +49,7 @@ object SqlSurface {
     graft.functions.OrdDot.ensureRegistered(spark)
     graft.functions.LshBandCodes.ensureRegistered(spark)
     graft.functions.SynthLadder.ensureRegistered(spark)
+    graft.functions.JaroWinkler.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -175,6 +176,130 @@ object SqlSurface {
     s"unscaled_dbl(SUM(dec_unscaled($term, $termScale)), $termScale, $outScale)"
   private def avgFast(term: String, scale: Int): String =
     s"(${sumFast(term, scale)} / COUNT($term))"
+
+  /** q28's full text as a shared fragment: the funnel composites (q70 /
+    * q105 / q106 / q150) re-derive the language verdict from the same
+    * SQL body the q28 entry serves.
+    */
+  private lazy val langIdSql: String = {
+    def occ(w: String): String = {
+      val padded = "concat(' ', lower(text), ' ')"
+      val pat = s" $w "
+      s"CAST((length($padded) - length(regexp_replace($padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
+    }
+    val scores = graft.text.TextMetrics.langMarkers.map { case (l, words) =>
+      words.map(occ).mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n          ")
+    s"""WITH sc AS (
+        SELECT doc_id, lang,
+          $scores
+        FROM documents
+      )
+      SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
+        CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END AS pred_lang,
+        CAST(CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+             WHEN s_fr >= s_zh THEN 'fr'
+             ELSE 'zh' END = lang AS INT) AS is_match
+      FROM sc ORDER BY doc_id"""
+  }
+
+  /** q58's full text as a shared fragment (see [[langIdSql]]). */
+  private lazy val repetitionQualitySql: String = {
+    val toksExpr = s"split(trim(lower(text)), ${sq("\\s+")})"
+    s"""WITH base AS (
+        SELECT doc_id, text, split(text, ${sq("\\n")}) AS lines, $toksExpr AS toks
+        FROM documents
+      ), b2 AS (
+        SELECT doc_id, text, toks,
+          CAST(size(lines) AS BIGINT) AS n_lines,
+          CAST(size(array_distinct(lines)) AS BIGINT) AS n_distinct_lines,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(toks) AS BIGINT) END AS n_words
+        FROM base
+      ), b3 AS (
+        SELECT doc_id, n_lines, n_distinct_lines, n_words,
+          CASE WHEN n_words >= 3
+               THEN transform(sequence(0, size(toks) - 3), i ->
+                 concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
+               ELSE CAST(array() AS ARRAY<STRING>) END AS tri
+        FROM b2
+      ), b4 AS (
+        SELECT doc_id, n_lines, n_distinct_lines, n_words,
+          CAST(size(tri) AS BIGINT) AS n_tri,
+          CAST(size(array_distinct(tri)) AS BIGINT) AS n_distinct_tri
+        FROM b3
+      ), bi AS (
+        SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams FROM (
+          SELECT doc_id, gram, COUNT(*) AS cnt
+          FROM (SELECT doc_id, explode(transform(sequence(0, size(toks) - 2), i ->
+                  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))) AS gram
+                FROM b2 WHERE n_words >= 2)
+          GROUP BY doc_id, gram)
+        GROUP BY doc_id
+      ), j AS (
+        SELECT b.doc_id, b.n_words,
+          1.0D - CAST(b.n_distinct_lines AS DOUBLE) / b.n_lines AS dup_line_frac,
+          CASE WHEN bi.n_bigrams IS NOT NULL
+               THEN CAST(bi.top_bigram_cnt AS DOUBLE) / bi.n_bigrams END AS top2gram_frac,
+          CASE WHEN b.n_tri > 0
+               THEN 1.0D - CAST(b.n_distinct_tri AS DOUBLE) / b.n_tri END AS dup3gram_frac
+        FROM b4 b LEFT JOIN bi ON bi.doc_id = b.doc_id
+      ), f AS (
+        SELECT *,
+          CAST(dup_line_frac > 0.30D AS INT) AS fail_dup_lines,
+          COALESCE(CAST(top2gram_frac > 0.20D AS INT), 0) AS fail_top2gram,
+          COALESCE(CAST(dup3gram_frac > 0.60D AS INT), 0) AS fail_dup3gram
+        FROM j
+      )
+      SELECT doc_id, n_words, dup_line_frac, top2gram_frac, dup3gram_frac,
+        fail_dup_lines, fail_top2gram, fail_dup3gram,
+        CAST(fail_dup_lines + fail_top2gram + fail_dup3gram = 0 AS INT) AS quality_pass
+      FROM f ORDER BY doc_id"""
+  }
+
+  /** The five per-doc keep verdicts (train-split, lang, quality, exact
+    * dedup, near dedup) as one `flags` CTE body — the q70/q106/q150
+    * composites all consume it. Near-dedup rides the memoized
+    * `dedup_components` view; everything else is the same SQL the
+    * standalone entries serve.
+    */
+  private lazy val flagsCteSql: String =
+    s"""flags AS (
+      SELECT d.doc_id,
+        CAST((d.doc_id * 2654435761) % 1000 < 900 AS BIGINT) AS k_train,
+        l.k_lang, q.k_qual, e.k_exact, n.k_near
+      FROM documents d
+      JOIN (SELECT doc_id, CAST(is_match AS BIGINT) AS k_lang FROM ($langIdSql)) l
+        ON l.doc_id = d.doc_id
+      JOIN (SELECT doc_id, CAST(quality_pass AS BIGINT) AS k_qual FROM ($repetitionQualitySql)) q
+        ON q.doc_id = d.doc_id
+      JOIN (SELECT d2.doc_id, CAST(d2.doc_id = x.keep_id AS BIGINT) AS k_exact
+            FROM (SELECT doc_id, md5(CAST(text AS BINARY)) AS fp FROM documents) d2
+            JOIN (SELECT md5(CAST(text AS BINARY)) AS fp, MIN(doc_id) AS keep_id
+                  FROM documents GROUP BY md5(CAST(text AS BINARY))) x
+              ON x.fp = d2.fp) e
+        ON e.doc_id = d.doc_id
+      JOIN (WITH scored AS (
+              SELECT cc.doc_id, cc.group_id, dd.n_chars
+              FROM dedup_components cc JOIN documents dd ON dd.doc_id = cc.doc_id
+            ), keep AS (
+              SELECT s.group_id, MIN(s.doc_id) AS keep_id
+              FROM scored s
+              JOIN (SELECT group_id, MAX(n_chars) AS best_chars
+                    FROM scored GROUP BY group_id) b
+                ON b.group_id = s.group_id AND s.n_chars = b.best_chars
+              GROUP BY s.group_id
+            )
+            SELECT s.doc_id, CAST(s.doc_id = k.keep_id AS BIGINT) AS k_near
+            FROM scored s JOIN keep k ON k.group_id = s.group_id) n
+        ON n.doc_id = d.doc_id
+    )"""
 
   private val disc = "l_extendedprice * (1 - l_discount)"
   private val winSql = "(PARTITION BY sym ORDER BY seq)"
@@ -668,33 +793,7 @@ object SqlSurface {
              ELSE 0.0D END AS quality_score
       FROM r ORDER BY doc_id""",
 
-    "q28_lang_id" -> {
-      def occ(w: String): String = {
-        val padded = "concat(' ', lower(text), ' ')"
-        val pat = s" $w "
-        s"CAST((length($padded) - length(regexp_replace($padded, '$pat', ''))) / ${pat.length} AS BIGINT)"
-      }
-      val scores = graft.text.TextMetrics.langMarkers.map { case (l, words) =>
-        words.map(occ).mkString(" + ") + s" AS s_$l"
-      }.mkString(",\n          ")
-      s"""WITH sc AS (
-        SELECT doc_id, lang,
-          $scores
-        FROM documents
-      )
-      SELECT doc_id, lang, s_en, s_es, s_de, s_fr, s_zh,
-        CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-             WHEN s_fr >= s_zh THEN 'fr'
-             ELSE 'zh' END AS pred_lang,
-        CAST(CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-             WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-             WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-             WHEN s_fr >= s_zh THEN 'fr'
-             ELSE 'zh' END = lang AS INT) AS is_match
-      FROM sc ORDER BY doc_id"""
-    },
+    "q28_lang_id" -> langIdSql,
 
     // whole SimHash per document through the native shingle_agg kernel
     "q32_simhash" ->
@@ -1315,58 +1414,7 @@ object SqlSurface {
 
     // Gopher-style repetition quality gate: line-dup, top-bigram
     // occupancy, and trigram-dup fractions from one tokenize pass
-    "q58_repetition_quality" -> {
-      val toksExpr = s"split(trim(lower(text)), ${sq("\\s+")})"
-      s"""WITH base AS (
-        SELECT doc_id, text, split(text, ${sq("\\n")}) AS lines, $toksExpr AS toks
-        FROM documents
-      ), b2 AS (
-        SELECT doc_id, text, toks,
-          CAST(size(lines) AS BIGINT) AS n_lines,
-          CAST(size(array_distinct(lines)) AS BIGINT) AS n_distinct_lines,
-          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
-               ELSE CAST(size(toks) AS BIGINT) END AS n_words
-        FROM base
-      ), b3 AS (
-        SELECT doc_id, n_lines, n_distinct_lines, n_words,
-          CASE WHEN n_words >= 3
-               THEN transform(sequence(0, size(toks) - 3), i ->
-                 concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2), element_at(toks, i + 3)))
-               ELSE CAST(array() AS ARRAY<STRING>) END AS tri
-        FROM b2
-      ), b4 AS (
-        SELECT doc_id, n_lines, n_distinct_lines, n_words,
-          CAST(size(tri) AS BIGINT) AS n_tri,
-          CAST(size(array_distinct(tri)) AS BIGINT) AS n_distinct_tri
-        FROM b3
-      ), bi AS (
-        SELECT doc_id, MAX(cnt) AS top_bigram_cnt, SUM(cnt) AS n_bigrams FROM (
-          SELECT doc_id, gram, COUNT(*) AS cnt
-          FROM (SELECT doc_id, explode(transform(sequence(0, size(toks) - 2), i ->
-                  concat_ws(' ', element_at(toks, i + 1), element_at(toks, i + 2)))) AS gram
-                FROM b2 WHERE n_words >= 2)
-          GROUP BY doc_id, gram)
-        GROUP BY doc_id
-      ), j AS (
-        SELECT b.doc_id, b.n_words,
-          1.0D - CAST(b.n_distinct_lines AS DOUBLE) / b.n_lines AS dup_line_frac,
-          CASE WHEN bi.n_bigrams IS NOT NULL
-               THEN CAST(bi.top_bigram_cnt AS DOUBLE) / bi.n_bigrams END AS top2gram_frac,
-          CASE WHEN b.n_tri > 0
-               THEN 1.0D - CAST(b.n_distinct_tri AS DOUBLE) / b.n_tri END AS dup3gram_frac
-        FROM b4 b LEFT JOIN bi ON bi.doc_id = b.doc_id
-      ), f AS (
-        SELECT *,
-          CAST(dup_line_frac > 0.30D AS INT) AS fail_dup_lines,
-          COALESCE(CAST(top2gram_frac > 0.20D AS INT), 0) AS fail_top2gram,
-          COALESCE(CAST(dup3gram_frac > 0.60D AS INT), 0) AS fail_dup3gram
-        FROM j
-      )
-      SELECT doc_id, n_words, dup_line_frac, top2gram_frac, dup3gram_frac,
-        fail_dup_lines, fail_top2gram, fail_dup3gram,
-        CAST(fail_dup_lines + fail_top2gram + fail_dup3gram = 0 AS INT) AS quality_pass
-      FROM f ORDER BY doc_id"""
-    },
+    "q58_repetition_quality" -> repetitionQualitySql,
 
     // deterministic hash split: train/val/test by (doc_id·φ) % 1000
     "q60_dataset_split" ->
@@ -1940,6 +1988,112 @@ object SqlSurface {
         CAST(n_contaminated > 0 AS INT) AS contaminated
       FROM c ORDER BY doc_id""",
 
+    // winnowing fingerprints (min of each 4-window of rolling hashes),
+    // stop-fingerprint guard (df ≤ 50), pairwise containment
+    "q108_winnowing_overlap" ->
+      s"""WITH f AS (
+        SELECT doc_id,
+          array_distinct(transform(
+            sequence(1, greatest(size(wins) - 3, 1)),
+            j -> array_min(slice(wins, j, 4)))) AS fps
+        FROM (SELECT doc_id, rolling_hash(text, 8, 131, 1000000007).wins AS wins
+              FROM documents)
+      ), e AS (
+        SELECT doc_id, CAST(size(fps) AS BIGINT) AS n_fp, fp
+        FROM f LATERAL VIEW explode(fps) t AS fp
+      ), kept AS (
+        SELECT doc_id, n_fp, fp FROM (
+          SELECT doc_id, n_fp, fp, COUNT(*) OVER (PARTITION BY fp) AS df FROM e
+        ) WHERE df <= 50
+      )
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared,
+        a.n_fp AS fp_a, b.n_fp AS fp_b,
+        COUNT(*) * 1000 div least(a.n_fp, b.n_fp) AS containment_permille
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_fp, b.n_fp
+      HAVING COUNT(*) >= 5
+      ORDER BY n_shared DESC, doc_a, doc_b""",
+
+    // benchmark-contamination SPANS: gaps-and-islands over bench-hit
+    // 8-gram positions via the char_grams kernel
+    "q113_contamination_spans" ->
+      s"""WITH grams AS (
+        SELECT doc_id,
+          CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split,
+          n_chars, char_grams(text, 8) AS ws
+        FROM documents WHERE length(text) >= 8
+      ), base AS (
+        SELECT doc_id, split, n_chars, CAST(idx + 1 AS BIGINT) AS pos, g
+        FROM grams LATERAL VIEW posexplode(ws) t AS idx, g
+      ), bench AS (
+        SELECT DISTINCT g FROM base WHERE split = 'test'
+      ), hits AS (
+        SELECT b.doc_id, b.n_chars, b.pos
+        FROM (SELECT * FROM base WHERE split = 'train') b
+        LEFT SEMI JOIN bench t ON t.g = b.g
+      ), isl AS (
+        SELECT doc_id, n_chars, pos,
+          CASE WHEN MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+               OR pos > MAX(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          THEN 1L ELSE 0L END AS new_span
+        FROM hits
+      ), sp AS (
+        SELECT doc_id, n_chars,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id,
+          pos
+        FROM isl
+      ), spans AS (
+        SELECT doc_id, n_chars, span_id,
+          MIN(pos) AS sp_start, MAX(pos + 8) AS sp_end, COUNT(*) AS hits
+        FROM sp GROUP BY doc_id, n_chars, span_id
+      )
+      SELECT doc_id, SUM(hits) AS n_hits, COUNT(*) AS n_spans,
+        SUM(sp_end - sp_start) AS covered_chars,
+        SUM(sp_end - sp_start) * 1000 div n_chars AS coverage_permille
+      FROM spans GROUP BY doc_id, n_chars ORDER BY doc_id""",
+
+    // record linkage: synthetic dirty titles (one char dropped at a
+    // hash position), 2-leg alphabet blocking, jaro_winkler verify
+    "q169_record_linkage" ->
+      s"""WITH base AS (
+        SELECT doc_id, array_join(slice(split(trim(text), ' '), 1, 6), ' ') AS title
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ), clean AS (
+        SELECT doc_id AS c_key, title FROM base WHERE length(title) >= 8
+      ), dirty AS (
+        SELECT doc_id AS d_key,
+          concat(substring(title, 1, pos - 1),
+                 substring(title, pos + 1, length(title))) AS dtitle
+        FROM (
+          SELECT doc_id, title,
+            CAST(1 + (CAST(conv(substr(md5(CAST(concat('rl#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)
+              % length(title)) AS INT) AS pos
+          FROM base WHERE length(title) >= 8 AND doc_id % 4 = 1)
+      ), cand AS (
+        SELECT DISTINCT d_key, c_key, jw FROM (
+          SELECT d.d_key, c.c_key, jaro_winkler(c.title, d.dtitle) AS jw
+          FROM dirty d JOIN clean c
+            ON substring(d.dtitle, 1, 3) = substring(c.title, 1, 3)
+          UNION ALL
+          SELECT d.d_key, c.c_key, jaro_winkler(c.title, d.dtitle)
+          FROM dirty d JOIN clean c ON right(d.dtitle, 3) = right(c.title, 3)
+        )
+      ), ranked AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY jw DESC, c_key) AS rn,
+          COUNT(*) OVER (PARTITION BY d_key) AS n_cand
+        FROM cand
+      )
+      SELECT d_key, c_key AS match_key, jw AS best_jw, n_cand,
+        CAST(c_key = d_key AS INT) AS self_match,
+        CAST(jw >= 0.88D AS INT) AS strong
+      FROM ranked WHERE rn = 1 ORDER BY d_key""",
+
     // MinHash calibration: per-candidate signature-agreement estimate
     // beside the TRUE shingle Jaccard (same cand chain as the dedup)
     "q102_minhash_calibration" -> {
@@ -2023,6 +2177,82 @@ object SqlSurface {
         CAST(bit_count(sh_a ^ sh_b) AS BIGINT) AS hamming
       FROM cand WHERE CAST(bit_count(sh_a ^ sh_b) AS BIGINT) <= 3
       ORDER BY doc_a, doc_b""",
+
+    // curation funnel: sequential survivor counts through the five
+    // keep verdicts (lang → quality → exact → near → train)
+    "q70_curation_funnel" ->
+      s"""WITH $flagsCteSql, tot AS (
+        SELECT COUNT(*) AS n0,
+          SUM(k_lang) AS n1,
+          SUM(k_lang * k_qual) AS n2,
+          SUM(k_lang * k_qual * k_exact) AS n3,
+          SUM(k_lang * k_qual * k_exact * k_near) AS n4,
+          SUM(k_lang * k_qual * k_exact * k_near * k_train) AS n5
+        FROM flags
+      )
+      SELECT * FROM (
+        SELECT 0 AS stage, 'total' AS stage_name, n0 AS n_surviving,
+               CAST(0 AS BIGINT) AS n_dropped FROM tot
+        UNION ALL SELECT 1, 'lang_match', n1, n0 - n1 FROM tot
+        UNION ALL SELECT 2, 'quality', n2, n1 - n2 FROM tot
+        UNION ALL SELECT 3, 'exact_dedup', n3, n2 - n3 FROM tot
+        UNION ALL SELECT 4, 'near_dedup', n4, n3 - n4 FROM tot
+        UNION ALL SELECT 5, 'train_split', n5, n4 - n5 FROM tot
+      ) ORDER BY stage""",
+
+    // quality-vs-duplication lift: do the repetition screens and the
+    // near-dup sweep agree about which docs are junk?
+    "q105_quality_dup_lift" ->
+      s"""WITH sz AS (
+        SELECT group_id, COUNT(*) AS n FROM dedup_components GROUP BY group_id
+      ), dup AS (
+        SELECT c.doc_id,
+          CAST(s.n > 1 AND c.doc_id != c.group_id AS BIGINT) AS is_redundant
+        FROM dedup_components c JOIN sz s USING (group_id)
+      )
+      SELECT q.quality_pass, COUNT(*) AS n_docs,
+        SUM(d.is_redundant) AS n_redundant,
+        CAST(SUM(d.is_redundant) AS DOUBLE) / COUNT(*) AS redundant_rate
+      FROM (SELECT doc_id, quality_pass FROM ($repetitionQualitySql)) q
+      JOIN dup d USING (doc_id)
+      GROUP BY q.quality_pass ORDER BY quality_pass""",
+
+    // 2^4 filter-overlap contingency table over the four keep verdicts
+    "q106_filter_overlap" ->
+      s"""WITH $flagsCteSql, cells AS (
+        SELECT k_lang, k_qual, k_exact, k_near, COUNT(*) AS n_docs
+        FROM flags GROUP BY k_lang, k_qual, k_exact, k_near
+      ), tot AS (
+        SELECT SUM(n_docs) AS n_total FROM cells
+      )
+      SELECT c.k_lang, c.k_qual, c.k_exact, c.k_near,
+        4L - c.k_lang - c.k_qual - c.k_exact - c.k_near AS n_filters_failed,
+        c.n_docs,
+        CAST(c.n_docs AS DOUBLE) / t.n_total AS frac
+      FROM cells c CROSS JOIN tot t
+      ORDER BY c.k_lang, c.k_qual, c.k_exact, c.k_near""",
+
+    // corpus release gate: funnel survivors, per-source top-20 cap,
+    // order-sensitive md5-of-md5s release digest
+    "q150_release_gate" ->
+      s"""WITH $flagsCteSql, surv AS (
+        SELECT doc_id FROM flags
+        WHERE k_lang * k_qual * k_exact * k_near = 1
+      ), ranked AS (
+        SELECT d.doc_id, d.source, d.n_chars, md5(CAST(d.text AS BINARY)) AS h,
+          ROW_NUMBER() OVER (PARTITION BY d.source
+            ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM surv s JOIN documents d ON d.doc_id = s.doc_id
+      )
+      SELECT source,
+        COUNT(*) AS n_candidates,
+        SUM(CASE WHEN rk <= 20 THEN 1L ELSE 0L END) AS n_released,
+        COUNT(*) - SUM(CASE WHEN rk <= 20 THEN 1L ELSE 0L END) AS n_capped,
+        SUM(CASE WHEN rk <= 20 THEN n_chars ELSE 0L END) AS released_chars,
+        md5(CAST(concat_ws('', transform(array_sort(collect_list(
+          CASE WHEN rk <= 20 THEN named_struct('doc_id', doc_id, 'h', h) END)),
+          x -> x.h)) AS BINARY)) AS release_md5
+      FROM ranked GROUP BY source ORDER BY source""",
 
     // train/val/test leakage audit over the near-dup groups (the
     // on-demand dedup_components view supplies the group labels)
