@@ -50,6 +50,7 @@ object SqlSurface {
     graft.functions.LshBandCodes.ensureRegistered(spark)
     graft.functions.SynthLadder.ensureRegistered(spark)
     graft.functions.JaroWinkler.ensureRegistered(spark)
+    graft.functions.LevBytes.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -397,6 +398,83 @@ object SqlSurface {
       )
       SELECT id_a, id_b, n_bands, cos_sim FROM v
       WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
+
+    // split-half centroid drift per label (exact per-dim means, ordered
+    // folds for the cosine)
+    "q99_centroid_drift" -> {
+      def fold(v: String) =
+        s"aggregate(transform(array_sort(collect_list(named_struct('pos', e.pos, 'v', $v))), " +
+          "x -> x.v), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+      s"""WITH cent AS (
+        SELECT label, CAST(vec_id % 2 AS INT) AS half,
+          CAST(pos0 + 1 AS BIGINT) AS pos,
+          COUNT(*) AS n, (${sumFast("CAST(x AS DOUBLE)", 8)} / COUNT(*)) AS c
+        FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos0, x
+        GROUP BY label, CAST(vec_id % 2 AS INT), CAST(pos0 + 1 AS BIGINT)
+      ), e AS (
+        SELECT label, pos, n AS n_even, c AS ce FROM cent WHERE half = 0
+      ), o AS (
+        SELECT label, pos, n AS n_odd, c AS co FROM cent WHERE half = 1
+      ), f AS (
+        SELECT e.label, MAX(e.n_even) AS n_even, MAX(o.n_odd) AS n_odd,
+          ${fold("e.ce * o.co")} AS dot,
+          ${fold("e.ce * e.ce")} AS ee,
+          ${fold("o.co * o.co")} AS oo
+        FROM e JOIN o ON o.label = e.label AND o.pos = e.pos
+        GROUP BY e.label
+      )
+      SELECT label, n_even, n_odd, dot,
+        CASE WHEN ee > 0 AND oo > 0
+             THEN dot / (sqrt(ee) * sqrt(oo)) END AS cos_drift
+      FROM f ORDER BY label"""
+    },
+
+    // bigram next-token accuracy: train/eval split, argmax predictor,
+    // accuracy from aggregated counts only (no second stream pass)
+    "q127_next_token_accuracy" ->
+      s"""WITH base AS (
+        SELECT lang, (doc_id * 2654435761) % 1000 < 900 AS is_train,
+          split(trim(text), ${sq("\\s+")}) AS tk
+        FROM documents WHERE length(trim(text)) > 0
+      ), bi AS (
+        SELECT lang, is_train, b.w1 AS w1, b.w2 AS w2
+        FROM (SELECT lang, is_train, explode(transform(sequence(1, size(tk) - 1), i ->
+            named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))) AS b
+          FROM base WHERE size(tk) >= 2)
+      ), counts AS (
+        SELECT lang, w1, w2,
+          SUM(CASE WHEN is_train THEN 1L ELSE 0L END) AS c_train,
+          SUM(CASE WHEN is_train THEN 0L ELSE 1L END) AS c_eval
+        FROM bi GROUP BY lang, w1, w2
+      ), model AS (
+        SELECT w1, w2 AS pred FROM (
+          SELECT w1, w2, ROW_NUMBER() OVER (PARTITION BY w1
+            ORDER BY SUM(c_train) DESC, w2) AS rk
+          FROM counts GROUP BY w1, w2 HAVING SUM(c_train) > 0
+        ) WHERE rk = 1
+      )
+      SELECT c.lang, SUM(c.c_eval) AS n_eval,
+        SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0L END) AS n_hits,
+        SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0L END) * 1000
+          div SUM(c.c_eval) AS acc_permille,
+        SUM(CASE WHEN m.pred IS NULL THEN c.c_eval ELSE 0L END) * 1000
+          div SUM(c.c_eval) AS oov_ctx_permille
+      FROM counts c LEFT JOIN model m ON m.w1 = c.w1
+      WHERE c.c_eval > 0
+      GROUP BY c.lang ORDER BY c.lang""",
+
+    // embedding coverage per (source, lang): which corpus slices have
+    // vectors at all
+    "q148_embedding_coverage" ->
+      s"""SELECT d.source, d.lang,
+        COUNT(*) AS n_docs,
+        SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1L ELSE 0L END) AS n_covered,
+        SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1L ELSE 0L END) * 1000
+          div COUNT(*) AS coverage_permille,
+        COUNT(DISTINCT e.label) AS n_labels
+      FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
+      GROUP BY d.source, d.lang
+      ORDER BY d.source, d.lang""",
 
     // ---- impact family: schedule + ladder walk + fees, in plain SQL --
     // (the unrolled walk CTEs come from Impact.walkLayersSql — the SAME
@@ -2093,6 +2171,73 @@ object SqlSurface {
         CAST(c_key = d_key AS INT) AS self_match,
         CAST(jw >= 0.88D AS INT) AS strong
       FROM ranked WHERE rn = 1 ORDER BY d_key""",
+
+    // Jaccard-vs-edit-distance dedup agreement cells (lev_bytes kernel
+    // beside the shingle overlap, same cand chain)
+    "q122_edit_verified_dedup" ->
+      s"""WITH $candChainSql, sc0 AS (
+        SELECT c.id_a, c.id_b,
+          shingle_overlap(da.text, db.text, 8) AS ov,
+          CAST(lev_bytes(da.text, db.text) AS BIGINT) AS lev,
+          CAST(greatest(length(CAST(da.text AS BINARY)),
+                        length(CAST(db.text AS BINARY))) AS BIGINT) AS mb
+        FROM cand c
+        JOIN documents da ON da.doc_id = c.id_a
+        JOIN documents db ON db.doc_id = c.id_b
+      ), cells AS (
+        SELECT id_a, id_b, ov.n_inter AS n_inter, ov.n_union AS n_union,
+          1000 - lev * 1000 div greatest(mb, 1) AS edit_sim,
+          CASE WHEN ov.n_inter * 10 >= ov.n_union * 8 THEN 1 ELSE 0 END AS jacc_dup,
+          CASE WHEN 1000 - lev * 1000 div greatest(mb, 1) >= 900 THEN 1 ELSE 0 END AS edit_dup
+        FROM sc0 WHERE ov.n_union > 0
+      )
+      SELECT jacc_dup, edit_dup, COUNT(*) AS n_pairs,
+        SUM(n_inter * 1000 div n_union) div COUNT(1) AS mean_jacc_permille,
+        SUM(edit_sim) div COUNT(1) AS mean_edit_permille,
+        MIN(edit_sim) AS min_edit_permille,
+        MAX(edit_sim) AS max_edit_permille
+      FROM cells GROUP BY jacc_dup, edit_dup
+      ORDER BY jacc_dup, edit_dup""",
+
+    // dup-group topology: density + 3-hop eccentricity from the keeper
+    // (the bounded BFS unrolled as three joined rounds)
+    "q126_dedup_topology" ->
+      s"""WITH esym AS (
+        SELECT id_a AS src, id_b AS dst FROM dedup_edges
+        UNION ALL SELECT id_b, id_a FROM dedup_edges
+      ), r0 AS (
+        SELECT group_id AS g, group_id AS id, 0 AS dist
+        FROM (SELECT DISTINCT group_id FROM dedup_components)
+      ), r1 AS (
+        SELECT r.g, e.dst AS id, 1 AS dist FROM r0 r JOIN esym e ON e.src = r.id
+      ), r2 AS (
+        SELECT r.g, e.dst AS id, 2 AS dist FROM r1 r JOIN esym e ON e.src = r.id
+      ), r3 AS (
+        SELECT r.g, e.dst AS id, 3 AS dist FROM r2 r JOIN esym e ON e.src = r.id
+      ), md AS (
+        SELECT g, id, MIN(dist) AS dist FROM (
+          SELECT * FROM r0 UNION ALL SELECT * FROM r1
+          UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3
+        ) GROUP BY g, id
+      ), nodes AS (
+        SELECT group_id AS g, COUNT(*) AS n_nodes
+        FROM dedup_components GROUP BY group_id HAVING COUNT(*) >= 2
+      ), ec AS (
+        SELECT c.group_id AS g, COUNT(*) AS n_edges
+        FROM dedup_edges v JOIN dedup_components c ON c.doc_id = v.id_a
+        GROUP BY c.group_id
+      ), ecc AS (
+        SELECT c.group_id AS g,
+          CAST(MAX(COALESCE(m.dist, 4)) AS BIGINT) AS ecc3
+        FROM dedup_components c
+        LEFT JOIN md m ON m.g = c.group_id AND m.id = c.doc_id
+        GROUP BY c.group_id
+      )
+      SELECT n.g AS group_id, n.n_nodes, e.n_edges,
+        e.n_edges * 2000 div (n.n_nodes * (n.n_nodes - 1)) AS density_permille,
+        x.ecc3
+      FROM nodes n JOIN ec e ON e.g = n.g JOIN ecc x ON x.g = n.g
+      ORDER BY group_id""",
 
     // MinHash calibration: per-candidate signature-agreement estimate
     // beside the TRUE shingle Jaccard (same cand chain as the dedup)
