@@ -1817,6 +1817,163 @@ object SqlSurface {
       FROM stats ORDER BY join_name"""
     },
 
+    // per-source corpus datasheet (tokens, dups, quality, languages)
+    "q75_corpus_datasheet" ->
+      s"""WITH base AS (
+        SELECT d.doc_id, d.source, d.lang, d.n_chars,
+          CASE WHEN length(trim(coalesce(d.text, ''))) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(d.text)), ${sq("\\s+")})) AS BIGINT) END AS n_tokens,
+          CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5(CAST(d.text AS BINARY))
+                 ORDER BY d.doc_id) = 1 THEN 1L ELSE 0L END AS is_first,
+          q.quality_pass
+        FROM documents d
+        JOIN (SELECT doc_id, quality_pass FROM ($repetitionQualitySql)) q
+          ON q.doc_id = d.doc_id
+      )
+      SELECT source, COUNT(*) AS n_docs,
+        SUM(n_tokens) AS total_tokens,
+        SUM(n_chars) AS total_chars,
+        COUNT(DISTINCT lang) AS n_langs,
+        COUNT(*) - SUM(is_first) AS n_exact_dups,
+        CAST(SUM(quality_pass) AS BIGINT) AS n_quality_pass,
+        CAST(SUM(n_chars) div greatest(SUM(n_tokens), 1) AS BIGINT) AS chars_per_token
+      FROM base GROUP BY source ORDER BY source""",
+
+    // release manifest per (split, lang): counts, char mass, fingerprint
+    // sum, and the order-sensitive md5-of-md5s content digest
+    "q82_release_manifest" ->
+      s"""WITH c AS (
+        SELECT doc_id, lang, n_chars,
+          CASE WHEN (doc_id * 2654435761) % 1000 < 900 THEN 'train'
+               WHEN (doc_id * 2654435761) % 1000 < 950 THEN 'val'
+               ELSE 'test' END AS split,
+          md5(CAST(text AS BINARY)) AS h,
+          rolling_hash(text, 8, 131, 1000000007).doc_fp AS doc_fp
+        FROM documents
+      )
+      SELECT split, lang, COUNT(*) AS n_docs,
+        SUM(n_chars) AS sum_chars,
+        SUM(doc_fp) AS fp_sum,
+        md5(CAST(concat_ws('', transform(array_sort(collect_list(
+          named_struct('doc_id', doc_id, 'h', h))), x -> x.h)) AS BINARY)) AS release_md5
+      FROM c GROUP BY split, lang ORDER BY split, lang""",
+
+    // positional phrase search: adjacency via position-list intersect
+    "q87_phrase_search" ->
+      s"""WITH pq AS (
+        SELECT query_id, t1, t2 FROM VALUES (1, 'table', 'scan'),
+          (2, 'spark', 'query'), (3, 'merge', 'batch') AS t(query_id, t1, t2)
+      ), base AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
+        FROM documents
+      ), tok AS (
+        SELECT doc_id, CAST(pos0 + 1 AS BIGINT) AS pos, term
+        FROM base LATERAL VIEW posexplode(tk) t AS pos0, term
+        WHERE term IN (SELECT t1 FROM pq UNION SELECT t2 FROM pq)
+      ), plist AS (
+        SELECT doc_id, term, sort_array(collect_list(pos)) AS ps, COUNT(*) AS tf
+        FROM tok GROUP BY doc_id, term
+      ), hits AS (
+        SELECT q.query_id, a.doc_id, a.tf AS tf1, b.tf AS tf2,
+          CAST(size(array_intersect(transform(a.ps, p -> p + 1), b.ps)) AS BIGINT)
+            AS n_phrase_hits
+        FROM pq q
+        JOIN plist a ON a.term = q.t1
+        JOIN plist b ON b.term = q.t2 AND b.doc_id = a.doc_id
+      )
+      SELECT query_id, doc_id, tf1, tf2, n_phrase_hits
+      FROM hits WHERE n_phrase_hits >= 1
+      ORDER BY query_id, doc_id""",
+
+    // PII redaction: deterministic synthetic PII spans appended, then
+    // regex detect + redact with a reproducibility digest
+    "q80_pii_redaction" -> {
+      val emailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phonePat = "\\b555-\\d{4}\\b"
+      s"""WITH aug AS (
+        SELECT doc_id, concat(text,
+          CASE doc_id % 5
+            WHEN 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@example.com now')
+            WHEN 1 THEN concat(' node 10.', CAST(doc_id % 200 AS STRING), '.3.',
+                               CAST(doc_id % 250 AS STRING), ' up')
+            WHEN 2 THEN concat(' call 555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' today')
+            WHEN 3 THEN concat(' mail ops', CAST(doc_id AS STRING), '@mail.example.org via 192.168.',
+                               CAST(doc_id % 100 AS STRING), '.7')
+            ELSE '' END) AS t
+        FROM documents
+      ), c AS (
+        SELECT doc_id,
+          CAST(regexp_count(t, ${sq(emailPat)}) AS BIGINT) AS n_email,
+          CAST(regexp_count(t, ${sq(ipPat)}) AS BIGINT) AS n_ip,
+          CAST(regexp_count(t, ${sq(phonePat)}) AS BIGINT) AS n_phone,
+          md5(regexp_replace(regexp_replace(regexp_replace(t,
+            ${sq(emailPat)}, '<EMAIL>'), ${sq(ipPat)}, '<IP>'),
+            ${sq(phonePat)}, '<PHONE>')) AS redacted_md5
+        FROM aug
+      )
+      SELECT doc_id, n_email, n_ip, n_phone,
+        n_email + n_ip + n_phone AS pii_total, redacted_md5,
+        CAST(n_email + n_ip + n_phone = 0 AS INT) AS clean
+      FROM c ORDER BY doc_id"""
+    },
+
+    // length-bucketed batching: padding waste per context bucket vs a
+    // single 512 context
+    "q107_bucketed_batching" ->
+      s"""WITH nt AS (
+        SELECT CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_toks
+        FROM documents
+      ), b AS (
+        SELECT n_toks,
+          CASE WHEN n_toks <= 64 THEN 64L WHEN n_toks <= 128 THEN 128L
+               WHEN n_toks <= 256 THEN 256L ELSE 512L END AS ctx,
+          least(n_toks, 512L) AS kept
+        FROM nt
+      ), agg AS (
+        SELECT ctx, COUNT(*) AS n_docs,
+          SUM(kept) AS sum_toks,
+          SUM(512L - kept) AS pad_single
+        FROM b GROUP BY ctx
+      )
+      SELECT ctx, n_docs, sum_toks, pad_single,
+        4096 div ctx AS batch_size,
+        (n_docs + (4096 div ctx) - 1) div (4096 div ctx) AS n_batches,
+        ctx * n_docs - sum_toks AS pad_bucketed,
+        CAST(ctx * n_docs - sum_toks AS DOUBLE) / (ctx * n_docs) AS waste_frac,
+        CAST(pad_single - (ctx * n_docs - sum_toks) AS DOUBLE) / (512L * n_docs)
+          AS saving_vs_single
+      FROM agg ORDER BY ctx""",
+
+    // DSIR-style hashed-bucket importance weights (target = src0)
+    "q121_dsir_importance" ->
+      s"""WITH toks AS (
+        SELECT doc_id, source,
+          rolling_hash(term, 1, 131, 1000000007).doc_fp % 1024 AS bucket
+        FROM (SELECT doc_id, source, explode(split(text, ' ')) AS term FROM documents)
+        WHERE term != ''
+      ), model AS (
+        SELECT bucket,
+          (SUM(CASE WHEN source = 'src0' THEN 1L ELSE 0L END) + 1) * 1048576
+            div (SUM(CASE WHEN source = 'src0' THEN 0L ELSE 1L END) + 1) AS w
+        FROM toks GROUP BY bucket
+      ), perdoc AS (
+        SELECT t.doc_id, t.source, COUNT(*) AS n_tok,
+          SUM(m.w) div COUNT(1) AS spt
+        FROM toks t JOIN model m ON m.bucket = t.bucket
+        GROUP BY t.doc_id, t.source
+      ), top AS (
+        SELECT doc_id FROM perdoc ORDER BY spt DESC, doc_id LIMIT 100
+      )
+      SELECT p.source, COUNT(*) AS n_docs,
+        SUM(p.spt) div COUNT(1) AS mean_spt,
+        SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1L ELSE 0L END) AS n_top100
+      FROM perdoc p LEFT JOIN top t ON t.doc_id = p.doc_id
+      GROUP BY p.source ORDER BY p.source""",
+
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
       s"""WITH t AS (
