@@ -2556,6 +2556,105 @@ object SqlSurface {
           x -> x.h)) AS BINARY)) AS release_md5
       FROM ranked GROUP BY source ORDER BY source""",
 
+    // sorted-neighborhood near-dup: global (lang, n_chars, id) rank,
+    // compare only within rank distance < 8 (the SQL spelling states
+    // the rank-window semantics directly; the catalog's bucket join is
+    // the scale plan for the same relation)
+    "q153_sorted_neighborhood" ->
+      s"""WITH ranked AS (
+        SELECT doc_id, shingle_hash48(text, 8) AS sh,
+          CAST(ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS BIGINT) AS rn
+        FROM documents
+      ), p AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rn - a.rn AS rank_dist,
+          CAST(size(array_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+          CAST(size(a.sh) AS BIGINT) + CAST(size(b.sh) AS BIGINT)
+            - CAST(size(array_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
+        FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 7
+      )
+      SELECT id_a, id_b, rank_dist, n_inter, n_union,
+        n_inter * 1000 div n_union AS jac_permille
+      FROM p WHERE n_union > 0 AND n_inter * 1000 div n_union >= 500
+      ORDER BY id_a, id_b""",
+
+    // ExactSubstr duplicated-span extraction — the SQL text states the
+    // gram-equality semantics directly (explode 8-grams, count classes,
+    // merge islands); the catalog's prefix-doubling ranks are the scale
+    // plan for the same relation
+    "q157_suffix_dup_spans" ->
+      s"""WITH tk AS (
+        SELECT doc_id, split(trim(lower(text)), ${sq("\\s+")}) AS tk FROM documents
+      ), p AS (
+        SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+          concat_ws(' ', slice(tk, i, 8)) AS gram
+        FROM (SELECT * FROM tk WHERE size(tk) >= 8)
+        LATERAL VIEW explode(sequence(1, size(tk) - 7)) t AS i
+      ), c AS (
+        SELECT gram, COUNT(*) AS cnt FROM p GROUP BY gram
+      ), f AS (
+        SELECT p.doc_id, p.pos FROM p JOIN c USING (gram) WHERE c.cnt >= 2
+      ), isl AS (
+        SELECT doc_id, pos,
+          pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM f
+      )
+      SELECT doc_id, MIN(pos) AS tok_start, MAX(pos) + 7 AS tok_end,
+        MAX(pos) + 7 - MIN(pos) + 1 AS span_tokens,
+        COUNT(*) AS n_dup_grams
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, tok_start""",
+
+    // KMV-sketched cross-source overlap with the exact audit on the
+    // same hashed universe
+    "q164_kmv_source_overlap" ->
+      s"""WITH base AS (
+        SELECT source, split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+          CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE size(split(trim(lower(text)), ${sq("\\s+")})) END AS nw
+        FROM documents
+      ), gr AS (
+        SELECT DISTINCT source,
+          CAST(conv(substr(md5(CAST(gram AS BINARY)), 1, 12), 16, 10) AS BIGINT) AS h
+        FROM (
+          SELECT source, explode(transform(sequence(0, nw - 3), i -> concat_ws(' ',
+            element_at(tk, i + 1), element_at(tk, i + 2), element_at(tk, i + 3)))) AS gram
+          FROM base WHERE nw >= 3)
+      ), sk AS (
+        SELECT source, sort_array(collect_list(h)) AS sk FROM (
+          SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+          FROM gr
+        ) WHERE rk <= 256 GROUP BY source
+      ), sz AS (
+        SELECT source, COUNT(*) AS n_h FROM gr GROUP BY source
+      ), inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_inter
+        FROM gr a JOIN gr b ON a.h = b.h AND a.source < b.source
+        GROUP BY a.source, b.source
+      ), pairs AS (
+        SELECT sa.source AS source_a, sb.source AS source_b,
+          za.n_h AS n_a, zb.n_h AS n_b,
+          slice(array_sort(array_union(sa.sk, sb.sk)), 1, 256) AS m,
+          sa.sk AS ska, sb.sk AS skb
+        FROM sk sa JOIN sk sb ON sa.source < sb.source
+        JOIN sz za ON za.source = sa.source
+        JOIN sz zb ON zb.source = sb.source
+      ), est AS (
+        SELECT source_a, source_b, n_a, n_b,
+          CAST(size(m) AS BIGINT) AS k_used,
+          CAST(size(filter(m, v -> array_contains(ska, v) AND array_contains(skb, v))) AS BIGINT) AS n_common
+        FROM pairs
+      )
+      SELECT e.source_a, e.source_b, n_a, n_b, k_used, n_common,
+        CAST(n_common AS DOUBLE) / k_used AS est_jaccard,
+        CAST(COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS DOUBLE)
+          / (n_a + n_b - COALESCE(i.n_inter, CAST(0 AS BIGINT))) AS exact_jaccard,
+        CAST(FLOOR((CAST(n_common AS DOUBLE) / k_used
+          - CAST(COALESCE(i.n_inter, CAST(0 AS BIGINT)) AS DOUBLE)
+            / (n_a + n_b - COALESCE(i.n_inter, CAST(0 AS BIGINT)))) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS err_permille
+      FROM est e LEFT JOIN inter i
+        ON i.source_a = e.source_a AND i.source_b = e.source_b
+      ORDER BY source_a, source_b""",
+
     // train/val/test leakage audit over the near-dup groups (the
     // on-demand dedup_components view supplies the group labels)
     "q73_split_leakage" ->
