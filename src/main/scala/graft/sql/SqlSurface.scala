@@ -302,6 +302,35 @@ object SqlSurface {
         ON n.doc_id = d.doc_id
     )"""
 
+  /** Label-centroid IVF assignment as a CTE chain ending in
+    * `assigned(vec_id, cell)` — the Spark spelling of the exact-decimal
+    * nearest-centroid rule the vec family shares (argmin over
+    * ‖c‖² − 2·x·c with label tie-break).
+    */
+  private lazy val ivfAssignSparkSql: String =
+    s"""ux AS (
+      SELECT vec_id, label, CAST(pos0 + 1 AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x
+      FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos0, x
+    ), cent AS (
+      SELECT label, pos, (${"unscaled_dbl(SUM(dec_unscaled(x, 8)), 8, 8)"} / COUNT(*)) AS c
+      FROM ux GROUP BY label, pos
+    ), cn AS (
+      SELECT label, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+      FROM cent GROUP BY label
+    ), dots AS (
+      SELECT u.vec_id, ct.label,
+        CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+      FROM ux u JOIN cent ct ON ct.pos = u.pos
+      GROUP BY u.vec_id, ct.label
+    ), rankedA AS (
+      SELECT d.vec_id, d.label,
+        ROW_NUMBER() OVER (PARTITION BY d.vec_id
+          ORDER BY cn.cnorm2 - CAST(2.0 AS DOUBLE) * d.dot ASC, d.label ASC) AS crn
+      FROM dots d JOIN cn ON cn.label = d.label
+    ), assigned AS (
+      SELECT vec_id, label AS cell FROM rankedA WHERE crn = 1
+    )"""
+
   private val disc = "l_extendedprice * (1 - l_discount)"
   private val winSql = "(PARTITION BY sym ORDER BY seq)"
   private val runSql =
@@ -475,6 +504,147 @@ object SqlSurface {
       FROM documents d LEFT JOIN embeddings e ON e.vec_id = d.doc_id
       GROUP BY d.source, d.lang
       ORDER BY d.source, d.lang""",
+
+    // q39's wide-band twin: 16-bit band codes (65 536-way buckets)
+    "q72_embedding_neardup_wide" ->
+      s"""WITH eb AS (
+        SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
+               lsh_band_codes(embedding, 4, 16) AS codes
+        FROM embeddings
+      ), bands AS (
+        SELECT vec_id, band_idx, code,
+          ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+        FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+      ), v AS (
+        SELECT c.id_a, c.id_b, c.n_bands,
+          CASE WHEN ea.n2 > 0 AND e2.n2 > 0
+               THEN ord_dot(ea.embedding, e2.embedding) / (sqrt(ea.n2) * sqrt(e2.n2)) END AS cos_sim
+        FROM cand c
+        JOIN eb ea ON ea.vec_id = c.id_a
+        JOIN eb e2 ON e2.vec_id = c.id_b
+      )
+      SELECT id_a, id_b, n_bands, cos_sim FROM v
+      WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
+
+    // IVF ANN (nprobe=1): exact-decimal centroid assignment, in-cell
+    // top-3 by exact cosine
+    "q44_ivf_ann" ->
+      s"""WITH $ivfAssignSparkSql, en AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               dec_dot8(e.embedding, e.embedding) AS n2
+        FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+      ), pairs AS (
+        SELECT q.vec_id AS q_id, q.cell, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+          dec_dot8(q.embedding, c.embedding) AS dot
+        FROM en q JOIN en c ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), scored AS (
+        SELECT q_id, cell, c_id,
+          CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+        FROM pairs
+      ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM scored
+      )
+      SELECT q_id, cell, rnk, c_id, cos_sim
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
+    // multi-probe IVF (nprobe=2): each query searches its two nearest
+    // cells, fused by one per-query rank
+    "q52_ivf_multiprobe" ->
+      s"""WITH $ivfAssignSparkSql, probes AS (
+        SELECT vec_id AS q_id, label AS pcell, CAST(crn AS BIGINT) AS probe_rank
+        FROM rankedA WHERE crn <= 2 AND vec_id < 8
+      ), en AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               dec_dot8(e.embedding, e.embedding) AS n2
+        FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+      ), pairs AS (
+        SELECT p.q_id, p.pcell, p.probe_rank, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+          dec_dot8(q.embedding, c.embedding) AS dot
+        FROM probes p
+        JOIN en q ON q.vec_id = p.q_id
+        JOIN en c ON c.cell = p.pcell AND c.vec_id != p.q_id
+      ), scored AS (
+        SELECT q_id, pcell, probe_rank, c_id,
+          CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+        FROM pairs
+      ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM scored
+      )
+      SELECT q_id, rnk, c_id, pcell, probe_rank, cos_sim
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
+
+    // SemDeDup: in-cell cosine dominance with the hot-cell star guard
+    "q77_semantic_dedup" ->
+      s"""WITH $ivfAssignSparkSql, en0 AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               ord_dot(e.embedding, e.embedding) AS n2
+        FROM embeddings e JOIN assigned a ON a.vec_id = e.vec_id
+      ), en AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY vec_id) AS rn,
+          MIN(vec_id) OVER (PARTITION BY cell) AS cmin
+        FROM en0
+      ), small AS (
+        SELECT * FROM en WHERE rn <= 256
+      ), allp AS (
+        SELECT a.cell, a.vec_id AS dom, a.embedding AS ea, a.n2 AS na,
+               b.vec_id AS vid, b.embedding AS eb2, b.n2 AS nb
+        FROM small a JOIN small b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      ), star AS (
+        SELECT o.cell, o.cmin AS dom, d.embedding AS ea, d.n2 AS na,
+               o.vec_id AS vid, o.embedding AS eb2, o.n2 AS nb
+        FROM (SELECT * FROM en WHERE rn > 256 AND vec_id != cmin) o
+        JOIN en d ON d.cell = o.cell AND d.vec_id = o.cmin
+      ), pairs AS (
+        SELECT cell, dom, vid, cos_sim FROM (
+          SELECT cell, dom, vid,
+            CASE WHEN na > 0 AND nb > 0
+                 THEN ord_dot(ea, eb2) / (sqrt(na) * sqrt(nb)) END AS cos_sim
+          FROM (SELECT * FROM allp UNION ALL SELECT * FROM star)
+        ) WHERE cos_sim >= 0.30D
+      ), dom AS (
+        SELECT vid, COUNT(*) AS n_dom, MIN(dom) AS dom_min FROM pairs GROUP BY vid
+      )
+      SELECT e.vec_id, e.cell,
+        COALESCE(d.n_dom, CAST(0 AS BIGINT)) AS n_dom, d.dom_min,
+        CAST(d.n_dom IS NULL AS INT) AS kept
+      FROM en e LEFT JOIN dom d ON d.vid = e.vec_id
+      ORDER BY e.vec_id""",
+
+    // contrastive pair mining over the dedup groups: group-mate
+    // positives, strided-ring negatives, false-negative audit
+    "q85_contrastive_pairs" ->
+      s"""WITH nn AS (
+        SELECT COUNT(*) AS n FROM documents
+      ), pos AS (
+        SELECT a.doc_id, MIN(b.doc_id) AS pos_id
+        FROM dedup_components a JOIN dedup_components b
+          ON a.group_id = b.group_id AND b.doc_id != a.doc_id
+        GROUP BY a.doc_id
+      ), st AS (
+        SELECT explode(array(1L, 11L, 37L, 101L)) AS stride
+      ), negs AS (
+        SELECT c.doc_id, c.group_id, s.stride,
+          (c.doc_id + s.stride) % nn.n AS neg_id
+        FROM dedup_components c CROSS JOIN st s CROSS JOIN nn
+        WHERE (s.stride % nn.n) != 0
+      )
+      SELECT g.doc_id, g.group_id, p.pos_id, g.stride, g.neg_id,
+        CAST(cn.group_id = g.group_id AS INT) AS is_false_neg
+      FROM negs g
+      JOIN dedup_components cn ON cn.doc_id = g.neg_id
+      LEFT JOIN pos p ON p.doc_id = g.doc_id
+      ORDER BY g.doc_id, g.stride""",
 
     // ---- impact family: schedule + ladder walk + fees, in plain SQL --
     // (the unrolled walk CTEs come from Impact.walkLayersSql — the SAME
