@@ -584,6 +584,73 @@ object SqlSurface {
       SELECT q_id, rnk, c_id, pcell, probe_rank, cos_sim
       FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""",
 
+    // IVF cell-balance audit: share/load/expected-scan permille
+    "q130_ivf_balance_audit" ->
+      s"""WITH $ivfAssignSparkSql, sz AS (
+        SELECT cell, COUNT(*) AS n_vecs FROM assigned GROUP BY cell
+      ), tot AS (
+        SELECT SUM(n_vecs) AS n_total, COUNT(*) AS n_cells,
+          SUM(n_vecs * n_vecs) AS sum_sq
+        FROM sz
+      )
+      SELECT s.cell, s.n_vecs,
+        s.n_vecs * 1000 div t.n_total AS share_permille,
+        s.n_vecs * t.n_cells * 1000 div t.n_total AS load_permille,
+        t.sum_sq * 1000 div (t.n_total * t.n_total) AS scan_frac_permille
+      FROM sz s CROSS JOIN tot t ORDER BY s.cell""",
+
+    // assignment-margin (silhouette-lite) histogram: relative margin
+    // between best and second-best centroid distance
+    "q147_assignment_margin_audit" ->
+      s"""WITH $ivfAssignSparkSql, nn2 AS (
+        SELECT vec_id, dec_dot8(embedding, embedding) AS n2 FROM embeddings
+      ), rankedD AS (
+        SELECT d.vec_id,
+          nn2.n2 + cn.cnorm2 - CAST(2.0 AS DOUBLE) * d.dot AS d2,
+          ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY nn2.n2 + cn.cnorm2 - CAST(2.0 AS DOUBLE) * d.dot ASC, d.label ASC) AS crn
+        FROM dots d JOIN cn ON cn.label = d.label
+        JOIN nn2 ON nn2.vec_id = d.vec_id
+      ), margins AS (
+        SELECT vec_id,
+          MIN(CASE WHEN crn = 1 THEN d2 END) AS d1,
+          MIN(CASE WHEN crn = 2 THEN d2 END) AS dd2
+        FROM rankedD WHERE crn <= 2 GROUP BY vec_id
+      )
+      SELECT bucket, COUNT(*) AS n_vecs FROM (
+        SELECT least(CAST(floor((sqrt(dd2) - sqrt(d1)) / sqrt(dd2) * 10) AS BIGINT), 5L) AS bucket
+        FROM margins WHERE dd2 > 0
+      ) GROUP BY bucket ORDER BY bucket""",
+
+    // dimension-truncation recall: top-10 at 8/16/32 dims vs the full
+    // 64-dim truth, all exact-decimal cosines
+    "q138_dim_truncation_recall" -> {
+      def cte(k: Int, nm: String) = {
+        val ea = if (k == 64) "q.embedding" else s"slice(q.embedding, 1, $k)"
+        val eb = if (k == 64) "c.embedding" else s"slice(c.embedding, 1, $k)"
+        s"""$nm AS (
+        SELECT ${k}L AS k, q_id, c_id FROM (
+          SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+              (CASE WHEN dec_dot8($ea, $ea) > 0 AND dec_dot8($eb, $eb) > 0
+                THEN dec_dot8($ea, $eb) / (sqrt(dec_dot8($ea, $ea)) * sqrt(dec_dot8($eb, $eb)))
+                ELSE CAST(-2.0 AS DOUBLE) END) DESC, c.vec_id ASC) AS rnk
+          FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+          WHERE q.vec_id < 8)
+        WHERE rnk <= 10)"""
+      }
+      s"""WITH ${cte(64, "truth")}, ${cte(8, "t8")}, ${cte(16, "t16")}, ${cte(32, "t32")},
+      allk AS (
+        SELECT * FROM t8 UNION ALL SELECT * FROM t16 UNION ALL SELECT * FROM t32
+      )
+      SELECT a.k, a.q_id, COUNT(*) AS n_hit10,
+        CAST(COUNT(*) AS DOUBLE) / 10 AS recall10
+      FROM allk a
+      WHERE EXISTS (SELECT 1 FROM truth t WHERE t.q_id = a.q_id AND t.c_id = a.c_id)
+      GROUP BY a.k, a.q_id
+      ORDER BY a.k, a.q_id"""
+    },
+
     // SemDeDup: in-cell cosine dominance with the hot-cell star guard
     "q77_semantic_dedup" ->
       s"""WITH $ivfAssignSparkSql, en0 AS (
