@@ -331,6 +331,42 @@ object SqlSurface {
       SELECT vec_id, label AS cell FROM rankedA WHERE crn = 1
     )"""
 
+  /** Bigram reference-likelihood scoring as a CTE chain ending in
+    * `agg(doc_id, n_bigrams, mean_p_scaled, min_p_scaled)` — the q76 /
+    * q83 / q101 family's shared fragment (integer fixed-point
+    * p(w2|w1), reference = the 90% hash split).
+    */
+  private lazy val likelihoodSparkSql: String =
+    s"""tk0 AS (
+      SELECT doc_id, split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+        CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE size(split(trim(lower(text)), ${sq("\\s+")})) END AS nw
+      FROM documents
+    ), bigrams AS (
+      SELECT doc_id, b.w1 AS w1, b.w2 AS w2
+      FROM (SELECT doc_id, explode(transform(sequence(0, nw - 2), i ->
+          named_struct('w1', element_at(tk, i + 1), 'w2', element_at(tk, i + 2)))) AS b
+        FROM tk0 WHERE nw >= 2)
+    ), ref AS (
+      SELECT * FROM bigrams WHERE (doc_id * 2654435761) % 1000 < 900
+    ), bg AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM ref GROUP BY w1, w2
+    ), ug AS (
+      SELECT w1, COUNT(*) AS c1 FROM ref GROUP BY w1
+    ), scored AS (
+      SELECT b.doc_id,
+        CASE WHEN bg.c2 IS NULL OR ug.c1 IS NULL THEN CAST(0 AS BIGINT)
+             ELSE (bg.c2 * 1000000) div ug.c1 END AS p_scaled
+      FROM bigrams b
+      LEFT JOIN bg ON bg.w1 = b.w1 AND bg.w2 = b.w2
+      LEFT JOIN ug ON ug.w1 = b.w1
+    ), agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams,
+        SUM(p_scaled) div COUNT(*) AS mean_p_scaled,
+        MIN(p_scaled) AS min_p_scaled
+      FROM scored GROUP BY doc_id
+    )"""
+
   private val disc = "l_extendedprice * (1 - l_discount)"
   private val winSql = "(PARTITION BY sym ORDER BY seq)"
   private val runSql =
@@ -2210,6 +2246,122 @@ object SqlSurface {
         SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1L ELSE 0L END) AS n_top100
       FROM perdoc p LEFT JOIN top t ON t.doc_id = p.doc_id
       GROUP BY p.source ORDER BY p.source""",
+
+    // reference-likelihood atypicality flags
+    "q76_corpus_likelihood" ->
+      s"""WITH $likelihoodSparkSql
+      SELECT doc_id, n_bigrams, mean_p_scaled, min_p_scaled,
+        CAST(mean_p_scaled < 33500 AS INT) AS atypical
+      FROM agg ORDER BY doc_id""",
+
+    // curriculum quartile buckets over the likelihood scores
+    "q83_curriculum_buckets" ->
+      s"""WITH $likelihoodSparkSql, cuts AS (
+        SELECT percentile(CAST(mean_p_scaled AS DOUBLE), 0.25D) AS c1,
+               percentile(CAST(mean_p_scaled AS DOUBLE), 0.50D) AS c2,
+               percentile(CAST(mean_p_scaled AS DOUBLE), 0.75D) AS c3
+        FROM agg
+      ), b AS (
+        SELECT a.doc_id, a.mean_p_scaled,
+          CASE WHEN a.mean_p_scaled < cuts.c1 THEN 0
+               WHEN a.mean_p_scaled < cuts.c2 THEN 1
+               WHEN a.mean_p_scaled < cuts.c3 THEN 2 ELSE 3 END AS bucket
+        FROM agg a CROSS JOIN cuts
+      )
+      SELECT bucket, COUNT(*) AS n_docs,
+        MIN(mean_p_scaled) AS min_score,
+        MAX(mean_p_scaled) AS max_score,
+        SUM(mean_p_scaled) div COUNT(1) AS mean_score
+      FROM b GROUP BY bucket ORDER BY bucket""",
+
+    // curriculum interleave order: per-bucket rank, stride-4 position
+    "q101_curriculum_order" ->
+      s"""WITH $likelihoodSparkSql, cuts AS (
+        SELECT percentile(CAST(mean_p_scaled AS DOUBLE), 0.25D) AS c1,
+               percentile(CAST(mean_p_scaled AS DOUBLE), 0.50D) AS c2,
+               percentile(CAST(mean_p_scaled AS DOUBLE), 0.75D) AS c3
+        FROM agg
+      ), b AS (
+        SELECT a.doc_id,
+          CASE WHEN a.mean_p_scaled < cuts.c1 THEN 0L
+               WHEN a.mean_p_scaled < cuts.c2 THEN 1L
+               WHEN a.mean_p_scaled < cuts.c3 THEN 2L ELSE 3L END AS bucket
+        FROM agg a CROSS JOIN cuts
+      ), r AS (
+        SELECT doc_id, bucket,
+          CAST(ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS BIGINT) AS bucket_rank
+        FROM b
+      )
+      SELECT doc_id, bucket, bucket_rank,
+        bucket_rank * 4 + bucket AS global_pos
+      FROM r ORDER BY doc_id""",
+
+    // calibration curve for the q127 bigram predictor: half-octave
+    // confidence buckets vs realized top-1 accuracy
+    "q144_model_calibration" ->
+      s"""WITH base AS (
+        SELECT (doc_id * 2654435761) % 1000 < 900 AS is_train,
+          split(trim(text), ${sq("\\s+")}) AS tk
+        FROM documents WHERE length(trim(text)) > 0
+      ), bi AS (
+        SELECT is_train, b.w1 AS w1, b.w2 AS w2
+        FROM (SELECT is_train, explode(transform(sequence(1, size(tk) - 1), i ->
+            named_struct('w1', element_at(tk, i), 'w2', element_at(tk, i + 1)))) AS b
+          FROM base WHERE size(tk) >= 2)
+      ), counts AS (
+        SELECT w1, w2,
+          SUM(CASE WHEN is_train THEN 1L ELSE 0L END) AS c_train,
+          SUM(CASE WHEN is_train THEN 0L ELSE 1L END) AS c_eval
+        FROM bi GROUP BY w1, w2
+      ), model AS (
+        SELECT w1, w2 AS pred, c_train AS conf FROM (
+          SELECT w1, w2, c_train, ROW_NUMBER() OVER (PARTITION BY w1
+            ORDER BY c_train DESC, w2) AS rk
+          FROM counts WHERE c_train > 0
+        ) WHERE rk = 1
+      )
+      SELECT CAST(2 * (length(bin(m.conf)) - 1) +
+          (CASE WHEN m.conf * 2 >= 3 * shiftleft(1, length(bin(m.conf)) - 1)
+           THEN 1 ELSE 0 END) AS BIGINT) AS conf_bucket,
+        SUM(c.c_eval) AS n_eval,
+        SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0L END) AS n_hits,
+        SUM(CASE WHEN c.w2 = m.pred THEN c.c_eval ELSE 0L END) * 1000
+          div SUM(c.c_eval) AS acc_permille
+      FROM counts c JOIN model m ON m.w1 = c.w1
+      WHERE c.c_eval > 0
+      GROUP BY CAST(2 * (length(bin(m.conf)) - 1) +
+        (CASE WHEN m.conf * 2 >= 3 * shiftleft(1, length(bin(m.conf)) - 1)
+         THEN 1 ELSE 0 END) AS BIGINT)
+      ORDER BY conf_bucket""",
+
+    // Johnson–Lindenstrauss distortion deciles for a 64→16 sign
+    // projection (all higher-order function folds)
+    "q131_jl_distortion_audit" -> {
+      def sgn(j: Int) =
+        s"transform(sequence(1, size(embedding)), d -> " +
+          s"CAST(CASE WHEN (d * 31 + $j * 131) % 97 % 2 = 0 THEN 1.0 ELSE -1.0 END AS DOUBLE))"
+      val projCols = (1 to 16).map(j =>
+        s"aggregate(zip_with(embedding, ${sgn(j)}, (x, g) -> CAST(x AS DOUBLE) * g), " +
+          s"CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS y$j").mkString(",\n          ")
+      val d16 = (1 to 16).map(j => s"(a.y$j - b.y$j) * (a.y$j - b.y$j)").mkString(" + ")
+      s"""WITH proj AS (
+        SELECT vec_id, embedding,
+          $projCols
+        FROM embeddings
+      ), pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          aggregate(zip_with(a.embedding, b.embedding, (x, y) ->
+            (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+            CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d64,
+          $d16 AS d16
+        FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 97
+      )
+      SELECT least(CAST(floor((d16 / 16.0D) / d64 * 10) AS BIGINT), 30L) AS decile,
+        COUNT(*) AS n_pairs
+      FROM pairs WHERE d64 > 0
+      GROUP BY least(CAST(floor((d16 / 16.0D) / d64 * 10) AS BIGINT), 30L)
+      ORDER BY decile"""
+    },
 
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
