@@ -51,6 +51,7 @@ object SqlSurface {
     graft.functions.SynthLadder.ensureRegistered(spark)
     graft.functions.JaroWinkler.ensureRegistered(spark)
     graft.functions.LevBytes.ensureRegistered(spark)
+    graft.functions.AHashBands.ensureRegistered(spark)
     SyntheticBook.fromEvents(Tables(spark, sfDir, "events"), D)
       .createOrReplaceTempView("book")
     // dedup_components is NOT registered here: its first materialization
@@ -3471,6 +3472,113 @@ object SqlSurface {
         m.walk_filled AS walk_filled, m.walk_cost AS walk_cost,
         m.walk_touched AS walk_touched
       FROM m ORDER BY seq""",
+
+    // perceptual-hash (aHash) banded near-dup over binary payloads —
+    // the multimodal near-dup plumbing from plain SQL (payload = the
+    // synthetic assets' UTF-8 bytes)
+    "q117_binary_ahash_neardup" ->
+      s"""WITH hashed AS (
+        SELECT doc_id AS asset_id,
+          ahash_bands(CAST(coalesce(text, '') AS BINARY)) AS bands
+        FROM documents
+      ), banded AS (
+        SELECT asset_id, bands, band_idx, band_code
+        FROM hashed LATERAL VIEW posexplode(bands) t AS band_idx, band_code
+      ), cand AS (
+        SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+               a.bands AS ba, b.bands AS bb, COUNT(*) AS n_bands_equal
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_code = b.band_code
+          AND a.asset_id < b.asset_id
+        GROUP BY a.asset_id, b.asset_id, a.bands, b.bands
+      ), h AS (
+        SELECT id_a, id_b, n_bands_equal,
+          CAST(aggregate(zip_with(ba, bb, (x, y) -> bit_count(x ^ y)), 0,
+            (acc, v) -> acc + v) AS BIGINT) AS hamming
+        FROM cand
+      )
+      SELECT id_a, id_b, n_bands_equal, hamming
+      FROM h WHERE hamming <= 2 ORDER BY id_a, id_b""",
+
+    // Elias-gamma postings compressibility audit: doc-gap bit costs
+    "q118_postings_gamma_audit" ->
+      s"""WITH toks AS (
+        SELECT DISTINCT doc_id, term FROM (
+          SELECT doc_id, explode(split(text, ' ')) AS term FROM documents
+        ) WHERE term != ''
+      ), gaps AS (
+        SELECT term, doc_id,
+          COALESCE(doc_id - LAG(doc_id, 1) OVER (PARTITION BY term ORDER BY doc_id),
+            doc_id + 1) AS gap
+        FROM toks
+      ), costed AS (
+        SELECT term, COUNT(*) AS df,
+          SUM(2L * length(bin(gap)) - 1) AS gamma_bits
+        FROM gaps GROUP BY term
+      )
+      SELECT term, df, gamma_bits, df * 64 AS raw_bits,
+        gamma_bits * 1000 div (df * 64) AS ratio_permille
+      FROM costed
+      ORDER BY df DESC, term LIMIT 20""",
+
+    // columnar-encoding advisor: cardinality, dict width, RLE runs
+    "q133_encoding_advisor" -> {
+      def per(c: String) = s"""(
+        SELECT '$c' AS col_name,
+          COUNT(*) AS n_rows,
+          (SELECT COUNT(DISTINCT $c) FROM lineitem) AS n_distinct,
+          CAST(length(bin(greatest((SELECT COUNT(DISTINCT $c) FROM lineitem) - 1, 1L))) AS BIGINT) AS dict_bits,
+          SUM(is_new) AS n_runs
+        FROM (
+          SELECT CASE WHEN NOT (lag($c, 1) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, $c)
+                           <=> $c) THEN 1L ELSE 0L END AS is_new
+          FROM lineitem))"""
+      s"""WITH stats AS (
+        ${Seq("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+          .map(per).mkString("\n        UNION ALL\n        ")}
+      )
+      SELECT col_name, n_rows, n_distinct, dict_bits, n_runs,
+        n_rows * 1000 div n_runs AS avg_run_permille,
+        CASE WHEN n_rows * 1000 div n_runs >= 2000 THEN 'rle'
+             WHEN dict_bits <= 8 THEN 'dict' ELSE 'plain' END AS advice
+      FROM stats ORDER BY col_name"""
+    },
+
+    // VPIN order-flow toxicity: tick-rule direction, volume buckets,
+    // 5-bucket rolling imbalance at integer permille
+    "q181_vpin_toxicity" ->
+      d(s"""WITH m AS (
+        SELECT sym, seq, ${BookSql.mid} AS mid,
+          CAST(COALESCE(bid1_size, 0.0::DOUBLE) + COALESCE(ask1_size, 0.0::DOUBLE) AS BIGINT) AS vol
+        FROM book
+        WHERE ${BookSql.mid} IS NOT NULL
+      ), dd AS (
+        SELECT sym, seq, vol,
+          CASE WHEN mid > LAG(mid, 1) OVER $winSql THEN 1
+               WHEN mid < LAG(mid, 1) OVER $winSql THEN -1 END AS dir_raw
+        FROM m
+      ), c AS (
+        SELECT sym, seq, vol,
+          COALESCE(LAST(dir_raw) IGNORE NULLS OVER $runSql, 1) AS dir,
+          SUM(vol) OVER $runSql AS cum
+        FROM dd
+      ), b AS (
+        SELECT sym, (cum - vol) div 256 AS bucket,
+          SUM(CASE WHEN dir = 1 THEN vol ELSE 0L END) AS buy_vol,
+          SUM(CASE WHEN dir = -1 THEN vol ELSE 0L END) AS sell_vol
+        FROM c GROUP BY sym, (cum - vol) div 256
+      ), i AS (
+        SELECT sym, bucket, buy_vol, sell_vol,
+          abs(buy_vol - sell_vol) AS imbalance,
+          buy_vol + sell_vol AS bucket_vol
+        FROM b
+      )
+      SELECT sym, bucket, buy_vol, sell_vol, imbalance, bucket_vol,
+        CASE WHEN SUM(bucket_vol) OVER wv > 0
+             THEN (1000 * SUM(imbalance) OVER wv) div SUM(bucket_vol) OVER wv END AS vpin_permille
+      FROM i
+      WINDOW wv AS (PARTITION BY sym ORDER BY bucket ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      ORDER BY sym, bucket"""),
 
     "q176_ohlc_bars" ->
       d(s"""WITH m AS (
