@@ -1248,6 +1248,16 @@ object SqlSurface {
         ${sumFast("CASE WHEN l_linestatus = 'O' THEN l_quantity END", 2)} AS O_qty
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
 
+    // hybrid hot/cold skew join's lossless contract: the exact decimal
+    // rollup is partitioning-independent, so the plain join states it
+    "q116_hybrid_skew_join" ->
+      s"""SELECT o.o_orderpriority,
+        COUNT(*) AS n_items,
+        ${sumFast("l.l_quantity", 2)} AS sum_qty,
+        ${sumFastR("l.l_extendedprice * (1 - l.l_discount)", 4, 2)} AS revenue
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+
     "q07_customer_running_spend" ->
       s"""SELECT o_custkey, o_orderkey, date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
         o_totalprice,
@@ -2363,6 +2373,80 @@ object SqlSurface {
       GROUP BY least(CAST(floor((d16 / 16.0D) / d64 * 10) AS BIGINT), 30L)
       ORDER BY decile"""
     },
+
+    // RAG chunk extraction: 64-token windows at stride 48 with
+    // per-chunk content digests
+    "q89_rag_chunks" ->
+      s"""WITH base AS (
+        SELECT doc_id, split(trim(lower(text)), ${sq("\\s+")}) AS tk,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+               ELSE CAST(size(split(trim(lower(text)), ${sq("\\s+")})) AS BIGINT) END AS n_words
+        FROM documents
+      ), c AS (
+        SELECT doc_id, n_words, tk, chunk_idx
+        FROM (SELECT *, CAST(1 + (greatest(n_words - 64, 0L) + 47) div 48 AS INT) AS nc
+              FROM base WHERE n_words > 0)
+        LATERAL VIEW explode(sequence(0, nc - 1)) t AS chunk_idx
+      )
+      SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+        least(n_words - chunk_idx * 48, 64L) AS n_tok,
+        md5(CAST(concat_ws(' ', slice(tk, chunk_idx * 48 + 1, 64)) AS BINARY)) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_idx""",
+
+    // int8 symmetric quantization recall: quantized top-5 vs the
+    // exact-decimal truth, integer dot products
+    "q68_int8_quant_recall" ->
+      s"""WITH en AS (
+        SELECT vec_id, embedding,
+          aggregate(embedding, CAST(0 AS DOUBLE),
+            (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE)))) AS mx,
+          dec_dot8(embedding, embedding) AS n2
+        FROM embeddings
+      ), qz AS (
+        SELECT vec_id, embedding, n2,
+          CASE WHEN mx > CAST(0 AS DOUBLE)
+               THEN transform(embedding, x ->
+                      CAST(floor(CAST(x AS DOUBLE) * CAST(127 AS DOUBLE) / mx + CAST(0.5 AS DOUBLE)) AS BIGINT))
+               ELSE transform(embedding, x -> CAST(0 AS BIGINT)) END AS qv
+        FROM en
+      ), qn AS (
+        SELECT vec_id, embedding, n2, qv,
+          aggregate(transform(qv, v -> v * v), CAST(0 AS BIGINT), (acc, v) -> acc + v) AS qn2
+        FROM qz
+      ), ranked AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            (CASE WHEN q.n2 > 0 AND c.n2 > 0
+              THEN dec_dot8(q.embedding, c.embedding) / (sqrt(q.n2) * sqrt(c.n2)) END) DESC,
+            c.vec_id) AS re,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+            (CASE WHEN q.qn2 > 0 AND c.qn2 > 0
+              THEN CAST(aggregate(zip_with(q.qv, c.qv, (x, y) -> x * y), CAST(0 AS BIGINT),
+                     (acc, v) -> acc + v) AS DOUBLE)
+                   / (sqrt(CAST(q.qn2 AS DOUBLE)) * sqrt(CAST(c.qn2 AS DOUBLE))) END) DESC,
+            c.vec_id) AS rq
+        FROM qn q JOIN qn c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), kept AS (
+        SELECT * FROM ranked WHERE re <= 5 OR rq <= 5
+      ), ov AS (
+        SELECT e.q_id, COUNT(*) AS n_overlap5
+        FROM (SELECT q_id, c_id FROM kept WHERE re <= 5) e
+        JOIN (SELECT q_id, c_id FROM kept WHERE rq <= 5) f
+          ON f.q_id = e.q_id AND f.c_id = e.c_id
+        GROUP BY e.q_id
+      ), e1 AS (
+        SELECT q_id, c_id AS exact_top1 FROM kept WHERE re = 1
+      ), q1 AS (
+        SELECT q_id, c_id AS int8_top1 FROM kept WHERE rq = 1
+      )
+      SELECT e1.q_id, e1.exact_top1, q1.int8_top1,
+        CAST(e1.exact_top1 = q1.int8_top1 AS INT) AS top1_match,
+        ov.n_overlap5,
+        CAST(ov.n_overlap5 AS DOUBLE) / 5 AS recall5
+      FROM e1 JOIN q1 ON q1.q_id = e1.q_id JOIN ov ON ov.q_id = e1.q_id
+      ORDER BY e1.q_id""",
 
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
