@@ -368,6 +368,42 @@ object SqlSurface {
       FROM scored GROUP BY doc_id
     )"""
 
+  /** Integer-rational BM25 as a CTE chain ending in
+    * `byq(query_id, doc_id, score, n_terms_hit)` — shared by the q86
+    * top-k entry and the q174 RRF lexical leg.
+    */
+  private lazy val bm25SparkCteSql: String =
+    s"""qt AS (
+        SELECT query_id, term FROM VALUES (1, 'table'), (1, 'scan'), (2, 'spark'),
+          (2, 'query'), (3, 'merge'), (3, 'batch') AS t(query_id, term)
+      ), base25 AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
+        FROM documents
+      ), dld AS (
+        SELECT doc_id, tk, CAST(size(tk) AS BIGINT) AS dl FROM base25
+      ), scal AS (
+        SELECT SUM(dl) AS big_d, COUNT(*) AS n_docs FROM dld
+      ), tok25 AS (
+        SELECT doc_id, dl, term
+        FROM (SELECT doc_id, dl, explode(tk) AS term FROM dld)
+        WHERE term IN (SELECT DISTINCT term FROM qt)
+      ), tf AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok25 GROUP BY term, doc_id, dl
+      ), dft AS (
+        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+      ), scored25 AS (
+        SELECT q.query_id, f.doc_id,
+          ((s.n_docs * 1000000) div d.df) *
+            ((44 * f.tf * s.big_d * 1000) div
+             (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs)) AS term_score
+        FROM tf f JOIN dft d USING (term) CROSS JOIN scal s JOIN qt q ON q.term = f.term
+      ), byq AS (
+        SELECT query_id, doc_id, SUM(term_score) AS score, COUNT(*) AS n_terms_hit
+        FROM scored25 GROUP BY query_id, doc_id
+      )"""
+
   private val disc = "l_extendedprice * (1 - l_discount)"
   private val winSql = "(PARTITION BY sym ORDER BY seq)"
   private val runSql =
@@ -2448,6 +2484,74 @@ object SqlSurface {
       FROM e1 JOIN q1 ON q1.q_id = e1.q_id JOIN ov ON ov.q_id = e1.q_id
       ORDER BY e1.q_id""",
 
+    // hybrid retrieval with reciprocal-rank fusion: BM25 lexical leg ∪
+    // exact-cosine dense leg, fused at integer fixed-point
+    "q174_hybrid_rrf_fusion" ->
+      s"""WITH $bm25SparkCteSql, lexr AS (
+        SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, lex_rnk FROM (
+          SELECT query_id, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rnk
+          FROM byq)
+        WHERE lex_rnk <= 50
+      ), en AS (
+        SELECT vec_id, embedding, dec_dot8(embedding, embedding) AS n2 FROM embeddings
+      ), dp AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS doc_id, q.n2 AS qn2, c.n2 AS cn2,
+          dec_dot8(q.embedding, c.embedding) AS dot
+        FROM en q JOIN en c ON c.vec_id != q.vec_id
+        WHERE q.vec_id BETWEEN 1 AND 3
+      ), dsc AS (
+        SELECT query_id, doc_id,
+          CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+        FROM dp
+      ), dense AS (
+        SELECT query_id, doc_id, dense_rnk FROM (
+          SELECT query_id, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rnk
+          FROM dsc)
+        WHERE dense_rnk <= 50
+      ), fused AS (
+        SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+               COALESCE(l.doc_id, d.doc_id) AS doc_id,
+               l.lex_rnk, d.dense_rnk,
+               COALESCE(1000000 div (60 + l.lex_rnk), 0L) +
+                 COALESCE(1000000 div (60 + d.dense_rnk), 0L) AS rrf_scaled
+        FROM lexr l FULL OUTER JOIN dense d
+          ON d.query_id = l.query_id AND d.doc_id = l.doc_id
+      ), rr AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rnk
+        FROM fused
+      )
+      SELECT query_id, rnk, doc_id, rrf_scaled, lex_rnk, dense_rnk
+      FROM rr WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // 3-round PageRank over the dedup graph (unrolled; damping 0.85 at
+    // integer fixed-point)
+    "q114_dedup_pagerank" -> {
+      def round(r: Int) =
+        s"""r$r AS (
+        SELECT e.dst AS id,
+          150000 + (850 * SUM(r.rank div d.outdeg)) div 1000 AS rank
+        FROM esym e JOIN deg d ON d.src = e.src JOIN r${r - 1} r ON r.id = e.src
+        GROUP BY e.dst
+      )"""
+      s"""WITH esym AS (
+        SELECT id_a AS src, id_b AS dst FROM dedup_edges
+        UNION ALL SELECT id_b, id_a FROM dedup_edges
+      ), deg AS (
+        SELECT src, COUNT(*) AS outdeg FROM esym GROUP BY src
+      ), r0 AS (
+        SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg
+      ), ${round(1)}, ${round(2)}, ${round(3)}
+      SELECT r3.id AS doc_id, c.group_id, d.outdeg, r3.rank AS rank_e6
+      FROM r3 JOIN deg d ON d.src = r3.id
+      JOIN dedup_components c ON c.doc_id = r3.id
+      ORDER BY doc_id"""
+    },
+
     // tf-idf top terms: integer-scaled idf keeps the score exact
     "q61_tfidf_topterms" ->
       s"""WITH t AS (
@@ -3154,36 +3258,7 @@ object SqlSurface {
     // BM25 top-k: integer fixed-point scoring (k1=1.2 b=0.75 as exact
     // rationals), query-term pruning BEFORE any shuffle
     "q86_bm25_topk" ->
-      s"""WITH qt AS (
-        SELECT query_id, term FROM VALUES (1, 'table'), (1, 'scan'), (2, 'spark'),
-          (2, 'query'), (3, 'merge'), (3, 'batch') AS t(query_id, term)
-      ), base AS (
-        SELECT doc_id,
-          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
-               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
-        FROM documents
-      ), dld AS (
-        SELECT doc_id, tk, CAST(size(tk) AS BIGINT) AS dl FROM base
-      ), scal AS (
-        SELECT SUM(dl) AS big_d, COUNT(*) AS n_docs FROM dld
-      ), tok AS (
-        SELECT doc_id, dl, term
-        FROM (SELECT doc_id, dl, explode(tk) AS term FROM dld)
-        WHERE term IN (SELECT DISTINCT term FROM qt)
-      ), tf AS (
-        SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok GROUP BY term, doc_id, dl
-      ), dft AS (
-        SELECT term, COUNT(*) AS df FROM tf GROUP BY term
-      ), scored AS (
-        SELECT q.query_id, f.doc_id,
-          ((s.n_docs * 1000000) div d.df) *
-            ((44 * f.tf * s.big_d * 1000) div
-             (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs)) AS term_score
-        FROM tf f JOIN dft d USING (term) CROSS JOIN scal s JOIN qt q ON q.term = f.term
-      ), byq AS (
-        SELECT query_id, doc_id, SUM(term_score) AS score, COUNT(*) AS n_terms_hit
-        FROM scored GROUP BY query_id, doc_id
-      ), r AS (
+      s"""WITH $bm25SparkCteSql, r AS (
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
           ORDER BY score DESC, doc_id) AS BIGINT) AS rnk
         FROM byq
