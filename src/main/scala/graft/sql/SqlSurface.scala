@@ -1445,6 +1445,68 @@ object SqlSurface {
       GROUP BY split, a.n_leaked_groups, a.n_leaked_docs, a.total_docs
       ORDER BY split""",
 
+    // small-file compaction planner: sorted next-fit striping into
+    // 4×-mean-size bins, per-partition rollup
+    "q175_compaction_planner" ->
+      s"""WITH manifest AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS part,
+               l_suppkey % 16 AS fk,
+               COUNT(*) * 64 + SUM(CAST(l_quantity AS BIGINT)) AS bytes
+        FROM lineitem GROUP BY CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT),
+          l_suppkey % 16
+      ), tgt AS (
+        SELECT (SUM(bytes) div COUNT(*)) * 4 AS target FROM manifest
+      ), binned AS (
+        SELECT m.part, m.bytes, t.target,
+          SUM(m.bytes) OVER (PARTITION BY m.part ORDER BY m.bytes DESC, m.fk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM manifest m CROSS JOIN tgt t
+      ), bins AS (
+        SELECT part, target, (cum - bytes) div target AS bin,
+          COUNT(*) AS bf, SUM(bytes) AS bb,
+          SUM(CASE WHEN bytes * 2 < target THEN 1L ELSE 0L END) AS sf
+        FROM binned GROUP BY part, target, (cum - bytes) div target
+      )
+      SELECT part, SUM(bf) AS n_files,
+        SUM(sf) AS n_small_files,
+        COUNT(*) AS n_bins, SUM(bb) AS bytes_total,
+        MAX(bb) AS max_bin_bytes, MIN(bb) AS min_bin_bytes,
+        target AS target_bytes
+      FROM bins GROUP BY part, target ORDER BY part""",
+
+    // snapshot-expiry + orphan-file audit (VACUUM): manifest-only plan
+    "q179_vacuum_audit" ->
+      s"""WITH ledger AS (
+        SELECT o_orderkey div 5 AS file_id,
+          COUNT(*) * 128 + SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS bytes
+        FROM orders GROUP BY o_orderkey div 5
+      ), lf AS (
+        SELECT file_id, bytes, file_id % 8 AS added,
+          file_id % 8 + 1 + file_id % 5 AS removed
+        FROM ledger
+      ), referenced AS (
+        SELECT DISTINCT file_id
+        FROM (SELECT * FROM lf WHERE removed > 5)
+        LATERAL VIEW explode(sequence(greatest(added, 5L), least(removed - 1, 7L))) t AS s
+      ), disk AS (
+        SELECT file_id, bytes, added, 0 AS orphan FROM lf
+        UNION ALL
+        SELECT file_id, bytes, added, 1 FROM lf WHERE file_id % 11 = 3
+      ), cls AS (
+        SELECT d.file_id, d.bytes, d.added,
+          CASE WHEN d.orphan = 1 THEN 'orphan'
+               WHEN r.file_id IS NOT NULL THEN 'live'
+               ELSE 'expired' END AS status
+        FROM disk d LEFT JOIN referenced r ON r.file_id = d.file_id
+      )
+      SELECT added AS cohort, COUNT(*) AS n_objects,
+        SUM(CASE WHEN status = 'live' THEN 1L ELSE 0L END) AS n_live,
+        SUM(CASE WHEN status = 'expired' THEN 1L ELSE 0L END) AS n_expired,
+        SUM(CASE WHEN status = 'orphan' THEN 1L ELSE 0L END) AS n_orphans,
+        SUM(CASE WHEN status = 'live' THEN bytes ELSE 0L END) AS bytes_live,
+        SUM(CASE WHEN status != 'live' THEN bytes ELSE 0L END) AS bytes_reclaimable
+      FROM cls GROUP BY added ORDER BY cohort""",
+
     // ---- events analytics family -------------------------------------
     "q132_event_transitions" ->
       s"""WITH seq AS (
@@ -2973,6 +3035,56 @@ object SqlSurface {
         x.ecc3
       FROM nodes n JOIN ec e ON e.g = n.g JOIN ecc x ON x.g = n.g
       ORDER BY group_id""",
+
+    // record linkage, sorted-neighborhood twin: rank by title AND by
+    // reversed title (multi-pass SNM), rank-distance < 12 candidates
+    "q173_record_linkage_snm" ->
+      s"""WITH base AS (
+        SELECT doc_id, array_join(slice(split(trim(text), ' '), 1, 6), ' ') AS title
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ), clean AS (
+        SELECT doc_id, title FROM base WHERE length(title) >= 8
+      ), dirty AS (
+        SELECT doc_id AS d_key,
+          concat(substring(title, 1, pos - 1),
+                 substring(title, pos + 1, length(title))) AS dtitle
+        FROM (
+          SELECT doc_id, title,
+            CAST(1 + (CAST(conv(substr(md5(CAST(concat('rl#', CAST(doc_id AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT)
+              % length(title)) AS INT) AS pos
+          FROM base WHERE length(title) >= 8 AND doc_id % 4 = 1)
+      ), stream AS (
+        SELECT doc_id AS id, 0 AS kind, title AS t FROM clean
+        UNION ALL
+        SELECT d_key AS id, 1 AS kind, dtitle AS t FROM dirty
+      ), rk1 AS (
+        SELECT id, kind, t,
+          ROW_NUMBER() OVER (ORDER BY t, kind, id) - 1 AS rn
+        FROM stream
+      ), rk2 AS (
+        SELECT id, kind, t,
+          ROW_NUMBER() OVER (ORDER BY reverse(t), kind, id) - 1 AS rn
+        FROM stream
+      ), cand0 AS (
+        SELECT d.id AS d_key, c.id AS c_key, c.t AS title, d.t AS dtitle
+        FROM rk1 d JOIN rk1 c
+          ON d.kind = 1 AND c.kind = 0 AND abs(c.rn - d.rn) < 12
+        UNION
+        SELECT d.id, c.id, c.t, d.t
+        FROM rk2 d JOIN rk2 c
+          ON d.kind = 1 AND c.kind = 0 AND abs(c.rn - d.rn) < 12
+      ), cand AS (
+        SELECT DISTINCT d_key, c_key, jaro_winkler(title, dtitle) AS jw FROM cand0
+      ), ranked AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY d_key ORDER BY jw DESC, c_key) AS rn,
+          COUNT(*) OVER (PARTITION BY d_key) AS n_cand
+        FROM cand
+      )
+      SELECT d_key, c_key AS match_key, jw AS best_jw, n_cand,
+        CAST(c_key = d_key AS INT) AS self_match,
+        CAST(jw >= 0.88D AS INT) AS strong
+      FROM ranked WHERE rn = 1 ORDER BY d_key""",
 
     // MinHash calibration: per-candidate signature-agreement estimate
     // beside the TRUE shingle Jaccard (same cand chain as the dedup)
