@@ -29,7 +29,7 @@ object RelationalQueries {
     * LITERAL lookup in BOTH engines — the curve is data, not per-row
     * logic, so the mirrors cannot diverge on it.
     */
-  private[rel] val hilbertLut16: Array[Long] = {
+  private[graft] val hilbertLut16: Array[Long] = {
     val n = 16
     val t = new Array[Long](n * n)
     for (x0 <- 0 until n; y0 <- 0 until n) {

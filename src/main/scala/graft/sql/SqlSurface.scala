@@ -1507,6 +1507,154 @@ object SqlSurface {
         SUM(CASE WHEN status != 'live' THEN bytes ELSE 0L END) AS bytes_reclaimable
       FROM cls GROUP BY added ORDER BY cohort""",
 
+    // Z-order vs Hilbert vs lexicographic layout audit: equi-depth
+    // 16-bucket normalization, Morton bit interleave, the shared
+    // 256-entry Hilbert d-index literal, 64-row blocks × 3 predicates
+    "q159_zorder_layout_audit" -> {
+      val kPat = sq("\"k\":\\s*(\\d+)")
+      val morton = (0 until 4).map(i =>
+        s"((shiftright(ub, $i) & 1) * ${1L << (2 * i)} + (shiftright(kb, $i) & 1) * ${1L << (2 * i + 1)})")
+        .mkString(" + ")
+      val lut = "array(" +
+        graft.rel.RelationalQueries.hilbertLut16.map(v => s"${v}L").mkString(", ") + ")"
+      s"""WITH e AS (
+        SELECT event_id, user_id,
+          CASE WHEN regexp_extract(props, $kPat, 1) != ''
+               THEN CAST(regexp_extract(props, $kPat, 1) AS BIGINT) END AS k
+        FROM events
+      ), b AS (
+        SELECT *,
+          (ROW_NUMBER() OVER (ORDER BY user_id, k, event_id) - 1)
+            * 16 div COUNT(*) OVER () AS ub,
+          (ROW_NUMBER() OVER (ORDER BY k, user_id, event_id) - 1)
+            * 16 div COUNT(*) OVER () AS kb
+        FROM e
+      ), m AS (
+        SELECT *, $morton AS morton,
+          element_at($lut, CAST(ub * 16 + kb + 1 AS INT)) AS hd
+        FROM b
+      ), ranked AS (
+        SELECT user_id, k,
+          ROW_NUMBER() OVER (ORDER BY event_id) - 1 AS rn_nat,
+          ROW_NUMBER() OVER (ORDER BY user_id, k, event_id) - 1 AS rn_uk,
+          ROW_NUMBER() OVER (ORDER BY k, user_id, event_id) - 1 AS rn_ku,
+          ROW_NUMBER() OVER (ORDER BY morton, event_id) - 1 AS rn_z,
+          ROW_NUMBER() OVER (ORDER BY hd, event_id) - 1 AS rn_h
+        FROM m
+      ), lay AS (
+        SELECT 'natural' AS layout, rn_nat div 64 AS block_id, user_id, k FROM ranked
+        UNION ALL SELECT 'lex_user_k', rn_uk div 64, user_id, k FROM ranked
+        UNION ALL SELECT 'lex_k_user', rn_ku div 64, user_id, k FROM ranked
+        UNION ALL SELECT 'zorder', rn_z div 64, user_id, k FROM ranked
+        UNION ALL SELECT 'hilbert', rn_h div 64, user_id, k FROM ranked
+      ), blocks AS (
+        SELECT layout, block_id, COUNT(*) AS n_rows,
+          MIN(user_id) AS lo_u, MAX(user_id) AS hi_u,
+          MIN(k) AS lo_k, MAX(k) AS hi_k
+        FROM lay GROUP BY layout, block_id
+      ), pb AS (
+        SELECT *, 'p_user_band' AS predicate,
+          NOT (lo_u > 19 OR hi_u < 10) AS must_scan FROM blocks
+        UNION ALL
+        SELECT *, 'p_k_band', NOT (lo_k > 39 OR hi_k < 20) FROM blocks
+        UNION ALL
+        SELECT *, 'p_box',
+          NOT (lo_u > 29 OR hi_u < 10 OR lo_k > 59 OR hi_k < 20) FROM blocks
+      )
+      SELECT layout, predicate, COUNT(*) AS n_blocks,
+        SUM(CASE WHEN must_scan THEN 0L ELSE 1L END) AS n_skip_blocks,
+        SUM(CASE WHEN must_scan THEN n_rows ELSE 0L END) * 1000
+          div SUM(n_rows) AS scan_permille
+      FROM pb GROUP BY layout, predicate ORDER BY layout, predicate"""
+    },
+
+    // CDC changelog → latest-snapshot read (upserts keyed on the JSON
+    // k prop, deletes = error events)
+    "q158_changelog_snapshot" -> {
+      val kPat = sq("\"k\":\\s*(\\d+)")
+      s"""WITH ev AS (
+        SELECT user_id, event_id, ts div 1000 AS ts_us, value,
+          CASE WHEN regexp_extract(props, $kPat, 1) != ''
+               THEN CAST(regexp_extract(props, $kPat, 1) AS BIGINT) END AS k,
+          CASE WHEN event_type = 'error' THEN 1L ELSE 0L END AS is_del
+        FROM events
+      ), r AS (
+        SELECT *,
+          ROW_NUMBER() OVER (PARTITION BY user_id, k
+            ORDER BY ts_us DESC, event_id DESC) AS rn,
+          COUNT(*) OVER (PARTITION BY user_id, k) AS n_ops,
+          SUM(is_del) OVER (PARTITION BY user_id, k) AS n_deletes
+        FROM ev
+      )
+      SELECT user_id, k, value AS last_value, ts_us AS last_ts_us,
+        event_id AS last_event_id, n_ops, n_deletes
+      FROM r WHERE rn = 1 AND is_del = 0
+      ORDER BY user_id, k"""
+    },
+
+    // incremental materialized view: batch partial states merged ≡
+    // direct aggregation, audited per group
+    "q162_incremental_mv" ->
+      s"""WITH ev AS (
+        SELECT event_id, (ts div 1000) div 86400000000 AS day, event_type, value
+        FROM events
+      ), b AS (
+        SELECT *, event_id % 3 AS batch FROM ev
+      ), states AS (
+        SELECT batch, day, event_type,
+          COUNT(*) AS n_events,
+          COUNT(value) AS n_vals,
+          SUM(CAST(ROUND(value, 8) AS DECIMAL(38,8))) AS sum_state,
+          MIN(value) AS min_v, MAX(value) AS max_v
+        FROM b GROUP BY batch, day, event_type
+      ), merged AS (
+        SELECT day, event_type,
+          SUM(n_events) AS n_events,
+          SUM(n_vals) AS n_vals,
+          CAST(SUM(sum_state) AS DOUBLE) AS sum_value,
+          MIN(min_v) AS min_value, MAX(max_v) AS max_value,
+          COUNT(*) AS n_batches
+        FROM states GROUP BY day, event_type
+      ), direct AS (
+        SELECT day, event_type, COUNT(*) AS d_n,
+          CAST(SUM(CAST(ROUND(value, 8) AS DECIMAL(38,8))) AS DOUBLE) AS d_sum,
+          MIN(value) AS d_min, MAX(value) AS d_max
+        FROM ev GROUP BY day, event_type
+      )
+      SELECT m.day, m.event_type, m.n_events, m.n_vals,
+        m.sum_value, m.min_value, m.max_value, m.n_batches,
+        CAST(m.n_events = d.d_n AND (m.sum_value <=> d.d_sum)
+          AND (m.min_value <=> d.d_min) AND (m.max_value <=> d.d_max) AS INT) AS matches_full
+      FROM merged m JOIN direct d ON d.day = m.day AND d.event_type = m.event_type
+      ORDER BY m.day, m.event_type""",
+
+    // time-travel reads at three version cutoffs over the changelog
+    "q170_time_travel_read" -> {
+      val kPat = sq("\"k\":\\s*(\\d+)")
+      s"""WITH ev AS (
+        SELECT user_id, event_id, ts div 1000 AS ts_us,
+          (ts div 1000) div 86400000000 AS day, value,
+          CASE WHEN regexp_extract(props, $kPat, 1) != ''
+               THEN CAST(regexp_extract(props, $kPat, 1) AS BIGINT) END AS k,
+          CASE WHEN event_type = 'error' THEN 1L ELSE 0L END AS is_del
+        FROM events
+      ), cut AS (
+        SELECT explode(array(19733L, 19743L, 19753L)) AS cutoff_day
+      ), r AS (
+        SELECT c.cutoff_day, e.user_id, e.k, e.is_del, e.value, e.event_id,
+          ROW_NUMBER() OVER (PARTITION BY c.cutoff_day, e.user_id, e.k
+            ORDER BY e.ts_us DESC, e.event_id DESC) AS rn
+        FROM ev e JOIN cut c ON e.day < c.cutoff_day
+      )
+      SELECT cutoff_day, COUNT(*) AS n_keys,
+        SUM(CASE WHEN is_del = 0 THEN 1L ELSE 0L END) AS n_live,
+        SUM(is_del) AS n_deleted,
+        CAST(SUM(CASE WHEN is_del = 0
+          THEN CAST(ROUND(value, 8) AS DECIMAL(38,8)) END) AS DOUBLE) AS live_value_sum,
+        MAX(CASE WHEN is_del = 0 THEN event_id END) AS live_max_event_id
+      FROM r WHERE rn = 1 GROUP BY cutoff_day ORDER BY cutoff_day"""
+    },
+
     // ---- events analytics family -------------------------------------
     "q132_event_transitions" ->
       s"""WITH seq AS (
@@ -3085,6 +3233,129 @@ object SqlSurface {
         CAST(c_key = d_key AS INT) AS self_match,
         CAST(jw >= 0.88D AS INT) AS strong
       FROM ranked WHERE rn = 1 ORDER BY d_key""",
+
+    // hybrid lexical/semantic near-dup agreement over the LSH candidates
+    "q81_hybrid_neardup" ->
+      s"""WITH $candChainSql, jm0 AS (
+        SELECT c.id_a, c.id_b, shingle_overlap(ta.text, tb.text, 8) AS ov
+        FROM cand c
+        JOIN documents ta ON ta.doc_id = c.id_a
+        JOIN documents tb ON tb.doc_id = c.id_b
+      ), jm AS (
+        SELECT id_a, id_b,
+          CASE WHEN ov.n_union > 0 THEN CAST(ov.n_inter AS DOUBLE) / ov.n_union
+               ELSE CAST(0.0 AS DOUBLE) END AS jaccard
+        FROM jm0
+      ), em AS (
+        SELECT vec_id, embedding,
+          aggregate(embedding, CAST(0 AS DOUBLE),
+            (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) AS n2
+        FROM embeddings
+      ), wc AS (
+        SELECT j.id_a, j.id_b, j.jaccard,
+          CASE WHEN ea.n2 > 0 AND eb.n2 > 0 THEN
+            aggregate(zip_with(ea.embedding, eb.embedding,
+              (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+              CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+            / (sqrt(ea.n2) * sqrt(eb.n2)) END AS cos_sim
+        FROM jm j
+        LEFT JOIN em ea ON ea.vec_id = j.id_a
+        LEFT JOIN em eb ON eb.vec_id = j.id_b
+      )
+      SELECT id_a, id_b, jaccard, cos_sim,
+        CAST(jaccard >= 0.8D AS INT) AS lex_dup,
+        CASE WHEN cos_sim IS NOT NULL AND cos_sim >= 0.30D THEN 1 ELSE 0 END AS sem_dup,
+        CAST(CAST(jaccard >= 0.8D AS INT) =
+          (CASE WHEN cos_sim IS NOT NULL AND cos_sim >= 0.30D THEN 1 ELSE 0 END) AS INT) AS agree
+      FROM wc ORDER BY id_a, id_b""",
+
+    // hard-negative mining: rarest-5-term BM25 per anchor, near-dup
+    // group mates excluded (the dedup_components view)
+    "q91_hard_negatives" ->
+      s"""WITH base AS (
+        SELECT doc_id,
+          CASE WHEN length(trim(text)) = 0 THEN CAST(array() AS ARRAY<STRING>)
+               ELSE split(trim(lower(text)), ${sq("\\s+")}) END AS tk
+        FROM documents
+      ), dld AS (
+        SELECT doc_id, tk, CAST(size(tk) AS BIGINT) AS dl FROM base
+      ), scal AS (
+        SELECT SUM(dl) AS big_d, COUNT(*) AS n_docs FROM dld
+      ), dfq AS (
+        SELECT term, COUNT(*) AS df FROM (
+          SELECT doc_id, explode(array_distinct(tk)) AS term FROM base)
+        GROUP BY term
+      ), aterm AS (
+        SELECT doc_id AS query_id, explode(array_distinct(tk)) AS term
+        FROM base WHERE doc_id IN (0, 7, 23)
+      ), qt2 AS (
+        SELECT query_id, term, df FROM (
+          SELECT a.query_id, a.term, d.df,
+            ROW_NUMBER() OVER (PARTITION BY a.query_id ORDER BY d.df, a.term) AS trk
+          FROM aterm a JOIN dfq d ON d.term = a.term
+        ) WHERE trk <= 5
+      ), tok2 AS (
+        SELECT doc_id, dl, term
+        FROM (SELECT doc_id, dl, explode(tk) AS term FROM dld)
+        WHERE term IN (SELECT DISTINCT term FROM qt2)
+      ), tf2 AS (
+        SELECT term, doc_id, dl, COUNT(*) AS tf FROM tok2 GROUP BY term, doc_id, dl
+      ), scored2 AS (
+        SELECT q.query_id, f.doc_id,
+          ((s.n_docs * 1000000) div q.df) *
+            ((44 * f.tf * s.big_d * 1000) div
+             (20 * f.tf * s.big_d + 6 * s.big_d + 18 * f.dl * s.n_docs)) AS term_score
+        FROM tf2 f JOIN qt2 q ON q.term = f.term CROSS JOIN scal s
+      ), byq2 AS (
+        SELECT query_id, doc_id, SUM(term_score) AS score, COUNT(*) AS n_terms_hit
+        FROM scored2 GROUP BY query_id, doc_id
+      ), acomp AS (
+        SELECT doc_id AS query_id, group_id AS qcomp
+        FROM dedup_components WHERE doc_id IN (0, 7, 23)
+      ), r AS (
+        SELECT b.query_id, b.doc_id, b.score, b.n_terms_hit,
+          CAST(ROW_NUMBER() OVER (PARTITION BY b.query_id
+            ORDER BY b.score DESC, b.doc_id) AS BIGINT) AS rnk
+        FROM byq2 b
+        JOIN acomp a ON a.query_id = b.query_id
+        JOIN dedup_components c ON c.doc_id = b.doc_id
+        WHERE c.group_id != a.qcomp
+      )
+      SELECT query_id, rnk, doc_id, score, n_terms_hit
+      FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // exact frequent itemsets (sizes 1-3) at 60% support — the SQL text
+    // states the global-count semantics the SON two-phase computes
+    "q172_frequent_itemsets" ->
+      s"""WITH d AS (
+        SELECT doc_id, array_sort(array_distinct(split(trim(lower(text)), ' '))) AS items
+        FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0
+      ), dd AS (
+        SELECT * FROM d WHERE size(items) > 0
+      ), ms AS (
+        SELECT (3 * COUNT(*) + 4) div 5 AS minsup FROM dd
+      ), t AS (
+        SELECT doc_id, explode(items) AS tok FROM dd
+      ), s1 AS (
+        SELECT tok, COUNT(*) AS c FROM t GROUP BY tok
+      ), p2 AS (
+        SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS c
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+      ), p3 AS (
+        SELECT a.tok AS t1, b.tok AS t2, c3.tok AS t3, COUNT(*) AS c
+        FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        JOIN t c3 ON c3.doc_id = b.doc_id AND b.tok < c3.tok
+        GROUP BY a.tok, b.tok, c3.tok
+      )
+      SELECT k, itemset, support FROM (
+        SELECT 1L AS k, tok AS itemset, c AS support
+        FROM s1 CROSS JOIN ms WHERE c >= minsup
+        UNION ALL
+        SELECT 2L, concat(t1, ',', t2), c FROM p2 CROSS JOIN ms WHERE c >= minsup
+        UNION ALL
+        SELECT 3L, concat(t1, ',', t2, ',', t3), c FROM p3 CROSS JOIN ms WHERE c >= minsup
+      ) ORDER BY k, itemset""",
 
     // MinHash calibration: per-candidate signature-agreement estimate
     // beside the TRUE shingle Jaccard (same cand chain as the dedup)
