@@ -3518,20 +3518,26 @@ object SqlSurface {
       FROM ranked GROUP BY source ORDER BY source""",
 
     // sorted-neighborhood near-dup: global (lang, n_chars, id) rank,
-    // compare only within rank distance < 8 (the SQL spelling states
-    // the rank-window semantics directly; the catalog's bucket join is
-    // the scale plan for the same relation)
+    // compare only within rank distance < 8 — the bucket trick makes the
+    // rank-window pairing an equi-join Catalyst can hash (rank div 8
+    // buckets, one side replicated to its predecessor bucket)
     "q153_sorted_neighborhood" ->
       s"""WITH ranked AS (
         SELECT doc_id, shingle_hash48(text, 8) AS sh,
           CAST(ROW_NUMBER() OVER (ORDER BY lang, n_chars, doc_id) - 1 AS BIGINT) AS rn
         FROM documents
+      ), a AS (
+        SELECT rn div 8 AS bucket, doc_id AS id_a, sh AS sh_a, rn AS rn_a FROM ranked
+      ), b AS (
+        SELECT bucket, doc_id AS id_b, sh AS sh_b, rn AS rn_b
+        FROM ranked LATERAL VIEW explode(array(rn div 8, rn div 8 - 1)) t AS bucket
       ), p AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.rn - a.rn AS rank_dist,
-          CAST(size(array_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
-          CAST(size(a.sh) AS BIGINT) + CAST(size(b.sh) AS BIGINT)
-            - CAST(size(array_intersect(a.sh, b.sh)) AS BIGINT) AS n_union
-        FROM ranked a JOIN ranked b ON b.rn > a.rn AND b.rn <= a.rn + 7
+        SELECT a.id_a, b.id_b, b.rn_b - a.rn_a AS rank_dist,
+          CAST(size(array_intersect(a.sh_a, b.sh_b)) AS BIGINT) AS n_inter,
+          CAST(size(a.sh_a) AS BIGINT) + CAST(size(b.sh_b) AS BIGINT)
+            - CAST(size(array_intersect(a.sh_a, b.sh_b)) AS BIGINT) AS n_union
+        FROM a JOIN b ON a.bucket = b.bucket
+        WHERE b.rn_b > a.rn_a AND b.rn_b - a.rn_a < 8
       )
       SELECT id_a, id_b, rank_dist, n_inter, n_union,
         n_inter * 1000 div n_union AS jac_permille
