@@ -724,6 +724,245 @@ object SqlSurface {
       ORDER BY a.k, a.q_id"""
     },
 
+    // k-means IVF: hash-seeded centroids + 2 Lloyd rounds, fully
+    // unrolled as a relational WITH chain (exact decimal means/dots)
+    "q54_kmeans_ivf" -> {
+      def cnSql(i: Int) =
+        s"""cn_$i AS (
+        SELECT cid, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+        FROM cent_$i GROUP BY cid
+      )"""
+      def asgSql(i: Int) =
+        s"""dots_$i AS (
+        SELECT u.vec_id, ct.cid,
+          CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+        FROM ux u JOIN cent_$i ct ON ct.pos = u.pos GROUP BY u.vec_id, ct.cid
+      ), asg_$i AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY cn.cnorm2 - CAST(2.0 AS DOUBLE) * d.dot ASC, d.cid ASC) AS crn
+          FROM dots_$i d JOIN cn_$i cn ON cn.cid = d.cid) WHERE crn = 1
+      )"""
+      def centSql(i: Int) =
+        s"""cent_$i AS (
+        SELECT a.cell AS cid, u.pos, (${sumFast("u.x", 8)} / COUNT(*)) AS c
+        FROM ux u JOIN asg_${i - 1} a ON a.vec_id = u.vec_id GROUP BY a.cell, u.pos
+      )"""
+      val rounds = (1 to 2).map(i => s"${centSql(i)}, ${cnSql(i)}, ${asgSql(i)}")
+        .mkString(", ")
+      s"""WITH ux AS (
+        SELECT vec_id, CAST(pos0 + 1 AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x
+        FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos0, x
+      ), sd AS (
+        SELECT vec_id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(concat('seed#', CAST(vec_id AS STRING)) AS BINARY)), vec_id) - 1 AS cid
+        FROM embeddings
+      ), cent_0 AS (
+        SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
+        FROM ux u JOIN sd s ON s.vec_id = u.vec_id WHERE s.cid < 8
+      ), ${cnSql(0)}, ${asgSql(0)}, $rounds, en AS (
+        SELECT e.vec_id, a.cell, e.embedding,
+               dec_dot8(e.embedding, e.embedding) AS n2
+        FROM embeddings e JOIN asg_2 a ON a.vec_id = e.vec_id
+      ), pairs AS (
+        SELECT q.vec_id AS q_id, q.cell, c.vec_id AS c_id, q.n2 AS qn2, c.n2 AS cn2,
+          dec_dot8(q.embedding, c.embedding) AS dot
+        FROM en q JOIN en c ON q.cell = c.cell AND c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), scored AS (
+        SELECT q_id, cell, c_id,
+          CASE WHEN qn2 > 0 AND cn2 > 0 THEN dot / (sqrt(qn2) * sqrt(cn2)) END AS cos_sim
+        FROM pairs
+      ), r AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos_sim DESC, c_id) AS BIGINT) AS rnk
+        FROM scored
+      )
+      SELECT q_id, cell, rnk, c_id, cos_sim
+      FROM r WHERE rnk <= 3 ORDER BY q_id, rnk"""
+    },
+
+    // product quantization + ADC recall: two per-subspace Lloyd chains
+    // unrolled (q54's recipe, parameterized by slice + seed prefix),
+    // LUT distances vs the exact-decimal truth
+    "q92_pq_adc_recall" -> {
+      def chain(p: String, lo: Int): String = {
+        def cn(i: Int) =
+          s"""${p}cn_$i AS (
+        SELECT cid, CAST(SUM(CAST(round(c * c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS cnorm2
+        FROM ${p}cent_$i GROUP BY cid
+      )"""
+        def asg(i: Int) =
+          s"""${p}dots_$i AS (
+        SELECT u.vec_id, ct.cid,
+          CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS dot
+        FROM ${p}ux u JOIN ${p}cent_$i ct ON ct.pos = u.pos GROUP BY u.vec_id, ct.cid
+      ), ${p}asg_$i AS (
+        SELECT vec_id, cid AS cell FROM (
+          SELECT d.vec_id, d.cid, ROW_NUMBER() OVER (PARTITION BY d.vec_id
+            ORDER BY cn.cnorm2 - CAST(2.0 AS DOUBLE) * d.dot ASC, d.cid ASC) AS crn
+          FROM ${p}dots_$i d JOIN ${p}cn_$i cn ON cn.cid = d.cid) WHERE crn = 1
+      )"""
+        def centn(i: Int) =
+          s"""${p}cent_$i AS (
+        SELECT a.cell AS cid, u.pos, (${sumFast("u.x", 8)} / COUNT(*)) AS c
+        FROM ${p}ux u JOIN ${p}asg_${i - 1} a ON a.vec_id = u.vec_id
+        GROUP BY a.cell, u.pos
+      )"""
+        s"""${p}ux AS (
+        SELECT vec_id, CAST(pos0 + 1 AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x
+        FROM (SELECT vec_id, slice(embedding, $lo, 32) AS sub FROM embeddings)
+        LATERAL VIEW posexplode(sub) t AS pos0, x
+      ), ${p}sd AS (
+        SELECT vec_id, ROW_NUMBER() OVER (
+          ORDER BY md5(CAST(concat('$p#', CAST(vec_id AS STRING)) AS BINARY)), vec_id) - 1 AS cid
+        FROM embeddings
+      ), ${p}cent_0 AS (
+        SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
+        FROM ${p}ux u JOIN ${p}sd s ON s.vec_id = u.vec_id WHERE s.cid < 4
+      ), ${cn(0)}, ${asg(0)}, """ +
+          (1 to 2).map(i => s"${centn(i)}, ${cn(i)}, ${asg(i)}").mkString(", ")
+      }
+      def lutSql(p: String, m: Int) =
+        s"""lut$m AS (
+        SELECT u.vec_id AS q_id, ct.cid AS code$m,
+          cn.cnorm2 - CAST(2.0 AS DOUBLE) *
+            CAST(SUM(CAST(ROUND(u.x * ct.c, 8) AS DECIMAL(38,8))) AS DOUBLE) AS part$m
+        FROM ${p}ux u JOIN ${p}cent_2 ct ON ct.pos = u.pos
+        JOIN ${p}cn_2 cn ON cn.cid = ct.cid
+        WHERE u.vec_id < 8 GROUP BY u.vec_id, ct.cid, cn.cnorm2
+      )"""
+      s"""WITH ${chain("pq0", 1)}, ${chain("pq1", 33)}, codes AS (
+        SELECT e.vec_id, a0.cell AS code0, a1.cell AS code1
+        FROM embeddings e
+        JOIN pq0asg_2 a0 ON a0.vec_id = e.vec_id
+        JOIN pq1asg_2 a1 ON a1.vec_id = e.vec_id
+      ), ${lutSql("pq0", 0)}, ${lutSql("pq1", 1)}, adc AS (
+        SELECT l0.q_id, c.vec_id AS c_id, l0.part0 + l1.part1 AS adc_d2
+        FROM codes c
+        JOIN lut0 l0 ON l0.code0 = c.code0
+        JOIN lut1 l1 ON l1.code1 = c.code1 AND l1.q_id = l0.q_id
+        WHERE c.vec_id != l0.q_id
+      ), en AS (
+        SELECT vec_id, embedding, dec_dot8(embedding, embedding) AS n2 FROM embeddings
+      ), exact AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+          q.n2 + c.n2 - CAST(2.0 AS DOUBLE) * dec_dot8(q.embedding, c.embedding) AS d2_exact
+        FROM en q JOIN en c ON c.vec_id != q.vec_id
+        WHERE q.vec_id < 8
+      ), rk AS (
+        SELECT e.q_id, e.c_id,
+          ROW_NUMBER() OVER (PARTITION BY e.q_id ORDER BY e.d2_exact, e.c_id) AS re,
+          ROW_NUMBER() OVER (PARTITION BY e.q_id ORDER BY a.adc_d2, e.c_id) AS rq
+        FROM exact e JOIN adc a ON a.q_id = e.q_id AND a.c_id = e.c_id
+      ), ov AS (
+        SELECT a.q_id, COUNT(*) AS n_overlap5
+        FROM rk a JOIN rk b ON b.q_id = a.q_id AND b.c_id = a.c_id
+        WHERE a.re <= 5 AND b.rq <= 5 GROUP BY a.q_id
+      )
+      SELECT e1.q_id, e1.c_id AS exact_top1, q1.c_id AS pq_top1,
+        CAST(e1.c_id = q1.c_id AS INT) AS top1_match,
+        COALESCE(ov.n_overlap5, CAST(0 AS BIGINT)) AS n_overlap5,
+        CAST(COALESCE(ov.n_overlap5, 0) AS DOUBLE) / 5 AS recall5
+      FROM (SELECT q_id, c_id FROM rk WHERE re = 1) e1
+      JOIN (SELECT q_id, c_id FROM rk WHERE rq = 1) q1 ON q1.q_id = e1.q_id
+      LEFT JOIN ov ON ov.q_id = e1.q_id
+      ORDER BY e1.q_id"""
+    },
+
+    // MMR diverse top-5 from the 12 most-relevant candidates: the
+    // greedy selection unrolled as LIMIT-1 stages (λ = 1/2)
+    "q94_mmr_diverse" -> {
+      def stage(i: Int) =
+        s"""m$i AS (
+        SELECT s.a_id, MAX(s.sim) AS ms
+        FROM sims s JOIN selupto${i - 1} p ON p.c_id = s.b_id
+        GROUP BY s.a_id
+      ), s$i AS (
+        SELECT c.c_id FROM cand c JOIN m$i mm ON mm.a_id = c.c_id
+        WHERE c.c_id NOT IN (SELECT c_id FROM selupto${i - 1})
+        ORDER BY CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * mm.ms DESC, c.c_id
+        LIMIT 1
+      ), selupto$i AS (
+        SELECT c_id FROM selupto${i - 1} UNION ALL SELECT c_id FROM s$i
+      )"""
+      val stages = (2 to 5).map(stage).mkString(", ")
+      val ranks = (1 to 5).map(i =>
+        s"SELECT c_id, ${i}L AS pick_rank FROM s$i").mkString("\n        UNION ALL ")
+      s"""WITH en AS (
+        SELECT vec_id, embedding, dec_dot8(embedding, embedding) AS n2 FROM embeddings
+      ), enp AS (
+        SELECT * FROM en WHERE n2 > 0
+      ), cand AS (
+        SELECT c.vec_id AS c_id, c.embedding AS ce, c.n2 AS cn2,
+          dec_dot8(c.embedding, q.embedding) / (sqrt(c.n2) * sqrt(q.n2)) AS rel
+        FROM enp c CROSS JOIN (SELECT embedding, n2 FROM enp WHERE vec_id = 0) q
+        WHERE c.vec_id != 0
+        ORDER BY rel DESC, c.vec_id LIMIT 12
+      ), sims AS (
+        SELECT a.c_id AS a_id, b.c_id AS b_id,
+          dec_dot8(a.ce, b.ce) / (sqrt(a.cn2) * sqrt(b.cn2)) AS sim
+        FROM cand a JOIN cand b ON a.c_id != b.c_id
+      ), s1 AS (
+        SELECT c_id FROM cand ORDER BY rel DESC, c_id LIMIT 1
+      ), selupto1 AS (
+        SELECT c_id FROM s1
+      ), $stages, sel AS (
+        $ranks
+      ), msprev AS (
+        SELECT sa.pick_rank AS ar, s.a_id, MAX(s.sim) AS max_sim_prev
+        FROM sims s
+        JOIN sel sb ON sb.c_id = s.b_id
+        JOIN sel sa ON sa.c_id = s.a_id
+        WHERE sb.pick_rank < sa.pick_rank
+        GROUP BY sa.pick_rank, s.a_id
+      )
+      SELECT se.pick_rank, se.c_id, c.rel, m.max_sim_prev,
+        CASE WHEN se.pick_rank > 1
+             THEN CAST(0.5 AS DOUBLE) * c.rel - CAST(0.5 AS DOUBLE) * m.max_sim_prev
+        END AS mmr
+      FROM sel se JOIN cand c ON c.c_id = se.c_id
+      LEFT JOIN msprev m ON m.a_id = se.c_id
+      ORDER BY se.pick_rank"""
+    },
+
+    // greedy k-center coreset (8 rounds unrolled): each round's
+    // farthest point joins as its one materialized row
+    "q167_kcenter_coreset" -> {
+      def mRound(r: Int): String =
+        s"""t$r AS (
+        SELECT vec_id AS cid, md FROM m${r - 1} ORDER BY md DESC, vec_id LIMIT 1
+      ), ct$r AS (
+        SELECT c.* FROM en c JOIN t$r t ON c.vec_id = t.cid
+      ), m$r AS (
+        SELECT m.vec_id, LEAST(m.md,
+          p.n2 + c.n2 - CAST(2.0 AS DOUBLE) * ord_dot(p.embedding, c.embedding)) AS md
+        FROM m${r - 1} m
+        JOIN en p ON p.vec_id = m.vec_id
+        CROSS JOIN ct$r c
+      )"""
+      s"""WITH en AS (
+        SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2 FROM embeddings
+      ), c1 AS (
+        SELECT MIN(vec_id) AS cid FROM en
+      ), ct1 AS (
+        SELECT c.* FROM en c JOIN c1 t ON c.vec_id = t.cid
+      ), m1 AS (
+        SELECT p.vec_id,
+          p.n2 + c.n2 - CAST(2.0 AS DOUBLE) * ord_dot(p.embedding, c.embedding) AS md
+        FROM en p CROSS JOIN ct1 c
+      ), ${(2 to 8).map(mRound).mkString(",\n      ")},
+      tR AS (
+        SELECT md FROM m8 ORDER BY md DESC, vec_id LIMIT 1
+      )
+      SELECT * FROM (
+        SELECT 1L AS round, c.cid AS center_id, CAST(NULL AS DOUBLE) AS radius2 FROM c1 c
+        ${(2 to 8).map(r =>
+          s"UNION ALL SELECT ${r}L, t.cid, t.md FROM t$r t").mkString("\n        ")}
+        UNION ALL SELECT 9L, CAST(NULL AS BIGINT), t.md FROM tR t
+      ) ORDER BY round"""
+    },
+
     // SemDeDup: in-cell cosine dominance with the hot-cell star guard
     "q77_semantic_dedup" ->
       s"""WITH $ivfAssignSparkSql, en0 AS (
@@ -3323,6 +3562,50 @@ object SqlSurface {
       )
       SELECT query_id, rnk, doc_id, score, n_terms_hit
       FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""",
+
+    // BPE merge-rule training, 3 rounds unrolled (argmax pair via a
+    // LIMIT-1 CTE, merge applied through scalar-subquery replace)
+    "q163_bpe_merge_train" -> {
+      def round(r: Int): String = {
+        val in = s"e${r - 1}"
+        s"""p$r AS (
+        SELECT element_at(s0, i) AS lhs, element_at(s0, i + 1) AS rhs,
+          SUM(n) AS pair_n
+        FROM (
+          SELECT n, s0, i
+          FROM (SELECT n, filter(split(enc, ' '), x -> x != '') AS s0 FROM $in)
+          LATERAL VIEW explode(sequence(1, size(s0) - 1)) t AS i
+          WHERE size(s0) >= 2
+        ) GROUP BY element_at(s0, i), element_at(s0, i + 1)
+      ), t$r AS (
+        SELECT lhs, rhs, pair_n FROM p$r ORDER BY pair_n DESC, lhs, rhs LIMIT 1
+      ), e$r AS (
+        SELECT i.n, replace(i.enc,
+          concat(' ', t.lhs, '  ', t.rhs, ' '),
+          concat(' ', t.lhs, t.rhs, ' ')) AS enc
+        FROM $in i CROSS JOIN t$r t
+      ), a$r AS (
+        SELECT SUM(n * size(filter(split(enc, ' '), x -> x != ''))) AS tokens_after
+        FROM e$r
+      )"""
+      }
+      s"""WITH w AS (
+        SELECT word, COUNT(*) AS n FROM (
+          SELECT explode(regexp_extract_all(text, ${sq("\\p{L}+")}, 0)) AS word
+          FROM documents
+        ) GROUP BY word
+      ), e0 AS (
+        SELECT n, concat('  ', array_join(transform(sequence(1, length(word)),
+          i -> substring(word, i, 1)), '  '), '  </w>  ') AS enc
+        FROM w
+      ), ${(1 to 3).map(round).mkString(",\n      ")}
+      SELECT * FROM (
+        ${(1 to 3).map(r =>
+          s"SELECT ${r}L AS merge_rank, t.lhs, t.rhs, t.pair_n, a.tokens_after " +
+            s"FROM t$r t CROSS JOIN a$r a")
+          .mkString("\n        UNION ALL\n        ")}
+      ) ORDER BY merge_rank"""
+    },
 
     // exact frequent itemsets (sizes 1-3) at 60% support — the SQL text
     // states the global-count semantics the SON two-phase computes
