@@ -126,6 +126,24 @@ object ScaleBench {
       val emb = spark.read.parquet(s"$baseDir/embeddings.parquet")
       val nE = emb.count()
       val dim = emb.select(size(col("embedding"))).first().getInt(0)
+      // Label mode. "shared" (default): every copy keeps the base label,
+      // so the clEn cluster COUNT stays 10 and in-cluster DENSITY grows
+      // Copies× — in-cluster values are rotated iid-uniform noise, so at
+      // 1000× each cluster is ~200k points with full distance
+      // concentration: the adversarial no-local-structure regime where
+      // exact-top-k recall is unavailable to ANY sublinear index (the
+      // round-14 receipts measure exactly that). "percopy": each copy
+      // gets fresh labels (label + k·nLabels), so the clEn cluster COUNT
+      // grows Copies× at fixed ~200-point cluster size — the growth mode
+      // real embedding corpora have (new content adds new local
+      // neighborhoods; it does not thicken existing noise balls). The
+      // ANN serving receipts use percopy; see PERF.md round 15.
+      val perCopyLabels =
+        sys.env.getOrElse("SPARK_GRAFT_EMB_LABEL_MODE", "shared") == "percopy"
+      val nLab =
+        if (perCopyLabels)
+          emb.agg(countDistinct(col("label"))).first().getLong(0).toInt
+        else 0
       writeCommitted((0 until Copies).map { k =>
         val rot = k % dim
         val rotatedC =
@@ -142,7 +160,8 @@ object ScaleBench {
         emb.select(
           (col("vec_id") + lit(k * nE)).as("vec_id"),
           flipped.as("embedding"),
-          col("label"))
+          (if (perCopyLabels) (col("label") + lit(k * nLab)).cast("int")
+           else col("label")).as("label"))
       }.reduce(_ unionByName _), s"$outDir/embeddings.parquet")
     }
 
@@ -282,12 +301,20 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val out = new java.io.File(s"target/scale$Copies").getAbsolutePath
+    // SPARK_GRAFT_SCALE_SUFFIX names a VARIANT corpus dir (e.g. "pc" for
+    // the percopy-label embeddings) so it never clobbers the default
+    // artifacts other probes reuse.
+    val out = new java.io.File(s"target/scale$Copies" +
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_SUFFIX", "")).getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // gen() self-guards per table (committed `_SUCCESS` markers), so an
     // existing scale dir is upgraded in place and a crashed leg is
     // retried without regenerating the healthy artifacts
     gen(spark, base, out)
+    if (sys.env.get("SPARK_GRAFT_SCALE_GEN_ONLY").contains("1")) {
+      println(s"""{"metric":"scale_gen_only","dir":"$out"}""")
+      spark.stop(); return
+    }
 
     // JIT/codegen warmup at the small scale so both measured scales are
     // equally warm

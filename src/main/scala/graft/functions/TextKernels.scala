@@ -398,6 +398,62 @@ object TextKernels {
   }
 
   // ------------------------------------------------------------------
+  /** `sorted_inter_count(a, b)` → `BIGINT`: intersection size of two
+    * ascending-sorted duplicate-free BIGINT arrays by one merge scan —
+    * O(|a|+|b|) per pair, zero allocation, no per-pair hash set. For
+    * inputs satisfying the contract (`array_sort` over a set, e.g. a
+    * sorted [[ShingleHash48]] array) this equals
+    * `size(array_intersect(a, b))` exactly; unsorted inputs produce
+    * undefined counts. Exists for the verify stage of windowed dedup
+    * (q153): each document meets ~2·W window partners, so sorting once
+    * per document and merge-counting per pair replaces ~2·W hash-set
+    * builds — the dominant 1000×-scale cost measured in PERF.md r15.
+    */
+  case class SortedInterCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+    override def prettyName: String = "sorted_inter_count"
+    override def dataType: DataType = LongType
+    override def checkInputDataTypes(): TypeCheckResult = {
+      def longArray(dt: DataType) = dt match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (longArray(left.dataType) && longArray(right.dataType))
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"sorted_inter_count expects (array<bigint>, array<bigint>), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      TextKernels.sortedInterCountCompute(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"graft.functions.TextKernels.sortedInterCountCompute($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  def sortedInterCountCompute(
+      a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  // ------------------------------------------------------------------
   /** Idempotent session registration of the kernels. */
   def ensureRegistered(spark: SparkSession): Unit = {
     import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
@@ -412,6 +468,8 @@ object TextKernels {
       exprs => ShingleHash48(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("char_grams",
       exprs => CharGrams(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("sorted_inter_count",
+      exprs => SortedInterCount(exprs(0), exprs(1)), "built-in")
   }
 
   val registrations: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -426,5 +484,8 @@ object TextKernels {
       exprs => ShingleOverlap(exprs(0), exprs(1), exprs(2))),
     (FunctionIdentifier("shingle_hash48"),
       new ExpressionInfo(classOf[ShingleHash48].getName, "shingle_hash48"),
-      exprs => ShingleHash48(exprs(0), exprs(1))))
+      exprs => ShingleHash48(exprs(0), exprs(1))),
+    (FunctionIdentifier("sorted_inter_count"),
+      new ExpressionInfo(classOf[SortedInterCount].getName, "sorted_inter_count"),
+      exprs => SortedInterCount(exprs(0), exprs(1))))
 }

@@ -15,6 +15,13 @@ import org.apache.spark.sql.SparkSession
   * Usage: `sbt "runMain graft.sql.SqlParity <sfDir>"`. Prints one line
   * per query (`OK`/`MISMATCH` + row count) and a summary; exits 1 on
   * any mismatch.
+  *
+  * Contract: the row-for-row zip compare relies on every text ending in
+  * a TIE-FREE total ORDER BY (the catalog's `Q.presentSorted`
+  * determinism contract — every surface text mirrors its catalog
+  * query's presentation sort, which always includes a unique key). A
+  * text with a tie-permitting sort would flake here; SqlSurfaceSpec's
+  * gate-scale compare would catch it first.
   */
 object SqlParity {
   def main(args: Array[String]): Unit = {
@@ -47,7 +54,12 @@ object SqlParity {
             bad.map { case ((x, y), i) => s"MISMATCH row $i: $x vs $y" }
               .getOrElse(s"OK rows=${a.length}")
           }
-        } catch { case e: Throwable => s"ERROR ${e.getMessage.take(200)}" }
+        } catch {
+          // NonFatal only: an OOM or JVM fault must kill the sweep, not
+          // masquerade as a per-query ERROR line in a green-looking run
+          case scala.util.control.NonFatal(e) =>
+            s"ERROR ${String.valueOf(e.getMessage).take(200)}"
+        }
       if (!outcome.startsWith("OK")) fails += 1
       println(f"[parity] $name%-32s $outcome (${(System.nanoTime() - t0) / 1e9}%.1fs)")
     }

@@ -2359,10 +2359,13 @@ object TextQueries {
       graft.functions.TextKernels.ensureRegistered(s)
       // shingle ONCE per doc, before the rank: the hash array (not the
       // text) rides the range shuffle, the GlobalRank persist, and the
-      // 2×-replicated bucket join.
+      // 2×-replicated bucket join. SORTED once per doc, so the ~2·W
+      // window pairs each doc meets merge-count in O(|a|+|b|)
+      // (sorted_inter_count) instead of building 2·W per-pair hash sets
+      // — the 1000×-scale verify cost, see PERF.md r15.
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"),
-          expr(s"shingle_hash48(text, $N)").as("sh"))
+          array_sort(expr(s"shingle_hash48(text, $N)")).as("sh"))
       val ranked = graft.rel.GlobalRank
         .withGlobalRank(d, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
         .select(col("doc_id"), col("sh"), col("rn"))
@@ -2376,7 +2379,12 @@ object TextQueries {
           col("doc_id").as("id_b"), col("sh").as("sh_b"), col("rn").as("rn_b"))
       a.join(b, Seq("bucket"))
         .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") < SnmW)
-        .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+        // exact-safe Jaccard-bound prune BEFORE the intersection:
+        // jac ≤ min(|a|,|b|)/max(|a|,|b|), so τ = 0.5 requires
+        // 2·min ≥ max — pairs failing it cannot reach the final filter
+        .filter(size(col("sh_a")) * 2 >= size(col("sh_b")) &&
+          size(col("sh_b")) * 2 >= size(col("sh_a")))
+        .withColumn("n_inter", expr("sorted_inter_count(sh_a, sh_b)"))
         .withColumn("n_union",
           size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_inter"))
         .select(col("id_a"), col("id_b"),

@@ -124,6 +124,20 @@ class KernelParitySpec extends SparkTestBase {
     assertNoDiff(bad, "shingle_hash48")
   }
 
+  test("sorted_inter_count ≡ size(array_intersect) on all doc pairs") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val sh = docs.select(col("doc_id"),
+      expr(s"array_sort(shingle_hash48(text, $N))").as("sh"))
+    val pairs = sh.as("a").crossJoin(sh.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"),
+        expr("sorted_inter_count(a.sh, b.sh)").as("k"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("r"))
+    assertNoDiff(pairs.filter(col("k") =!= col("r")), "sorted_inter_count")
+    // non-degenerate check: some pair must actually intersect
+    assert(pairs.filter(col("k") > 0).count() > 0)
+  }
+
   test("rolling_hash ≡ per-window Horner slice+aggregate formulation") {
     graft.functions.RollingHash.ensureRegistered(spark)
     val M = 1000000007L; val B = 131L
