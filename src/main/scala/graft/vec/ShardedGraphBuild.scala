@@ -187,7 +187,19 @@ object ShardedGraphBuild {
       .select("src", "nbr")
       .filter(col("nbr") =!= col("src"))
     val init = VectorQueries.dedupBySrc(pairs)
+    val edges = refine(en, init, k, rounds, sample)
+    idx.unpersist()
+    edges
+  }
 
+  /** The sampled NN-descent refinement loop over an arbitrary init pair
+    * frame — the tail of [[buildSharded]], factored out so alternative
+    * init strategies ([[buildLshInit]]) share it verbatim. Scores the
+    * init exactly, keeps top-`k` per node, then `rounds` ρ-sampled
+    * neighbor-of-neighbor rounds; checkpoints per generation.
+    */
+  private[graft] def refine(en: DataFrame, init: DataFrame, k: Int,
+                            rounds: Int, sample: Int): DataFrame = {
     // exact squared L2 over a (src, nbr) pair frame: two linear hash
     // joins on vec_id, ordered-fold dots (the buildNdEdges recipe)
     def withD2(p: DataFrame): DataFrame =
@@ -232,7 +244,89 @@ object ShardedGraphBuild {
         .withColumn("rn", row_number().over(wK)).filter(col("rn") <= k)
         .drop("rn").checkpoint()
     }
-    idx.unpersist()
+    edges
+  }
+
+  /** LSH-bucket deterministic init pairs — the init granularity fix the
+    * percopy 2 M receipt asked for: in-cell random draws at ~8 k-point
+    * coarse cells almost never land inside a ~200-point true
+    * neighborhood (expected ≈ k·cluster/cell ≈ 0.4 draws), and sampled
+    * NN-descent cannot recover from a near-empty start
+    * (graph_recall 0.068, receipts/sharded_build_percopy_2m_r15.json).
+    * A `bits`-bit random-hyperplane band code (the q72 encoder) buckets
+    * the corpus at ~N/2^bits granularity — 16 bits ⇒ ~30-point buckets
+    * at 2 M — and same-bucket nodes are geometrically close w.h.p., so
+    * the init starts INSIDE neighborhoods. Each node pairs with its `j`
+    * ring-successors per (band, code) bucket (rank by the portable
+    * 48-bit hash; bucket capped at `cap`, the q48 hot-bucket guard):
+    * O(N·bands·j) edges, never bucket-quadratic.
+    */
+  private[graft] def lshInitPairs(en: DataFrame, bands: Int, bits: Int,
+                                  j: Int, cap: Int): DataFrame = {
+    graft.functions.LshBandCodes.ensureRegistered(en.sparkSession)
+    val codes = en.select(col("vec_id"),
+      posexplode(expr(s"lsh_band_codes(embedding, $bands, $bits)"))
+        .as(Seq("band", "code")))
+    val w = Window.partitionBy("band", "code").orderBy(col("hs"), col("vec_id"))
+    val ranked = codes
+      .withColumn("hs", h48("sgl#", col("vec_id"), col("band")))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= cap)
+      .select("band", "code", "r", "vec_id")
+    val pairs = (1 to j).map { d =>
+      ranked.select(col("band"), col("code"), (col("r") + d).as("r"),
+          col("vec_id").as("src"))
+        .join(ranked.select(col("band"), col("code"), col("r"),
+          col("vec_id").as("nbr")), Seq("band", "code", "r"))
+        .select("src", "nbr")
+    }.reduce(_ union _)
+    val sym = pairs
+      .union(pairs.select(col("nbr").as("src"), col("src").as("nbr")))
+      .filter(col("src") =!= col("nbr"))
+    VectorQueries.dedupBySrc(sym)
+  }
+
+  /** The LSH-init sharded build: [[lshInitPairs]] ∪ the runner-up-cell
+    * boundary stitch (kept for cross-cell navigability), refined by the
+    * same sampled NN-descent loop as [[buildSharded]].
+    */
+  def buildLshInit(en: DataFrame, cent: DataFrame, k: Int, kAlt: Int,
+                   rounds: Int, sample: Int, bands: Int = 4,
+                   bits: Int = 16, j: Int = 4, cap: Int = 256): DataFrame = {
+    val s = en.sparkSession
+    VectorQueries.ensureCkptDir(s)
+    val lshPairs = lshInitPairs(en, bands, bits, j, cap)
+    var idxToFree: Option[DataFrame] = None
+    val init =
+      if (kAlt <= 0) lshPairs
+      else {
+        // runner-up-cell stitch draws (the buildSharded leg, verbatim)
+        val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+        val assigned = assignOrd(en.select("vec_id", "embedding"), cent,
+          second = true)
+        val idx = assigned
+          .select(col("vec_id"), col("cell"), col("cell2"))
+          .withColumn("r",
+            row_number().over(Window.partitionBy("cell").orderBy("vec_id"))
+              .cast("long") - 1)
+          .persist(lvl)
+        val sz = idx.groupBy("cell").agg(count(lit(1)).as("csz")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val szMap = map(sz.flatMap { case (c, n) => Seq(lit(c), lit(n)) }: _*)
+        val alt = idx.select(col("vec_id").as("src"), col("cell2").as("tc"))
+          .withColumn("csz", try_element_at(szMap, col("tc")))
+          .filter(col("csz").isNotNull)
+          .withColumn("jd", explode(expr(s"sequence(1, $kAlt)")))
+          .withColumn("rr", h48("sga#", col("src"), col("jd")) % col("csz"))
+          .join(idx.select(col("cell").as("tc"), col("r").as("rr"),
+            col("vec_id").as("nbr")), Seq("tc", "rr"))
+          .select("src", "nbr")
+          .filter(col("nbr") =!= col("src"))
+        idxToFree = Some(idx)
+        VectorQueries.dedupBySrc(lshPairs.union(alt))
+      }
+    val edges = refine(en, init, k, rounds, sample)
+    idxToFree.foreach(_.unpersist())
     edges
   }
 

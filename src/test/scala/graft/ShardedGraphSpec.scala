@@ -84,6 +84,27 @@ class ShardedGraphSpec extends SparkTestBase {
         "probe's cell/runner-up (scanned exactly) or found by the beam here")
   }
 
+  test("LSH-init build: deterministic, degree-bounded, build quality ≥ in-cell init") {
+    def lshOnce() = ShardedGraphBuild.buildLshInit(cl, cent, k = 8, kAlt = 2,
+      rounds = 1, sample = 6, bands = 4, bits = 8, j = 4)
+    val a = lshOnce().orderBy("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val b = lshOnce().orderBy("src", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(a.nonEmpty && a.toSeq === b.toSeq, "LSH-init build must be deterministic")
+    val edges = lshOnce()
+    val maxDeg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(max("d")).first().getLong(0)
+    assert(maxDeg <= 8, s"out-degree $maxDeg exceeds k=8")
+    def gRec(e: org.apache.spark.sql.DataFrame) =
+      ShardedGraphBuild.graphRecall(cl, e, 32, 6)
+        .agg(avg("graph_recall")).first().getDouble(0)
+    val (gLsh, gCell) = (gRec(edges), gRec(buildOnce()))
+    info(f"graph_recall@6: lsh-init=$gLsh%.4f in-cell-init=$gCell%.4f")
+    assert(gLsh >= gCell - 1e-12,
+      f"bucket-granular init must not build a worse graph ($gLsh%.4f < $gCell%.4f)")
+  }
+
   test("K=1 codebook degenerates cleanly: stitch folds into in-cell draws") {
     val c1 = ShardedGraphBuild.coarseCentroids(cl, 1, 1, 1)
     val edges = ShardedGraphBuild.buildSharded(cl, c1, k = 6, kAlt = 2,
