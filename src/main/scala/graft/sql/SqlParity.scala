@@ -37,7 +37,10 @@ object SqlParity {
     spark.sparkContext.setLogLevel("WARN")
 
     var fails = 0
+    // optional second arg: comma-separated subset for targeted re-proof
+    val subset = if (args.length > 1) Some(args(1).split(",").toSet) else None
     val names = SqlSurface.texts.keys.toSeq.sorted
+      .filter(n => subset.forall(_.contains(n)))
     for (name <- names) {
       val t0 = System.nanoTime()
       val outcome =

@@ -2330,6 +2330,68 @@ object TextQueries {
   // --------------------------------------------------------------- q153
   private val SnmW = 8 // sorted-neighborhood window (rank distance < W)
 
+  /** The SNM pairing over a globally-ranked frame `(doc_id, sh, rn)`,
+    * returning SCORED pairs `(id_a, id_b, rank_dist, n_inter, n_union)`.
+    *
+    * ZERO-JOIN for the bulk: within coarse rank buckets (`rn div B`)
+    * each row reads its W−1 successors via `lead(struct(id, sh), i)` —
+    * a pipelined projection, never a shuffled/sorted join side — and
+    * every pair is scored INLINE in that same projection
+    * (`sorted_inter_count` against the W−1 lead arrays), so only four
+    * SCALARS per pair ride the explode: at 5 M docs the array-exploding
+    * variant memcpy'd ~84 GB of shingle arrays into the pair stream —
+    * measured 705 s wall (PERF.md r15) — where this shape copies ~2 GB.
+    * The ≤ W−1 rows at each bucket seam pair through a separate
+    * equi-join over the 2·(W−1)/B seam slice. Exactness: a pair
+    * (rnₐ, rn_b) with 0 < rn_b − rnₐ < W is either same-bucket (the
+    * lead pass emits it, rank_dist = the lead offset) or crosses
+    * exactly one boundary (rnₐ mod B ≥ B−W+1 ∧ rn_b mod B < W−1 — the
+    * seam pass emits it); the two conditions are disjoint, so the
+    * union is exact with no dedup step. `b` is a parameter so the spec
+    * can shrink it and exercise seams at gate scale.
+    */
+  private[graft] def snmWindowPairs(ranked: DataFrame, w: Int,
+                                    b: Long = 65536L): DataFrame = {
+    val wL = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr(s"rn div ${b}L")).orderBy("rn")
+    def score(aSh: org.apache.spark.sql.Column,
+              bSh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      call_function("sorted_inter_count", aSh, bSh)
+    val leadPairs = ranked
+      .withColumn("nb", array((1 until w).map(i =>
+        lead(struct(col("doc_id").as("id"), col("sh").as("shb")), i)
+          .over(wL)): _*))
+      // scalar pair records, scored against the in-row lead arrays;
+      // null lead = bucket seam (or corpus end) — the seam pass owns it
+      .select(col("doc_id").as("id_a"),
+        posexplode(array((1 until w).map { i =>
+          val nb = col("nb").getItem(i - 1)
+          when(nb.isNotNull, struct(
+            nb.getField("id").as("id_b"),
+            lit(i.toLong).as("rank_dist"),
+            score(col("sh"), nb.getField("shb")).as("n_inter"),
+            (size(col("sh")) + size(nb.getField("shb"))).cast("long").as("szsum")))
+        }: _*)).as(Seq("p0", "pr")))
+      .filter(col("pr").isNotNull)
+      .select(col("id_a"), col("pr.id_b").as("id_b"),
+        col("pr.rank_dist").as("rank_dist"), col("pr.n_inter").as("n_inter"),
+        (col("pr.szsum") - col("pr.n_inter")).as("n_union"))
+    val seamA = ranked.filter(col("rn") % b >= b - (w - 1))
+      .select((expr(s"rn div ${b}L") + 1).as("sb"), col("doc_id").as("id_a"),
+        col("sh").as("sh_a"), col("rn").as("rn_a"))
+    val seamB = ranked.filter(col("rn") % b < w - 1)
+      .select(expr(s"rn div ${b}L").as("sb"), col("doc_id").as("id_b"),
+        col("sh").as("sh_b"), col("rn").as("rn_b"))
+    val seamPairs = seamA.join(seamB, Seq("sb"))
+      .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") < w)
+      .withColumn("n_inter", score(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("rn_b") - col("rn_a")).as("rank_dist"), col("n_inter"),
+        (size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") -
+          col("n_inter")).as("n_union"))
+    leadPairs.union(seamPairs)
+  }
+
   /** Sorted-neighborhood (SNM) near-dup detection — the third classic
     * dedup blocking family next to LSH banding (q48/q67) and winnowing
     * (q108): sort the corpus by a cheap blocking key, compare each doc
@@ -2340,10 +2402,18 @@ object TextQueries {
     * Scale shape: the global sort-order rank comes from
     * [[graft.rel.GlobalRank]] (range shuffle + per-partition offsets —
     * no single-partition window), and the "rank distance < W" pairing
-    * is NOT a range join: ranks are bucketed by `rn div W` and the
-    * right side is replicated to its own and the previous bucket, so
-    * the pairing is one equi-join on the bucket id (bounded 2×
-    * replication), then the exact distance filter.
+    * is ZERO-JOIN: within coarse rank buckets (`rn div 65536`, ~76
+    * window partitions at 5 M docs) each row reads its W−1 successors
+    * via `lead(struct(id, sh), i)` — the pair stream is a pipelined
+    * projection, never a shuffled/sorted join side — and the ≤ W−1
+    * rows at each bucket seam pair through a separate equi-join over
+    * the 2·(W−1)/65536 seam slice (KB-scale). The round-14 bucket
+    * equi-join spelling (kept in the SQL surface text) re-shuffled the
+    * 2.4 KB shingle arrays three times and double-replicated them into
+    * a sort-merge join — ~84 GB of shuffle+spill at 5 M docs, over
+    * this box's disk; the lead plan ships the arrays twice (rank
+    * shuffle + window shuffle, ~24 GB) and spills nothing else
+    * (PERF.md r15).
     *
     * Shingle-once verification: each document's distinct-shingle set is
     * materialized ONCE as a 48-bit-hash array (`shingle_hash48` kernel)
@@ -2357,39 +2427,30 @@ object TextQueries {
   val q153 = Q("q153_sorted_neighborhood",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
-      // shingle ONCE per doc, before the rank: the hash array (not the
-      // text) rides the range shuffle, the GlobalRank persist, and the
-      // 2×-replicated bucket join. SORTED once per doc, so the ~2·W
-      // window pairs each doc meets merge-count in O(|a|+|b|)
-      // (sorted_inter_count) instead of building 2·W per-pair hash sets
-      // — the 1000×-scale verify cost, see PERF.md r15.
+      // The rank is computed on a SLIM frame (three scalars per doc —
+      // GlobalRank's range shuffle, persist and offset pass all move
+      // ~24 B rows) and broadcast back onto the shingle-array frame, so
+      // the 2.4 KB/doc hash arrays make exactly ONE trip through an
+      // exchange: the window's bucket partitioning inside
+      // [[snmWindowPairs]], where every pair is also scored, and only
+      // scalar pair records leave. The measured ladder at 5 M docs
+      // (PERF.md r15): arrays through rank+join+window ≈ 84 GB spill
+      // (over this box's disk); arrays through rank+window ≈ 55 GB,
+      // 674 s; this shape ≈ one 12 GB exchange. At a corpus where the
+      // (doc_id, rn) map outgrows the driver, swap the broadcast for a
+      // shuffle join — the arrays then ship twice, still the floor for
+      // a plan that must co-locate rank-adjacent documents.
+      val slim = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val rnMap = graft.rel.GlobalRank
+        .withGlobalRank(slim, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
+        .select(col("doc_id"), col("rn"))
       val d = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("n_chars"),
+        .select(col("doc_id"),
           array_sort(expr(s"shingle_hash48(text, $N)")).as("sh"))
-      val ranked = graft.rel.GlobalRank
-        .withGlobalRank(d, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
+      val ranked = d.join(broadcast(rnMap), "doc_id")
         .select(col("doc_id"), col("sh"), col("rn"))
-      val a = ranked
-        .withColumn("bucket", expr(s"rn div $SnmW"))
-        .select(col("bucket"), col("doc_id").as("id_a"),
-          col("sh").as("sh_a"), col("rn").as("rn_a"))
-      val b = ranked
-        .select(explode(array(expr(s"rn div $SnmW"), expr(s"rn div $SnmW - 1")))
-            .as("bucket"),
-          col("doc_id").as("id_b"), col("sh").as("sh_b"), col("rn").as("rn_b"))
-      a.join(b, Seq("bucket"))
-        .filter(col("rn_b") > col("rn_a") && col("rn_b") - col("rn_a") < SnmW)
-        // exact-safe Jaccard-bound prune BEFORE the intersection:
-        // jac ≤ min(|a|,|b|)/max(|a|,|b|), so τ = 0.5 requires
-        // 2·min ≥ max — pairs failing it cannot reach the final filter
-        .filter(size(col("sh_a")) * 2 >= size(col("sh_b")) &&
-          size(col("sh_b")) * 2 >= size(col("sh_a")))
-        .withColumn("n_inter", expr("sorted_inter_count(sh_a, sh_b)"))
-        .withColumn("n_union",
-          size(col("sh_a")).cast("long") + size(col("sh_b")).cast("long") - col("n_inter"))
-        .select(col("id_a"), col("id_b"),
-          (col("rn_b") - col("rn_a")).as("rank_dist"),
-          col("n_inter"), col("n_union"))
+      snmWindowPairs(ranked, SnmW)
         .filter(col("n_union") > 0)
         .withColumn("jac_permille", expr("n_inter * 1000 div n_union"))
         .filter(col("jac_permille") >= 500)

@@ -163,4 +163,26 @@ class DedupScaleGuardSpec extends SparkTestBase {
         s"planted near-dup pair $j must be found")
     }
   }
+
+  test("snmWindowPairs (lead + seam) ≡ the rank theta-join at every bucket size") {
+    val sess = spark
+    import sess.implicits._
+    graft.functions.TextKernels.ensureRegistered(spark)
+    // 200 ranked rows with singleton "shingle" arrays; rank = id
+    val ranked = (0L until 200L).map(i => (i, Seq(i), i))
+      .toDF("doc_id", "sh", "rn")
+    val ref = ranked.as("a").join(ranked.as("b"),
+        col("b.rn") > col("a.rn") && col("b.rn") - col("a.rn") < 8)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        (col("b.rn") - col("a.rn")).as("rank_dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // b=16: many seams; b=64: few; b=1024 > n: pure lead pass
+    for (b <- Seq(16L, 64L, 1024L)) {
+      val got = TextQueries.snmWindowPairs(ranked, 8, b)
+        .select("id_a", "id_b", "rank_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length === got.toSet.size, s"b=$b: duplicate pairs emitted")
+      assert(got.toSet === ref, s"b=$b: pair set differs from the theta join")
+    }
+  }
 }
