@@ -2833,6 +2833,18 @@ object VectorQueries {
     * is already past its recall ceiling, so it clamps; above the last
     * anchor the final segment's slope extends (each further 10× of cell
     * size adds the 10×→100× increments).
+    *
+    * PREMISE (measured, round 15): the law presumes neighborhoods with
+    * internal contrast — cells whose exact top-k stand out from the
+    * rest of the cell. On CONCENTRATED in-cell geometry (iid-uniform
+    * cells at ≥ ~10³ points in 64 dims: the shared-label 1000× corpus,
+    * and even the tight 200-point percopy clusters) graph recall is
+    * bounded near degree/cell-size REGARDLESS of build quality or
+    * init granularity — receipts/lsh_graph_percopy_2m_r15.json and
+    * PERF.md r15 measure the ceiling three ways. There the serving
+    * answer is the IVF cell scan ([[graft.vec.IvfServe]], recall 1.0
+    * at < 1 % scored), not a larger beam: extrapolating THIS law into
+    * that regime buys exploration that cannot help.
     */
   private[graft] def tunedConfig(n: Long, cells: Int): ClConfig = {
     val cell = math.max(1.0, n.toDouble / math.max(1, cells))
