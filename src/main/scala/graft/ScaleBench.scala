@@ -34,6 +34,17 @@ object ScaleBench {
     * (k%10, k/10%10, k/100) — 1000 distinct maps, and k<100 keeps the
     * identity so the 10x/100x corpora are byte-identical to prior
     * rounds' artifacts.
+    *
+    * EMBEDDING transforms are coarser (spec-pinned, round 15): the
+    * flip stage cycles through only 6 single-bit masks ((j−1) % 6 for
+    * j = k/64 ≥ 1) plus the j = 0 identity, so there are exactly
+    * 64 rotations × 7 flips = 448 distinct transforms — shared-label
+    * copies k and k+384 (k ≥ 64) carry EXACT duplicate vectors at
+    * 1000×. Copy 0 (the probe set: identity transform) has no twin,
+    * so the recall audits are unaffected; in `percopy` label mode the
+    * per-copy clEn offsets separate the twins geometrically anyway.
+    * Consumers needing fully distinct embeddings at 1000× should use
+    * percopy mode.
     */
   private val Copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
   private val alphabet = "etaoinsrhl"

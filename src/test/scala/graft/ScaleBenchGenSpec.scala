@@ -55,4 +55,21 @@ class ScaleBenchGenSpec extends SparkTestBase {
       assert(got === want, s"copy $k: column chain and driver map disagree")
     }
   }
+
+  test("embedding transforms: exactly 448 distinct at 1000x; copy 0 has no twin") {
+    // driver-side twin of the gen() rotate+flip chain: the transform of
+    // copy k is fully described by (rot, flip-mask-bit or -1)
+    def sig(k: Int): (Int, Int) = {
+      val rot = k % 64
+      val j = k / 64
+      (rot, if (j == 0) -1 else (j - 1) % 6)
+    }
+    val sigs = (0 until 1000).map(sig)
+    assert(sigs.distinct.size === 448,
+      "64 rotations x (identity + 6 single-bit flip masks) = 448 - a " +
+        "change here alters which shared-label copies are exact twins")
+    // the probe set (copy 0, identity transform) must remain twin-free
+    assert(sigs.zipWithIndex.count(_._1 == sig(0)) === 1,
+      "copy 0's transform must be unique: recall probes assume no exact twin")
+  }
 }
