@@ -151,9 +151,13 @@ object ScaleBench {
       // ANN serving receipts use percopy; see PERF.md round 15.
       val perCopyLabels =
         sys.env.getOrElse("SPARK_GRAFT_EMB_LABEL_MODE", "shared") == "percopy"
+      // stride = max(label)+1, NOT countDistinct: with a non-contiguous
+      // label domain (say {0, 2}) a distinct-count stride would collide
+      // label L + k·stride across copies, silently merging clusters and
+      // corrupting the percopy geometry premise
       val nLab =
         if (perCopyLabels)
-          emb.agg(countDistinct(col("label"))).first().getLong(0).toInt
+          emb.agg(max(col("label"))).first().getInt(0) + 1
         else 0
       writeCommitted((0 until Copies).map { k =>
         val rot = k % dim
@@ -314,9 +318,16 @@ object ScaleBench {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // SPARK_GRAFT_SCALE_SUFFIX names a VARIANT corpus dir (e.g. "pc" for
     // the percopy-label embeddings) so it never clobbers the default
-    // artifacts other probes reuse.
-    val out = new java.io.File(s"target/scale$Copies" +
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_SUFFIX", "")).getAbsolutePath
+    // artifacts other probes reuse. Percopy label mode DEFAULTS the
+    // suffix to "pc" rather than allowing an unsuffixed run: without
+    // this, percopy either silently kept an existing shared-label
+    // corpus (the _SUCCESS guard) or wrote percopy embeddings into the
+    // default path every other probe assumes is shared-label — the two
+    // corpora could alias.
+    val suffix = sys.env.get("SPARK_GRAFT_SCALE_SUFFIX").getOrElse(
+      if (sys.env.get("SPARK_GRAFT_EMB_LABEL_MODE").contains("percopy")) "pc"
+      else "")
+    val out = new java.io.File(s"target/scale$Copies$suffix").getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // gen() self-guards per table (committed `_SUCCESS` markers), so an
     // existing scale dir is upgraded in place and a crashed leg is

@@ -104,28 +104,45 @@ object StreamingMetrics {
 
   /** Streaming INGESTION near-dedup — the streaming twin of batch q64:
     * each arriving document's band signatures equi-join the STATIC
-    * corpus signature table (a stream-static join: no join state at
-    * all — the base table is just read per micro-batch, broadcast or
-    * bucketed at fleet scale), then the exact `shingle_overlap` Jaccard
+    * corpus signature table, the exact `shingle_overlap` Jaccard
     * verifies, and `dropDuplicatesWithinWatermark` collapses the ≤ 4
     * band hits per (new, base) pair with horizon-bounded state. Emits
     * one row per verified (new doc, matching base doc).
     *
-    * At 100 TB the base signature table is the thing you maintain
-    * incrementally (append each ingested batch's signatures); state on
-    * the stream side stays bounded by the dedup horizon regardless.
+    * Static-side shape (the round-15 watch item, fixed): a
+    * stream-static join re-evaluates the static plan EVERY micro-batch,
+    * and recomputing the base corpus's minhash signatures per trigger
+    * was the 9.0 s max-trigger at the 1 M-row probe
+    * (receipts/stream_scale_1m_r15.json). The static side is now
+    * materialized ONCE (persist + eager count, before the first
+    * trigger) and broadcast SLIM: (band_idx, bh, base_id) for the band
+    * match — the micro-batch side stays a pipelined map-side join, its
+    * texts never shuffle — and (base_id, base_text) joined only for
+    * band-hit candidates at verify time. At 100 TB the slim signature
+    * table is the thing an ingestion pipeline maintains incrementally
+    * (bucketed on (band_idx, bh) once it outgrows a broadcast); stream
+    * state stays bounded by the dedup horizon regardless. The two
+    * persisted frames live until the caller clears the cache (the
+    * harness does per query) — the [[graft.rel.GlobalRank]] lifecycle
+    * convention.
     */
   def streamNearDedup(stream: DataFrame, base: DataFrame,
                       lateness: String = "10 minutes",
                       threshold: Double = 0.8): DataFrame = {
     graft.functions.TextKernels.ensureRegistered(base.sparkSession)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val baseSig = bandSignatures(
-      base.select(col("doc_id"), col("text")), "base_id", "base_text")
+        base.select(col("doc_id"), col("text")), "base_id", "base_text")
+      .select("band_idx", "bh", "base_id").persist(lvl)
+    val baseTxt = base.select(col("doc_id").as("base_id"),
+      col("text").as("base_text")).persist(lvl)
+    baseSig.count(); baseTxt.count()
     val newSig = bandSignatures(
       stream.select(col("doc_id"), col("text"), col("ts_us")), "new_id", "new_text")
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", lateness)
-    newSig.join(baseSig, Seq("band_idx", "bh"))
+    newSig.join(broadcast(baseSig), Seq("band_idx", "bh"))
+      .join(broadcast(baseTxt), "base_id")
       .withColumn("ov", expr("shingle_overlap(new_text, base_text, 8)"))
       .withColumn("jaccard",
         when(col("ov.n_union") > 0, col("ov.n_inter").cast("double") / col("ov.n_union")))

@@ -2350,6 +2350,29 @@ object TextQueries {
     * union is exact with no dedup step. `b` is a parameter so the spec
     * can shrink it and exercise seams at gate scale.
     */
+  /** Broadcast guard for the SNM rank-back join: past this many docs
+    * the (doc_id, rn) map (~16 B/row — ~320 MB here) stops being a safe
+    * driver/executor broadcast and [[snmJoinRank]] takes the documented
+    * shuffle-join swap instead. 2×10⁷ leaves ~5× headroom under a
+    * typical 4 GB driver before the 10⁸-doc wall the broadcast hits.
+    */
+  private[graft] val SnmBcastMaxDocs = 20000000L
+
+  /** Rank-back join with the scale guard: broadcast the slim
+    * (doc_id, rn) map while it fits a driver-bounded exchange, else a
+    * plain shuffle join (the shingle arrays then ship one extra time —
+    * still the floor for a plan that must co-locate rank-adjacent
+    * documents). Both sides are value-identical (equi-join on a key
+    * both plans hash the same way); DedupScaleGuardSpec forces the
+    * threshold both ways and compares.
+    */
+  private[graft] def snmJoinRank(d: DataFrame, rnMap: DataFrame, nDocs: Long,
+                                 bcastMax: Long = SnmBcastMaxDocs): DataFrame = {
+    val j = if (nDocs <= bcastMax) d.join(broadcast(rnMap), "doc_id")
+            else d.join(rnMap, "doc_id")
+    j.select(col("doc_id"), col("sh"), col("rn"))
+  }
+
   private[graft] def snmWindowPairs(ranked: DataFrame, w: Int,
                                     b: Long = 65536L): DataFrame = {
     val wL = org.apache.spark.sql.expressions.Window
@@ -2436,10 +2459,11 @@ object TextQueries {
       // scalar pair records leave. The measured ladder at 5 M docs
       // (PERF.md r15): arrays through rank+join+window ≈ 84 GB spill
       // (over this box's disk); arrays through rank+window ≈ 55 GB,
-      // 674 s; this shape ≈ one 12 GB exchange. At a corpus where the
-      // (doc_id, rn) map outgrows the driver, swap the broadcast for a
-      // shuffle join — the arrays then ship twice, still the floor for
-      // a plan that must co-locate rank-adjacent documents.
+      // 674 s; this shape ≈ one 12 GB exchange. Past SnmBcastMaxDocs
+      // the (doc_id, rn) map outgrows a safe broadcast and
+      // [[snmJoinRank]] takes the shuffle-join swap automatically (the
+      // count it needs reads the slim frame GlobalRank just persisted
+      // — scalars, not arrays).
       val slim = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val rnMap = graft.rel.GlobalRank
@@ -2448,8 +2472,7 @@ object TextQueries {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"),
           array_sort(expr(s"shingle_hash48(text, $N)")).as("sh"))
-      val ranked = d.join(broadcast(rnMap), "doc_id")
-        .select(col("doc_id"), col("sh"), col("rn"))
+      val ranked = snmJoinRank(d, rnMap, rnMap.count())
       snmWindowPairs(ranked, SnmW)
         .filter(col("n_union") > 0)
         .withColumn("jac_permille", expr("n_inter * 1000 div n_union"))

@@ -66,6 +66,47 @@ object IvfServe {
         c => c.getField("cid")))
   }
 
+  /** The serving path itself, oracle-gated as catalog q183: exact top-`k`
+    * per probe WITHIN its `nprobe` nearest codebook cells — one corpus
+    * assignment pass (codegen'd literal-centroid projection), one
+    * broadcast of the exploded probe×cell frame, ONE equi-join on the
+    * cell id. `n_scored` rides along as the honest serving-cost column
+    * (how many candidates the probe actually paid for), so the oracle
+    * pins the COST of the serve, not just its answer. A probe whose
+    * probed cells hold no other vector emits no rows — recall metering
+    * over sparse corpora belongs to [[ivfSweepAudit]], which counts such
+    * probes as misses.
+    *
+    * @param en     corpus (vec_id, embedding, n2 — ordered-fold norms)
+    * @param cent   coarse codebook (cid, cvec), ≤ 256 rows
+    * @param probes (q_id, embedding, n2)
+    */
+  def serve(en: DataFrame, cent: DataFrame, probes: DataFrame,
+            nprobe: Int, k: Int): DataFrame = {
+    val asg = ShardedGraphBuild.assignOrd(en.select("vec_id", "embedding"), cent)
+      .select(col("vec_id").as("node"), col("cell").as("ncell"))
+    val cands = en.select(col("vec_id").as("node"), col("embedding").as("ce"),
+        col("n2").as("cn2"))
+      .join(asg, "node")
+    val pcells = probeCells(
+        probes.select(col("q_id"), col("embedding"), col("n2").as("qn2")),
+        cent, nprobe)
+      .select(col("q_id"), col("embedding").as("qe"), col("qn2"),
+        explode(col("pcells")).as("pcell"))
+    val scored = broadcast(pcells)
+      .join(cands, col("ncell") === col("pcell") && col("node") =!= col("q_id"))
+      .select(col("q_id"), col("node"),
+        (col("qn2") + col("cn2") -
+          lit(2.0) * expr(VectorQueries.dotOrdExpr("qe", "ce"))).as("d2"))
+    val wQ = Window.partitionBy("q_id")
+    scored
+      .withColumn("n_scored", count(lit(1)).over(wQ))
+      .withColumn("rk",
+        row_number().over(wQ.orderBy(col("d2"), col("node"))).cast("long"))
+      .filter(col("rk") <= k)
+      .select("q_id", "rk", "node", "d2", "n_scored")
+  }
+
   /** One audited serve sweep: score each probe against every member of
     * its `nprobes.max` nearest cells ONCE (cell rank attached), then
     * read each sweep point `p` off the same scored frame by filtering
@@ -127,12 +168,17 @@ object IvfServe {
         .select(col("q_id"), col("c_id").as("exact_top1"))
       val g1 = chosen.filter(col("rk") === 1)
         .select(col("q_id"), col("node").as("ivf_top1"))
-      val rows = e1.join(g1, "q_id").join(nsc, "q_id")
+      // left-join candidates onto the FULL probe set (e1 — every probe
+      // has an exact top-1): a probe whose probed cells are empty must
+      // count as recall 0 / top1 0 / n_scored 0, not vanish from the
+      // averages and inflate them on sparse or singleton-cell corpora.
+      val rows = e1.join(g1, Seq("q_id"), "left").join(nsc, Seq("q_id"), "left")
         .join(hits, Seq("q_id"), "left")
         .select(
           (coalesce(col("n_hit"), lit(0L)).cast("double") / lit(rk)).as("recall_k"),
-          (col("ivf_top1") === col("exact_top1")).cast("double").as("top1"),
-          col("n_scored").cast("double"))
+          coalesce((col("ivf_top1") === col("exact_top1")).cast("double"),
+            lit(0.0)).as("top1"),
+          coalesce(col("n_scored"), lit(0L)).cast("double"))
         .collect()
       val m = rows.length.max(1).toDouble
       (p, rows.map(_.getDouble(0)).sum / m, rows.map(_.getDouble(1)).sum / m,

@@ -257,9 +257,11 @@ object ShardedGraphBuild {
     * the corpus at ~N/2^bits granularity — 16 bits ⇒ ~30-point buckets
     * at 2 M — and same-bucket nodes are geometrically close w.h.p., so
     * the init starts INSIDE neighborhoods. Each node pairs with its `j`
-    * ring-successors per (band, code) bucket (rank by the portable
-    * 48-bit hash; bucket capped at `cap`, the q48 hot-bucket guard):
-    * O(N·bands·j) edges, never bucket-quadratic.
+    * window-successors per (band, code) bucket, no wraparound — the
+    * last `j` rows of a bucket receive fewer forward init draws, which
+    * the symmetric union below and the refinement rounds absorb (rank
+    * by the portable 48-bit hash; bucket capped at `cap`, the q48
+    * hot-bucket guard): O(N·bands·j) edges, never bucket-quadratic.
     */
   private[graft] def lshInitPairs(en: DataFrame, bands: Int, bits: Int,
                                   j: Int, cap: Int): DataFrame = {

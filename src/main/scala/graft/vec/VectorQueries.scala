@@ -368,6 +368,83 @@ object VectorQueries {
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
+  /** Width law for [[adaptiveNearDup]], q72's production twin: band
+    * code bits that hold expected (band, code) occupancy ≈ 1 as the
+    * corpus grows — ceil(log₂ N), clamped to [8, 32]. At a FIXED width
+    * the bucket population grows ∝ N and the exact-verify volume
+    * ∝ N²/2^bits (the measured 454× step at 2 M / 16-bit,
+    * receipts/scale1000_vec_r15.log); holding occupancy ≈ 1 keeps the
+    * candidate volume ~linear, which is the whole point of banding.
+    * 8-bit floor: below ~256 rows narrower codes only inflate
+    * collisions; 32-bit ceiling: 4×32 = 128 hyperplanes is the
+    * deterministic plane family's comfortable envelope and 2³² buckets
+    * is past any realistic per-band population (10⁹ rows → occupancy
+    * 0.25).
+    */
+  private[graft] def adaptiveBandBits(n: Long): Int = {
+    require(n > 0, s"adaptiveBandBits needs a positive corpus size, got $n")
+    val ceilLog2 = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.min(32, math.max(8, ceilLog2))
+  }
+
+  /** q72's PRODUCTION twin: the same 4-band signed-hyperplane near-dup
+    * (same deterministic integer plane family, same ordered-double
+    * cosine verify at > 0.15, same hot-bucket star guard), with the
+    * band width derived from the corpus size by [[adaptiveBandBits]]
+    * instead of pinned at 16 — the scale lever PERF.md names (code
+    * width ∝ log₂ N, 24–32 bits at 10⁷–10⁹ rows) actually computed,
+    * not just documented. Catalog q72 stays fixed-width so its oracle
+    * text never moves; deployments run this.
+    *
+    * NO SILENT CAPS: alongside the pairs the function returns the cap
+    * audit — one row per band with the count of bucket members the
+    * HotBucketCap guard excluded from pairing — so recall loss from a
+    * hot bucket is a number in the run log, never an invisible
+    * truncation. At the law's width the expected occupancy is ≈ 1 and
+    * the audit reads empty; a nonzero count is the signal to widen.
+    *
+    * @return (pairs, capAudit(band_idx, rows_truncated), bits)
+    */
+  private[graft] def adaptiveNearDup(s: SparkSession, dir: String,
+                                     bitsOverride: Option[Int] = None,
+                                     cap: Int = HotBucketCap)
+      : (DataFrame, DataFrame, Int) = {
+    graft.functions.LshBandCodes.ensureRegistered(s)
+    val bits = bitsOverride.getOrElse(
+      adaptiveBandBits(Tables(s, dir, "embeddings").count()))
+    val eb = Tables(s, dir, "embeddings")
+      .withColumn("n2", expr(norm2OrdExpr("embedding")))
+      .withColumn("codes", expr(s"lsh_band_codes(embedding, 4, $bits)"))
+      .select(col("vec_id") +: col("embedding") +: col("n2") +:
+        (0 to 3).map(b => element_at(col("codes"), b + 1).as(s"code$b")): _*)
+      .cache()
+    val wB = Window.partitionBy("band_idx", "code").orderBy("vec_id")
+    val bands = eb.select(col("vec_id"),
+      posexplode(array((0 to 3).map(b => col(s"code$b")): _*)))
+      .toDF("vec_id", "band_idx", "code")
+      .withColumn("bn", row_number().over(wB))
+    val capAudit = bands.filter(col("bn") > cap)
+      .groupBy("band_idx").agg(count(lit(1)).as("rows_truncated"))
+    val kept = bands.filter(col("bn") <= cap)
+    val cand = kept.as("a")
+      .join(kept.as("b"),
+        col("a.band_idx") === col("b.band_idx") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val pairs = cand
+      .join(eb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("n2").as("na")), "id_a")
+      .join(eb.select(col("vec_id").as("id_b"), col("embedding").as("eb2"),
+        col("n2").as("nb")), "id_b")
+      .withColumn("dot", expr(dotOrdExpr("ea", "eb2")))
+      .withColumn("cos_sim", when(col("na") > 0 && col("nb") > 0,
+        col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+      .filter(col("cos_sim") > 0.15)
+      .select("id_a", "id_b", "n_bands", "cos_sim")
+    (pairs, capAudit, bits)
+  }
+
   // ---- shared IVF assignment machinery (q44 / q52) ------------------
   private val cnorm2Expr = "dec_dot8(cvec, cvec)"
 
@@ -3125,6 +3202,62 @@ object VectorQueries {
   private val SgRounds = 1 // sampled refinement rounds
   private val SgSample = 6 // per-node adjacency sample per round
 
+  // ---- coarse-codebook DuckDB mirror, shared by q182 and q183 ------
+  /** Ordered-double dot of an embedding against a centroid LIST —
+    * the assignOrd `ord_dot` mirror (left fold, same IEEE order).
+    */
+  private def sgDotList(e: String, cv: String) =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($e, $cv), p -> " +
+      "CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
+
+  /** One Lloyd generation: pos-form centroids → ordered list form +
+    * the driver-side left-fold norm → double-fold rank-1 assignment.
+    */
+  private def sgCvSql(i: Int) =
+    s"""cv_$i AS (
+      SELECT cid, list(c ORDER BY pos) AS cv,
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(c ORDER BY pos), v -> v * v)),
+          (acc, x) -> acc + x) AS cn2
+      FROM cent_$i GROUP BY cid
+    )"""
+
+  private def sgAsgSql(i: Int) =
+    s"""asg_$i AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${sgDotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+        FROM embeddings e CROSS JOIN cv_$i t) WHERE crn = 1
+    )"""
+
+  private def sgCentSql(i: Int) =
+    s"""cent_$i AS (
+      SELECT a.cell AS cid, u.pos, (${graft.Exact.sumExactSql("u.x", 8)} / COUNT(*)) AS c
+      FROM ux u JOIN asg_${i - 1} a USING (vec_id) GROUP BY a.cell, u.pos
+    )"""
+
+  /** CTE prefix `ux, sd, cent_0, cv_0, asg_0, …` ending at
+    * `cv_$SgLloyd` — the full [[ShardedGraphBuild.coarseCentroids]]
+    * mirror at sampleMod = 1 (md5 seeds, exact-decimal Lloyd means,
+    * ordered-double assignment). q182 proved this chain bit-exact
+    * against the engine; q183 serves off the same codebook.
+    */
+  private def sgChainSql: String = {
+    val lloyd = (1 to SgLloyd)
+      .map(i => s"${sgCentSql(i)}, ${sgCvSql(i)}, ${sgAsgSql(i)}").mkString(", ")
+    s"""ux AS (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY md5('sgc-seed#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+      FROM embeddings
+    ), cent_0 AS (
+      SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
+      FROM ux u JOIN sd s USING (vec_id) WHERE s.cid < $SgCells
+    ), ${sgCvSql(0)}, ${sgAsgSql(0)}, $lloyd"""
+  }
+
   /** IVF-sharded NN-descent graph build ([[ShardedGraphBuild]]) as an
     * ORACLE-GATED operator: the full pipeline — coarse k-means centroids
     * (md5-seeded, decimal-exact Lloyd means), cell + runner-up
@@ -3157,34 +3290,6 @@ object VectorQueries {
           "list_transform(generate_series(1, 12), hi -> " +
           s"CAST(strpos('0123456789abcdef', substr(md5($arg), hi, 1)) - 1 AS BIGINT))), " +
           "(acc, x) -> acc * 16 + x)"
-      // ordered-double dot of an embedding against a centroid LIST —
-      // the assignOrd ord_dot mirror (left fold, same IEEE order)
-      def dotList(e: String, cv: String) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(list_zip($e, $cv), p -> " +
-          "CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x)"
-      // one Lloyd generation: pos-form centroids -> ordered list form +
-      // the driver-side left-fold norm -> double-fold rank-1 assignment
-      def cvSql(i: Int) =
-        s"""cv_$i AS (
-      SELECT cid, list(c ORDER BY pos) AS cv,
-        list_reduce(list_prepend(0.0::DOUBLE, list_transform(list(c ORDER BY pos), v -> v * v)),
-          (acc, x) -> acc + x) AS cn2
-      FROM cent_$i GROUP BY cid
-    )"""
-      def asgSql(i: Int) =
-        s"""asg_$i AS (
-      SELECT vec_id, cid AS cell FROM (
-        SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-          ORDER BY t.cn2 - 2.0::DOUBLE * ${dotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
-        FROM embeddings e CROSS JOIN cv_$i t) WHERE crn = 1
-    )"""
-      def centSql(i: Int) =
-        s"""cent_$i AS (
-      SELECT a.cell AS cid, u.pos, (${graft.Exact.sumExactSql("u.x", 8)} / COUNT(*)) AS c
-      FROM ux u JOIN asg_${i - 1} a USING (vec_id) GROUP BY a.cell, u.pos
-    )"""
-      val lloyd = (1 to SgLloyd)
-        .map(i => s"${centSql(i)}, ${cvSql(i)}, ${asgSql(i)}").mkString(", ")
       def drawSql(name: String, tag: String, cellCol: String, nDraws: Int) =
         s"""$name AS (
       SELECT i.vec_id AS src, i.$cellCol AS tc,
@@ -3220,24 +3325,13 @@ object VectorQueries {
       ) WHERE rn <= $SgK
     )"""
       }
-      s"""WITH ux AS (
-      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
-             CAST(unnest(embedding) AS DOUBLE) AS x
-      FROM embeddings
-    ), sd AS (
-      SELECT vec_id, ROW_NUMBER() OVER (
-        ORDER BY md5('sgc-seed#' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-      FROM embeddings
-    ), cent_0 AS (
-      SELECT CAST(s.cid AS BIGINT) AS cid, u.pos, u.x AS c
-      FROM ux u JOIN sd s USING (vec_id) WHERE s.cid < $SgCells
-    ), ${cvSql(0)}, ${asgSql(0)}, $lloyd, asgf AS (
+      s"""WITH $sgChainSql, asgf AS (
       SELECT vec_id,
         MIN(CASE WHEN crn = 1 THEN cid END) AS cell,
         MIN(CASE WHEN crn = 2 THEN cid END) AS cell2
       FROM (
         SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
-          ORDER BY t.cn2 - 2.0::DOUBLE * ${dotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${sgDotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
         FROM embeddings e CROSS JOIN cv_$SgLloyd t) WHERE crn <= 2
       GROUP BY vec_id
     ), idx AS (
@@ -3266,8 +3360,69 @@ object VectorQueries {
     SELECT src, nbr, d2 FROM d$SgRounds ORDER BY src, nbr"""
     })
 
+  // --------------------------------------------------------------- q183
+  private val IvNprobe = 2 // probed cells per query (of SgCells = 4)
+  private val IvProbes = 32 // probe set: vec_id < IvProbes
+  private val IvK = 6      // served neighbors per probe
+
+  /** IVF multi-probe SERVING ([[IvfServe.serve]]) as an ORACLE-GATED
+    * operator — the path that carries the engine's 100 TB ANN serving
+    * claim (recall@6 = 1.0 at 0.92 % of a 2 M corpus scored,
+    * receipts/ivf_sweep_percopy_2m_r15.json): rank the ≤ 256-cell
+    * codebook per probe (driver-literal projection, zero shuffle),
+    * explode the top-`IvNprobe` cells, ONE broadcast equi-join on the
+    * cell id against the assigned corpus, exact top-`IvK` within the
+    * probed cells. The DuckDB mirror unrolls the identical codebook
+    * chain as q182 ([[sgChainSql]]) and serves with set-identical
+    * semantics, value-exact on d2 — so the gate pins the serve's
+    * ANSWER and its COST (`n_scored`) at once.
+    *
+    * Reference analog: nearest-neighbor retrieval in
+    * /root/reference/src/market_microstructure_toolkit/analysis.py
+    * (pairwise similarity scans), re-expressed as the inverted-file
+    * serve a 100 TB embedding corpus requires.
+    */
+  val q183 = Q("q183_ivf_multiprobe_serve",
+    (s, dir) => {
+      val en = ndEn(s, dir)
+      val cent = ShardedGraphBuild.coarseCentroids(
+        en.select("vec_id", "embedding"), SgCells, 1, SgLloyd)
+      val probes = en.filter(col("vec_id") < IvProbes)
+        .select(col("vec_id").as("q_id"), col("embedding"), col("n2"))
+      IvfServe.serve(en, cent, probes, IvNprobe, IvK)
+        .transform(graft.Q.presentSorted(_, "q_id", "rk"))
+    },
+    Some {
+      s"""WITH $sgChainSql, en2 AS MATERIALIZED (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), corp AS (
+      SELECT vec_id AS node, cid AS ncell FROM (
+        SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${sgDotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+        FROM embeddings e CROSS JOIN cv_$SgLloyd t) WHERE crn = 1
+    ), pc AS (
+      SELECT q_id, cid AS pcell FROM (
+        SELECT e.vec_id AS q_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY t.cn2 - 2.0::DOUBLE * ${sgDotList("e.embedding", "t.cv")} ASC, t.cid ASC) AS crn
+        FROM embeddings e CROSS JOIN cv_$SgLloyd t
+        WHERE e.vec_id < $IvProbes) WHERE crn <= $IvNprobe
+    ), sc AS (
+      SELECT p.q_id, c.node,
+        q.n2 + e.n2 - 2.0::DOUBLE * ${dotOrdSql("q.embedding", "e.embedding")} AS d2
+      FROM pc p JOIN corp c ON c.ncell = p.pcell AND c.node != p.q_id
+      JOIN en2 q ON q.vec_id = p.q_id JOIN en2 e ON e.vec_id = c.node
+    ), ns AS (
+      SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_scored FROM sc GROUP BY q_id
+    )
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, node, d2, n_scored FROM (
+      SELECT q_id, node, d2,
+        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rk
+      FROM sc) r JOIN ns USING (q_id)
+    WHERE rk <= $IvK ORDER BY q_id, rk"""
+    })
+
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
       q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167, q168,
-      q182)
+      q182, q183)
 }

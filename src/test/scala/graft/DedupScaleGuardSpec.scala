@@ -62,6 +62,47 @@ class DedupScaleGuardSpec extends SparkTestBase {
     small.unpersist(); dist.unpersist()
   }
 
+  test("SNM rank-back guard: broadcast and shuffle sides agree, plans differ") {
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val dir = "/root/testdata/sf0.001"
+    val slim = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val rnMap = graft.rel.GlobalRank
+      .withGlobalRank(slim, Seq(col("lang"), col("n_chars"), col("doc_id")), "rn")
+      .select(col("doc_id"), col("rn"))
+    val d = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_sort(expr("shingle_hash48(text, 8)")).as("sh"))
+    val n = rnMap.count()
+    // disable auto-broadcast so the shuffle side genuinely shuffles (at
+    // production scale the size estimate does this; at 500 docs only
+    // the conf does)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val bc = TextQueries.snmJoinRank(d, rnMap, n, bcastMax = Long.MaxValue)
+      val sh = TextQueries.snmJoinRank(d, rnMap, n, bcastMax = 0L)
+      def nBhj(df: org.apache.spark.sql.DataFrame): Int =
+        "BroadcastHashJoin".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+      // GlobalRank's internal offsets join contributes one broadcast to
+      // BOTH plans; the guard adds exactly one more on the broadcast side
+      assert(nBhj(bc) === nBhj(sh) + 1,
+        "threshold must actually flip the rank-back join strategy")
+      val w = 4
+      val pb = TextQueries.snmWindowPairs(bc, w, b = 8L)
+        .select("id_a", "id_b", "rank_dist", "n_inter", "n_union")
+      val ps = TextQueries.snmWindowPairs(sh, w, b = 8L)
+        .select("id_a", "id_b", "rank_dist", "n_inter", "n_union")
+      assert(pb.except(ps).isEmpty && ps.except(pb).isEmpty,
+        "both sides of the broadcast threshold must emit identical pairs")
+    } finally {
+      spark.conf.set(key, prev)
+      spark.catalog.clearCache()
+    }
+  }
+
   test("1000 identical docs: star guard bounds fan-out, component survives") {
     val sess = spark
     import sess.implicits._

@@ -3,6 +3,7 @@
 # Derive the coursier cache root portably: locate the scalatest core jar anywhere under
 # the local cache and take its repo root (…/org/scalatest/... -> strip at /org/).
 STCORE=$(find "$HOME/.cache/coursier" -name "scalatest-core_2.13-3.2.19.jar" 2>/dev/null | head -1)
+[ -n "$STCORE" ] || { echo 'scalatest jar not found in coursier cache' >&2; exit 1; }
 CS=${STCORE%%/org/scalatest/*}
 ST=$(find "$CS/org/scalatest" "$CS/org/scalactic" -name "*_2.13-3.2.19.jar" -o -name "scalatest-compatible-3.2.19.jar" | tr '\n' ':')
 SX=$(ls "$CS"/org/scala-lang/modules/scala-xml_2.13/2.3.0/scala-xml_2.13-2.3.0.jar 2>/dev/null || ls "$CS"/org/scala-lang/modules/scala-xml_2.13/*/scala-xml_2.13-*.jar | head -1)
