@@ -361,6 +361,56 @@ object SqlSurface {
     * nearest-centroid rule the vec family shares (argmin over
     * ‖c‖² − 2·x·c with label tie-break).
     */
+  /** Rank-1/rank-n ordered-double centroid assignment over a `cv_i`
+    * codebook CTE — the Spark spelling of `ShardedGraphBuild.assignOrd`
+    * (q182/q183's coarse chain): the codebook's ≤ 256 rows cross-join as
+    * a broadcast nested loop, `ord_dot(cv, cv)` reproduces the engine's
+    * driver-side left-fold centroid norm bit-for-bit.
+    */
+  private def sgRank1Spark(cvTbl: String): String =
+    s"""SELECT e.vec_id, t.cid, ROW_NUMBER() OVER (PARTITION BY e.vec_id
+          ORDER BY ord_dot(t.cv, t.cv) - 2.0D * ord_dot(e.embedding, t.cv) ASC,
+            t.cid ASC) AS crn
+          FROM embeddings e CROSS JOIN $cvTbl t"""
+
+  /** One Lloyd generation of the q182/q183 coarse codebook: exact-decimal
+    * per-(cell, pos) means (the `lloydMeans` kernels, SQL-callable) →
+    * ordered list form → ordered-double rank-1 re-assignment.
+    */
+  private def sgLloydSpark(i: Int): String =
+    s"""cent_$i AS (
+        SELECT a.cell AS cid, u.pos,
+          (unscaled_dbl(SUM(dec_unscaled(u.x, 8)), 8, 8) / COUNT(*)) AS c
+        FROM sux u JOIN asg_${i - 1} a ON a.vec_id = u.vec_id
+        GROUP BY a.cell, u.pos
+      ), cv_$i AS (
+        SELECT cid, transform(array_sort(collect_list(struct(pos, c))), s -> s.c) AS cv
+        FROM cent_$i GROUP BY cid
+      ), asg_$i AS (
+        SELECT vec_id, cid AS cell FROM (${sgRank1Spark(s"cv_$i")}) WHERE crn = 1
+      )"""
+
+  /** CTE prefix ending at `cv_2` — the full coarse-codebook chain of
+    * q182/q183 (md5-seeded, 4 cells, 2 exact-decimal Lloyd rounds) in
+    * Spark dialect, mirroring `VectorQueries.sgChainSql`.
+    */
+  private lazy val sgChainSparkSql: String =
+    s"""sd AS (
+      SELECT vec_id, ROW_NUMBER() OVER (
+        ORDER BY md5(CAST(concat('sgc-seed#', CAST(vec_id AS STRING)) AS BINARY)),
+          vec_id) - 1 AS cid
+      FROM embeddings
+    ), sux AS (
+      SELECT vec_id, pos0 + 1 AS pos, CAST(x AS DOUBLE) AS x
+      FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos0, x
+    ), cv_0 AS (
+      SELECT CAST(s.cid AS BIGINT) AS cid,
+        transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings e JOIN sd s ON s.vec_id = e.vec_id WHERE s.cid < 4
+    ), asg_0 AS (
+      SELECT vec_id, cid AS cell FROM (${sgRank1Spark("cv_0")}) WHERE crn = 1
+    ), ${sgLloydSpark(1)}, ${sgLloydSpark(2)}"""
+
   private lazy val ivfAssignSparkSql: String =
     s"""ux AS (
       SELECT vec_id, label, CAST(pos0 + 1 AS BIGINT) AS pos, CAST(x AS DOUBLE) AS x
@@ -765,6 +815,36 @@ object SqlSurface {
         CAST(COALESCE(h.n_hit10, 0L) AS DOUBLE) / 10 AS recall10
       FROM st s LEFT JOIN h ON h.nprobe = s.nprobe AND h.q_id = s.q_id
       ORDER BY s.nprobe, s.q_id""",
+
+    // IVF multi-probe SERVING (q183): the q182 coarse-codebook chain
+    // (md5 seeds -> 2 exact-decimal Lloyd rounds -> ordered-double
+    // rank-1 assignment) unrolled in Spark dialect, then the nprobe=2
+    // cell-scan serve over 32 probes with its honest per-probe cost
+    // column (n_scored) — the engine's 100 TB serving path as one SELECT
+    "q183_ivf_multiprobe_serve" ->
+      s"""WITH $sgChainSparkSql, en AS (
+        SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2
+        FROM embeddings
+      ), corp AS (
+        SELECT vec_id AS node, cid AS ncell
+        FROM (${sgRank1Spark("cv_2")}) WHERE crn = 1
+      ), pc AS (
+        SELECT vec_id AS q_id, cid AS pcell
+        FROM (${sgRank1Spark("cv_2")}) WHERE crn <= 2 AND vec_id < 32
+      ), sc AS (
+        SELECT p.q_id, c.node,
+          q.n2 + e.n2 - 2.0D * ord_dot(q.embedding, e.embedding) AS d2
+        FROM pc p JOIN corp c ON c.ncell = p.pcell AND c.node != p.q_id
+        JOIN en q ON q.vec_id = p.q_id JOIN en e ON e.vec_id = c.node
+      ), ns AS (
+        SELECT q_id, COUNT(*) AS n_scored FROM sc GROUP BY q_id
+      )
+      SELECT r.q_id, CAST(r.rk AS BIGINT) AS rk, r.node, r.d2, ns.n_scored
+      FROM (
+        SELECT q_id, node, d2,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d2, node) AS rk
+        FROM sc) r JOIN ns ON ns.q_id = r.q_id
+      WHERE r.rk <= 6 ORDER BY r.q_id, r.rk""",
 
     // assignment-margin (silhouette-lite) histogram: relative margin
     // between best and second-best centroid distance
