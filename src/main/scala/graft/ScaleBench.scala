@@ -77,6 +77,43 @@ object ScaleBench {
     }.toMap
   }
 
+  /** The copy-`k` embedding transform: component rotation + a sign
+    * stage. `decor` selects the sign stage:
+    *
+    *   - `"flips"` (default, byte-identical to every prior round's
+    *     corpus): the 6-mask single-bit flip family — 64 × 7 = 448
+    *     distinct transforms, so shared-label copies k and k+384
+    *     (k ≥ 64) carry EXACT duplicate vectors at 1000×
+    *     (ScaleBenchGenSpec pins this).
+    *   - `"signs"` (opt-in, SPARK_GRAFT_EMB_DECOR=signs): an md5-derived
+    *     full sign vector per copy — a SIGNED PERMUTATION, i.e. an
+    *     isometry: every in-copy dot product (and so the in-copy
+    *     near-dup structure under cosine) is preserved exactly up to
+    *     fold order, while cross-copy directions decorrelate and the
+    *     448-transform ceiling disappears (2⁶⁴ sign patterns). This is
+    *     the count-growth corpus for NEAR-DUP geometry — the percopy
+    *     label mode's counterpart one level down, at the vector values
+    *     themselves: true near-dup mass grows ∝ N (in-copy only)
+    *     instead of ∝ N² (the 448-ceiling direction groups).
+    */
+  private[graft] def embTransform(k: Int, dim: Int, decor: String)
+                                 (e: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val rot = k % dim
+    val rotatedC =
+      if (rot == 0) e
+      else concat(slice(e, rot + 1, dim - rot), slice(e, 1, rot))
+    val j = k / dim
+    if (j == 0) rotatedC
+    else if (decor == "signs")
+      transform(rotatedC, (x, i) =>
+        when(conv(md5(concat(lit(s"edx#$k#"), i.cast("string"))
+            .cast("binary")).substr(1, 1), 16, 10).cast("long") % 2 === 1, -x)
+          .otherwise(x))
+    else
+      transform(rotatedC, (x, i) =>
+        when(shiftright(i, (j - 1) % 6).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
+  }
+
   private def delRec(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(delRec))
     f.delete(); ()
@@ -159,22 +196,13 @@ object ScaleBench {
         if (perCopyLabels)
           emb.agg(max(col("label"))).first().getInt(0) + 1
         else 0
+      // rotation + sign stage per copy — see [[embTransform]] for the
+      // two sign modes (default 6-mask flips vs md5 sign vectors)
+      val embDecor = sys.env.getOrElse("SPARK_GRAFT_EMB_DECOR", "flips")
       writeCommitted((0 until Copies).map { k =>
-        val rot = k % dim
-        val rotatedC =
-          if (rot == 0) col("embedding")
-          else concat(slice(col("embedding"), rot + 1, dim - rot),
-            slice(col("embedding"), 1, rot))
-        // beyond one full rotation cycle, flip the signs of the component
-        // half selected by bit (k / dim): distinct transform per copy
-        val j = k / dim
-        val flipped =
-          if (j == 0) rotatedC
-          else transform(rotatedC, (x, i) =>
-            when(shiftright(i, (j - 1) % 6).bitwiseAND(lit(1)) === 1, -x).otherwise(x))
         emb.select(
           (col("vec_id") + lit(k * nE)).as("vec_id"),
-          flipped.as("embedding"),
+          embTransform(k, dim, embDecor)(col("embedding")).as("embedding"),
           (if (perCopyLabels) (col("label") + lit(k * nLab)).cast("int")
            else col("label")).as("label"))
       }.reduce(_ unionByName _), s"$outDir/embeddings.parquet")
@@ -326,8 +354,10 @@ object ScaleBench {
     // default path every other probe assumes is shared-label — the two
     // corpora could alias.
     val suffix = sys.env.get("SPARK_GRAFT_SCALE_SUFFIX").getOrElse(
-      if (sys.env.get("SPARK_GRAFT_EMB_LABEL_MODE").contains("percopy")) "pc"
-      else "")
+      (if (sys.env.get("SPARK_GRAFT_EMB_LABEL_MODE").contains("percopy")) "pc"
+       else "") +
+        (if (sys.env.get("SPARK_GRAFT_EMB_DECOR").contains("signs")) "dx"
+         else ""))
     val out = new java.io.File(s"target/scale$Copies$suffix").getAbsolutePath
     val spark = Tables.localSession(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     // gen() self-guards per table (committed `_SUCCESS` markers), so an

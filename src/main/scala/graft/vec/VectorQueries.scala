@@ -403,18 +403,30 @@ object VectorQueries {
     * truncation. At the law's width the expected occupancy is ≈ 1 and
     * the audit reads empty; a nonzero count is the signal to widen.
     *
-    * @return (pairs, capAudit(band_idx, rows_truncated), bits)
+    * The encoder family defaults to `"md5"` ([[graft.functions.LshBandCodesMd5]]):
+    * the catalog's LCG plane family is DEGENERATE past ~5 bits per band
+    * (planes p and p+5 are near-duplicate hyperplanes — see the kernel
+    * scaladoc), so on the LCG family no width restores occupancy ≈ 1;
+    * the md5 family's planes are independent and the width law works as
+    * designed. Pass `family = "lcg"` only to reproduce catalog q72.
+    *
+    * @return (pairs, candidates(id_a, id_b, n_bands) — the pre-verify
+    *         frame, so a probe can report precision = |pairs| / |cand|,
+    *         capAudit(band_idx, rows_truncated), bits)
     */
   private[graft] def adaptiveNearDup(s: SparkSession, dir: String,
                                      bitsOverride: Option[Int] = None,
-                                     cap: Int = HotBucketCap)
-      : (DataFrame, DataFrame, Int) = {
+                                     cap: Int = HotBucketCap,
+                                     family: String = "md5")
+      : (DataFrame, DataFrame, DataFrame, Int) = {
     graft.functions.LshBandCodes.ensureRegistered(s)
+    graft.functions.LshBandCodesMd5.ensureRegistered(s)
+    val enc = if (family == "md5") "lsh_band_codes_md5" else "lsh_band_codes"
     val bits = bitsOverride.getOrElse(
       adaptiveBandBits(Tables(s, dir, "embeddings").count()))
     val eb = Tables(s, dir, "embeddings")
       .withColumn("n2", expr(norm2OrdExpr("embedding")))
-      .withColumn("codes", expr(s"lsh_band_codes(embedding, 4, $bits)"))
+      .withColumn("codes", expr(s"$enc(embedding, 4, $bits)"))
       .select(col("vec_id") +: col("embedding") +: col("n2") +:
         (0 to 3).map(b => element_at(col("codes"), b + 1).as(s"code$b")): _*)
       .cache()
@@ -442,7 +454,7 @@ object VectorQueries {
         col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
       .filter(col("cos_sim") > 0.15)
       .select("id_a", "id_b", "n_bands", "cos_sim")
-    (pairs, capAudit, bits)
+    (pairs, cand, capAudit, bits)
   }
 
   // ---- shared IVF assignment machinery (q44 / q52) ------------------

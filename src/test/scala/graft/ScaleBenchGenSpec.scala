@@ -72,4 +72,37 @@ class ScaleBenchGenSpec extends SparkTestBase {
     assert(sigs.zipWithIndex.count(_._1 == sig(0)) === 1,
       "copy 0's transform must be unique: recall probes assume no exact twin")
   }
+
+  test("signs decor: in-copy isometry, twin-breaking, default untouched") {
+    val sess = spark
+    import sess.implicits._
+    import org.apache.spark.sql.functions.col
+    val dim = 8
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0)),
+      (2L, Seq(2.0, 1.0, -1.0, 3.0, -2.0, 4.0, 0.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    def out(k: Int, decor: String): Map[Long, Seq[Double]] =
+      df.select(col("vec_id"),
+          ScaleBench.embTransform(k, dim, decor)(col("embedding")).as("e"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // k=100 and k=148 share (rot=4, flip class 5) at dim=8: exact twins
+    // under the default 6-mask family — the 448-ceiling in miniature
+    assert(out(100, "flips") === out(148, "flips"),
+      "default mode must keep the documented twin structure")
+    // the signs mode breaks the twin (md5 sign vectors are per-copy) ...
+    val s100 = out(100, "signs"); val s148 = out(148, "signs")
+    assert(s100 !== s148, "signs mode must break the 448-transform ceiling")
+    // ... while staying an ISOMETRY: signed permutation preserves every
+    // in-copy dot product (integer-valued comps -> exact in double)
+    val base = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(dot(s100(1L), s100(2L)) === dot(base(1L), base(2L)),
+      "in-copy dot products must be preserved exactly")
+    assert(s100(1L).map(math.abs).sorted === base(1L).map(math.abs).sorted,
+      "signed permutation: components preserved up to order and sign")
+    // identity copies (k < dim * 1) are untouched in both modes
+    assert(out(0, "signs") === base && out(0, "flips") === base)
+  }
 }
