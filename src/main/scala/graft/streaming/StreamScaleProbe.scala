@@ -30,7 +30,8 @@ object StreamScaleProbe {
 
   private case class LegStats(rows: Long, triggers: Int, wallSec: Double,
                               maxBatchMs: Long, stateRowsMax: Long,
-                              stateBytesMax: Long, outRows: Long)
+                              stateBytesMax: Long, outRows: Long,
+                              phaseMaxMs: Map[String, Long])
 
   private def drain(q: StreamingQuery, t0: Long,
                     outCount: => Long): LegStats = {
@@ -40,6 +41,14 @@ object StreamScaleProbe {
     val state = progs.flatMap(_.stateOperators)
     val out = outCount
     q.stop()
+    // per-phase ceilings (addBatch = the actual joins/aggregation work;
+    // walCommit/commitOffsets = checkpoint fsyncs; queryPlanning = the
+    // per-micro-batch IncrementalExecution replan) — the breakdown that
+    // says whether a slow trigger is operator work or engine overhead
+    val phases = progs.flatMap { p =>
+      import scala.jdk.CollectionConverters._
+      p.durationMs.asScala.map { case (k, v) => k -> v.longValue }
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
     LegStats(
       rows = progs.map(_.numInputRows).sum,
       triggers = progs.length,
@@ -49,17 +58,22 @@ object StreamScaleProbe {
           .getOrElse(0L)).foldLeft(0L)(math.max),
       stateRowsMax = state.map(_.numRowsTotal).foldLeft(0L)(math.max),
       stateBytesMax = state.map(_.memoryUsedBytes).foldLeft(0L)(math.max),
-      outRows = out)
+      outRows = out,
+      phaseMaxMs = phases)
   }
 
-  private def json(leg: String, n: Long, s: LegStats): String =
+  private def json(leg: String, n: Long, s: LegStats): String = {
+    val ph = s.phaseMaxMs.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     f"""{"probe":"stream_scale","leg":"$leg","n_requested":$n,""" +
       f""""rows":${s.rows},"triggers":${s.triggers},""" +
       f""""wall_sec":${s.wallSec}%.1f,""" +
       f""""rows_per_sec":${s.rows / math.max(s.wallSec, 1e-9)}%.0f,""" +
       f""""max_trigger_ms":${s.maxBatchMs},""" +
       f""""state_rows_max":${s.stateRowsMax},""" +
-      f""""state_bytes_max":${s.stateBytesMax},"out_rows":${s.outRows}}"""
+      f""""state_bytes_max":${s.stateBytesMax},"out_rows":${s.outRows},""" +
+      f""""phase_max_ms":$ph}"""
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
@@ -72,14 +86,30 @@ object StreamScaleProbe {
     val spark = graft.Tables.localSession(cpus)
 
     // deterministic replay dir: nRows docs, 1 ms event-time spacing,
-    // 32 files => ceil(32/fpt) triggers
-    val replay = new java.io.File(s"target/stream_replay_$nRows").getAbsolutePath
+    // `files` parquet files => ceil(files/fpt) triggers. FILE COUNT IS
+    // THE PARALLELISM LEVER: a micro-batch's pre-shuffle stage gets one
+    // task per input file, so 32 files at fpt=8 ran the signature
+    // compute as 8 tasks of ~31 k docs (~6 s/task — the real cause of
+    // the 8-9 s triggers across r15/r16 probes, NOT the static side:
+    // the phase breakdown pinned addBatch and the cost was invariant to
+    // rows/trigger). 256 files at fpt=64 keeps the same 250 k
+    // rows/trigger as ~4 k-doc tasks — ingestion file sizing is exactly
+    // the knob a fleet deployment turns.
+    val files = if (args.length > 4) args(4).toInt else 256
+    // ... and file PACKING is the other half of the same lever: the file
+    // source coalesces small files up to maxPartitionBytes (128 MB
+    // default), so even a 256-file replay planned ~2 tasks per 140 MB
+    // trigger. 4 MB splits put a 250 k-row trigger at ~35 tasks — the
+    // compute actually fans out across the box.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", s"${4 * 1024 * 1024}")
+    val replay = new java.io.File(
+      s"target/stream_replay_${nRows}_f$files").getAbsolutePath
     if (!new java.io.File(s"$replay/_SUCCESS").exists()) {
       spark.read.parquet(s"$scaleDir/documents.parquet")
         .select(col("doc_id"), col("text"), col("source"))
         .filter(col("doc_id") < nRows)
         .withColumn("ts_us", col("doc_id") * 1000L)
-        .repartition(32)
+        .repartition(files)
         .write.mode("overwrite").parquet(replay)
     }
     val schema = spark.read.parquet(replay).schema
