@@ -48,6 +48,7 @@ object SqlSurface {
     graft.functions.DecDot8.ensureRegistered(spark)
     graft.functions.OrdDot.ensureRegistered(spark)
     graft.functions.LshBandCodes.ensureRegistered(spark)
+    graft.functions.LshBandCodesMd5.ensureRegistered(spark)
     graft.functions.SynthLadder.ensureRegistered(spark)
     graft.functions.JaroWinkler.ensureRegistered(spark)
     graft.functions.LevBytes.ensureRegistered(spark)
@@ -686,6 +687,35 @@ object SqlSurface {
       s"""WITH eb AS (
         SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
                lsh_band_codes(embedding, 4, 16) AS codes
+        FROM embeddings
+      ), bands AS (
+        SELECT vec_id, band_idx, code,
+          ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+        FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+        FROM kept a JOIN kept b
+          ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id
+      ), v AS (
+        SELECT c.id_a, c.id_b, c.n_bands,
+          CASE WHEN ea.n2 > 0 AND e2.n2 > 0
+               THEN ord_dot(ea.embedding, e2.embedding) / (sqrt(ea.n2) * sqrt(e2.n2)) END AS cos_sim
+        FROM cand c
+        JOIN eb ea ON ea.vec_id = c.id_a
+        JOIN eb e2 ON e2.vec_id = c.id_b
+      )
+      SELECT id_a, id_b, n_bands, cos_sim FROM v
+      WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
+
+    // q72 on the INDEPENDENT (md5) plane family - the production
+    // encoder (the LCG family is period-5 degenerate past ~5 bits per
+    // band; see LshBandCodesMd5 and PERF.md r16), same banding + verify
+    "q184_embedding_neardup_indep" ->
+      s"""WITH eb AS (
+        SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
+               lsh_band_codes_md5(embedding, 4, 16) AS codes
         FROM embeddings
       ), bands AS (
         SELECT vec_id, band_idx, code,

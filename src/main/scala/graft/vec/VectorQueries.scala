@@ -368,6 +368,79 @@ object VectorQueries {
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
+  // --------------------------------------------------------------- q184
+  /** q72 on the INDEPENDENT plane family — the production encoder
+    * ([[graft.functions.LshBandCodesMd5]]), oracle-gated: same 4 × 16
+    * banding, same hot-bucket guard and ordered-double cosine verify,
+    * but coefficients from the portable h48 md5 fold instead of the
+    * period-5-degenerate LCG family (see the kernel scaladoc and
+    * PERF.md r16 — on the LCG family, planes 5 apart are near-duplicate
+    * hyperplanes, so q72's wide codes carry ~b/5 bits of entropy and go
+    * bucket-quadratic at 2 M rows). The run IS the production code path
+    * ([[adaptiveNearDup]] at the pinned gate width), so the encoder
+    * that carries the scale receipts sits inside the correctness gate;
+    * the DuckDB mirror derives every coefficient from the same md5
+    * fold and accumulates each plane in component order.
+    */
+  val q184 = Q("q184_embedding_neardup_indep",
+    (s, dir) => {
+      val (pairs, _, _, _) = adaptiveNearDup(s, dir, bitsOverride = Some(16))
+      pairs.transform(graft.Q.presentSorted(_, "id_a", "id_b"))
+    },
+    Some {
+      // 48-bit md5 fold (the q182 hFold), reduced to the coefficient
+      // domain [-1000, 1000] — bit-identical to LshBandCodesMd5.coef
+      def hFold(arg: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), hi -> " +
+          s"CAST(strpos('0123456789abcdef', substr(md5($arg), hi, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      def planeSql(i: Int) =
+        s"list_reduce(list_prepend(0.0::DOUBLE, " +
+          s"list_transform(list_zip(e.embedding, (SELECT cv FROM cw WHERE plane = $i)), " +
+          "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x) AS h$i"
+            .replace("$i", i.toString)
+      def bandSql(b: Int) = (0 to 15)
+        .map(i => s"CASE WHEN h${16 * b + i} > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
+      val bandRows = (0 to 3).map(b =>
+        s"SELECT vec_id, $b AS band_idx, CAST(${bandSql(b)} AS BIGINT) AS code FROM h")
+        .mkString("\n      UNION ALL ")
+      s"""WITH dims AS (
+      SELECT MAX(len(embedding)) AS d FROM embeddings
+    ), cw AS (
+      SELECT plane, list(coef ORDER BY j) AS cv FROM (
+        SELECT p.plane, j.j,
+          ${hFold("'lshp#' || CAST(p.plane AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")} % 2001 - 1000 AS coef
+        FROM (SELECT unnest(generate_series(0, 63)) AS plane) p
+        CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS j) j
+      ) GROUP BY plane
+    ), h AS (
+      SELECT e.vec_id, e.embedding,
+        ${(0 to 63).map(planeSql).mkString(",\n        ")}
+      FROM embeddings e
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM h
+    ), bands AS (
+      $bandRows
+    ), bandrk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+      FROM bands
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+      FROM bandrk a JOIN bandrk b
+        ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+       AND a.bn <= $HotBucketCap AND b.bn <= $HotBucketCap
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.id_a, c.id_b, c.n_bands,
+        CASE WHEN x.n2 > 0 AND y.n2 > 0
+             THEN ${dotOrdSql("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) END AS cos_sim
+      FROM cand c JOIN en x ON x.vec_id = c.id_a JOIN en y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, n_bands, cos_sim FROM scored
+    WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
+    })
+
   /** Width law for [[adaptiveNearDup]], q72's production twin: band
     * code bits that hold expected (band, code) occupancy ≈ 1 as the
     * corpus grows — ceil(log₂ N), clamped to [8, 32]. At a FIXED width
@@ -3436,5 +3509,5 @@ object VectorQueries {
   def all: Seq[Q] =
     Seq(q34, q35, q36, q37, q39, q44, q52, q54, q68, q72, q77, q92, q94, q99,
       q100, q130, q131, q138, q147, q148, q160, q161, q165, q166, q167, q168,
-      q182, q183)
+      q182, q183, q184)
 }
