@@ -637,4 +637,26 @@ class PlanAuditSpec extends SparkTestBase {
       "orientation, wedge, and closing joins must all be key equi-joins")
     assert(!p.contains("windowspecdefinition()"))
   }
+
+  test("q183: the serve is ONE broadcast cell equi-join; codebook never shuffles") {
+    val p = plan("q183_ivf_multiprobe_serve")
+    // probe×cell frame broadcast onto the assigned corpus — the single
+    // join that carries the serve; the assignment itself is a literal-
+    // centroid projection (no join, no exchange for the codebook)
+    assert(p.contains("BroadcastHashJoin"),
+      "the exploded probe side must be the broadcast build side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "a cell-scan serve must never sort-merge or cross the corpus")
+  }
+
+  test("q184: independent-family near-dup keeps the q72 plan shape") {
+    val p = plan("q184_embedding_neardup_indep")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidates must be bounded by the (band, code) bucket equi-join")
+    // the md5 coefficient table is a kernel-internal static — nothing
+    // about the family change may add a shuffle or a join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <=
+      "Exchange hashpartitioning".r.findAllIn(plan("q72_embedding_neardup_wide")).size,
+      "q184 must not shuffle more than the q72 plan it twins")
+  }
 }
