@@ -302,7 +302,7 @@ object ScaleBench {
     "q159_zorder_layout_audit", "q160_nn_descent_recall",
     "q161_graph_beam_search", "q162_incremental_mv", "q163_bpe_merge_train", "q164_kmv_source_overlap", "q165_knn_label_propagation", "q166_graph_insert_audit", "q167_kcenter_coreset",
     "q168_graph_ann_clustered", "q182_sharded_nn_descent",
-    "q183_ivf_multiprobe_serve",
+    "q183_ivf_multiprobe_serve", "q184_embedding_neardup_indep",
     "q169_record_linkage", "q170_time_travel_read", "q171_weighted_quantiles", "q172_frequent_itemsets",
     "q173_record_linkage_snm",
     "q174_hybrid_rrf_fusion", "q175_compaction_planner",
