@@ -2461,9 +2461,12 @@ object TextQueries {
       // (over this box's disk); arrays through rank+window ≈ 55 GB,
       // 674 s; this shape ≈ one 12 GB exchange. Past SnmBcastMaxDocs
       // the (doc_id, rn) map outgrows a safe broadcast and
-      // [[snmJoinRank]] takes the shuffle-join swap automatically (the
-      // count it needs reads the slim frame GlobalRank just persisted
-      // — scalars, not arrays).
+      // [[snmJoinRank]] takes the shuffle-join swap automatically. The
+      // doc count that drives the guard is a PARQUET METADATA count of
+      // the raw table — counting rnMap instead would execute the whole
+      // rank pipeline one extra time (measured +55 % at 5 M docs before
+      // this was caught).
+      val nDocs = Tables(s, dir, "documents").count()
       val slim = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
       val rnMap = graft.rel.GlobalRank
@@ -2472,7 +2475,7 @@ object TextQueries {
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"),
           array_sort(expr(s"shingle_hash48(text, $N)")).as("sh"))
-      val ranked = snmJoinRank(d, rnMap, rnMap.count())
+      val ranked = snmJoinRank(d, rnMap, nDocs)
       snmWindowPairs(ranked, SnmW)
         .filter(col("n_union") > 0)
         .withColumn("jac_permille", expr("n_inter * 1000 div n_union"))
