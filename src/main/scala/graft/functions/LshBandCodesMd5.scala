@@ -25,11 +25,13 @@ import org.apache.spark.sql.types._
   * corpus piles into a handful of period-5 code patterns (measured:
   * 22 k-member buckets at 21 bits on an ISOTROPIC 2 M corpus, the real
   * driver of q72's 454× scale step; KernelParitySpec pins both the
-  * degeneracy and this family's independence). The catalog queries
-  * (q37/q39/q72) keep the LCG family — their oracles mirror it and the
-  * gate scale never leaves the uniform regime — while the production
-  * twin ([[graft.vec.VectorQueries.adaptiveNearDup]]) encodes with this
-  * family, whose coefficients are independent across planes.
+  * degeneracy and this family's independence). The NARROW catalog
+  * queries (q37/q39, 8-bit codes — below the period-5 knee) keep the
+  * LCG family as the documented exhibit; every ≥ 16-bit surface —
+  * catalog q72 (round 17, retiring its LCG encoder), the width-law
+  * production twin ([[graft.vec.VectorQueries.adaptiveNearDup]]) and
+  * its q184 gate — encodes with this family, whose coefficients are
+  * independent across planes.
   *
   * The coefficient table is built once per (planes, dim) on first use
   * (≤ 128 × dim md5 calls, driver/executor-local static cache) — the

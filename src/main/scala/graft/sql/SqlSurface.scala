@@ -588,7 +588,8 @@ object SqlSurface {
         SELECT vec_id, band_idx, code,
           ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
         FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
-      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands
+        WHERE bn <= ${graft.vec.VectorQueries.HotBucketCap}),
       cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
         FROM kept a JOIN kept b
@@ -682,17 +683,21 @@ object SqlSurface {
       GROUP BY d.source, d.lang
       ORDER BY d.source, d.lang""",
 
-    // q39's wide-band twin: 16-bit band codes (65 536-way buckets)
+    // q39's wide-band twin: 16-bit band codes (65 536-way buckets) on
+    // the INDEPENDENT md5 plane family (round 17 — the LCG family is
+    // period-5 degenerate past ~5 bits, so wide LCG codes were a
+    // scale-killer; see LshBandCodesMd5 and PERF.md r16/r17)
     "q72_embedding_neardup_wide" ->
       s"""WITH eb AS (
         SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
-               lsh_band_codes(embedding, 4, 16) AS codes
+               lsh_band_codes_md5(embedding, 4, 16) AS codes
         FROM embeddings
       ), bands AS (
         SELECT vec_id, band_idx, code,
           ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
         FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
-      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands
+        WHERE bn <= ${graft.vec.VectorQueries.HotBucketCap}),
       cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
         FROM kept a JOIN kept b
@@ -710,18 +715,25 @@ object SqlSurface {
       WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
 
     // q72 on the INDEPENDENT (md5) plane family - the production
-    // encoder (the LCG family is period-5 degenerate past ~5 bits per
-    // band; see LshBandCodesMd5 and PERF.md r16), same banding + verify
+    // encoder with the WIDTH LAW inline (round 17): bits =
+    // clamp(ceil(log2 N), 8, 32) derived from a COUNT(*) scalar
+    // subquery as length(bin(cnt - 1)) — bit-length of N-1 is exactly
+    // ceil(log2 N), no float-log edge — and fed straight to the kernel,
+    // so the text computes its own width like the catalog path does
     "q184_embedding_neardup_indep" ->
-      s"""WITH eb AS (
+      s"""WITH bw AS (
+        SELECT LEAST(32, GREATEST(8, length(bin(COUNT(*) - 1)))) AS bits
+        FROM embeddings
+      ), eb AS (
         SELECT vec_id, embedding, ord_dot(embedding, embedding) AS n2,
-               lsh_band_codes_md5(embedding, 4, 16) AS codes
+               lsh_band_codes_md5(embedding, 4, (SELECT bits FROM bw)) AS codes
         FROM embeddings
       ), bands AS (
         SELECT vec_id, band_idx, code,
           ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
         FROM eb LATERAL VIEW posexplode(codes) t AS band_idx, code
-      ), kept AS (SELECT vec_id, band_idx, code FROM bands WHERE bn <= 256),
+      ), kept AS (SELECT vec_id, band_idx, code FROM bands
+        WHERE bn <= ${graft.vec.VectorQueries.HotBucketCap}),
       cand AS (
         SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
         FROM kept a JOIN kept b
@@ -735,7 +747,8 @@ object SqlSurface {
         JOIN eb ea ON ea.vec_id = c.id_a
         JOIN eb e2 ON e2.vec_id = c.id_b
       )
-      SELECT id_a, id_b, n_bands, cos_sim FROM v
+      SELECT id_a, id_b, n_bands, cos_sim,
+        (SELECT CAST(bits AS INT) FROM bw) AS bits FROM v
       WHERE cos_sim > 0.15 ORDER BY id_a, id_b""",
 
     // IVF ANN (nprobe=1): exact-decimal centroid assignment, in-cell

@@ -28,8 +28,13 @@ object AdaptiveNearDupProbe {
     val family = sys.env.getOrElse("SPARK_GRAFT_ADND_FAMILY", "md5")
     val spark = graft.Tables.localSession(cpus)
     // same fixed-width warmup shape as ScaleBench: JIT/codegen warm
-    // before anything is timed
-    VectorQueries.adaptiveNearDup(spark, "/root/testdata/sf0.01")._1
+    // before anything is timed. Warm the SAME plane family the probe
+    // will measure (a default-family warmup would leave an lcg run's
+    // first leg timing codegen cold — exactly the skew this probe
+    // exists to rule out), on a small dir the box actually has.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_ADND_WARMUP_DIR",
+      "/root/testdata/sf0.01")
+    VectorQueries.adaptiveNearDup(spark, warmDir, family = family)._1
       .write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     args.foreach { dir =>

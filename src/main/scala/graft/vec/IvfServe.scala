@@ -32,10 +32,10 @@ import org.apache.spark.sql.functions._
   * bucketing key), so a probe touches nprobe partitions — no all-pairs,
   * no driver data.
   *
-  * Reference analog: nearest-neighbor retrieval in
-  * /root/reference/src/market_microstructure_toolkit/analysis.py
-  * (pairwise scans), re-expressed as the inverted-file serve a 100 TB
-  * embedding corpus requires.
+  * No reference analog: the reference toolkit (pandas microstructure
+  * metrics) has no vector-similarity surface — this is the SURVEY.md
+  * LLM-pipeline extension, the inverted-file serve a 100 TB embedding
+  * corpus requires.
   */
 object IvfServe {
 

@@ -43,9 +43,9 @@ import org.apache.spark.sql.functions._
   * scalars per row, one per-node top-K window. Never all-pairs; no
   * data-sized collect.
   *
-  * Reference analog: nearest-neighbor retrieval in
-  * /root/reference/src/market_microstructure_toolkit/analysis.py
-  * (pairwise similarity scans), re-expressed as the sharded distributed
+  * No reference analog: the reference toolkit (pandas
+  * microstructure metrics) has no vector-similarity surface —
+  * this is the SURVEY.md LLM-pipeline extension, the sharded distributed
   * graph build a 100 TB embedding corpus requires.
   */
 object ShardedGraphBuild {

@@ -26,7 +26,7 @@ object VectorQueries {
     * degenerate skew (thousands of identical vectors). sf0.1's largest
     * bucket is 112, so normal corpora are unaffected.
     */
-  private val HotBucketCap = 256
+  private[graft] val HotBucketCap = 256
 
   /** Exact decimal dot product of two float-array columns (double math
     * per term, rounded at 8dp, decimal-summed) — the native dec_dot8
@@ -288,21 +288,32 @@ object VectorQueries {
 
   // ---------------------------------------------------------------- q72
   /** q39 at the FLEET-SCALE band width: 4 bands × 16 sign bits (64
-    * hyperplanes, same deterministic integer family) instead of 4 × 8.
-    * Expected (band, code) occupancy is O(N/2¹⁶) — at 10× corpus the
-    * 8-bit codes go quadratic in candidate pairs (measured 15.7× wall
-    * in ScaleBench, N²/2⁸ exactly as theory predicts) while these stay
-    * ~linear. Same verify (ordered-double cosine > 0.15), same
-    * hot-bucket guard; the operating-point trade is recall at small N
-    * (fewer sign-agreements required at 8 bits) vs candidate volume at
-    * large N — which is why BOTH widths are catalog entries.
+    * hyperplanes) instead of 4 × 8. Expected (band, code) occupancy is
+    * O(N/2¹⁶) — at 10× corpus the 8-bit codes go quadratic in candidate
+    * pairs (measured 15.7× wall in ScaleBench, N²/2⁸ exactly as theory
+    * predicts) while these stay ~linear. Same verify (ordered-double
+    * cosine > 0.15), same hot-bucket guard; the operating-point trade
+    * is recall at small N (fewer sign-agreements required at 8 bits) vs
+    * candidate volume at large N — which is why BOTH widths are catalog
+    * entries.
+    *
+    * PLANE FAMILY (round 17): the md5-derived independent family
+    * ([[graft.functions.LshBandCodesMd5]]). The LCG family q39 still
+    * uses is period-5 DEGENERATE — wide codes carry only ~b/5 bits of
+    * entropy, so at 2 M rows the 16-bit LCG codes went bucket-quadratic
+    * (549 s wall with ~678 k silently cap-truncated rows per band,
+    * receipts/adaptive_neardup_r16.json) — a scale-killer a catalog
+    * user would have inherited. q39's 8-bit codes sit below the
+    * degeneracy knee (8 < 2×5), so the LCG family stays there as the
+    * documented exhibit; every ≥ 16-bit production surface (this query,
+    * q184's width law) encodes with the independent family.
     */
   val q72 = Q("q72_embedding_neardup_wide",
     (s, dir) => {
-      graft.functions.LshBandCodes.ensureRegistered(s)
+      graft.functions.LshBandCodesMd5.ensureRegistered(s)
       val eb = Tables(s, dir, "embeddings")
         .withColumn("n2", expr(norm2OrdExpr("embedding")))
-        .withColumn("codes", expr("lsh_band_codes(embedding, 4, 16)"))
+        .withColumn("codes", expr("lsh_band_codes_md5(embedding, 4, 16)"))
         .select(col("vec_id") +: col("embedding") +: col("n2") +:
           (0 to 3).map(b => element_at(col("codes"), b + 1).as(s"code$b")): _*)
         .cache()
@@ -329,63 +340,6 @@ object VectorQueries {
         .filter(col("cos_sim") > 0.15)
         .select("id_a", "id_b", "n_bands", "cos_sim")
         .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
-    },
-    Some {
-      def planeSql(i: Int) =
-        s"list_reduce(list_prepend(0.0::DOUBLE, " +
-          s"list_transform(generate_series(1, len(embedding)), j -> " +
-          s"CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
-          s"CAST(embedding[j] AS DOUBLE))), (acc, x) -> acc + x) AS h$i"
-      def bandSql(b: Int) = (0 to 15)
-        .map(i => s"CASE WHEN h${16 * b + i} > 0 THEN ${1L << i} ELSE 0 END").mkString(" + ")
-      val bandRows = (0 to 3).map(b =>
-        s"SELECT vec_id, $b AS band_idx, CAST(${bandSql(b)} AS BIGINT) AS code FROM h")
-        .mkString("\n      UNION ALL ")
-      s"""WITH h AS (
-      SELECT vec_id, embedding,
-        ${(0 to 63).map(planeSql).mkString(",\n        ")}
-      FROM embeddings
-    ), en AS (
-      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM h
-    ), bands AS (
-      $bandRows
-    ), bandrk AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
-      FROM bands
-    ), cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
-      FROM bandrk a JOIN bandrk b
-        ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
-       AND a.bn <= $HotBucketCap AND b.bn <= $HotBucketCap
-      GROUP BY 1, 2
-    ), scored AS (
-      SELECT c.id_a, c.id_b, c.n_bands,
-        CASE WHEN x.n2 > 0 AND y.n2 > 0
-             THEN ${dotOrdSql("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) END AS cos_sim
-      FROM cand c JOIN en x ON x.vec_id = c.id_a JOIN en y ON y.vec_id = c.id_b
-    )
-    SELECT id_a, id_b, n_bands, cos_sim FROM scored
-    WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
-    })
-
-  // --------------------------------------------------------------- q184
-  /** q72 on the INDEPENDENT plane family — the production encoder
-    * ([[graft.functions.LshBandCodesMd5]]), oracle-gated: same 4 × 16
-    * banding, same hot-bucket guard and ordered-double cosine verify,
-    * but coefficients from the portable h48 md5 fold instead of the
-    * period-5-degenerate LCG family (see the kernel scaladoc and
-    * PERF.md r16 — on the LCG family, planes 5 apart are near-duplicate
-    * hyperplanes, so q72's wide codes carry ~b/5 bits of entropy and go
-    * bucket-quadratic at 2 M rows). The run IS the production code path
-    * ([[adaptiveNearDup]] at the pinned gate width), so the encoder
-    * that carries the scale receipts sits inside the correctness gate;
-    * the DuckDB mirror derives every coefficient from the same md5
-    * fold and accumulates each plane in component order.
-    */
-  val q184 = Q("q184_embedding_neardup_indep",
-    (s, dir) => {
-      val (pairs, _, _, _) = adaptiveNearDup(s, dir, bitsOverride = Some(16))
-      pairs.transform(graft.Q.presentSorted(_, "id_a", "id_b"))
     },
     Some {
       // 48-bit md5 fold (the q182 hFold), reduced to the coefficient
@@ -441,6 +395,88 @@ object VectorQueries {
     WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
     })
 
+  // --------------------------------------------------------------- q184
+  /** The WIDTH LAW, oracle-gated END-TO-END: [[adaptiveNearDup]] with
+    * `bitsOverride = None`, so the gate exercises the full production
+    * chain — corpus count → [[adaptiveBandBits]] (ceil log₂ N clamped
+    * [8, 32]) → md5-family band codes at the derived width → banded
+    * self-join → exact ordered-double cosine verify. The DuckDB mirror
+    * derives the SAME width from COUNT(*) as
+    * `LEAST(32, GREATEST(8, length(bin(cnt − 1))))` — the bit-length of
+    * N−1 is exactly ceil(log₂ N), with no float-log precision edge at
+    * powers of two — then builds the 4·bits hyperplanes ROW-WISE from
+    * the portable h48 md5 coefficient fold (a width-agnostic shape: the
+    * fixed-width mirrors unroll h0..h63 as columns, which a dynamic
+    * width cannot) and re-assembles each band code as a bit-sum grouped
+    * by (vec_id, plane div bits). The law's CHOICE of width, not just
+    * the encoder, is pinned: `bits` rides every output row, so the
+    * mirror must agree on the derivation before a single pair can
+    * hash-match. (The round-16 gate ran this path only at a pinned
+    * 16-bit width — q72 now owns that fixed-width row — and at the gate
+    * SFs the law picks 9–11 bits, so this row genuinely gates the
+    * derivation, not a constant.)
+    */
+  val q184 = Q("q184_embedding_neardup_indep",
+    (s, dir) => {
+      val (pairs, _, _, bits) = adaptiveNearDup(s, dir)
+      pairs.withColumn("bits", lit(bits))
+        .transform(graft.Q.presentSorted(_, "id_a", "id_b"))
+    },
+    Some {
+      // 48-bit md5 fold (the q182 hFold), reduced to the coefficient
+      // domain [-1000, 1000] — bit-identical to LshBandCodesMd5.coef
+      def hFold(arg: String) =
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          "list_transform(generate_series(1, 12), hi -> " +
+          s"CAST(strpos('0123456789abcdef', substr(md5($arg), hi, 1)) - 1 AS BIGINT))), " +
+          "(acc, x) -> acc * 16 + x)"
+      s"""WITH bw AS (
+      SELECT LEAST(32, GREATEST(8, length(bin(COUNT(*) - 1)))) AS bits FROM embeddings
+    ), dims AS (
+      SELECT MAX(len(embedding)) AS d FROM embeddings
+    ), cw AS (
+      SELECT plane, list(coef ORDER BY j) AS cv FROM (
+        SELECT p.plane, j.j,
+          ${hFold("'lshp#' || CAST(p.plane AS VARCHAR) || '#' || CAST(j.j AS VARCHAR)")} % 2001 - 1000 AS coef
+        FROM (SELECT unnest(generate_series(0, 4 * (SELECT bits FROM bw) - 1)) AS plane) p
+        CROSS JOIN (SELECT unnest(generate_series(1, (SELECT d FROM dims))) AS j) j
+      ) GROUP BY plane
+    ), h AS (
+      SELECT e.vec_id, p.plane,
+        list_reduce(list_prepend(0.0::DOUBLE,
+          list_transform(list_zip(e.embedding, p.cv),
+            q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE))),
+          (acc, x) -> acc + x) AS hv
+      FROM embeddings e CROSS JOIN cw p
+    ), bands AS (
+      SELECT vec_id,
+        CAST(plane // (SELECT bits FROM bw) AS INT) AS band_idx,
+        CAST(SUM(CASE WHEN hv > 0
+          THEN CAST(1 AS BIGINT) << CAST(plane % (SELECT bits FROM bw) AS INT)
+          ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS code
+      FROM h GROUP BY 1, 2
+    ), en AS (
+      SELECT vec_id, embedding, ${norm2OrdSql("embedding")} AS n2 FROM embeddings
+    ), bandrk AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY band_idx, code ORDER BY vec_id) AS bn
+      FROM bands
+    ), cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b, COUNT(*) AS n_bands
+      FROM bandrk a JOIN bandrk b
+        ON a.band_idx = b.band_idx AND a.code = b.code AND a.vec_id < b.vec_id
+       AND a.bn <= $HotBucketCap AND b.bn <= $HotBucketCap
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT c.id_a, c.id_b, c.n_bands,
+        CASE WHEN x.n2 > 0 AND y.n2 > 0
+             THEN ${dotOrdSql("x.embedding", "y.embedding")} / (sqrt(x.n2) * sqrt(y.n2)) END AS cos_sim
+      FROM cand c JOIN en x ON x.vec_id = c.id_a JOIN en y ON y.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, n_bands, cos_sim,
+      (SELECT CAST(bits AS INT) FROM bw) AS bits FROM scored
+    WHERE cos_sim > 0.15 ORDER BY id_a, id_b"""
+    })
+
   /** Width law for [[adaptiveNearDup]], q72's production twin: band
     * code bits that hold expected (band, code) occupancy ≈ 1 as the
     * corpus grows — ceil(log₂ N), clamped to [8, 32]. At a FIXED width
@@ -461,13 +497,14 @@ object VectorQueries {
   }
 
   /** q72's PRODUCTION twin: the same 4-band signed-hyperplane near-dup
-    * (same deterministic integer plane family, same ordered-double
-    * cosine verify at > 0.15, same hot-bucket star guard), with the
-    * band width derived from the corpus size by [[adaptiveBandBits]]
-    * instead of pinned at 16 — the scale lever PERF.md names (code
-    * width ∝ log₂ N, 24–32 bits at 10⁷–10⁹ rows) actually computed,
-    * not just documented. Catalog q72 stays fixed-width so its oracle
-    * text never moves; deployments run this.
+    * (same md5-derived plane family, same ordered-double cosine verify
+    * at > 0.15, same hot-bucket star guard), with the band width
+    * derived from the corpus size by [[adaptiveBandBits]] instead of
+    * pinned at 16 — the scale lever PERF.md names (code width ∝ log₂ N,
+    * 24–32 bits at 10⁷–10⁹ rows) actually computed, not just
+    * documented. Catalog q72 keeps the fixed 16-bit width as the wide
+    * catalog operating point; THIS path — including the width
+    * derivation itself — is oracle-gated as catalog q184.
     *
     * NO SILENT CAPS: alongside the pairs the function returns the cap
     * audit — one row per band with the count of bucket members the
@@ -477,11 +514,14 @@ object VectorQueries {
     * the audit reads empty; a nonzero count is the signal to widen.
     *
     * The encoder family defaults to `"md5"` ([[graft.functions.LshBandCodesMd5]]):
-    * the catalog's LCG plane family is DEGENERATE past ~5 bits per band
-    * (planes p and p+5 are near-duplicate hyperplanes — see the kernel
-    * scaladoc), so on the LCG family no width restores occupancy ≈ 1;
-    * the md5 family's planes are independent and the width law works as
-    * designed. Pass `family = "lcg"` only to reproduce catalog q72.
+    * the LCG plane family (still used by the narrow catalog entries
+    * q37/q39, whose 8-bit codes sit below the knee) is DEGENERATE past
+    * ~5 bits per band (planes p and p+5 are near-duplicate hyperplanes
+    * — see the kernel scaladoc), so on the LCG family no width restores
+    * occupancy ≈ 1; the md5 family's planes are independent and the
+    * width law works as designed. Pass `family = "lcg"` only to
+    * reproduce the retired round-16 q72 encoder (the degeneracy
+    * exhibit, receipts/adaptive_neardup_r16.json).
     *
     * @return (pairs, candidates(id_a, id_b, n_bands) — the pre-verify
     *         frame, so a probe can report precision = |pairs| / |cand|,
@@ -2260,11 +2300,11 @@ object VectorQueries {
     * O(N·K²) bounded candidate pairs (pivot-local join — never
     * all-pairs), distances ride two linear hash joins on vec_id, and
     * the per-node top-K sorts bounded lists. The brute-force side
-    * exists only under the ≤ 32-probe audit. Reference analog:
-    * nearest-neighbor retrieval in
-    * /root/reference/src/market_microstructure_toolkit/analysis.py
-    * (pairwise similarity scans) re-expressed as the distributed
-    * graph-construction path a 100 TB embedding corpus requires.
+    * exists only under the ≤ 32-probe audit. No reference analog:
+    * the reference toolkit (pandas microstructure metrics) has no
+    * vector-similarity surface — this is the SURVEY.md LLM-pipeline
+    * extension, the distributed graph-construction path a 100 TB
+    * embedding corpus requires.
     */
   val q160 = Q("q160_nn_descent_recall",
     (s, dir) => ndAudit(s, dir, ndGraph(s, dir)),
@@ -3354,9 +3394,9 @@ object VectorQueries {
     * same code at the law configs; this pins its semantics at gate
     * scale the way q160 pins the plain build.
     *
-    * Reference analog: nearest-neighbor retrieval in
-    * /root/reference/src/market_microstructure_toolkit/analysis.py
-    * (pairwise similarity scans), re-expressed as the sharded
+    * No reference analog: the reference toolkit (pandas
+    * microstructure metrics) has no vector-similarity surface —
+    * this is the SURVEY.md LLM-pipeline extension, the sharded
     * distributed graph build a 100 TB embedding corpus requires.
     */
   val q182 = Q("q182_sharded_nn_descent",
@@ -3462,9 +3502,9 @@ object VectorQueries {
     * semantics, value-exact on d2 — so the gate pins the serve's
     * ANSWER and its COST (`n_scored`) at once.
     *
-    * Reference analog: nearest-neighbor retrieval in
-    * /root/reference/src/market_microstructure_toolkit/analysis.py
-    * (pairwise similarity scans), re-expressed as the inverted-file
+    * No reference analog: the reference toolkit (pandas
+    * microstructure metrics) has no vector-similarity surface —
+    * this is the SURVEY.md LLM-pipeline extension, the inverted-file
     * serve a 100 TB embedding corpus requires.
     */
   val q183 = Q("q183_ivf_multiprobe_serve",

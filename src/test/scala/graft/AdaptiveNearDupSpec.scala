@@ -29,8 +29,11 @@ class AdaptiveNearDupSpec extends SparkTestBase {
   }
 
   test("at the catalog width (16 bits) the twin IS q72") {
+    // q72 encodes with the md5 family since round 17 (the LCG encoder
+    // was the degenerate exhibit), so the twin's DEFAULT family at the
+    // catalog width must reproduce it exactly
     val (pairs, _, _, bits) = VectorQueries.adaptiveNearDup(
-      spark, dir, bitsOverride = Some(16), family = "lcg")
+      spark, dir, bitsOverride = Some(16))
     assert(bits === 16)
     val q72 = SparkEntry.queries("q72_embedding_neardup_wide")(spark, dir)
       .select("id_a", "id_b", "n_bands", "cos_sim")
