@@ -102,6 +102,20 @@ object StreamingMetrics {
             element_at(col("sig"), 4 * k + j + 1)))): _*)).as(Seq("band_idx", "bh")): _*)
       .withColumnRenamed("doc_id", idAs).withColumnRenamed("text", textAs)
 
+  /** Slim-signature broadcast wall for [[streamNearDedup]]: 4 band
+    * rows/doc × ~50 B ≈ 200 B/doc → 10⁷ docs ≈ 2 GB, comfortable
+    * headroom under Spark's 8 GB broadcast limit (the snmJoinRank /
+    * SnmBcastMaxDocs convention).
+    */
+  private[graft] val NdSigBcastMaxDocs = 10000000L
+
+  /** Text-side broadcast wall for [[streamNearDedup]]: ~1 KB/doc
+    * typical → 2×10⁶ docs ≈ 2 GB. Past it the verify join ships the
+    * (tiny) band-hit candidate stream to the corpus, not the corpus to
+    * every executor.
+    */
+  private[graft] val NdTxtBcastMaxDocs = 2000000L
+
   /** Streaming INGESTION near-dedup — the streaming twin of batch q64:
     * each arriving document's band signatures equi-join the STATIC
     * corpus signature table, the exact `shingle_overlap` Jaccard
@@ -125,10 +139,24 @@ object StreamingMetrics {
     * persisted frames live until the caller clears the cache (the
     * harness does per query) — the [[graft.rel.GlobalRank]] lifecycle
     * convention.
+    *
+    * BROADCAST GUARDS (round 17, the snmJoinRank pattern): both static
+    * sides are broadcast only while the base corpus fits — the one
+    * count() that already materializes the persisted frames drives the
+    * decision. Past [[NdSigBcastMaxDocs]] the slim signature join
+    * degrades to a shuffle join; past [[NdTxtBcastMaxDocs]] (a far
+    * lower wall — text rows are ~KB where signature rows are ~50 B)
+    * the verify-time text join does. Degrading is a strategy change
+    * only, never a value change (StreamingDedupSpec forces both
+    * thresholds and compares); without the guard a base corpus past
+    * driver memory or Spark's 8 GB broadcast wall would OOM the
+    * stream instead of slowing it.
     */
   def streamNearDedup(stream: DataFrame, base: DataFrame,
                       lateness: String = "10 minutes",
-                      threshold: Double = 0.8): DataFrame = {
+                      threshold: Double = 0.8,
+                      sigBcastMaxDocs: Long = NdSigBcastMaxDocs,
+                      txtBcastMaxDocs: Long = NdTxtBcastMaxDocs): DataFrame = {
     graft.functions.TextKernels.ensureRegistered(base.sparkSession)
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val baseSig = bandSignatures(
@@ -136,13 +164,16 @@ object StreamingMetrics {
       .select("band_idx", "bh", "base_id").persist(lvl)
     val baseTxt = base.select(col("doc_id").as("base_id"),
       col("text").as("base_text")).persist(lvl)
-    baseSig.count(); baseTxt.count()
+    baseSig.count()
+    val nDocs = baseTxt.count()
+    val sigSide = if (nDocs <= sigBcastMaxDocs) broadcast(baseSig) else baseSig
+    val txtSide = if (nDocs <= txtBcastMaxDocs) broadcast(baseTxt) else baseTxt
     val newSig = bandSignatures(
       stream.select(col("doc_id"), col("text"), col("ts_us")), "new_id", "new_text")
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", lateness)
-    newSig.join(broadcast(baseSig), Seq("band_idx", "bh"))
-      .join(broadcast(baseTxt), "base_id")
+    newSig.join(sigSide, Seq("band_idx", "bh"))
+      .join(txtSide, "base_id")
       .withColumn("ov", expr("shingle_overlap(new_text, base_text, 8)"))
       .withColumn("jaccard",
         when(col("ov.n_union") > 0, col("ov.n_inter").cast("double") / col("ov.n_union")))

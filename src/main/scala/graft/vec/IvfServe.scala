@@ -66,6 +66,23 @@ object IvfServe {
         c => c.getField("cid")))
   }
 
+  /** Broadcast guard for [[serve]]'s probe side (the snmJoinRank
+    * pattern, TextQueries.scala): serving is probe-batched by nature,
+    * so the exploded probe×cell frame is normally tiny and broadcasting
+    * it is THE plan (one map-side equi-join, the corpus never
+    * shuffles). But nothing used to stop a caller handing a 10⁷-row
+    * probe batch to the same code path — the exploded frame (each row
+    * carries the probe embedding, ~0.5 KB at 64 dims) would be forced
+    * into a driver-bounded broadcast exchange and OOM instead of
+    * degrading. Past this many PROBES the serve takes a plain equi-join
+    * (AQE picks the shuffle strategy; the corpus then ships once,
+    * partitioned by cell — the co-location a fleet deployment gets for
+    * free by bucketing on the assignment column). 10⁶ probes × nprobe 4
+    * × ~0.5 KB ≈ 2 GB — comfortably under Spark's 8 GB broadcast wall
+    * with headroom for wider embeddings.
+    */
+  private[graft] val ServeBcastMaxProbes = 1000000L
+
   /** The serving path itself, oracle-gated as catalog q183: exact top-`k`
     * per probe WITHIN its `nprobe` nearest codebook cells — one corpus
     * assignment pass (codegen'd literal-centroid projection), one
@@ -77,12 +94,20 @@ object IvfServe {
     * over sparse corpora belongs to [[ivfSweepAudit]], which counts such
     * probes as misses.
     *
+    * The probe side is broadcast only while the batch is at most
+    * `bcastMaxProbes` rows ([[ServeBcastMaxProbes]]) — one count() on
+    * the probe batch (a metadata count when the batch is a bare scan)
+    * buys graceful degradation to a shuffle join past the wall instead
+    * of a broadcast OOM; IvfServeGuardSpec forces the threshold both
+    * ways and compares values.
+    *
     * @param en     corpus (vec_id, embedding, n2 — ordered-fold norms)
     * @param cent   coarse codebook (cid, cvec), ≤ 256 rows
     * @param probes (q_id, embedding, n2)
     */
   def serve(en: DataFrame, cent: DataFrame, probes: DataFrame,
-            nprobe: Int, k: Int): DataFrame = {
+            nprobe: Int, k: Int,
+            bcastMaxProbes: Long = ServeBcastMaxProbes): DataFrame = {
     val asg = ShardedGraphBuild.assignOrd(en.select("vec_id", "embedding"), cent)
       .select(col("vec_id").as("node"), col("cell").as("ncell"))
     val cands = en.select(col("vec_id").as("node"), col("embedding").as("ce"),
@@ -93,7 +118,9 @@ object IvfServe {
         cent, nprobe)
       .select(col("q_id"), col("embedding").as("qe"), col("qn2"),
         explode(col("pcells")).as("pcell"))
-    val scored = broadcast(pcells)
+    val probeSide =
+      if (probes.count() <= bcastMaxProbes) broadcast(pcells) else pcells
+    val scored = probeSide
       .join(cands, col("ncell") === col("pcell") && col("node") =!= col("q_id"))
       .select(col("q_id"), col("node"),
         (col("qn2") + col("cn2") -

@@ -58,6 +58,40 @@ class StreamingDedupSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("broadcast guard: forcing shuffle joins changes strategy, never values") {
+    // round-17 guard (the snmJoinRank pattern): past NdSigBcastMaxDocs /
+    // NdTxtBcastMaxDocs the static sides degrade from broadcast to
+    // shuffle joins. Same inputs through both plans must emit identical
+    // rows — the threshold may pick the JOIN STRATEGY only.
+    val baseText = "the quick brown fox jumps over the lazy dog while the " +
+      "market microstructure toolkit records order book snapshots at depth"
+    val base = Seq((100L, baseText),
+      (101L, "an entirely different corpus document about realized " +
+        "variance and order flow imbalance metrics")).toDF("doc_id", "text")
+    def run(tag: String, sigMax: Long, txtMax: Long): Set[(Long, Long)] = {
+      val dir = Files.createTempDirectory(s"ingest-$tag")
+      land(dir, "b1.parquet", Seq((1L, baseText, 1000000L),
+        (2L, baseText + " with a small suffix change", 2000000L)))
+      val stream = spark.readStream
+        .schema(Seq((1L, "a", 1L)).toDF("doc_id", "text", "ts_us").schema)
+        .parquet(dir.toString)
+      val q = StreamingMetrics.streamNearDedup(stream, base,
+          sigBcastMaxDocs = sigMax, txtBcastMaxDocs = txtMax)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(s"ingest_guard_$tag").start()
+      try {
+        q.processAllAvailable()
+        spark.table(s"ingest_guard_$tag").select("new_id", "base_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      } finally { q.stop(); spark.catalog.clearCache() }
+    }
+    val viaBcast = run("bc", Long.MaxValue, Long.MaxValue)
+    val viaShuffle = run("sh", 0L, 0L)
+    assert(viaBcast === viaShuffle,
+      s"guard sides disagree: broadcast=$viaBcast shuffle=$viaShuffle")
+    assert(viaBcast.nonEmpty, "an empty match set proves nothing")
+  }
+
   private def landVecs(dir: java.nio.file.Path, name: String,
                        rows: Seq[(Long, Seq[Float], Long)]): Unit = {
     val staging = Files.createTempDirectory("stage")
