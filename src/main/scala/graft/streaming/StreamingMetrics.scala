@@ -131,8 +131,11 @@ object StreamingMetrics {
     * materialized ONCE (persist + eager count, before the first
     * trigger) and broadcast SLIM: (band_idx, bh, base_id) for the band
     * match — the micro-batch side stays a pipelined map-side join, its
-    * texts never shuffle — and (base_id, base_text) joined only for
-    * band-hit candidates at verify time. At 100 TB the slim signature
+    * texts never shuffle — and (base_id, base_text) attached only for
+    * band-hit candidates at verify time, via a session-lifetime
+    * broadcast-variable lookup (collected once, reused every trigger —
+    * a DataFrame broadcast join would rebuild its exchange per
+    * micro-batch, the measured fixed leg of the trigger cost). At 100 TB the slim signature
     * table is the thing an ingestion pipeline maintains incrementally
     * (bucketed on (band_idx, bh) once it outgrows a broadcast); stream
     * state stays bounded by the dedup horizon regardless. The two
@@ -167,13 +170,28 @@ object StreamingMetrics {
     baseSig.count()
     val nDocs = baseTxt.count()
     val sigSide = if (nDocs <= sigBcastMaxDocs) broadcast(baseSig) else baseSig
-    val txtSide = if (nDocs <= txtBcastMaxDocs) broadcast(baseTxt) else baseTxt
     val newSig = bandSignatures(
       stream.select(col("doc_id"), col("text"), col("ts_us")), "new_id", "new_text")
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", lateness)
-    newSig.join(sigSide, Seq("band_idx", "bh"))
-      .join(txtSide, "base_id")
+    val bandHits = newSig.join(sigSide, Seq("band_idx", "bh"))
+    // Text attach (round 17): a stream-static JOIN re-executes its
+    // broadcast exchange EVERY micro-batch — rebuilding the ~MB-scale
+    // text relation per trigger was the fixed leg of the addBatch cost
+    // at the 1 M-row probe (receipts/stream_scale_1m_r16/17). Below the
+    // guard the texts ride a session-lifetime broadcast VARIABLE
+    // instead (ONE driver collect, reused across every trigger) and a
+    // lookup expression attaches base_text to the tiny band-hit
+    // candidate stream; past the guard, a plain shuffle join (the
+    // candidates ship to the corpus, never the reverse).
+    val withTxt =
+      if (nDocs <= txtBcastMaxDocs) {
+        val bc = base.sparkSession.sparkContext.broadcast(
+          baseTxt.collect().map(r => r.getLong(0) -> r.getString(1)).toMap)
+        val lookupTxt = udf((id: Long) => bc.value.getOrElse(id, null))
+        bandHits.withColumn("base_text", lookupTxt(col("base_id")))
+      } else bandHits.join(baseTxt, "base_id")
+    withTxt
       .withColumn("ov", expr("shingle_overlap(new_text, base_text, 8)"))
       .withColumn("jaccard",
         when(col("ov.n_union") > 0, col("ov.n_inter").cast("double") / col("ov.n_union")))
