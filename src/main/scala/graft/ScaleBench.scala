@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.util.chaining._
 
 /** Scale-up linearity probe for the dedup/ANN layer and the
   * behavioral-analytics family: synthesizes a 10× documents +
@@ -125,6 +126,21 @@ object ScaleBench {
     * `_SUCCESS` marker additionally invalidates partials left by
     * pre-fix rounds that wrote to `dest` directly.
     */
+  /** Balanced pairwise union of the per-copy frames. A plain
+    * `reduce(_ unionByName _)` builds a Copies-deep LEFT-LEANING plan
+    * whose recursive analysis blows the JVM stack around ~4-5 k
+    * branches (measured: 2500 copies fine, 5000 -> StackOverflow in
+    * LazyTry under the analyzer); the balanced tree is depth
+    * ceil(log2 Copies) (~13 at 5000) and analyzes in linear time.
+    */
+  @annotation.tailrec
+  private def treeUnion(dfs: Seq[DataFrame]): DataFrame =
+    if (dfs.lengthCompare(1) == 0) dfs.head
+    else treeUnion(dfs.grouped(2).map {
+      case Seq(a, b) => a.unionByName(b)
+      case Seq(a) => a
+    }.toSeq)
+
   private def writeCommitted(df: DataFrame, dest: String): Unit = {
     val tmp = new java.io.File(dest + ".tmp")
     if (tmp.exists()) delRec(tmp)
@@ -167,7 +183,7 @@ object ScaleBench {
           (col("doc_id") + lit(k * nD)).as("doc_id"),
           t3.as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _), s"$outDir/documents.parquet")
+      }.pipe(treeUnion), s"$outDir/documents.parquet")
     }
 
     if (wanted("embeddings") && !present(outDir, "embeddings")) {
@@ -205,7 +221,7 @@ object ScaleBench {
           embTransform(k, dim, embDecor)(col("embedding")).as("embedding"),
           (if (perCopyLabels) (col("label") + lit(k * nLab)).cast("int")
            else col("label")).as("label"))
-      }.reduce(_ unionByName _), s"$outDir/embeddings.parquet")
+      }.pipe(treeUnion), s"$outDir/embeddings.parquet")
     }
 
     // events: the realistic growth mode for a behavioral stream is MORE
@@ -232,7 +248,7 @@ object ScaleBench {
           (col("ts") + lit(k * 1009L * 1000L)).as("ts"),
           (col("user_id") + lit(k * userStride)).as("user_id"),
           col("event_type"), col("value"), col("props"))
-      }.reduce(_ unionByName _), s"$outDir/events.parquet")
+      }.pipe(treeUnion), s"$outDir/events.parquet")
     }
 
     // orders: feeds the vacuum-audit probe (q179). Copies get fresh
@@ -246,7 +262,7 @@ object ScaleBench {
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
           .withColumn("o_totalprice",
             round(col("o_totalprice") + lit(k * 0.01), 2))
-      }.reduce(_ unionByName _), s"$outDir/orders.parquet")
+      }.pipe(treeUnion), s"$outDir/orders.parquet")
     }
 
     // lineitem: feeds the distributed-exact-quantile probe (q65) and the
@@ -264,7 +280,7 @@ object ScaleBench {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
           .withColumn("l_extendedprice",
             round(col("l_extendedprice") + lit(k * 0.01), 2))
-      }.reduce(_ unionByName _), s"$outDir/lineitem.parquet")
+      }.pipe(treeUnion), s"$outDir/lineitem.parquet")
     }
   }
 
