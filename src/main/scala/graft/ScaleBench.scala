@@ -141,10 +141,23 @@ object ScaleBench {
       case Seq(a) => a
     }.toSeq)
 
-  private def writeCommitted(df: DataFrame, dest: String): Unit = {
+  /** One write JOB per ≤ WriteChunk copies (append into the same .tmp
+    * dir, single rename at the end): even with the balanced union, a
+    * single 5000-branch write job dies on spark.driver.maxResultSize —
+    * every task ships per-operator SQL-metric accumulator updates, and
+    * ~50 k operators × ~1 k tasks exceeds the 1 GiB driver cap. Chunked
+    * jobs keep the per-task payload proportional to the chunk, and the
+    * commit contract is unchanged (the rename is still the atomic
+    * publish; _SUCCESS lands with the final chunk).
+    */
+  private val WriteChunk = 500
+
+  private def writeCommitted(dfs: Seq[DataFrame], dest: String): Unit = {
     val tmp = new java.io.File(dest + ".tmp")
     if (tmp.exists()) delRec(tmp)
-    df.write.mode("overwrite").parquet(tmp.getPath)
+    dfs.grouped(WriteChunk).foreach { chunk =>
+      treeUnion(chunk).write.mode("append").parquet(tmp.getPath)
+    }
     val d = new java.io.File(dest)
     if (d.exists()) delRec(d)
     require(tmp.renameTo(d), s"rename ${tmp.getPath} -> $dest failed")
@@ -183,7 +196,7 @@ object ScaleBench {
           (col("doc_id") + lit(k * nD)).as("doc_id"),
           t3.as("text"),
           col("lang"), col("source"), col("n_chars"))
-      }.pipe(treeUnion), s"$outDir/documents.parquet")
+      }, s"$outDir/documents.parquet")
     }
 
     if (wanted("embeddings") && !present(outDir, "embeddings")) {
@@ -221,7 +234,7 @@ object ScaleBench {
           embTransform(k, dim, embDecor)(col("embedding")).as("embedding"),
           (if (perCopyLabels) (col("label") + lit(k * nLab)).cast("int")
            else col("label")).as("label"))
-      }.pipe(treeUnion), s"$outDir/embeddings.parquet")
+      }, s"$outDir/embeddings.parquet")
     }
 
     // events: the realistic growth mode for a behavioral stream is MORE
@@ -248,7 +261,7 @@ object ScaleBench {
           (col("ts") + lit(k * 1009L * 1000L)).as("ts"),
           (col("user_id") + lit(k * userStride)).as("user_id"),
           col("event_type"), col("value"), col("props"))
-      }.pipe(treeUnion), s"$outDir/events.parquet")
+      }, s"$outDir/events.parquet")
     }
 
     // orders: feeds the vacuum-audit probe (q179). Copies get fresh
@@ -262,7 +275,7 @@ object ScaleBench {
         ord.withColumn("o_orderkey", col("o_orderkey") + lit(k * okStride))
           .withColumn("o_totalprice",
             round(col("o_totalprice") + lit(k * 0.01), 2))
-      }.pipe(treeUnion), s"$outDir/orders.parquet")
+      }, s"$outDir/orders.parquet")
     }
 
     // lineitem: feeds the distributed-exact-quantile probe (q65) and the
@@ -280,7 +293,7 @@ object ScaleBench {
         li.withColumn("l_orderkey", col("l_orderkey") + lit(k * okStride))
           .withColumn("l_extendedprice",
             round(col("l_extendedprice") + lit(k * 0.01), 2))
-      }.pipe(treeUnion), s"$outDir/lineitem.parquet")
+      }, s"$outDir/lineitem.parquet")
     }
   }
 
