@@ -31,7 +31,8 @@ object StreamScaleProbe {
   private case class LegStats(rows: Long, triggers: Int, wallSec: Double,
                               maxBatchMs: Long, stateRowsMax: Long,
                               stateBytesMax: Long, outRows: Long,
-                              phaseMaxMs: Map[String, Long])
+                              phaseMaxMs: Map[String, Long],
+                              triggerMs: Seq[Long])
 
   private def drain(q: StreamingQuery, t0: Long,
                     outCount: => Long): LegStats = {
@@ -49,17 +50,22 @@ object StreamScaleProbe {
       import scala.jdk.CollectionConverters._
       p.durationMs.asScala.map { case (k, v) => k -> v.longValue }
     }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    // the full per-trigger series (arrival order): lets a reader split
+    // first-trigger warmup (broadcast build, codegen) from steady state
+    // and spot an ambient-load spike hitting one isolated trigger
+    val perTrigger = progs.map(p =>
+      Option(p.durationMs.get("triggerExecution")).map(_.longValue)
+        .getOrElse(0L)).toSeq
     LegStats(
       rows = progs.map(_.numInputRows).sum,
       triggers = progs.length,
       wallSec = wall,
-      maxBatchMs = progs.map(p =>
-        Option(p.durationMs.get("triggerExecution")).map(_.longValue)
-          .getOrElse(0L)).foldLeft(0L)(math.max),
+      maxBatchMs = perTrigger.foldLeft(0L)(math.max),
       stateRowsMax = state.map(_.numRowsTotal).foldLeft(0L)(math.max),
       stateBytesMax = state.map(_.memoryUsedBytes).foldLeft(0L)(math.max),
       outRows = out,
-      phaseMaxMs = phases)
+      phaseMaxMs = phases,
+      triggerMs = perTrigger)
   }
 
   private def json(leg: String, n: Long, s: LegStats): String = {
@@ -72,6 +78,7 @@ object StreamScaleProbe {
       f""""max_trigger_ms":${s.maxBatchMs},""" +
       f""""state_rows_max":${s.stateRowsMax},""" +
       f""""state_bytes_max":${s.stateBytesMax},"out_rows":${s.outRows},""" +
+      f""""trigger_ms":${s.triggerMs.mkString("[", ",", "]")},""" +
       f""""phase_max_ms":$ph}"""
   }
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Multi-probe IVF serving over a driver-bounded (≤ 256) coarse
+/** Multi-probe IVF serving over a driver-bounded (≤ 1024) coarse
   * codebook — the q52 nprobe lever applied at the extreme-scale corpus,
   * and the serving architecture the round-14 receipts showed the 2 M
   * corpus actually needs.
@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * [[IvfSweepProbe]] measures both sides; PERF.md round 15 carries the
   * numbers.
   *
-  * Scale shape: the codebook is ≤ 256 rows (driver-literal projection —
+  * Scale shape: the codebook is ≤ 1024 rows (driver-literal projection —
   * zero shuffle to rank cells), corpus assignment is one codegen'd
   * pass, and a probe batch costs nprobe·(N/K) exact scores per probe
   * via one equi-join on the cell id. At 1000 executors the corpus
@@ -42,7 +42,7 @@ object IvfServe {
   /** Top-`p` nearest centroid cells per row as an ORDERED array column
     * `pcells` (nearest first) — the nprobe generalization of
     * [[ShardedGraphBuild.assignOrd]]'s best/runner-up pair, same
-    * codegen'd ordered-double scoring over the ≤ 256-literal codebook,
+    * codegen'd ordered-double scoring over the ≤ MaxCodebook-literal codebook,
     * same smaller-cid tie-break via the struct's lexicographic order.
     */
   private[graft] def probeCells(emb: DataFrame, cent: DataFrame,
@@ -51,7 +51,7 @@ object IvfServe {
     val cs = cent.select("cid", "cvec").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     require(cs.nonEmpty, "probeCells needs at least one centroid")
-    require(cs.length <= 256,
+    require(cs.length <= ShardedGraphBuild.MaxCodebook,
       s"probeCells is for driver-bounded codebooks, got ${cs.length}")
     val pc = math.min(p, cs.length)
     val cands = cs.map { case (cid, cvec) =>
@@ -102,7 +102,7 @@ object IvfServe {
     * ways and compares values.
     *
     * @param en     corpus (vec_id, embedding, n2 — ordered-fold norms)
-    * @param cent   coarse codebook (cid, cvec), ≤ 256 rows
+    * @param cent   coarse codebook (cid, cvec), ≤ MaxCodebook rows
     * @param probes (q_id, embedding, n2)
     */
   def serve(en: DataFrame, cent: DataFrame, probes: DataFrame,

@@ -50,6 +50,20 @@ import org.apache.spark.sql.functions._
   */
 object ShardedGraphBuild {
 
+  /** Driver-bounded codebook ceiling, shared by [[assignOrd]],
+    * [[coarseCentroids]] and [[IvfServe.probeCells]]. The codebook is a
+    * LITERAL projection (never a shuffle), so the bound is what keeps
+    * it driver/codegen-safe, not a fixed magic size: 1024 cells × 64
+    * dims ≈ 0.5 MB of constant-folded array literals. Raised from 256
+    * in round 17 — IVF cell occupancy is N/K, and the 10 M rung showed
+    * K must grow with the corpus (256 cells → 39 k rows/cell → 3.2 %
+    * scored for recall ≥ 0.99; 512 cells restores the 5 M operating
+    * point). At 10⁹+ rows the codebook graduates from literals to a
+    * small broadcast table; within this bound the literal form wins
+    * (zero exchange, whole-stage codegen).
+    */
+  private[vec] val MaxCodebook = 1024
+
   /** 48-bit md5 hash of `tag ∥ a ∥ '#' ∥ b` — the catalog's portable
     * deterministic hash (the [[VectorQueries.initPairsOver]] fold).
     */
@@ -73,7 +87,7 @@ object ShardedGraphBuild {
     val cs = cent.select("cid", "cvec").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
     require(cs.nonEmpty, "assignOrd needs at least one centroid")
-    require(cs.length <= 256,
+    require(cs.length <= MaxCodebook,
       s"assignOrd is for driver-bounded codebooks, got ${cs.length}")
     val cands = cs.map { case (cid, cvec) =>
       // centroid norm on the driver (K scalars) — deterministic left fold
@@ -109,7 +123,8 @@ object ShardedGraphBuild {
     */
   def coarseCentroids(en: DataFrame, k: Int, sampleMod: Int,
                       lloydRounds: Int): DataFrame = {
-    require(k >= 1 && k <= 256, s"coarse codebook must be 1..256, got $k")
+    require(k >= 1 && k <= MaxCodebook,
+      s"coarse codebook must be 1..$MaxCodebook, got $k")
     val s = en.sparkSession
     // lloydMeans' cnorm2 rides the exact-decimal kernel
     graft.functions.DecDot8.ensureRegistered(s)
