@@ -25,7 +25,7 @@ object PlanCost {
     * rule is unit-testable (PlanCostSpec drives it with a re-delivered
     * StageCompleted event carrying a failureReason).
     */
-  final class CostListener(perStage: Boolean = false) extends SparkListener {
+  final class CostListener(val perStage: Boolean = false) extends SparkListener {
     val cpu = new AtomicLong(); val sw = new AtomicLong()
     val sr = new AtomicLong(); val stages = new AtomicLong()
 
@@ -51,19 +51,29 @@ object PlanCost {
       sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       stages.incrementAndGet()
-      if (perStage)
+      if (perStage) {
+        val wallMs = (for {
+          s <- sc.stageInfo.submissionTime; c <- sc.stageInfo.completionTime
+        } yield c - s).getOrElse(-1L)
         System.err.println(f"[stage ${sc.stageInfo.stageId}%4d] " +
           f"cpu=${m.executorCpuTime / 1e9}%7.2fs " +
+          f"wall=${wallMs / 1e3}%6.2fs " +
+          f"tasks=${sc.stageInfo.numTasks}%4d " +
           f"in=${m.inputMetrics.recordsRead}%9d " +
           f"sr=${m.shuffleReadMetrics.recordsRead}%9d " +
           f"sw=${m.shuffleWriteMetrics.recordsWritten}%9d  " +
           sc.stageInfo.name.take(100))
+      }
       ()
     }
   }
 
   def main(args: Array[String]): Unit = {
-    val name = args(0)
+    // comma-separated list → one JSON line per query, ONE shared session
+    // (round 17: batching amortizes the ~40 s sbt/JVM spin-up across a
+    // measurement sweep; per-query isolation is preserved by the warmup +
+    // clearCache + listener reset between entries, same as single mode)
+    val names = args(0).split(",").toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.localSession(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
@@ -73,16 +83,20 @@ object PlanCost {
     val acc = new CostListener(
       perStage = sys.env.get("SPARK_GRAFT_PLANCOST_STAGES").contains("1"))
     spark.sparkContext.addSparkListener(acc)
-    val q = SparkEntry.catalog.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query: $name"))
-    // JIT/codegen warmup on the smallest SF (not counted: reset after)
-    q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    acc.reset()
-    val t0 = System.nanoTime()
-    q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-    val wall = (System.nanoTime() - t0) / 1e9
-    println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${acc.cpu.get / 1e9}%.2f,"shuffle_write_mb":${acc.sw.get / 1e6}%.1f,"shuffle_read_mb":${acc.sr.get / 1e6}%.1f,"stages":${acc.stages.get}}""")
+    names.foreach { name =>
+      val q = SparkEntry.catalog.find(_.name == name)
+        .getOrElse(sys.error(s"unknown query: $name"))
+      // JIT/codegen warmup on the smallest SF (not counted: reset after)
+      q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+      spark.catalog.clearCache()
+      if (acc.perStage) System.err.println(s"[plancost] ---- $name ----")
+      acc.reset()
+      val t0 = System.nanoTime()
+      q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - t0) / 1e9
+      println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${acc.cpu.get / 1e9}%.2f,"shuffle_write_mb":${acc.sw.get / 1e6}%.1f,"shuffle_read_mb":${acc.sr.get / 1e6}%.1f,"stages":${acc.stages.get}}""")
+      spark.catalog.clearCache()
+    }
     spark.stop()
   }
 }

@@ -30,7 +30,7 @@ object Multimodal {
     */
   def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
-    graft.Tables(spark, sfDir, "documents")
+    graft.Tables(spark, sfDir, "documents", spreadOk = true)
       .select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),

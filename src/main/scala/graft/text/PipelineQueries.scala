@@ -40,7 +40,7 @@ object PipelineQueries {
     */
   val q58 = Q("q58_repetition_quality",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val lines = split(col("text"), "\n")
       val base = docs.select(col("doc_id"), col("text"))
         .withColumn("n_lines", size(lines).cast("long"))
@@ -392,7 +392,7 @@ object PipelineQueries {
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
       val nShingle = 8
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       // every 5th doc forms the incoming batch (deterministic and
       // sf-independent); the rest is the existing corpus
       val sig = docs
@@ -877,7 +877,7 @@ object PipelineQueries {
     */
   val q79 = Q("q79_source_overlap",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val tri = docs.select(col("source"), col("text"))
         .withColumn("tk", toks)
         .withColumn("nw",
@@ -959,7 +959,7 @@ object PipelineQueries {
           .when(m === 3, concat(lit(" mail ops"), idS, lit("@mail.example.org via 192.168."),
             (col("doc_id") % 100).cast("string"), lit(".7")))
           .otherwise(lit("")))
-      Tables(s, dir, "documents")
+      Tables(s, dir, "documents", spreadOk = true)
         .select(col("doc_id"), aug.as("t"))
         .select(col("doc_id"),
           regexp_count(col("t"), lit(emailPat)).cast("long").as("n_email"),
@@ -2125,7 +2125,7 @@ object PipelineQueries {
       // transform+substring lambda alone cost ~4 s at sf0.1); the
       // exploded stream feeds TWO consumers (bench set + train scan)
       graft.functions.TextKernels.ensureRegistered(s)
-      val grams = Tables(s, dir, "documents")
+      val grams = Tables(s, dir, "documents", spreadOk = true)
         .withColumn("split",
           when(h < 900, lit("train")).when(h < 950, lit("val")).otherwise(lit("test")))
         .filter(length(col("text")) >= 8)
@@ -2569,7 +2569,7 @@ object PipelineQueries {
     */
   val q164 = Q("q164_kmv_source_overlap",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val gramsH = docs.select(col("source"), col("text"))
         .withColumn("tk", toks)
         .withColumn("nw",

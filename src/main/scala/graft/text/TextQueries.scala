@@ -630,7 +630,7 @@ object TextQueries {
       // shingle_agg kernel — the expensive part — runs ONCE, not once
       // per self-join side (and again in each side's pushed-down
       // isnotnull filter); the harness clears the cache post-query
-      val sig = Tables(s, dir, "documents")
+      val sig = Tables(s, dir, "documents", spreadOk = true)
         .withColumn("simhash", expr(s"shingle_agg(text, $N).simhash"))
         .select(col("doc_id"), col("simhash")).cache()
       val side = sig
@@ -693,7 +693,7 @@ object TextQueries {
   val q71 = Q("q71_simhash64_neardup",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
-      val sig = Tables(s, dir, "documents")
+      val sig = Tables(s, dir, "documents", spreadOk = true)
         .withColumn("simhash64", expr(s"shingle_agg(text, $N).simhash64"))
         .select(col("doc_id"), col("simhash64")).cache()
       val side = sig
@@ -993,7 +993,7 @@ object TextQueries {
     */
   val q81 = Q("q81_hybrid_neardup",
     (s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val emb = Tables(s, dir, "embeddings")
       // bands handle stays cached for the query's duration; the harness
       // clears it after the query (same contract as q39)
@@ -1259,7 +1259,7 @@ object TextQueries {
   val q102 = Q("q102_minhash_calibration",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val sig = docs
         .withColumn("sig", expr(s"minhash_spans(text, $N, 4)"))
         .select(col("doc_id") +: (for { k <- 0 to 3; j <- 0 to 3 }
@@ -1619,7 +1619,7 @@ object TextQueries {
       // ~5000 rows × ~200 longs and is dropped by the harness after the
       // query; at cluster scale the same barrier is a checkpoint or an
       // exchange, never a re-derivation per generated row.
-      val fps = Tables(s, dir, "documents")
+      val fps = Tables(s, dir, "documents", spreadOk = true)
         .withColumn("wins", expr("rolling_hash(text, 8, 131, 1000000007).wins"))
         .select(col("doc_id"),
           expr("""array_distinct(transform(
@@ -2232,7 +2232,7 @@ object TextQueries {
       // (doc_id, x, y) is three longs per doc; cache it so the kernel
       // pass runs once — the frame feeds BOTH the distinct-point set and
       // the final join-back (measured 4.6 s -> ~2 s at sf0.1)
-      val pts = Tables(s, dir, "documents")
+      val pts = Tables(s, dir, "documents", spreadOk = true)
         .select(col("doc_id"), col("n_chars").as("x"),
           expr(s"shingle_agg(text, $N).n_distinct").as("y"))
         .cache()
@@ -2727,7 +2727,7 @@ object TextQueries {
     */
   private[graft] def linkageCleanDirty(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
-    val base = Tables(s, dir, "documents")
+    val base = Tables(s, dir, "documents", spreadOk = true)
       .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
       .select(col("doc_id"),
         array_join(slice(split(trim(col("text")), " "), 1, 6), " ").as("title"))

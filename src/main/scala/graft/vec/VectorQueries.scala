@@ -114,7 +114,7 @@ object VectorQueries {
   val q36 = Q("q36_knn_bruteforce",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val en = Tables(s, dir, "embeddings")
+      val en = Tables(s, dir, "embeddings", spreadOk = true)
         .withColumn("n2", expr(norm2Expr("embedding")))
       val q = en.filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("n2").as("qn2"))
@@ -160,7 +160,7 @@ object VectorQueries {
           s"CAST(round(CAST((($i * 64 + j) * 2654435761) % 2001 - 1000 AS DOUBLE) * " +
           s"CAST(element_at(embedding, j) AS DOUBLE), 6) AS DECIMAL(30,6))), " +
           s"CAST(0 AS DECIMAL(30,6)), (acc, v) -> CAST(acc + v AS DECIMAL(30,6))) AS DOUBLE)")
-      val withPlanes = (0 to 7).foldLeft(Tables(s, dir, "embeddings")) { (d, i) =>
+      val withPlanes = (0 to 7).foldLeft(Tables(s, dir, "embeddings", spreadOk = true)) { (d, i) =>
         d.withColumn(s"h$i", plane(i))
       }
       val bucket = (0 to 7).map(i =>
@@ -855,7 +855,7 @@ object VectorQueries {
   val q54 = Q("q54_kmeans_ivf",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = Tables(s, dir, "embeddings", spreadOk = true).select(col("vec_id"), col("embedding"))
       val h = md5(concat(lit("seed#"), col("vec_id").cast("string")).cast("binary"))
       // seeds: distributed top-K by hash (the cluster sorts); cid = rank
       // within the K, assigned on the driver over the ≤ K collected rows
@@ -977,7 +977,7 @@ object VectorQueries {
   val q68 = Q("q68_int8_quant_recall",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val en = Tables(s, dir, "embeddings")
+      val en = Tables(s, dir, "embeddings", spreadOk = true)
         .withColumn("mx", expr("aggregate(embedding, CAST(0 AS DOUBLE), " +
           "(acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
         .withColumn("qv", expr(
@@ -1272,7 +1272,7 @@ object VectorQueries {
   val q92 = Q("q92_pq_adc_recall",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val emb = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val emb = Tables(s, dir, "embeddings", spreadOk = true).select(col("vec_id"), col("embedding"))
       // every Lloyd round re-reads its subspace frame twice (assignment +
       // the per-dim mean join), plus the seed scan, the encode pass, and
       // the LUT build — persist each slice so the scan + slice projection
@@ -1455,7 +1455,7 @@ object VectorQueries {
   val q94 = Q("q94_mmr_diverse",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val en = Tables(s, dir, "embeddings")
+      val en = Tables(s, dir, "embeddings", spreadOk = true)
         .withColumn("n2", expr(norm2Expr("embedding")))
         .filter(col("n2") > 0)
       val qv = en.filter(col("vec_id") === 0)
@@ -1666,7 +1666,7 @@ object VectorQueries {
   val q100 = Q("q100_ann_tuning",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables(s, dir, "embeddings", spreadOk = true)
       val ranked = cellRanks(s, dir)
       val assigned = emb
         .join(ranked.filter(col("crn") === 1)
@@ -1853,7 +1853,7 @@ object VectorQueries {
       val projCols = (1 to 16).map(j =>
         expr(s"aggregate(zip_with(embedding, ${sgn(j)}, (x, g) -> CAST(x AS DOUBLE) * g), " +
           s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)").as(s"y$j"))
-      val proj = Tables(s, dir, "embeddings")
+      val proj = Tables(s, dir, "embeddings", spreadOk = true)
         .select(col("vec_id") +: col("embedding") +: projCols: _*)
       val a = proj.select(col("vec_id").as("id_a") +: col("embedding").as("ea") +:
         (1 to 16).map(j => col(s"y$j").as(s"ya$j")): _*)
@@ -1919,7 +1919,7 @@ object VectorQueries {
   val q138 = Q("q138_dim_truncation_recall",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables(s, dir, "embeddings", spreadOk = true)
       def topk(kDims: Int): org.apache.spark.sql.DataFrame = {
         val sliceA = if (kDims == 64) "qe" else s"slice(qe, 1, $kDims)"
         val sliceB = if (kDims == 64) "ce" else s"slice(ce, 1, $kDims)"
@@ -2025,7 +2025,7 @@ object VectorQueries {
   val q147 = Q("q147_assignment_margin_audit",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val emb = Tables(s, dir, "embeddings")
+      val emb = Tables(s, dir, "embeddings", spreadOk = true)
       val perDim = emb
         .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
         .groupBy(col("label"), (col("pos0") + lit(1)).cast("long").as("pos"))
