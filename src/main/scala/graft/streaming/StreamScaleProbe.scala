@@ -130,6 +130,37 @@ object StreamScaleProbe {
     // leg 1: ingestion near-dedup against the static base corpus
     val base = graft.Tables(spark, baseDir, "documents")
       .select(col("doc_id"), col("text"))
+    // Codegen/JIT warmup (round 17, the §1 methodology every timed main
+    // here already follows — Bench/PlanCost warm on sf0.001 first): the
+    // probe's first trigger used to carry whole-stage-codegen compilation
+    // of the verify pipeline plus the first broadcast build — a fixed
+    // ~2 s invariant to rows-per-trigger (r16/r17 series: trigger 1 at
+    // 4.2-4.4 s vs 1.7-2.9 s steady state) — which made max_trigger_ms
+    // report compiler latency, not ingestion. Run the IDENTICAL query
+    // over one replay file first, untimed: codegen classes and the
+    // persisted static side (CacheManager dedupes the identical logical
+    // plan) are then warm, and the timed leg measures steady-state
+    // triggers. Every per-trigger time still lands in the receipt, so a
+    // reader can see there is no hidden cold tail.
+    locally {
+      val f0 = new java.io.File(replay).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).min
+      val warmDir = s"$replay-warm1"
+      val tgt = new java.io.File(warmDir, new java.io.File(f0).getName)
+      if (!tgt.exists()) {
+        java.nio.file.Files.createDirectories(tgt.toPath.getParent)
+        java.nio.file.Files.copy(java.nio.file.Paths.get(f0), tgt.toPath)
+      }
+      val w = StreamingMetrics.streamNearDedup(
+          spark.readStream.schema(schema).parquet(warmDir)
+            .select(col("doc_id"), col("text"), col("ts_us")),
+          base)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssp_nd_warm").option("checkpointLocation", ckpt("ndw"))
+        .start()
+      // one micro-batch (the single copied file) compiles every stage
+      w.processAllAvailable(); w.stop()
+    }
     val t1 = System.nanoTime()
     val q1 = StreamingMetrics.streamNearDedup(
         stream().select(col("doc_id"), col("text"), col("ts_us")), base)
