@@ -28,9 +28,18 @@ object Multimodal {
   /** Deterministic fake assets derived from the `documents` table: the
     * payload is the UTF-8 text, metadata modulated by doc_id.
     */
-  def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
+  /** `spread`: input-parallelism floor opt-in (Tables.spread scaladoc).
+    * Measured per consumer (round 17, min-of-4 same-window A/B): the
+    * banded ahash self-join (q117) wins 1.40->0.74 s — per-row hashing
+    * above the scan is its bound — while the decode-and-aggregate
+    * consumers (q129/q178/q180) pay more for the extra exchange than
+    * their post-shuffle work saves (q178 0.39->0.68 s); those keep the
+    * bare scan.
+    */
+  def syntheticAssets(spark: SparkSession, sfDir: String,
+                      spread: Boolean = false): Dataset[Asset] = {
     import spark.implicits._
-    graft.Tables(spark, sfDir, "documents", spreadOk = true)
+    graft.Tables(spark, sfDir, "documents", spreadOk = spread)
       .select(
         col("doc_id").as("asset_id"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
