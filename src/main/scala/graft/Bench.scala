@@ -20,6 +20,58 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
+  /** /proc/stat-delta external-CPU measurement (round 18, replacing the
+    * loadavg>1 heuristic as the `contaminated` trigger): this box's
+    * loadavg counts non-CPU kernel states — measured loadavg 9 with
+    * vmstat 100 % idle — so the old flag BOTH over-triggered on a quiet
+    * box and said nothing about how much competing CPU actually ran.
+    * The truthful signal is jiffy deltas over the run:
+    * `external = (machine busy Δ − this JVM's own CPU Δ) / capacity Δ`.
+    * Parsing is pure (unit-tested in BenchExtCpuSpec); sampling wraps it
+    * with a −1 sentinel on any read failure, which falls back to the
+    * loadavg heuristic so non-Linux still gets a flag.
+    */
+  private[graft] object ExtCpu {
+    /** (busy, total) jiffies from the aggregate `cpu ` line of /proc/stat
+      * (idle + iowait count as not-busy).
+      */
+    def parseMachine(statText: String): (Long, Long) = {
+      val f = statText.linesIterator.next().trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = f(3) + (if (f.length > 4) f(4) else 0L)
+      (f.sum - idle, f.sum)
+    }
+
+    /** This process's consumed CPU jiffies (utime+stime+cutime+cstime)
+      * from /proc/self/stat. comm (field 2) may contain spaces/parens, so
+      * fields are indexed from the LAST ')' — after it, field 14 (utime)
+      * is token 11.
+      */
+    def parseSelf(selfStatText: String): Long = {
+      val t = selfStatText.substring(selfStatText.lastIndexOf(')') + 2)
+        .trim.split("\\s+")
+      t(11).toLong + t(12).toLong + t(13).toLong + t(14).toLong
+    }
+
+    /** Fraction of machine CPU capacity consumed by OTHER processes over
+      * the sampled interval; −1.0 when either sample failed.
+      */
+    def externalFrac(m0: (Long, Long), m1: (Long, Long),
+                     self0: Long, self1: Long): Double =
+      if (m0._2 < 0 || m1._2 < 0 || self0 < 0 || self1 < 0 || m1._2 <= m0._2) -1.0
+      else math.max(0.0,
+        ((m1._1 - m0._1) - (self1 - self0)).toDouble / (m1._2 - m0._2))
+
+    def sampleMachine(): (Long, Long) =
+      try parseMachine(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/stat")))
+      catch { case _: Throwable => (-1L, -1L) }
+
+    def sampleSelf(): Long =
+      try parseSelf(java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/self/stat")))
+      catch { case _: Throwable => -1L }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -36,19 +88,22 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val loadStart = loadavg()
-    // AMBIENT-LOAD SELF-LABELING (round 17): three straight rounds of
-    // driver artifacts were contaminated by external box load (loadavg
-    // 3-7 at start; q75 read 23.5 s vs 1.3 s quiet — same binary) and
-    // each cost judge-side re-measurement. An artifact that starts on a
-    // loaded box now SAYS SO in-band, so a reader adjudicates from the
-    // flag instead of re-running. The run still completes and writes —
-    // refusing would leave the round with no artifact at all.
-    val contaminated = loadStart > 1.0
-    if (contaminated) System.err.println(
-      f"[bench] WARNING: starting 1-min loadavg $loadStart%.2f > 1.0 — " +
-        "external load present; timings will overstate; artifact is " +
-        "marked \"contaminated\":true (compare against the quiet-window " +
-        "anchor in receipts/, not across rounds)")
+    // AMBIENT-LOAD SELF-LABELING (round 17; trigger replaced round 18):
+    // three straight rounds of driver artifacts were contaminated by
+    // external box load (loadavg 3-7 at start; q75 read 23.5 s vs 1.3 s
+    // quiet — same binary) and each cost judge-side re-measurement. An
+    // artifact from a loaded box SAYS SO in-band via `contaminated`. The
+    // flag is now the /proc/stat external-CPU delta over the whole run
+    // (see [[ExtCpu]]): >10 % of machine capacity burned by other
+    // processes ⇒ contaminated. loadavg remains recorded (and is the
+    // fallback trigger when /proc is unreadable) but no longer decides —
+    // this box floats loadavg ~9 at 100 % idle.
+    val mach0 = ExtCpu.sampleMachine()
+    val self0 = ExtCpu.sampleSelf()
+    if (loadStart > 1.0) System.err.println(
+      f"[bench] note: starting 1-min loadavg $loadStart%.2f > 1.0 — " +
+        "possible external load; the final artifact's \"contaminated\" " +
+        "flag is decided by the /proc/stat external-CPU delta at end of run")
     // JVM/codegen warmup on the smallest SF so per-query timings measure
     // execution, not first-time compilation.
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -94,6 +149,15 @@ object Bench {
       (q.name, dts)
     }
     val loadEnd = loadavg()
+    val extFrac = ExtCpu.externalFrac(
+      mach0, ExtCpu.sampleMachine(), self0, ExtCpu.sampleSelf())
+    val contaminated =
+      if (extFrac >= 0.0) extFrac > 0.10 else loadStart > 1.0
+    if (contaminated) System.err.println(
+      f"[bench] WARNING: external processes consumed ${extFrac * 100}%.1f%% " +
+        "of machine CPU during the run (>10%%) — timings overstate; artifact " +
+        "is marked \"contaminated\":true (compare against the quiet-window " +
+        "anchor in receipts/, not across rounds)")
     val qs = results.map { case (k, dts) => "\"" + k + "\":" + f"${dts.min}%.3f" }.mkString("{", ",", "}")
     // every per-rep time, not just head/min — lets a reader see WHICH rep
     // an outlier landed on (external-load spikes hit isolated reps;
@@ -111,8 +175,9 @@ object Bench {
     }
     val total = f"${results.map(_._2.head).sum}%.3f"
     val totalMin = f"${results.map(_._2.min).sum}%.3f"
+    val extJson = f"$extFrac%.3f"
     val json =
-      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"contaminated":$contaminated,"loadavg":$loadJson,"reps_sec":$repsJson}"""
+      s"""{"queries":$qs,"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"contaminated":$contaminated,"cpu_ext_frac":$extJson,"loadavg":$loadJson,"reps_sec":$repsJson}"""
     // Durable artifact: the driver's log capture may truncate stdout, so
     // the full per-query timing map also lands on disk where the round
     // artifacts can pick it up regardless of log length.
@@ -140,7 +205,7 @@ object Bench {
     def digest(dp: Int): String = {
       val ids = byId.map(_._1).mkString("[", ",", "]")
       val ts = byId.map(t => fmt(dp, t._2)).mkString("[", ",", "]")
-      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"contaminated":$contaminated,"loadavg":$loadJson,"qid":$ids,"qmin":$ts}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","cpus":"$cpus","reps":$reps,"value_min":$totalMin,"contaminated":$contaminated,"cpu_ext_frac":$extJson,"loadavg":$loadJson,"qid":$ids,"qmin":$ts}"""
     }
     // Loop precision downward until the digest fits; if even 0-dp
     // overflows the tail window (catalog far past ~220 queries), say so
