@@ -90,10 +90,16 @@ object PlanCost {
       q.run(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
       spark.catalog.clearCache()
       if (acc.perStage) System.err.println(s"[plancost] ---- $name ----")
+      // listener events are delivered async: drain the bus so no stage
+      // event from the warmup (or the previous query) lands after the
+      // reset and bleeds into this query's totals
+      org.apache.spark.GraftListenerSync.drain(spark.sparkContext)
       acc.reset()
       val t0 = System.nanoTime()
       q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      // ... and again before reading: the timed run's own tail events
+      org.apache.spark.GraftListenerSync.drain(spark.sparkContext)
       println(f"""{"q":"$name","wall":$wall%.2f,"cpu_sec":${acc.cpu.get / 1e9}%.2f,"shuffle_write_mb":${acc.sw.get / 1e6}%.1f,"shuffle_read_mb":${acc.sr.get / 1e6}%.1f,"stages":${acc.stages.get}}""")
       spark.catalog.clearCache()
     }
