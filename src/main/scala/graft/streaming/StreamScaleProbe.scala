@@ -71,7 +71,11 @@ object StreamScaleProbe {
   private def json(leg: String, n: Long, s: LegStats): String = {
     val ph = s.phaseMaxMs.toSeq.sortBy(-_._2)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    f"""{"probe":"stream_scale","leg":"$leg","n_requested":$n,""" +
+    // "warmed": both legs run one untimed single-file micro-batch first
+    // (codegen + static-side build excluded from the timed series), so
+    // wall_sec/rows_per_sec are steady-state figures — NOT comparable to
+    // the r15/r16 receipts, whose leg-1 trigger 1 carried compilation
+    f"""{"probe":"stream_scale","leg":"$leg","n_requested":$n,"warmed":true,""" +
       f""""rows":${s.rows},"triggers":${s.triggers},""" +
       f""""wall_sec":${s.wallSec}%.1f,""" +
       f""""rows_per_sec":${s.rows / math.max(s.wallSec, 1e-9)}%.0f,""" +
@@ -142,15 +146,22 @@ object StreamScaleProbe {
     // plan) are then warm, and the timed leg measures steady-state
     // triggers. Every per-trigger time still lands in the receipt, so a
     // reader can see there is no hidden cold tail.
+    // warm dir: ONE replay file, rebuilt fresh each run (delete+recopy —
+    // a stale copy from a previous differently-shaped replay would replay
+    // the wrong file or fail on a schema change)
+    val warmDir = locally {
+      val fs = Option(new java.io.File(replay).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      require(fs.nonEmpty, s"replay dir $replay holds no parquet files")
+      val f0 = fs.min
+      val d = new java.io.File(s"$replay-warm1")
+      if (d.exists()) d.listFiles().foreach(_.delete())
+      val tgt = new java.io.File(d, new java.io.File(f0).getName)
+      java.nio.file.Files.createDirectories(d.toPath)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(f0), tgt.toPath)
+      d.getAbsolutePath
+    }
     locally {
-      val f0 = new java.io.File(replay).listFiles()
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).min
-      val warmDir = s"$replay-warm1"
-      val tgt = new java.io.File(warmDir, new java.io.File(f0).getName)
-      if (!tgt.exists()) {
-        java.nio.file.Files.createDirectories(tgt.toPath.getParent)
-        java.nio.file.Files.copy(java.nio.file.Paths.get(f0), tgt.toPath)
-      }
       val w = StreamingMetrics.streamNearDedup(
           spark.readStream.schema(schema).parquet(warmDir)
             .select(col("doc_id"), col("text"), col("ts_us")),
@@ -172,13 +183,23 @@ object StreamScaleProbe {
 
     // leg 2: per-source KMV distinct sketch (48-bit doc fingerprints)
     import spark.implicits._
+    def kmvOver(src: org.apache.spark.sql.DataFrame) =
+      StreamingMetrics.streamKmvSketch(src
+        .select(col("source"),
+          expr("conv(substr(md5(CAST(text AS BINARY)), 1, 12), 16, 10)")
+            .cast("long").as("h"))
+        .as[StreamingMetrics.KmvRow])
+    // same warmup methodology as leg 1 (round 18 — previously only leg 1
+    // was warmed, so the two legs' receipts measured different things)
+    locally {
+      val w = kmvOver(spark.readStream.schema(schema).parquet(warmDir))
+        .writeStream.outputMode("append").format("memory")
+        .queryName("ssp_kmv_warm").option("checkpointLocation", ckpt("kmvw"))
+        .start()
+      w.processAllAvailable(); w.stop()
+    }
     val t2 = System.nanoTime()
-    val kmvIn = stream()
-      .select(col("source"),
-        expr("conv(substr(md5(CAST(text AS BINARY)), 1, 12), 16, 10)")
-          .cast("long").as("h"))
-      .as[StreamingMetrics.KmvRow]
-    val q2 = StreamingMetrics.streamKmvSketch(kmvIn)
+    val q2 = kmvOver(stream())
       .writeStream.outputMode("append").format("memory")
       .queryName("ssp_kmv").option("checkpointLocation", ckpt("kmv"))
       .start()
