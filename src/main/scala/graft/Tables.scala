@@ -68,6 +68,14 @@ object Tables {
     * and every catalog query is partition-count independent (the driver
     * re-runs the bench at a different core count). SPARK_GRAFT_SCAN_SPREAD=0
     * disables the floor (A/B measurement hook).
+    *
+    * Gate cost/caveat: `df.rdd.getNumPartitions` physically plans the
+    * scan (no job runs — ms of driver work per opted-in load), and the
+    * count it reads depends on session split confs
+    * (`spark.sql.files.maxPartitionBytes` etc.), so a session that
+    * lowers them (StreamScaleProbe sets 4 MB) can plan more splits and
+    * not trip the floor — correct behavior (the scan is then already
+    * parallel), noted so the gate's session-dependence is explicit.
     */
   def spread(df: DataFrame): DataFrame = {
     if (sys.env.get("SPARK_GRAFT_SCAN_SPREAD").contains("0")) return df

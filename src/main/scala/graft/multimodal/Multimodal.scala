@@ -27,8 +27,8 @@ object Multimodal {
 
   /** Deterministic fake assets derived from the `documents` table: the
     * payload is the UTF-8 text, metadata modulated by doc_id.
-    */
-  /** `spread`: input-parallelism floor opt-in (Tables.spread scaladoc).
+    *
+    * `spread`: input-parallelism floor opt-in (Tables.spread scaladoc).
     * Measured per consumer (round 17, min-of-4 same-window A/B): the
     * banded ahash self-join (q117) wins 1.40->0.74 s — per-row hashing
     * above the scan is its bound — while the decode-and-aggregate
