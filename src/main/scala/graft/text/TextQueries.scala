@@ -1817,18 +1817,54 @@ object TextQueries {
     FROM h JOIN ex USING (source)
     ORDER BY h.source"""))
 
+  /** OR-folds a single-column `pos` frame (values in [0, 2²⁴)) into the
+    * m = 2²⁴-bit Bloom bit array: a map-side-combinable groupBy on the
+    * 64-bit word index (≤ m/64 = 2¹⁸ result rows — 2 MiB — regardless
+    * of input size), collected into one Long array. The bounded driver
+    * collect is the guide-§3.2 filter build (`df.stat.bloomFilter` does
+    * the same aggregate-to-driver internally); per-word `bit_or` is
+    * insensitive to duplicate positions, so no pre-distinct pass.
+    */
+  private[graft] def q112Bitmap(pos: DataFrame): Array[Long] = {
+    val arr = new Array[Long](1 << 18)
+    pos.groupBy(expr("pos div 64").as("w"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT)))").as("bits"))
+      .collect()
+      .foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Map-side Bloom probe: 1L iff all four hash positions are set in the
+    * broadcast bitmap, else 0L. A Scala UDF over four longs — the four
+    * md5 position expressions stay codegen'd Catalyst columns; only the
+    * ~ns bit tests run in the closure (guide §3.2's broadcast-filter
+    * probe shape, `mightContainLong` with an exact bitmap).
+    */
+  private[graft] def bloomProbe(
+      bm: org.apache.spark.broadcast.Broadcast[Array[Long]])
+      : org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (p0: Long, p1: Long, p2: Long, p3: Long) =>
+      val w = bm.value
+      def t(p: Long): Boolean = (w((p >>> 6).toInt) & (1L << (p & 63L).toInt)) != 0L
+      if (t(p0) && t(p1) && t(p2) && t(p3)) 1L else 0L
+    }
+
   // --------------------------------------------------------------- q112
   /** Bloom-filter decontamination screen with an exact false-positive
     * audit — the cheap FIRST pass of the q66 benchmark-decontam family
     * at 100 TB: build a Bloom filter (k=4 hashes, m=2²⁴ bits) over the
     * train split's distinct shingle hashes, probe every eval-split
     * shingle, and measure what the filter's false positives would cost
-    * against the exact semi-join truth. In production the bit array is
-    * ONE broadcast bitmap (Spark's own `bloom_filter_agg` / DataSketches)
-    * and the probe is map-side; here the set-bit table + position join
-    * keeps the filter exactly auditable by DuckDB while exercising the
-    * same plan shape (distinct-position build ≡ bitmap OR-fold, 4-way
-    * position probe ≡ the k hash lookups).
+    * against the exact semi-join truth. The bit array IS one broadcast
+    * bitmap (round 18 — previously a set-bit table shuffle-joined by a
+    * 4-way exploded probe, the catalog's worst anti-scaler at 8v32 ratio
+    * 0.18: per-task overhead × 32 partitions of tiny exploded rows beat
+    * the work): the k·|train| positions OR-fold map-side into ≤ m/64
+    * (word, bits) rows — 2 MiB regardless of corpus size — and every
+    * eval shingle tests its 4 positions in-row against the broadcast
+    * array ([[bloomProbe]]), exactly the guide-§3.2 broadcast-filter
+    * probe. The k hash positions stay the same codegen'd md5
+    * expressions, so DuckDB audits the identical filter bit-for-bit.
     *
     * Output per source: eval shingle volume, bloom hits, exact hits,
     * false positives, and the realized FPR over true negatives —
@@ -1839,32 +1875,39 @@ object TextQueries {
   val q112 = Q("q112_bloom_decontam",
     (s, dir) => {
       graft.functions.TextKernels.ensureRegistered(s)
-      val docs = Tables(s, dir, "documents")
+      // spread: the shingle kernel + the 4 md5 probe hashes are the
+      // per-row hot loop, evaluated directly above a single-row-group
+      // scan (Tables.spread scaladoc)
+      val docs = Tables(s, dir, "documents", spreadOk = true)
       val sh = docs
         .select(col("doc_id"), col("source"),
           (expr("doc_id * 2654435761") % 1000 < 900).as("is_train"),
           explode(expr(s"shingle_hash48(text, $N)")).as("v"))
+      // persisted: read twice (bitmap build — an eager job — and the
+      // exact-truth join), and each read would otherwise re-run the
+      // shingle kernel over the train 90 % of the corpus
       val trainV = sh.filter(col("is_train")).select("v").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       def posCol(r: Int) =
         expr(s"CAST(conv(substr(md5(CAST(concat('$r#', CAST(v AS STRING)) AS BINARY)), 1, 12), 16, 10) AS BIGINT) % 16777216")
-      val bits = trainV
-        .select(explode(array((0 to 3).map(posCol): _*)).as("pos"))
-        .distinct()
-      val evalSh = sh.filter(!col("is_train")).select("doc_id", "source", "v").distinct()
-      val probes = evalSh
-        .select(col("doc_id"), col("source"), col("v"),
-          explode(array((0 to 3).map(posCol): _*)).as("pos"))
-      val nMatched = probes.join(bits, "pos")
-        .groupBy("doc_id", "source", "v")
-        .agg(count(lit(1)).as("n_pos"))
-        .filter(col("n_pos") === 4)
-        .select(col("doc_id"), col("source"), col("v"), lit(1L).as("bloom_hit"))
-      val truth = evalSh.join(trainV.select(col("v"), lit(1L).as("true_hit")), Seq("v"), "left")
-      truth.join(nMatched.select("doc_id", "v", "bloom_hit"), Seq("doc_id", "v"), "left")
+      val bitmap = q112Bitmap(trainV.select(
+        explode(array((0 to 3).map(posCol): _*)).as("pos")))
+      val probe = bloomProbe(s.sparkContext.broadcast(bitmap))
+      // probe BEFORE the distinct exchange: bloom_hit is a pure function
+      // of v, so distinct-with-it equals distinct-then-probe — but placed
+      // map-side it runs on the spread scan's tasks instead of the
+      // AQE-coalesced (1-task at this SF) post-shuffle side, which
+      // measured as the stage holding half the query's CPU
+      val evalSh = sh.filter(!col("is_train"))
+        .withColumn("bloom_hit", probe(posCol(0), posCol(1), posCol(2), posCol(3)))
+        .select("doc_id", "source", "v", "bloom_hit").distinct()
+      val truth = evalSh
+        .join(trainV.select(col("v"), lit(1L).as("true_hit")), Seq("v"), "left")
+      truth
         .groupBy("source")
         .agg(countDistinct("doc_id").as("n_eval_docs"),
           count(lit(1)).as("n_shingles"),
-          sum(coalesce(col("bloom_hit"), lit(0L))).as("n_bloom_hits"),
+          sum(col("bloom_hit")).as("n_bloom_hits"),
           sum(coalesce(col("true_hit"), lit(0L))).as("n_true_hits"))
         .select(col("source"), col("n_eval_docs"), col("n_shingles"),
           col("n_bloom_hits"), col("n_true_hits"),

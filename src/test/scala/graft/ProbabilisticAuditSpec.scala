@@ -120,4 +120,35 @@ class ProbabilisticAuditSpec extends SparkTestBase {
     assert(got.keySet === expected.keySet)
     expected.foreach { case (src, e) => assert(got(src) === e, src) }
   }
+
+  test("q112: broadcast-bitmap bloom side matches a pure-Scala position-set probe") {
+    // Round 18 rewrote the bloom side (set-bit table + 4-way exploded pos
+    // shuffle join → one broadcast bitmap + map-side probe). This pins the
+    // new path to the filter's DEFINITION — the k=4 md5 positions of every
+    // distinct train shingle, recomputed independently of Spark's md5/conv
+    // expressions — so a bitmap indexing or shift bug cannot hide behind
+    // the (looser) no-false-negative invariant above.
+    graft.functions.TextKernels.ensureRegistered(spark)
+    val docHashes = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), explode(expr("shingle_hash48(text, 8)")).as("v"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val isTrain = (id: Long) => (id * 2654435761L) % 1000 < 900
+    def pos(r: Int, v: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$r#$v".getBytes("UTF-8"))
+      // first 12 hex chars of the digest = first 6 bytes
+      java.lang.Long.parseLong(d.take(6).map("%02x".format(_)).mkString, 16) % 16777216L
+    }
+    val bits: Set[Long] = docHashes.collect { case (id, _, v) if isTrain(id) => v }
+      .toSet.flatMap((v: Long) => (0 to 3).map(r => pos(r, v)))
+    val expected = docHashes.filterNot { case (id, _, _) => isTrain(id) }
+      .groupBy(_._2).map { case (src, xs) =>
+        src -> xs.count { case (_, _, v) => (0 to 3).forall(r => bits(pos(r, v))) }.toLong
+      }
+    val got = q112Out.collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_bloom_hits")).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (src, e) => assert(got(src) === e, src) }
+  }
 }
