@@ -2442,6 +2442,116 @@ object PipelineQueries {
 
   private val SaK = 8 // suffix-ranking window (tokens): 3 doubling rounds
 
+  /** Corpus-size guard for [[q157FlaggedPositions]]: past this many
+    * documents the flagged-position plan switches from the lead-window
+    * shape (every position ships its full SaK-rank tuple — SaK longs —
+    * through the prune groupBy, two semi-joins and the class-count
+    * window) to Manber–Myers prefix doubling (one extra dense-rank
+    * round compacts each half-key to ONE long, so the wide stages ship
+    * 2 longs per position instead of SaK). The doubling round costs two
+    * fixed exchanges (range shuffle of distinct half-keys + join-back),
+    * which at gate scale outweigh the byte savings — sf0.1's measured
+    * winner is the lead-window shape — while at fleet scale the
+    * per-position byte width is the whole game (ExactSubstr runs at
+    * K=50: 400 B/position vs 16 B). 2×10⁶ docs ≈ where the wide
+    * exchanges pass ~10 GB and dwarf two fixed small shuffles.
+    */
+  private[graft] val Q157DoubleMinDocs = 2000000L
+
+  /** Positions whose forward SaK-gram occurs ≥ 2 times anywhere in the
+    * corpus — the flagged set feeding q157's islands merge — via one of
+    * two value-identical plans chosen by the corpus-size guard
+    * (`SPARK_GRAFT_Q157_DOUBLE=1|0` forces either side; A/B hook, same
+    * contract as SPARK_GRAFT_SCAN_SPREAD):
+    *
+    *   - lead-window (small corpora): materialize all SaK−1 forward
+    *     ranks per position in one doc window, duplicate-half prune on
+    *     the two half-tuples, count exact SaK-rank classes in a window.
+    *   - prefix doubling (large corpora): dense-rank the DISTINCT
+    *     half-gram tuples once more ([[graft.rel.GlobalRank]], carrying
+    *     the class count), join the single long rank back, and read the
+    *     hi half-rank with `lead(rk4, SaK/2)` in the same doc window
+    *     that numbers positions — the exact SaK-gram class is then the
+    *     (rk4, rk4hi) PAIR, so the prune filter and the class-count
+    *     window move 2 longs per position, never the SaK-rank tuple.
+    *
+    * Equivalence: dense rank is injective on half-gram classes, so
+    * (rk4 at p, rk4 at p+SaK/2) equal ⟺ the two SaK-grams are equal
+    * token-for-token — the same no-hashing exactness as the rank tuple;
+    * Q157DoublingGuardSpec forces both plans and compares them
+    * position-for-position.
+    */
+  private[graft] def q157FlaggedPositions(docs: DataFrame, nDocs: Long,
+      doubleMinDocs: Long = Q157DoubleMinDocs): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val useDoubling = sys.env.get("SPARK_GRAFT_Q157_DOUBLE") match {
+      case Some("1") => true
+      case Some("0") => false
+      case _         => nDocs > doubleMinDocs
+    }
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val wLen = Window.partitionBy("doc_id")
+    val half = SaK / 2
+    val tk = docs
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = graft.rel.GlobalRank
+      .withGlobalRank(tk.select("tok").distinct(), Seq(col("tok")), "r")
+    if (!useDoubling) {
+      val leadCols = (1 until SaK).map(j =>
+        coalesce(lead("r", j).over(wDoc), lit(-1L)).as(s"r$j"))
+      val quad = tk.join(vocab, "tok")
+        .select(Seq(col("doc_id"), col("pos"), col("r")) ++ leadCols :+
+          count(lit(1)).over(wLen).as("len"): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: prune agg + pair stage
+      val loKey = (0 until half).map(j => if (j == 0) "r" else s"r$j")
+      val hiKey = (half until SaK).map(j => s"r$j")
+      val dup4 = quad.filter(col("pos") <= col("len") - half)
+        .groupBy(loKey.map(col): _*).agg(count(lit(1)).as("c4"))
+        .filter(col("c4") >= 2).drop("c4")
+        .cache() // both semi-joins read it; duplicated classes only
+      quad.filter(col("pos") <= col("len") - SaK)
+        .join(dup4, loKey, "leftsemi")
+        .join(dup4.toDF(hiKey: _*), hiKey, "leftsemi")
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy((loKey ++ hiKey).map(col): _*)))
+        .filter(col("cnt") >= 2)
+    } else {
+      // half-gram rank tuple per position: half−1 leads (not SaK−1) —
+      // end-padding sentinel −1 as in the lead-window shape
+      val leadCols = (1 until half).map(j =>
+        coalesce(lead("r", j).over(wDoc), lit(-1L)).as(s"r$j"))
+      val loKey = (0 until half).map(j => if (j == 0) "r" else s"r$j")
+      val base = tk.join(vocab, "tok")
+        .select(Seq(col("doc_id"), col("pos"), col("r")) ++ leadCols :+
+          count(lit(1)).over(wLen).as("len"): _*)
+        .filter(col("pos") <= col("len") - half)
+        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: class agg + join-back
+      // ONE dense-rank round over the distinct half-keys, class count
+      // rides along (groupBy result is distinct, so row_number ≡ dense
+      // rank; no tiebreak column needed)
+      val ranked4 = graft.rel.GlobalRank.withGlobalRank(
+        base.groupBy(loKey.map(col): _*).agg(count(lit(1)).as("c4")),
+        loKey.map(col), "rk4")
+      // join the slim (rank, count) back — the LAST time the wide tuple
+      // is a key; every stage below moves longs
+      val pos4 = base.join(ranked4, loKey)
+        .select(col("doc_id"), col("pos"), col("len"), col("rk4"), col("c4"))
+      // positions surviving the half filter are the consecutive ints
+      // 0..len−half, so the row `half` ahead in pos order IS pos+half:
+      // its rank/count arrive via lead, no second join
+      val withHi = pos4
+        .withColumn("rk4hi", lead("rk4", half).over(wDoc))
+        .withColumn("c4hi", lead("c4", half).over(wDoc))
+        .filter(col("pos") <= col("len") - SaK)
+      withHi
+        .filter(col("c4") >= 2 && col("c4hi") >= 2) // duplicate-half prune
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("rk4", "rk4hi")))
+        .filter(col("cnt") >= 2)
+    }
+  }
+
   /** ExactSubstr-style duplicated-span extraction via DISTRIBUTED
     * PREFIX-DOUBLING suffix ranking (Manber–Myers by way of the
     * suffix-array dedup of Lee et al., "Deduplicating Training Data
@@ -2483,33 +2593,11 @@ object PipelineQueries {
     */
   val q157 = Q("q157_suffix_dup_spans",
     (s, dir) => {
-      import org.apache.spark.storage.StorageLevel
+      // metadata count (q153's guard recipe — counting a derived frame
+      // would re-execute the token pipeline)
+      val nDocs = Tables(s, dir, "documents").count()
+      val flagged = q157FlaggedPositions(Tables(s, dir, "documents"), nDocs)
       val wDoc = Window.partitionBy("doc_id").orderBy("pos")
-      val wLen = Window.partitionBy("doc_id")
-      val tk = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val vocab = graft.rel.GlobalRank
-        .withGlobalRank(tk.select("tok").distinct(), Seq(col("tok")), "r")
-      val half = SaK / 2
-      val leadCols = (1 until SaK).map(j =>
-        coalesce(lead("r", j).over(wDoc), lit(-1L)).as(s"r$j"))
-      val quad = tk.join(vocab, "tok")
-        .select(Seq(col("doc_id"), col("pos"), col("r")) ++ leadCols :+
-          count(lit(1)).over(wLen).as("len"): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK) // consumers: prune agg + pair stage
-      val loKey = (0 until half).map(j => if (j == 0) "r" else s"r$j")
-      val hiKey = (half until SaK).map(j => s"r$j")
-      val dup4 = quad.filter(col("pos") <= col("len") - half)
-        .groupBy(loKey.map(col): _*).agg(count(lit(1)).as("c4"))
-        .filter(col("c4") >= 2).drop("c4")
-        .cache() // both semi-joins read it; duplicated classes only
-      val flagged = quad.filter(col("pos") <= col("len") - SaK)
-        .join(dup4, loKey, "leftsemi")
-        .join(dup4.toDF(hiKey: _*), hiKey, "leftsemi")
-        .withColumn("cnt", count(lit(1)).over(
-          Window.partitionBy((loKey ++ hiKey).map(col): _*)))
-        .filter(col("cnt") >= 2)
       flagged
         .withColumn("grp", col("pos") - row_number().over(wDoc))
         .groupBy("doc_id", "grp")

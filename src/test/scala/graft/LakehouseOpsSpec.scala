@@ -54,6 +54,33 @@ class LakehouseOpsSpec extends SparkTestBase {
     assert(out((2L, 9L)) === ((16L, 8L, 1L)))
   }
 
+  test("q157: corpus-size guard — doubling plan ≡ lead-window plan, position-for-position") {
+    // Round 18: past Q157DoubleMinDocs the flagged-position plan swaps
+    // the SaK-long rank tuple for one extra dense-rank round (2 longs
+    // through the wide stages). Force the guard both ways on real data
+    // and on the crafted fixture; the flagged sets must be identical.
+    for (dir <- Seq(
+        "/root/testdata/sf0.001",
+        docsDir(Seq(
+          (0L, (1 to 8).map(i => s"d$i").mkString(" ") + " x " +
+            (1 to 8).map(i => s"d$i").mkString(" ")),
+          (1L, (1 to 12).map(i => s"e$i").mkString(" ")),
+          (2L, (3 to 12).map(i => s"e$i").mkString(" ")))))) {
+      val docs = Tables(spark, dir, "documents")
+      val n = docs.count()
+      def flaggedSet(minDocs: Long) =
+        text.PipelineQueries.q157FlaggedPositions(docs, n, doubleMinDocs = minDocs)
+          .select(col("doc_id"), col("pos").cast("long")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val leadWindow = flaggedSet(Long.MaxValue) // n ≤ guard → lead-window
+      spark.catalog.clearCache()
+      val doubling = flaggedSet(0L)              // n > guard → doubling
+      spark.catalog.clearCache()
+      assert(doubling === leadWindow, s"plans diverged on $dir")
+      assert(leadWindow.nonEmpty, s"vacuous compare on $dir")
+    }
+  }
+
   test("q157: prefix-doubling ranks agree with direct gram grouping on real data") {
     // decisive cross-check: the engine's suffix-ranking span set must
     // equal a direct exact-gram computation done entirely differently
