@@ -2657,6 +2657,10 @@ object PipelineQueries {
     */
   val q164 = Q("q164_kmv_source_overlap",
     (s, dir) => {
+      // spread: re-A/B'd round 18 after r17's receipt read against it —
+      // ON won both fresh windows (min-of-3 wall 1.78/2.38 vs 2.19/2.65;
+      // receipts/spread_reab_r18.json); the gram explode + md5 above the
+      // scan is the per-row hot loop the floor parallelizes
       val docs = Tables(s, dir, "documents", spreadOk = true)
       val gramsH = docs.select(col("source"), col("text"))
         .withColumn("tk", toks)

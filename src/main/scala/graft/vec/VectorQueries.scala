@@ -1455,7 +1455,10 @@ object VectorQueries {
   val q94 = Q("q94_mmr_diverse",
     (s, dir) => {
       graft.functions.DecDot8.ensureRegistered(s)
-      val en = Tables(s, dir, "embeddings", spreadOk = true)
+      // no spread: opted out round 18 — min-of-3 A/B in two windows was
+      // noise-level (ON 1.09/1.32 vs OFF 1.25/1.20), and the floor's
+      // extra exchange + CPU buys nothing for this broadcast-probe scan
+      val en = Tables(s, dir, "embeddings")
         .withColumn("n2", expr(norm2Expr("embedding")))
         .filter(col("n2") > 0)
       val qv = en.filter(col("vec_id") === 0)
