@@ -421,6 +421,10 @@ object RelationalQueries {
       graft.functions.ExactTopK.ensureRegistered(s)
       val sess = s
       import sess.implicits._
+      // no spread: measured round 18 (receipts/q42_perstage_r18.json) —
+      // round-robining the 16-column lineitem costs 10× the CPU the
+      // kernels save (min-of-3 wall 2.54→3.67, shuffle 3.2→30.7 MB);
+      // the query's cost is 3 cheap full scans, not scan parallelism
       val li = Tables(s, dir, "lineitem")
 
       // Both KMV sketches in ONE distinct + ONE aggregation: explode each
